@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column combinators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, shingling,
+  * MinHash signatures, SimHash, and rolling-hash fingerprints.
+  *
+  * Everything here is pure `Column` composition over Spark built-ins
+  * (split / transform / aggregate / zip_with / xxhash64) — no UDFs, so every
+  * operator stays codegen-friendly and distributable: per-row work only,
+  * no shuffle, scales linearly to 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. Mirrors the `\s+` split used by simple token
+    * counting; leading whitespace yields an empty first token (same
+    * semantics as DuckDB `string_split_regex`).
+    */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of sentence/clause punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", ""))
+
+  /** Ratio of punctuation chars to total chars (0 for empty text). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(punctCount(text).cast("double") / length(text))
+
+  /** English-ish stopwords for quality scoring (public, standard list). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Number of tokens that are stopwords. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*)))
+
+  /** Stopword ratio over tokens; the classic "natural language vs junk"
+    * quality signal.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, 0.0).otherwise(stopwordCount(text).cast("double") / n)
+  }
+
+  /** Composite heuristic quality score in [0,1]: rewards mid-length docs,
+    * some punctuation, and a sane stopword ratio. Deterministic arithmetic
+    * only, so it is DuckDB-oracle-expressible.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctScore = least(punctRatio(text) * 20.0, lit(1.0))
+    graft.functions.ColumnFunctions.pround((lenScore + stopScore + punctScore) / 3.0, 4)
+  }
+
+  /** Marker stopwords per language for the lang-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "los", "y", "es", "las"),
+  )
+
+  /** Language-ID by marker-stopword counting: argmax of per-language marker
+    * hits, ties broken by list order (en first), `und` (undetermined) when
+    * no marker appears at all. A real pipeline would swap in a trained
+    * n-gram model; the *shape* (per-row scoring, no shuffle) is the point.
+    */
+  def langGuess(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
+      when(s === best && s > 0, lang).otherwise(elseCol)
+    }
+  }
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]`. Docs shorter than n
+    * tokens yield a single shingle of the whole doc.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) <= n, array(array_join(toks, " ")))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "),
+        )
+      )
+  }
+
+  /** MinHash signature: k independent permutations simulated as
+    * xxhash64(seed_i, shingle); signature[i] = min over shingles.
+    * Standard MinHash construction (Broder 1997); the per-band grouping for
+    * LSH lives in [[graft.operators.Dedup]].
+    */
+  def minHashSignature(shinglesCol: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shinglesCol, s => xxhash64(i, s))),
+    )
+
+  /** 64-bit SimHash (Charikar 2002) over whitespace tokens: per bit, sum
+    * +1/−1 votes from each token's xxhash64; bit set iff the vote is
+    * positive. Emitted as the signed Long whose bits are the fingerprint.
+    */
+  def simHash64(text: Column): Column = {
+    // Bit loops are unrolled Scala-side (shift amounts must be constants);
+    // codegen subexpression elimination shares the per-token xxhash64.
+    val votes = aggregate(
+      tokens(text),
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val bitVotes = array((0 until 64).map { b =>
+          when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1).otherwise(-1)
+        }: _*)
+        zip_with(acc, bitVotes, (a, v) => a + v)
+      },
+    )
+    (0 until 64)
+      .map(b => when(element_at(votes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing-style document fingerprint: min xxhash64 over word w-gram
+    * shingles — robust to reordering of far-apart content, cheap to compare.
+    */
+  def fingerprint(text: Column, w: Int = 5): Column =
+    array_min(transform(shingles(text, w), s => xxhash64(s)))
+}

@@ -1,0 +1,82 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's MLlib surface (SURVEY.md §2.10) re-expressed generically:
+  * VectorAssembler → StandardScaler(withMean, withStd) → ridge
+  * LinearRegression (maxIter=100, regParam=0.1, elasticNetParam=0.0),
+  * randomSplit([0.8, 0.2], seed=42), RMSE/R²/MAE evaluation, coefficient
+  * extraction — mirroring `/root/reference/src/spark_mllib/train_et_model.py:313-436`.
+  *
+  * Per SURVEY §7.4: randomSplit row counts are partitioning-dependent, so
+  * tests assert ratio/metric tolerances and coefficient signs, never exact
+  * counts.
+  */
+object RidgePipeline {
+
+  case class TrainedModel(
+      model: org.apache.spark.ml.PipelineModel,
+      metrics: DataFrame)
+
+  /** Train on `df` with the reference's hyperparameters; returns the fitted
+    * pipeline and a one-row metrics DataFrame (the `ml_model_performance`
+    * table shape: counts, rmse/r2/mae, intercept, coefficients).
+    */
+  def train(spark: SparkSession, df: DataFrame, featureCols: Seq[String],
+      labelCol: String): TrainedModel = {
+    val clean = df.na.drop(featureCols :+ labelCol)
+
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features_raw")
+    val scaler = new StandardScaler()
+      .setInputCol("features_raw").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    val lr = new LinearRegression()
+      .setFeaturesCol("features").setLabelCol(labelCol)
+      .setMaxIter(100).setRegParam(0.1).setElasticNetParam(0.0)
+
+    // Fixed partition count before the split: randomSplit assigns rows per
+    // partition, so this pins reproducibility across input layouts.
+    val Array(train, test) = clean.repartition(8).randomSplit(Array(0.8, 0.2), seed = 42)
+
+    val model = new Pipeline().setStages(Array(assembler, scaler, lr)).fit(train)
+    val predictions = model.transform(test)
+
+    def eval(metric: String): Double = new RegressionEvaluator()
+      .setLabelCol(labelCol).setPredictionCol("prediction")
+      .setMetricName(metric).evaluate(predictions)
+
+    val lrModel = model.stages.last.asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+    val coefs = lrModel.coefficients.toArray
+
+    import spark.implicits._
+    val metrics = Seq((
+      train.count(), test.count(),
+      math.rint(eval("rmse") * 1e4) / 1e4,
+      math.rint(eval("r2") * 1e4) / 1e4,
+      math.rint(eval("mae") * 1e4) / 1e4,
+      math.rint(lrModel.intercept * 1e4) / 1e4,
+      coefs.map(c => math.rint(c * 1e4) / 1e4).mkString(","),
+    )).toDF("n_train", "n_test", "rmse", "r2", "mae", "intercept", "coefficients")
+    TrainedModel(model, metrics)
+  }
+
+  /** Scenario-grid batch inference (predict_et_model.py:279-331 shape):
+    * cross-join of value ranges → model.transform → filter + rank.
+    */
+  def predictGrid(spark: SparkSession, model: org.apache.spark.ml.PipelineModel,
+      grids: Seq[(String, Seq[Double])], maxPrediction: Double): DataFrame = {
+    import spark.implicits._
+    val gridDf = grids.map { case (name, values) => values.toDF(name) }
+      .reduce(_.crossJoin(_))
+    model.transform(gridDf)
+      .filter(col("prediction") < maxPrediction)
+      .withColumn("prediction", round(col("prediction"), 4))
+      .orderBy((col("prediction") +: grids.map(g => col(g._1))): _*)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour search over an embedding column.
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; one pass, no corpus shuffle. The baseline
+  *    every approximate method is verified against.
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing — queries only meet
+  *    corpus vectors sharing their bucket, cutting the scan by ~2^bits.
+  *    This is the 100 TB path: bucket id is the join key, the corpus is
+  *    hash-partitioned by bucket once and reused across query batches.
+  *  - [[embeddingNearDups]]: cosine-radius self-join via the same buckets.
+  *
+  * All vector math is codegen'd `Column` arithmetic (VectorFunctions) in
+  * float64; no UDFs.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for each query vector. `queries` must be small
+    * (it is broadcast). Ties broken by corpus id ascending.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c
+      .join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        graft.functions.ColumnFunctions.pround(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** LSH-bucketed approximate top-k: only corpus vectors in the same
+    * hyperplane bucket as the query are scored. Recall trades off with
+    * `nBits`; multi-probe (flipping one bit) can be layered on by unioning
+    * bucket ids.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nBits))
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), nBits))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        graft.functions.ColumnFunctions.pround(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Near-duplicate pairs by cosine ≥ threshold, bucketed self-join
+    * (id_a < id_b). For exhaustive (non-approximate) output use nBits=0,
+    * which degenerates to the full cross self-join — only for small n.
+    */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val withBucket =
+      if (nBits > 0) c.withColumn("bucket", lshBucket(col("v"), nBits))
+      else c.withColumn("bucket", lit(0L))
+    val l = withBucket.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = withBucket.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), graft.functions.ColumnFunctions.pround(col("cos"), 6).as("cos_sim"))
+  }
+}

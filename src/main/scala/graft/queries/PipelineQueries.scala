@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.Tables
+import graft.ml.RidgePipeline
+import graft.multimodal.BinaryOps
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ML, streaming, and multimodal pipeline entry points (SURVEY.md §2.9–2.10
+  * + the LLM-pipeline multimodal surface).
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Ridge-regression training run (train_et_model.py analog): features
+    // from lineitem, label = extendedprice. Metrics row only — split is
+    // seeded but engine-specific, so no SQL oracle (rows-only check);
+    // tolerances asserted in MlSpec.
+    ("q60_ml_ridge", (s: SparkSession, d: String) => {
+      RidgePipeline.train(s, Tables.lineitem(s, d),
+        Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice").metrics
+    }, None),
+
+    // Streaming hourly rollup drained with AvailableNow — must equal the
+    // batch q27 result, so it shares q27's oracle SQL (stream==batch is the
+    // exactly-once invariant).
+    ("q61_stream_hourly", (s: SparkSession, d: String) => {
+      EventStream.hourlyRollupAvailableNow(s, d)
+    }, Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+             event_type, count(*) AS n_events,
+             round(sum(value), 2) AS total_value,
+             round(avg(value), 2) AS avg_value
+      FROM events GROUP BY hour, event_type""")),
+
+    // Multimodal metadata extraction over binary payloads via typed
+    // mapPartitions; the stub decode derives from byte length only, so the
+    // whole pipeline is oracle-able through DuckDB's strlen (byte length).
+    ("q62_multimodal_meta", (s: SparkSession, d: String) => {
+      BinaryOps.extractMeta(s, Tables.documents(s, d)).toDF()
+    }, Some("""
+      SELECT doc_id,
+             CAST(strlen(text) AS INTEGER) AS n_bytes,
+             CAST(64 + strlen(text) % 512 AS INTEGER) AS width,
+             CAST(64 + (strlen(text) * 7) % 512 AS INTEGER) AS height,
+             CAST(1 + strlen(text) % 30 AS INTEGER) AS n_frames
+      FROM documents""")),
+
+    // Frame-sampling fan-out (explode) — generator/UDTF surface.
+    ("q63_frame_sample", (s: SparkSession, d: String) => {
+      BinaryOps.sampleFrames(BinaryOps.extractMeta(s, Tables.documents(s, d)), 5)
+    }, Some("""
+      SELECT doc_id, CAST(unnest(range(0, 1 + strlen(text) % 30, 5)) AS INTEGER) AS frame_idx
+      FROM documents""")),
+  )
+
+  val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+  val oracles: Map[String, String] = entries.collect { case (n, _, Some(sql)) =>
+    n -> sql.stripMargin.trim.replace("round(", "round(1e-8 + ")
+  }.toMap
+}

@@ -1,0 +1,571 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.ColumnFunctions._
+import graft.operators.Ranking
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator inventory (SURVEY.md §2.2–§2.8) re-expressed over
+  * the driver's TPC-H-ish corpus, each with a DuckDB oracle.
+  *
+  * Conventions for oracle parity:
+  *  - every float aggregate is `round`ed identically on both sides (Spark
+  *    ROUND = HALF_UP = DuckDB round for our value ranges);
+  *  - DuckDB results are cast to Spark's narrower types (`year()` BIGINT→INT,
+  *    `sum(int)` HUGEINT→BIGINT) so schemas hash-match;
+  *  - every LIMIT/top-k query carries a full deterministic tie-break;
+  *  - timestamps in outputs are formatted to strings.
+  *
+  * Scale notes are on each query; the global ones: all dim joins broadcast
+  * (nation 25 / customer 1.5k / supplier 10 rows per sf0.01 — far under the
+  * 10 MB auto-broadcast threshold), all aggregations are partial+final
+  * HashAggregate, all top-k are TakeOrderedAndProject (no global sort).
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shadows functions.round with the parity round (see
+    * ColumnFunctions.pround); the oracle SQL gets the same epsilon injected
+    * in [[oracles]], so both engines round the identical shifted value.
+    */
+  private def round(c: org.apache.spark.sql.Column, d: Int) = pround(c, d)
+
+  /** (name, spark query, optional DuckDB oracle). */
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // ───────── aggregation / scan / filter ─────────
+
+    // TPC-H Q1 shape: scan-filter-agg, the bread-and-butter pipeline.
+    // Filter + 5-col projection push into the parquet scan.
+    ("q1_agg", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= "1998-09-02")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 2) AS avg_qty,
+             count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus""")),
+
+    // Projection + cast + alias (reference result-shaping, SURVEY §2.2).
+    ("q2_project_cast", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_quantity")).cast("int").as("qty_int"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"),
+        upper(col("l_returnflag")).as("flag"))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_quantity) AS INTEGER) AS qty_int,
+             round(l_extendedprice * (1 - l_discount), 2) AS net_price,
+             upper(l_returnflag) AS flag
+      FROM lineitem""")),
+
+    // Conjunctive threshold predicate (extreme-weather shape, §2.2).
+    ("q3_filter_conjunction", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .filter(isExtreme(col("l_quantity"), 30, col("l_discount"), 0.05))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      FROM lineitem WHERE l_quantity > 30 AND l_discount > 0.05""")),
+
+    // Range + membership predicates (dashboard filter shape, §2.2).
+    ("q4_filter_range_in", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderdate").between("1996-01-01", "1996-12-31") &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price
+      FROM orders
+      WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_orderpriority""")),
+
+    // Regex validity predicate (RLIKE, §2.2).
+    ("q5_filter_rlike", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderpriority").rlike("^[12]-"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders WHERE regexp_matches(o_orderpriority, '^[12]-')
+      GROUP BY o_orderpriority""")),
+
+    // Null dialects: the reference has both na.drop and na.fill(0) paths
+    // (SURVEY §2.2) — exposed side by side. avg ignores nulls = "drop";
+    // coalesce(x,0) = "fill".
+    ("q6_null_dialects", (s: SparkSession, d: String) => {
+      val nullable = when(col("l_discount") === 0, lit(null)).otherwise(col("l_discount"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), nullable.as("disc"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("disc").isNull, 1).otherwise(0)).cast("bigint").as("n_null"),
+          round(avg(col("disc")), 6).as("avg_drop"),
+          round(avg(coalesce(col("disc"), lit(0.0))), 6).as("avg_fill"))
+    }, Some("""
+      SELECT l_returnflag, count(*) AS n_rows,
+             CAST(sum(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             round(avg(disc), 6) AS avg_drop,
+             round(avg(coalesce(disc, 0.0)), 6) AS avg_fill
+      FROM (SELECT l_returnflag,
+                   CASE WHEN l_discount = 0 THEN NULL ELSE l_discount END AS disc
+            FROM lineitem)
+      GROUP BY l_returnflag""")),
+
+    // ───────── joins ─────────
+
+    // Fact⋈dim⋈dim chain — both dims broadcast; single shuffle for the agg.
+    ("q7_join_broadcast", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_price"))
+    }, Some("""
+      SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name""")),
+
+    // Left outer join keeping customers with zero orders (§2.3).
+    ("q8_join_left_outer", (s: SparkSession, d: String) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          count(col("o_orderkey")).as("order_count"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+    }, Some("""
+      SELECT c_custkey, c_name, count(o_orderkey) AS order_count,
+             round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name""")),
+
+    // Left-semi join (EXISTS): lineitems of finished orders.
+    ("q9_semi_join", (s: SparkSession, d: String) => {
+      val finished = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      Tables.lineitem(s, d)
+        .join(finished, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }, Some("""
+      SELECT l_returnflag, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem l
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+      GROUP BY l_returnflag""")),
+
+    // Left-anti join (NOT EXISTS): customers with no orders.
+    ("q10_anti_join", (s: SparkSession, d: String) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")),
+
+    // CTE top-k semi-join (requirement2_top_districts.sql:30-45 shape):
+    // top-5 customers by spend, then their monthly order profile. The 5-row
+    // key set broadcasts — no shuffle of the fact side.
+    ("q11_topk_semijoin", (s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d)
+      val spend = o.groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("total"))
+      o.transform(f => Ranking.topKSemiJoin(f, spend, Seq("o_custkey"),
+          Seq(col("total").desc, col("o_custkey")), 5))
+        .groupBy(col("o_custkey"), yearMonth(col("o_orderdate")).as("order_month"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("monthly_total"))
+    }, Some("""
+      WITH top5 AS (
+        SELECT o_custkey FROM orders GROUP BY o_custkey
+        ORDER BY sum(o_totalprice) DESC, o_custkey LIMIT 5)
+      SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS order_month,
+             count(*) AS n_orders, round(sum(o_totalprice), 2) AS monthly_total
+      FROM orders WHERE o_custkey IN (SELECT o_custkey FROM top5)
+      GROUP BY o_custkey, order_month""")),
+
+    // Cross join: small dim grid (scenario-grid shape, §2.3).
+    ("q12_cross_join", (s: SparkSession, d: String) => {
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"),
+          (col("r_regionkey") * 100 + col("n_nationkey")).as("grid_key"))
+    }, Some("""
+      SELECT r_name, n_name, r_regionkey * 100 + n_nationkey AS grid_key
+      FROM region CROSS JOIN nation""")),
+
+    // ───────── weather-pipeline analogs (SURVEY §3) ─────────
+
+    // MR job 1 analog (DistrictMonthlyWeather.java:33-146): fact⋈dims +
+    // per-(district, year-month) sum/avg. 255 lines of Java+loader → one
+    // shuffled agg after broadcast joins.
+    ("q13_district_monthly", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("district"), yearMonth(col("o_orderdate")).as("order_month"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("total_qty"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          count(lit(1)).as("n_items"))
+    }, Some("""
+      SELECT n_name AS district, strftime(o_orderdate, '%Y-%m') AS order_month,
+             round(sum(l_quantity), 2) AS total_qty,
+             round(avg(l_extendedprice), 2) AS avg_price,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY district, order_month""")),
+
+    // MR job 2 analog (HighestPrecipitationMonth.java:89-115): global argmax
+    // month. Partial agg per partition → tiny final — no single-reducer
+    // bottleneck (the reference forced numReduceTasks=1).
+    ("q14_argmax_month", (s: SparkSession, d: String) => {
+      Ranking.argmax(Tables.orders(s, d),
+        yearMonth(col("o_orderdate")), round(sum(col("o_totalprice")), 2),
+        "order_month", "total_price")
+    }, Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+             round(sum(o_totalprice), 2) AS total_price
+      FROM orders GROUP BY order_month
+      ORDER BY total_price DESC, order_month LIMIT 1""")),
+
+    // Hive q1 analog (02_query1_top_cities.hql): group-avg + abs-deviation
+    // ranking + top-10. TakeOrderedAndProject, no global sort.
+    ("q15_abs_deviation_topk", (s: SparkSession, d: String) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+        .withColumn("deviation", round(absDeviation(col("avg_acctbal"), 1000.0), 2))
+        .orderBy(col("deviation"), col("n_name"))
+        .limit(10)
+    }, Some("""
+      SELECT n_name, round(avg(c_acctbal), 2) AS avg_acctbal,
+             round(abs(round(avg(c_acctbal), 2) - 1000.0), 2) AS deviation
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY deviation, n_name LIMIT 10""")),
+
+    // Hive q2 analog (03_query2_evapotranspiration.hql): grouping on CASE
+    // expressions incl. the season-year shift (Jan–Mar → previous year).
+    ("q16_seasonal_shift", (s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d)
+      val m = month(col("o_orderdate"))
+      val y = year(col("o_orderdate"))
+      o.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), season(m).as("season"), seasonYear(y, m).as("season_year"))
+        .agg(round(avg(col("o_totalprice")), 2).as("avg_total"), count(lit(1)).as("n_orders"))
+    }, Some("""
+      SELECT n_name,
+             CASE WHEN month(o_orderdate) IN (1,2,3,9,10,11,12) THEN 'Maha' ELSE 'Yala' END AS season,
+             CAST(CASE WHEN month(o_orderdate) IN (1,2,3) THEN year(o_orderdate) - 1
+                       ELSE year(o_orderdate) END AS INTEGER) AS season_year,
+             round(avg(o_totalprice), 2) AS avg_total,
+             count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, season, season_year""")),
+
+    // Spark task 2.3a analog (weather_spark_analysis_new.py:316-328):
+    // conditional-count percentage per year×month.
+    ("q17_conditional_pct", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupBy(year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mo"))
+        .agg(
+          count(lit(1)).as("total_items"),
+          sum(when(col("l_quantity") > 30, 1).otherwise(0)).as("items_above"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"))
+        .withColumn("pct_above", round(col("items_above") * 100.0 / col("total_items"), 2))
+    }, Some("""
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+             CAST(month(l_shipdate) AS INTEGER) AS mo,
+             count(*) AS total_items,
+             CAST(sum(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) AS items_above,
+             round(avg(l_quantity), 2) AS avg_qty,
+             round(CAST(sum(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) * 100.0
+                   / count(*), 2) AS pct_above
+      FROM lineitem GROUP BY yr, mo""")),
+
+    // Spark task 2.3b analog (weather_spark_analysis_new.py:358-402), the
+    // hardest reference pipeline: monthly avg → top-3 months per year by
+    // window rank → semi-join facts → weekly agg. Top-3 key set broadcasts.
+    ("q18_weekly_top_months", (s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("mo", month(col("o_orderdate")))
+      val monthly = o.groupBy(col("yr"), col("mo")).agg(avg(col("o_totalprice")).as("avg_total"))
+      val top3 = Ranking.topKPerGroup(monthly, Seq(col("yr")),
+        Seq(col("avg_total").desc, col("mo")), 3).select("yr", "mo")
+      o.join(broadcast(top3), Seq("yr", "mo"))
+        .groupBy(col("yr"), col("mo"), weekofyear(col("o_orderdate")).as("wk"), col("o_orderstatus"))
+        .agg(
+          round(max(col("o_totalprice")), 2).as("max_total"),
+          round(avg(col("o_totalprice")), 2).as("avg_total"),
+          count(lit(1)).as("n_orders"))
+    }, Some("""
+      WITH o AS (SELECT *, CAST(year(o_orderdate) AS INTEGER) AS yr,
+                        CAST(month(o_orderdate) AS INTEGER) AS mo FROM orders),
+      monthly AS (SELECT yr, mo, avg(o_totalprice) AS avg_total FROM o GROUP BY yr, mo),
+      top3 AS (SELECT yr, mo FROM (
+                 SELECT yr, mo,
+                        row_number() OVER (PARTITION BY yr ORDER BY avg_total DESC, mo) AS rnk
+                 FROM monthly) WHERE rnk <= 3)
+      SELECT o.yr, o.mo, CAST(weekofyear(o.o_orderdate) AS INTEGER) AS wk, o.o_orderstatus,
+             round(max(o.o_totalprice), 2) AS max_total,
+             round(avg(o.o_totalprice), 2) AS avg_total,
+             count(*) AS n_orders
+      FROM o JOIN top3 t ON o.yr = t.yr AND o.mo = t.mo
+      GROUP BY o.yr, o.mo, wk, o.o_orderstatus""")),
+
+    // ───────── windows / sorts / set ops ─────────
+
+    // Ranked top-N per group with deterministic tie-break (§2.5).
+    ("q19_window_topn", (s: SparkSession, d: String) => {
+      Ranking.topKPerGroup(Tables.orders(s, d), Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("total_price"))
+    }, Some("""
+      SELECT o_custkey, CAST(rank AS INTEGER) AS rank, o_orderkey,
+             round(o_totalprice, 2) AS total_price
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders)
+      WHERE rank <= 3""")),
+
+    // Window frames: running sum + lag/lead per supplier (beyond the
+    // reference's ranking-only windows — real frame specs).
+    ("q20_window_running", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_extendedprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_rev"),
+        round(lag(col("l_extendedprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("l_extendedprice"), 1).over(w), 2).as("next_price"))
+    }, Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             round(sum(l_extendedprice) OVER w, 2) AS running_rev,
+             round(lag(l_extendedprice, 1) OVER w2, 2) AS prev_price,
+             round(lead(l_extendedprice, 1) OVER w2, 2) AS next_price
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""")),
+
+    // ORDER BY + LIMIT top-k (§2.6) → TakeOrderedAndProject.
+    ("q21_orderby_limit", (s: SparkSession, d: String) => {
+      Tables.part(s, d)
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        .limit(10)
+        .select(col("p_partkey"), col("p_name"), round(col("p_retailprice"), 2).as("retail"))
+    }, Some("""
+      SELECT p_partkey, p_name, round(p_retailprice, 2) AS retail
+      FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10""")),
+
+    // Union of heterogeneous inputs with provenance tag (§2.7).
+    ("q22_union_tagged", (s: SparkSession, d: String) => {
+      val a = Tables.customer(s, d)
+        .select(col("c_nationkey").as("nationkey"), lit("customer").as("side"))
+      val b = Tables.supplier(s, d)
+        .select(col("s_nationkey").as("nationkey"), lit("supplier").as("side"))
+      a.unionByName(b).groupBy(col("nationkey"), col("side")).agg(count(lit(1)).as("n"))
+    }, Some("""
+      SELECT nationkey, side, count(*) AS n
+      FROM (SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier)
+      GROUP BY nationkey, side""")),
+
+    // Intersect: nations having both customers and suppliers.
+    ("q23_intersect", (s: SparkSession, d: String) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct())
+    }, Some("""
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey AS nationkey FROM supplier""")),
+
+    // Except: nations with customers but no suppliers.
+    ("q24_except", (s: SparkSession, d: String) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct())
+    }, Some("""
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey AS nationkey FROM supplier""")),
+
+    // ───────── scalar / date functions (§2.8) ─────────
+
+    ("q25_date_parts", (s: SparkSession, d: String) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        weekofyear(col("o_orderdate")).as("wk"),
+        quarter(col("o_orderdate")).as("qtr"),
+        yearMonth(col("o_orderdate")).as("order_month"))
+    }, Some("""
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(month(o_orderdate) AS INTEGER) AS mo,
+             CAST(day(o_orderdate) AS INTEGER) AS dom,
+             CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+             CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+             strftime(o_orderdate, '%Y-%m') AS order_month
+      FROM orders""")),
+
+    // 3-way severity CASE (requirement4_extreme_weather.sql:52-56 shape).
+    ("q26_severity_case", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupBy(severity(col("l_quantity"), 30, col("l_extendedprice"), 40000).as("severity"))
+        .agg(count(lit(1)).as("n_items"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"))
+    }, Some("""
+      SELECT CASE WHEN l_quantity > 45.0 AND l_extendedprice > 52000.0 THEN 'Severe'
+                  WHEN l_quantity > 30.0 AND l_extendedprice > 40000.0 THEN 'Moderate'
+                  ELSE 'Normal' END AS severity,
+             count(*) AS n_items,
+             round(avg(l_extendedprice), 2) AS avg_price
+      FROM lineitem GROUP BY severity""")),
+
+    // Event-time hourly rollup — batch equivalent of the streaming
+    // aggregation (§2.9); also the dashboard date_trunc shape.
+    ("q27_events_hourly", (s: SparkSession, d: String) => {
+      Tables.events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"),
+          round(avg(col("value")), 2).as("avg_value"))
+    }, Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+             event_type, count(*) AS n_events,
+             round(sum(value), 2) AS total_value,
+             round(avg(value), 2) AS avg_value
+      FROM events GROUP BY hour, event_type""")),
+
+    // Single-pass multi-column whole-table stats (train_et_model.py:276-292
+    // did 4 passes; we do one).
+    ("q28_stats_single_pass", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d).agg(
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(stddev(col("l_quantity")), 4).as("std_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(stddev(col("l_extendedprice")), 4).as("std_price"),
+        count(lit(1)).as("n_rows"))
+    }, Some("""
+      SELECT round(avg(l_quantity), 4) AS avg_qty,
+             round(stddev(l_quantity), 4) AS std_qty,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(stddev(l_extendedprice), 4) AS std_price,
+             count(*) AS n_rows
+      FROM lineitem""")),
+
+    // Exact count-distinct (27-district scale in the reference; here the
+    // part/supp key spaces).
+    ("q29_count_distinct", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }, Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag""")),
+
+    // ml_feature_statistics analog: per-feature stats via UNPIVOT/stack —
+    // one scan, not one scan per feature.
+    ("q30_feature_stats", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .selectExpr("stack(3, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice, " +
+          "'l_discount', l_discount) as (feature, value)")
+        .groupBy(col("feature"))
+        .agg(
+          round(avg(col("value")), 4).as("avg_value"),
+          round(stddev(col("value")), 4).as("std_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          count(lit(1)).as("n"))
+    }, Some("""
+      SELECT feature, round(avg(value), 4) AS avg_value,
+             round(stddev(value), 4) AS std_value,
+             min(value) AS min_value, max(value) AS max_value, count(*) AS n
+      FROM (SELECT 'l_quantity' AS feature, l_quantity AS value FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+      GROUP BY feature""")),
+
+    // Gap-based sessionization (lag + running sum + agg) — the stateful
+    // stream op (mapGroupsWithState shape) expressed relationally for the
+    // batch/oracle path; the streaming twin lives in graft.streaming.
+    ("q31_sessionize", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 14400, 1).otherwise(0))
+        .withColumn("sess_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          round(sum(col("value")), 2).as("total_value"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, ts, value,
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                 FROM events),
+      f AS (SELECT *, CASE WHEN prev_ts IS NULL
+                             OR date_diff('second', prev_ts, ts) > 14400
+                           THEN 1 ELSE 0 END AS new_sess FROM e),
+      g AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+            FROM f)
+      SELECT user_id, sess_id, count(*) AS n_events,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+             round(sum(value), 2) AS total_value
+      FROM g GROUP BY user_id, sess_id""")),
+  )
+
+  val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+  val oracles: Map[String, String] = entries.collect { case (n, _, Some(sql)) =>
+    n -> sql.stripMargin.trim.replace("round(", "round(1e-8 + ")
+  }.toMap
+}

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` tables: dedup family, text analysis, similarity search.
+  *
+  * Oracle policy: every operator whose arithmetic is expressible in DuckDB
+  * SQL carries an oracle (token counts, quality scores, lang-ID, exact
+  * dedup, token-set Jaccard, brute-force cosine). Operators built on Spark's
+  * xxhash64 (MinHash, SimHash, fingerprints, LSH buckets) have no DuckDB
+  * twin — they are declared without oracle (driver records rows-only) and
+  * are instead invariant-tested in ScalaTest (planted near-dups must be
+  * found; signatures must be deterministic).
+  *
+  * Scale: all per-doc scoring is shuffle-free narrow projection; dedup/LSH
+  * shuffle only on compact hash keys (band hash, bucket id); similarity
+  * broadcasts the query set and never shuffles the corpus.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Parity round shadow — see RelationalQueries / ColumnFunctions.pround. */
+  private def round(c: org.apache.spark.sql.Column, d: Int) =
+    graft.functions.ColumnFunctions.pround(c, d)
+
+  private val stopwordsSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Exact dedup groups by content hash (md5 — same hex in DuckDB).
+    ("q40_dedup_exact", (s: SparkSession, d: String) => {
+      Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
+    }, Some("""
+      SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keeper_id
+      FROM documents GROUP BY text_hash""")),
+
+    // Token counting (whitespace regex — identical split semantics).
+    ("q41_token_count", (s: SparkSession, d: String) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_measured"))
+    }, Some("""
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
+             CAST(length(text) AS INTEGER) AS n_chars_measured
+      FROM documents""")),
+
+    // Quality scoring: length/punctuation/stopword-ratio composite.
+    ("q42_text_quality", (s: SparkSession, d: String) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        tokenCount(col("text")).as("n_tokens"),
+        punctCount(col("text")).as("n_punct"),
+        stopwordCount(col("text")).as("n_stopwords"),
+        qualityScore(col("text")).as("quality"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INTEGER) AS n_punct,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                    t -> t IN ($stopwordsSql))) AS INTEGER) AS n_stopwords
+        FROM documents)
+      SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+             round((least(n_chars / 500.0, 1.0)
+                  + least((CASE WHEN n_tokens = 0 THEN 0.0
+                                ELSE CAST(n_stopwords AS DOUBLE) / n_tokens END) * 5.0, 1.0)
+                  + least((CASE WHEN n_chars = 0 THEN 0.0
+                                ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 20.0, 1.0)
+                   ) / 3.0, 4) AS quality
+      FROM t""")),
+
+    // Language-ID heuristic: marker-stopword argmax, ties by declaration
+    // order, 'und' when no marker hits.
+    ("q43_lang_id", (s: SparkSession, d: String) => {
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), langGuess(col("text")).as("lang_guess"))
+    }, Some {
+      val scoreExprs = langMarkers.map { case (lang, markers) =>
+        val list = markers.map(m => s"'$m'").mkString(", ")
+        s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ($list))) AS INTEGER) AS s_$lang"
+      }.mkString(",\n               ")
+      val best = s"greatest(${langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+      val cases = langMarkers.map { case (l, _) =>
+        s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'"
+      }.mkString("\n                  ")
+      s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+               $scoreExprs
+        FROM documents)
+      SELECT doc_id, lang,
+             CASE $cases
+                  ELSE 'und' END AS lang_guess
+      FROM t"""
+    }),
+
+    // Token-set (1-gram) Jaccard near-dup pairs, sampled a-side blocking.
+    // The library generalizes to any n (Dedup.ngramJaccardPairs).
+    ("q44_token_jaccard", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val t = docs.select(col("doc_id"),
+        array_distinct(split(col("text"), "\\s+")).as("tok"))
+      val a = t.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("id_a"), col("tok").as("tok_a"))
+      val b = t.select(col("doc_id").as("id_b"), col("tok").as("tok_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          round(size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
+            size(array_union(col("tok_a"), col("tok_b"))), 4))
+        .filter(col("jaccard") >= 0.9)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS tok
+                 FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.tok, b.tok))), 4) AS jaccard
+      FROM t a, t b
+      WHERE a.doc_id % 20 = 0 AND a.doc_id < b.doc_id
+        AND round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.tok, b.tok))), 4) >= 0.9""")),
+
+    // MinHash + banded LSH near-dup pairs (xxhash64 — no DuckDB twin;
+    // invariant-tested in DedupSpec instead).
+    ("q45_minhash_lsh", (s: SparkSession, d: String) => {
+      Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.5)
+    }, None),
+
+    // SimHash near-dup pairs within hamming radius 3 (rows-only).
+    ("q46_simhash", (s: SparkSession, d: String) => {
+      Dedup.simHashDups(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
+    }, None),
+
+    // Winnowing-style fingerprints (rows-only: xxhash64).
+    ("q47_fingerprint", (s: SparkSession, d: String) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        fingerprint(col("text"), 5).as("fp"),
+        simHash64(col("text")).as("simhash"))
+    }, None),
+
+    // Brute-force cosine top-10 for 5 query vectors — the exact-ANN
+    // baseline. Query set broadcasts; corpus scanned once.
+    ("q48_ann_brute_force", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    }, Some("""
+      WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(c.v, q.qv) AS cos,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id)
+                 AS rank
+        FROM c, q WHERE c.vec_id != q.query_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+             round(cos, 6) AS cos_sim
+      FROM scored WHERE rank <= 10""")),
+
+    // Cosine-radius embedding near-dup pairs, exhaustive (small corpus);
+    // the LSH-bucketed variant is the 100 TB path (SimilaritySpec).
+    ("q49_embedding_neardup", (s: SparkSession, d: String) => {
+      Similarity.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4, nBits = 0)
+    }, Some("""
+      WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM c a, c b
+      WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.4""")),
+
+    // LSH-bucketed approximate ANN (xxhash64 buckets — rows-only; recall
+    // vs q48 is asserted in SimilaritySpec).
+    ("q50_ann_lsh", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nBits = 4)
+    }, None),
+  )
+
+  val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+  val oracles: Map[String, String] = entries.collect { case (n, _, Some(sql)) =>
+    n -> sql.stripMargin.trim.replace("round(", "round(1e-8 + ")
+  }.toMap
+}

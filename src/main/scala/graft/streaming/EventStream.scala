@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming re-realization of the reference's file-replay
+  * pipeline (SURVEY.md §2.9): the watchdog→Kafka→HDFS relay becomes a file
+  * source with checkpointed exactly-once semantics (strictly stronger than
+  * the reference's at-least-once consumer), and the ClickHouse
+  * SummingMergeTree materialized view (`init.sql:73-85`) becomes a windowed
+  * streaming aggregation.
+  *
+  * For local verification we drive the stream with `Trigger.AvailableNow`
+  * over the same parquet the batch queries read, land it in a memory sink,
+  * and compare against the batch oracle — stream results must equal batch
+  * results on the same input (the exactly-once invariant the reference
+  * never had).
+  */
+object EventStream {
+
+  @volatile private var sinkCounter = 0
+
+  /** Hourly per-event-type rollup as a stream, drained to completion.
+    * Returns the result as a DataFrame identical in shape to the batch
+    * `q27_events_hourly` query.
+    */
+  def hourlyRollupAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-source streams need a directory; glob-filter down to the table
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // same nanos→micros normalization as Tables.events
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.functions.ColumnFunctions.pround(sum(col("value")), 2).as("total_value"),
+        graft.functions.ColumnFunctions.pround(avg(col("value")), 2).as("avg_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"), col("n_events"), col("total_value"), col("avg_value"))
+
+    val name = synchronized { sinkCounter += 1; s"graft_stream_hourly_$sinkCounter" }
+    val query = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+
+  /** File-ingest with routing (kafka_hdfs_consumer.py:37-110 shape): one
+    * stream, `foreachBatch` writes each micro-batch to parquet partitioned
+    * by a routing column, exactly once per batch id. Used by StreamingSpec.
+    */
+  def routedIngest(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
+    val q = spark.readStream.schema(schema).parquet(s"$srcDir/events.parquet")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").partitionBy("event_type").parquet(outDir)
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
