@@ -1,0 +1,119 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Token-level expressions replacing interpreted HOF chains in the text
+  * operators (same exact semantics as the Column formulations — asserted
+  * by differential tests):
+  *
+  *  - [[TokenSetCount]]: count of array elements contained in a constant
+  *    string set (stopword counting, language-marker scoring). The HOF
+  *    `size(filter(tokens, t.isin(...)))` evaluates N×|set| comparisons
+  *    interpreted; this does one hash probe per token.
+  *  - [[Shingles]]: word n-gram shingling. The HOF
+  *    `transform(sequence(...), slice+array_join)` allocates per shingle;
+  *    this builds each shingle in one pass.
+  *  - [[JaccardSim]]: |distinct(A)∩distinct(B)| / |distinct(A)∪distinct(B)|
+  *    — matches `size(array_intersect)/size(array_union)` on
+  *    distinct inputs.
+  */
+object TokenExpressions {
+
+  case class TokenSetCount(child: Expression, set: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String](set.size * 2)
+      set.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      var c = 0
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i) && lookup.contains(arr.getUTF8String(i))) c += 1
+        i += 1
+      }
+      java.lang.Integer.valueOf(c)
+    }
+    override protected def withNewChildInternal(newChild: Expression): TokenSetCount =
+      copy(child = newChild)
+  }
+
+  /** Word n-gram shingles over an array<string>: sliding windows of n
+    * tokens joined by a single space; inputs of ≤ n tokens yield one
+    * shingle of the whole input (same edge semantics as
+    * TextFunctions.shingles).
+    */
+  case class Shingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    private val space = UTF8String.fromString(" ")
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      def tok(i: Int): UTF8String =
+        if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      if (len <= n) {
+        val whole = UTF8String.concatWs(space, Array.tabulate(len)(tok): _*)
+        new GenericArrayData(Array[Any](whole))
+      } else {
+        val out = new Array[Any](len - n + 1)
+        var i = 0
+        while (i + n <= len) {
+          out(i) = UTF8String.concatWs(space, Array.tabulate(n)(j => tok(i + j)): _*)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+    override protected def withNewChildInternal(newChild: Expression): Shingles =
+      copy(child = newChild)
+  }
+
+  /** Jaccard similarity of two string arrays on their distinct element
+    * sets; 0.0 when the union is empty.
+    */
+  case class JaccardSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    private def toSet(a: ArrayData): java.util.HashSet[UTF8String] = {
+      val s = new java.util.HashSet[UTF8String](a.numElements() * 2)
+      var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        if (!a.isNullAt(i)) s.add(a.getUTF8String(i))
+        i += 1
+      }
+      s
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val sa = toSet(a.asInstanceOf[ArrayData])
+      val sb = toSet(b.asInstanceOf[ArrayData])
+      var inter = 0
+      val it = sa.iterator()
+      while (it.hasNext) if (sb.contains(it.next())) inter += 1
+      val union = sa.size + sb.size - inter
+      java.lang.Double.valueOf(if (union == 0) 0.0 else inter.toDouble / union)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+      copy(left = l, right = r)
+  }
+
+  def tokenSetCount(tokens: Column, set: Seq[String]): Column =
+    Bridge.column(TokenSetCount(Bridge.expression(tokens), set))
+
+  def shingleArray(tokens: Column, n: Int): Column =
+    Bridge.column(Shingles(Bridge.expression(tokens), n))
+
+  def jaccardSim(a: Column, b: Column): Column =
+    Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -14,12 +14,16 @@ object VectorFunctions {
 
   /** Sequential left-to-right dot product — same accumulation order as
     * DuckDB's list aggregates, so results agree bit-for-bit modulo the
-    * final rounding.
+    * final rounding. Delegates to the codegen'd expression; [[dotReference]]
+    * is the interpreted HOF twin for differential tests.
     */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.dotProduct(a, b)
+
+  def dotReference(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+  def l2Norm(v: Column): Column = graft.expressions.VectorExpressions.l2Norm(v)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))

@@ -43,9 +43,10 @@ object RidgePipeline {
     // Fixed partition count before the split: randomSplit assigns rows per
     // partition, so this pins reproducibility across input layouts.
     val Array(train, test) = clean.repartition(8).randomSplit(Array(0.8, 0.2), seed = 42)
+    train.cache(); test.cache()
 
     val model = new Pipeline().setStages(Array(assembler, scaler, lr)).fit(train)
-    val predictions = model.transform(test)
+    val predictions = model.transform(test).cache()
 
     def eval(metric: String): Double = new RegressionEvaluator()
       .setLabelCol(labelCol).setPredictionCol("prediction")
@@ -63,6 +64,8 @@ object RidgePipeline {
       math.rint(lrModel.intercept * 1e4) / 1e4,
       coefs.map(c => math.rint(c * 1e4) / 1e4).mkString(","),
     )).toDF("n_train", "n_test", "rmse", "r2", "mae", "intercept", "coefficients")
+    metrics.count() // materialize before releasing the cached inputs
+    train.unpersist(); test.unpersist(); predictions.unpersist()
     TrainedModel(model, metrics)
   }
 

@@ -26,11 +26,15 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // norms once per vector (not per pair); cos = dot/(nrm_a*nrm_b) is
+    // bit-identical to cosine() but does 1/3 of the element loops
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qnrm", l2Norm(col("qv")))
     val scored = c
       .join(broadcast(q), col("id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
     scored
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))))
@@ -49,12 +53,14 @@ object Similarity {
     val c = corpus
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), nBits))
+      .withColumn("nrm", l2Norm(col("v")))
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), nBits))
+      .withColumn("qnrm", l2Norm(col("qv")))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))))
       .filter(col("rank") <= k)
@@ -69,14 +75,17 @@ object Similarity {
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
     val withBucket =
       if (nBits > 0) c.withColumn("bucket", lshBucket(col("v"), nBits))
       else c.withColumn("bucket", lit(0L))
-    val l = withBucket.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = withBucket.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val l = withBucket.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val r = withBucket.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), graft.functions.ColumnFunctions.pround(col("cos"), 6).as("cos_sim"))
   }

@@ -115,8 +115,7 @@ object TextQueries {
       val b = t.select(col("doc_id").as("id_b"), col("tok").as("tok_b"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
         .withColumn("jaccard",
-          round(size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
-            size(array_union(col("tok_a"), col("tok_b"))), 4))
+          round(graft.expressions.TokenExpressions.jaccardSim(col("tok_a"), col("tok_b")), 4))
         .filter(col("jaccard") >= 0.9)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }, Some("""

@@ -65,7 +65,8 @@ object EventStream {
     */
   def routedIngest(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
-    val q = spark.readStream.schema(schema).parquet(s"$srcDir/events.parquet")
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode("append").partitionBy("event_type").parquet(outDir)

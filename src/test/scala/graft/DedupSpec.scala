@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Crafted corpus: 0/1 byte-identical; 2 near-identical to 0 (one word
+  // changed); 3/4 unrelated.
+  lazy val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3L, "completely different content about spark catalyst optimizer rules"),
+    (4L, "unrelated text mentioning minhash lsh banding and shingle sets"),
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds the byte-identical pair, keeper = min id") {
+    val g = Dedup.exactDupGroups(corpus, "doc_id", "text")
+    assert(g.count() === 4) // 5 docs, one collapsed pair
+    val dup = g.filter($"dup_count" === 2).collect()
+    assert(dup.length === 1 && dup.head.getAs[Long]("keeper_id") === 0L)
+  }
+
+  test("dropExactDups keeps one survivor per text") {
+    val kept = Dedup.dropExactDups(corpus, "doc_id", "text")
+    assert(kept.count() === 4)
+    assert(kept.filter($"doc_id" === 1L).count() === 0) // 0 survives, 1 dropped
+  }
+
+  test("minHashLsh finds exact + near pairs and not unrelated ones") {
+    val pairs = Dedup.minHashLsh(corpus, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L))) // identical -> jaccard 1.0
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 === 1.0)
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L))) // near dup
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minHashLsh on real corpus finds the planted near-dups at sf0.001") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", threshold = 0.5)
+    assert(pairs.count() > 0)
+    assert(pairs.agg(min($"jaccard")).head().getDouble(0) >= 0.5)
+  }
+
+  test("simHashDups: identical docs at distance 0, near dups within radius") {
+    val pairs = Dedup.simHashDups(corpus, "doc_id", "text", maxDist = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number]("dist").intValue())).toMap
+    assert(pairs((0L, 1L)) === 0)
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccardPairs verifies candidates exactly") {
+    val cand = Seq((0L, 1L), (0L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", cand, n = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 1L)) === 1.0)
+    assert(j((0L, 3L)) === 0.0)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential tests: every codegen'd custom expression must equal its
+  * pure-Column (higher-order-function) reference formulation on real
+  * corpus text plus crafted edge cases.
+  */
+class ExpressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, TestSpark.sf0001).limit(100).cache()
+
+  lazy val edge = Seq(
+    "",                       // empty text
+    "single",                 // one token
+    "a b",                    // fewer tokens than shingle width
+    "  leading and trailing  ",
+    "the the the the the",    // all stopwords / repeated tokens
+  ).toDF("text")
+
+  test("simHash64 expression == HOF reference") {
+    for (df <- Seq(docs.select($"text"), edge)) {
+      val bad = df
+        .select(TF.simHash64($"text").as("fast"), TF.simHash64Reference($"text").as("ref"))
+        .filter($"fast" =!= $"ref")
+        .count()
+      assert(bad === 0)
+    }
+  }
+
+  test("minHashSignature expression == HOF reference") {
+    // reference needs non-empty shingles; shingles() always emits >= 1
+    for (df <- Seq(docs.select($"text"), edge)) {
+      val bad = df
+        .select(
+          TF.minHashSignature(TF.shingles($"text", 3), 16).as("fast"),
+          TF.minHashSignatureReference(TF.shinglesReference($"text", 3), 16).as("ref"))
+        .filter($"fast" =!= $"ref")
+        .count()
+      assert(bad === 0)
+    }
+  }
+
+  test("shingles expression == HOF reference") {
+    for (df <- Seq(docs.select($"text"), edge)) {
+      val bad = df
+        .select(TF.shingles($"text", 3).as("fast"), TF.shinglesReference($"text", 3).as("ref"))
+        .filter($"fast" =!= $"ref")
+        .count()
+      assert(bad === 0)
+    }
+  }
+
+  test("stopwordCount expression == HOF formulation") {
+    for (df <- Seq(docs.select($"text"), edge)) {
+      val bad = df
+        .select(
+          TF.stopwordCount($"text").as("fast"),
+          size(filter(TF.tokens($"text"), t => t.isin(TF.stopwords: _*))).as("ref"))
+        .filter($"fast" =!= $"ref")
+        .count()
+      assert(bad === 0)
+    }
+  }
+
+  test("dot/l2Norm expressions == HOF reference on embeddings") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).limit(50)
+      .select(VF.asDouble($"embedding").as("v"))
+    val paired = emb.crossJoin(emb.select($"v".as("w"))).limit(500)
+    val bad = paired
+      .select(
+        VF.dot($"v", $"w").as("fast"),
+        VF.dotReference($"v", $"w").as("ref"),
+        VF.l2Norm($"v").as("nfast"),
+        sqrt(VF.dotReference($"v", $"v")).as("nref"))
+      .filter($"fast" =!= $"ref" || $"nfast" =!= $"nref")
+      .count()
+    assert(bad === 0)
+  }
+
+  test("jaccardSim == array_intersect/array_union formulation") {
+    val t = docs.select(array_distinct(split($"text", "\\s+")).as("tok"))
+    val pairs = t.crossJoin(t.select($"tok".as("tok2"))).limit(2000)
+    val bad = pairs
+      .select(
+        graft.expressions.TokenExpressions.jaccardSim($"tok", $"tok2").as("fast"),
+        (size(array_intersect($"tok", $"tok2")).cast("double") /
+          size(array_union($"tok", $"tok2"))).as("ref"))
+      .filter($"fast" =!= $"ref")
+      .count()
+    assert(bad === 0)
+  }
+
+  test("fingerprint is deterministic and hamming64 is sane") {
+    val fp1 = docs.select(TF.fingerprint($"text").as("fp")).collect().map(_.getLong(0))
+    val fp2 = docs.select(TF.fingerprint($"text").as("fp")).collect().map(_.getLong(0))
+    assert(fp1.sameElements(fp2))
+    val d = spark.sql("SELECT 1").select(
+      TF.hamming64(lit(0L), lit(-1L)).as("all"),
+      TF.hamming64(lit(5L), lit(5L)).as("none")).head()
+    assert(d.getAs[Number]("all").intValue === 64)
+    assert(d.getAs[Number]("none").intValue === 0)
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.ml.RidgePipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+class MlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("ridge pipeline trains, metrics within tolerance bands") {
+    val t = RidgePipeline.train(spark, Tables.lineitem(spark, TestSpark.sf0001),
+      Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")
+    val m = t.metrics.head()
+    val nTrain = m.getAs[Long]("n_train")
+    val nTest = m.getAs[Long]("n_test")
+    // SURVEY §7.4: assert ratios, never exact counts
+    val ratio = nTrain.toDouble / (nTrain + nTest)
+    assert(ratio > 0.75 && ratio < 0.85, s"split ratio $ratio")
+    assert(m.getAs[Double]("rmse") > 0)
+    assert(m.getAs[Double]("r2") <= 1.0)
+    assert(m.getAs[String]("coefficients").split(",").length === 3)
+  }
+
+  test("grid prediction is deterministic and filtered") {
+    val t = RidgePipeline.train(spark, Tables.lineitem(spark, TestSpark.sf0001),
+      Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")
+    val grids = Seq(
+      "l_quantity" -> (0 to 40 by 10).map(_.toDouble),
+      "l_discount" -> Seq(0.0, 0.05, 0.1),
+      "l_tax" -> Seq(0.0, 0.04, 0.08))
+    val p1 = RidgePipeline.predictGrid(spark, t.model, grids, maxPrediction = 1e9)
+    assert(p1.count() === 5 * 3 * 3)
+    val p2 = RidgePipeline.predictGrid(spark, t.model, grids, maxPrediction = 1e9)
+    assert(p1.collect().map(_.toSeq).toSeq === p2.collect().map(_.toSeq).toSeq)
+  }
+}

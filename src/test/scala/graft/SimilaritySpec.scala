@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Hand-checkable vectors: 1 ∥ 0 (cos 1), 2 ⟂ 0, 3 anti-parallel, 4 diagonal.
+  lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(2.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f)),
+    (3L, Array(-1.0f, 0.0f)),
+    (4L, Array(1.0f, 1.0f)),
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine with id tie-break") {
+    val res = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 4)
+      .orderBy($"rank").collect()
+    assert(res.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 4L, 2L, 3L))
+    assert(res.head.getAs[Double]("cos_sim") === 1.0)
+    assert(res.last.getAs[Double]("cos_sim") === -1.0)
+  }
+
+  test("embeddingNearDups exhaustive finds parallel pair only at 0.99") {
+    val pairs = Similarity.embeddingNearDups(vecs, "vec_id", "embedding", 0.99, nBits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((0L, 1L)))
+  }
+
+  test("lshTopK neighbors are true neighbors with correct cosine") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id", $"cos_sim".as("exact_cos"))
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10, nBits = 4)
+    assert(approx.count() > 0)
+    // every approx result's cosine must equal the exact cosine for that pair
+    val joined = approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter($"exact_cos".isNotNull && $"cos_sim" =!= $"exact_cos").count() === 0)
+  }
+
+  test("lsh bucket is deterministic") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).limit(50)
+    val b1 = emb.select(graft.functions.VectorFunctions.lshBucket(
+      graft.functions.VectorFunctions.asDouble($"embedding"), 8).as("b")).collect()
+    val b2 = emb.select(graft.functions.VectorFunctions.lshBucket(
+      graft.functions.VectorFunctions.asDouble($"embedding"), 8).as("b")).collect()
+    assert(b1.map(_.getLong(0)).sameElements(b2.map(_.getLong(0))))
+  }
+}
