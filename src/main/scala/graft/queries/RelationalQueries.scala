@@ -564,8 +564,29 @@ object RelationalQueries {
       FROM g GROUP BY user_id, sess_id""")),
   )
 
-  val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
-  val oracles: Map[String, String] = entries.collect { case (n, _, Some(sql)) =>
+  /** Declared outside `entries` purely to keep that literal under compiler
+    * limits as the inventory grows.
+    */
+  val extraEntries: Seq[(String, Q, Option[String])] = Seq(
+    // Native argmax aggregate (max_by / arg_max) — the single-agg form of
+    // the reference's global-argmax reducer (§2.4).
+    ("q32_max_by", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), col("o_totalprice")).as("top_orderkey"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_orderkey"),
+          round(max(col("o_totalprice")), 2).as("top_price"))
+    }, Some("""
+      SELECT o_orderpriority,
+             arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+             arg_min(o_orderkey, o_totalprice) AS bottom_orderkey,
+             round(max(o_totalprice), 2) AS top_price
+      FROM orders GROUP BY o_orderpriority""")),
+  )
+
+  val queries: Map[String, Q] = (entries ++ extraEntries).map(e => e._1 -> e._2).toMap
+  val oracles: Map[String, String] = (entries ++ extraEntries).collect { case (n, _, Some(sql)) =>
     n -> sql.stripMargin.trim.replace("round(", "round(1e-8 + ")
   }.toMap
 }

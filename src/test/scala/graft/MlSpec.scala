@@ -20,6 +20,18 @@ class MlSpec extends AnyFunSuite {
     assert(m.getAs[String]("coefficients").split(",").length === 3)
   }
 
+  test("model persists and reloads with identical predictions (§2.1 model sink)") {
+    val t = RidgePipeline.train(spark, Tables.lineitem(spark, TestSpark.sf0001),
+      Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString + "/model"
+    t.model.write.overwrite().save(dir)
+    val reloaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val sample = Tables.lineitem(spark, TestSpark.sf0001).limit(100)
+    val p1 = t.model.transform(sample).select("prediction").collect().map(_.getDouble(0))
+    val p2 = reloaded.transform(sample).select("prediction").collect().map(_.getDouble(0))
+    assert(p1.sameElements(p2))
+  }
+
   test("grid prediction is deterministic and filtered") {
     val t = RidgePipeline.train(spark, Tables.lineitem(spark, TestSpark.sf0001),
       Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")
