@@ -188,6 +188,14 @@ object TextQueries {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, nBits = 4)
     }, None),
+
+    // IVF coarse-quantizer ANN (KMeans cells, nProbe nearest probed) — the
+    // partitioned-corpus scale path; model-dependent, so rows-only.
+    ("q51_ann_ivf", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nCells = 16, nProbe = 4)
+    }, None),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -43,6 +43,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(joined.filter($"exact_cos".isNotNull && $"cos_sim" =!= $"exact_cos").count() === 0)
   }
 
+  test("ivfTopK: decent recall vs exact baseline, exact cosines") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id", $"cos_sim".as("exact_cos"))
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5, nCells = 8, nProbe = 4)
+    // probing half the cells must recover a majority of the true top-5
+    val hits = ivf.join(exact, Seq("query_id", "neighbor_id")).count()
+    assert(hits >= 25, s"IVF recall too low: $hits/50")
+    // and every reported cosine must be the true cosine
+    val wrong = ivf.join(exact, Seq("query_id", "neighbor_id"))
+      .filter($"cos_sim" =!= $"exact_cos").count()
+    assert(wrong === 0)
+  }
+
   test("lsh bucket is deterministic") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001).limit(50)
     val b1 = emb.select(graft.functions.VectorFunctions.lshBucket(
