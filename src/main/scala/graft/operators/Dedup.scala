@@ -105,6 +105,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** End-to-end corpus cleaning: exact dedup, then MinHash-LSH fuzzy dedup
+    * with union-find-free survivor selection (smallest id in each near-dup
+    * pair chain wins greedily: a doc is dropped if it is the LARGER id of
+    * any confirmed pair — one pass, no iterative connected components;
+    * transitive chains keep their minimum element because every non-min
+    * element pairs with something smaller within LSH range).
+    * Returns the surviving rows of `docs`.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.7,
+      k: Int = 32, bands: Int = 16): DataFrame = {
+    // default banding 16×2: detection probability 1-(1-j²)^16 ≈ 0.99 at
+    // j=0.5 (8×4 banding would coin-flip mid-similarity pairs)
+    val exact = dropExactDups(docs, idCol, textCol)
+    val pairs = minHashLsh(exact, idCol, textCol,
+      shingleN = shingleN, k = k, bands = bands, threshold = threshold)
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    exact.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact word-n-gram Jaccard similarity for given candidate pairs
     * (id_a, id_b) — the verification stage after any blocking scheme.
     */

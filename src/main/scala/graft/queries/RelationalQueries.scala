@@ -585,8 +585,105 @@ object RelationalQueries {
       FROM orders GROUP BY o_orderpriority""")),
   )
 
-  val queries: Map[String, Q] = (entries ++ extraEntries).map(e => e._1 -> e._2).toMap
-  val oracles: Map[String, String] = (entries ++ extraEntries).collect { case (n, _, Some(sql)) =>
-    n -> sql.stripMargin.trim.replace("round(", "round(1e-8 + ")
-  }.toMap
+  /** Classic analytical shapes (TPC-H Q3/Q5-like) + multi-grain grouping —
+    * the canonical join-heavy benchmark anchors.
+    */
+  val classicEntries: Seq[(String, Q, Option[String])] = Seq(
+
+    // TPC-H Q3 shape: selective filters on both sides of a fact join,
+    // revenue agg, top-10 — filters push into both scans, orders broadcast
+    // after filtering.
+    ("q33_shipping_priority", (s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < "1996-06-01")
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > "1996-06-01")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"), col("revenue"))
+    }, Some("""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate < TIMESTAMP '1996-06-01'
+        AND l_shipdate > TIMESTAMP '1996-06-01'
+      GROUP BY l_orderkey, order_date, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // TPC-H Q5 shape: 5-way star join with a region filter, revenue per
+    // nation per year.
+    ("q34_local_volume", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("order_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }, Some("""
+      SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name IN ('ASIA', 'EUROPE')
+      GROUP BY n_name, order_year""")),
+
+    // Multi-grain rollup (beyond the reference's flat GROUP BYs): subtotals
+    // per (flag, status), per flag, and grand total in one pass.
+    ("q35_rollup", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+    }, Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             coalesce(l_linestatus, 'ALL') AS status,
+             round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // Cube over two dims (all 4 grouping combinations in one pass).
+    ("q36_cube", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+    }, Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    // HLL/quantile sketches — the 100 TB cardinality/distribution tools.
+    // Engine-specific sketch internals -> no DuckDB oracle; tolerance vs
+    // exact is asserted in SketchSpec.
+    ("q37_approx_sketches", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
+    }, None),
+  )
+
+  val queries: Map[String, Q] =
+    (entries ++ extraEntries ++ classicEntries).map(e => e._1 -> e._2).toMap
+  val oracles: Map[String, String] =
+    (entries ++ extraEntries ++ classicEntries).collect { case (n, _, Some(sql)) =>
+      n -> sql.stripMargin.trim.replace("round(", "round(1e-8 + ")
+    }.toMap
 }
