@@ -196,6 +196,53 @@ object TextQueries {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, nCells = 16, nProbe = 4)
     }, None),
+
+    // Corpus curation rollup: per (source, lang) quality/token statistics —
+    // the dataset-card numbers a training-data pipeline reports.
+    ("q52_corpus_stats", (s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          qualityScore(col("text")).as("q"),
+          tokenCount(col("text")).as("nt"),
+          length(col("text")).as("nc"))
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("q")), 4).as("avg_quality"),
+          round(avg(col("nt")), 2).as("avg_tokens"),
+          sum(col("nc")).cast("bigint").as("total_chars"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT source, lang,
+               CAST(length(text) AS INTEGER) AS nc,
+               CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS nt,
+               CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INTEGER) AS np,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                    t -> t IN ($stopwordsSql))) AS INTEGER) AS ns
+        FROM documents),
+      q AS (
+        SELECT source, lang, nc, nt,
+               round((least(nc / 500.0, 1.0)
+                 + least((CASE WHEN nt = 0 THEN 0.0 ELSE CAST(ns AS DOUBLE) / nt END) * 5.0, 1.0)
+                 + least((CASE WHEN nc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / nc END) * 20.0, 1.0)
+                 ) / 3.0, 4) AS quality
+        FROM t)
+      SELECT source, lang, count(*) AS n_docs,
+             round(avg(quality), 4) AS avg_quality,
+             round(avg(nt), 2) AS avg_tokens,
+             CAST(sum(nc) AS BIGINT) AS total_chars
+      FROM q GROUP BY source, lang""")),
+
+    // Document-length histogram (fixed-width buckets) — distribution
+    // shape for curation decisions.
+    ("q53_length_histogram", (s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .groupBy((floor(length(col("text")) / 100) * 100).cast("int").as("bucket_start"))
+        .agg(count(lit(1)).as("n_docs"))
+    }, Some("""
+      SELECT CAST(CAST(floor(length(text) / 100) AS BIGINT) * 100 AS INTEGER) AS bucket_start,
+             count(*) AS n_docs
+      FROM documents GROUP BY bucket_start""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
