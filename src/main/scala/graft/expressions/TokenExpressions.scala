@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object TokenExpressions {
 
   case class TokenSetCount(child: Expression, set: Seq[String])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = IntegerType
     @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
       val s = new java.util.HashSet[UTF8String](set.size * 2)
@@ -44,6 +44,22 @@ object TokenExpressions {
       }
       java.lang.Integer.valueOf(c)
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val lookupRef = ctx.addReferenceObj("tokenSet", lookup, "java.util.HashSet")
+        val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        s"""
+           |int $c = 0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  if (!$a.isNullAt($i) && $lookupRef.contains($a.getUTF8String($i))) $c++;
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
     override protected def withNewChildInternal(newChild: Expression): TokenSetCount =
       copy(child = newChild)
   }

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance — the Spark-native
+  * re-realization of the reference's ClickHouse `SummingMergeTree` MV
+  * (`/root/reference/src/clickhouse/init.sql:73-85`), which kept running
+  * (district, year, month) sums updated on insert.
+  *
+  * Semantics upgrade per SURVEY.md §2.4: the reference MV stored an `avg`
+  * inside a summing engine (broken ClickHouse practice); we maintain only
+  * the algebraic parts — sum and count — and derive avg at read time.
+  *
+  * Realization: streaming aggregation in update mode; each micro-batch's
+  * changed keys are merged into a keyed parquet store via read-merge-write
+  * of the COMPLETE store (sufficient because the store is one row per key
+  * — aggregate state, not events; at 100 TB of *keys* this becomes a
+  * partition-scoped merge or a Delta MERGE, same algebra).
+  */
+object IncrementalMV {
+
+  /** Merge a batch of partial aggregates into the keyed store at `path`.
+    * Store schema: key columns ++ (sum_value, cnt).
+    */
+  def mergeBatch(spark: SparkSession, path: String, batch: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    val existing =
+      try spark.read.parquet(path)
+      catch { case _: Exception => spark.emptyDataFrame }
+    val merged =
+      if (existing.isEmpty) batch
+      else existing.unionByName(batch)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(col("sum_value")).as("sum_value"), sum(col("cnt")).as("cnt"))
+    // write-then-swap: never read and overwrite the same files in one job
+    val tmp = path + "_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** Maintain the keyed sum/count MV from a stream of events, draining all
+    * available input (each micro-batch aggregates its delta, the sink
+    * merges). Returns after the drain.
+    */
+  def maintain(spark: SparkSession, srcDir: String, storePath: String): Unit = {
+    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(srcDir)
+    val events = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+    val q = events
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch.groupBy(col("event_type"),
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"))
+          .agg(sum(col("value")).as("sum_value"), count(lit(1)).as("cnt"))
+        mergeBatch(batch.sparkSession, storePath, delta, Seq("event_type", "hour"))
+      }
+      .option("checkpointLocation", s"${storePath}_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read-side view: derive avg from the maintained algebraic parts. */
+  def readView(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .withColumn("avg_value", col("sum_value") / col("cnt"))
+}
