@@ -675,15 +675,61 @@ object RelationalQueries {
       Tables.lineitem(s, d).agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
     }, None),
   )
 
+  /** Behavioral-analytics shapes over the events/orders tables. */
+  val behavioralEntries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Conversion funnel: per-user stage flags -> combination counts.
+    ("q57_event_funnel", (s: SparkSession, d: String) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("viewed"),
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("clicked"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchased"))
+        .groupBy(col("viewed"), col("clicked"), col("purchased"))
+        .agg(count(lit(1)).as("n_users"))
+    }, Some("""
+      SELECT viewed, clicked, purchased, count(*) AS n_users
+      FROM (SELECT user_id,
+                   CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INTEGER) AS viewed,
+                   CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INTEGER) AS clicked,
+                   CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INTEGER) AS purchased
+            FROM events GROUP BY user_id)
+      GROUP BY viewed, clicked, purchased""")),
+
+    // Cohort retention: customers bucketed by first-order month, order
+    // activity per (cohort, month).
+    ("q58_order_cohorts", (s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d)
+      val cohorts = o.groupBy(col("o_custkey"))
+        .agg(min(yearMonth(col("o_orderdate"))).as("cohort_month"))
+      o.join(cohorts, Seq("o_custkey"))
+        .groupBy(col("cohort_month"), yearMonth(col("o_orderdate")).as("order_month"))
+        .agg(
+          countDistinct(col("o_custkey")).as("active_customers"),
+          count(lit(1)).as("n_orders"))
+    }, Some("""
+      WITH cohorts AS (
+        SELECT o_custkey, min(strftime(o_orderdate, '%Y-%m')) AS cohort_month
+        FROM orders GROUP BY o_custkey)
+      SELECT cohort_month, strftime(o.o_orderdate, '%Y-%m') AS order_month,
+             count(DISTINCT o.o_custkey) AS active_customers,
+             count(*) AS n_orders
+      FROM orders o JOIN cohorts c ON o.o_custkey = c.o_custkey
+      GROUP BY cohort_month, order_month""")),
+  )
+
   val queries: Map[String, Q] =
-    (entries ++ extraEntries ++ classicEntries).map(e => e._1 -> e._2).toMap
+    (entries ++ extraEntries ++ classicEntries ++ behavioralEntries)
+      .map(e => e._1 -> e._2).toMap
   val oracles: Map[String, String] =
-    (entries ++ extraEntries ++ classicEntries).collect { case (n, _, Some(sql)) =>
-      n -> sql.stripMargin.trim.replace("round(", "round(1e-8 + ")
-    }.toMap
+    (entries ++ extraEntries ++ classicEntries ++ behavioralEntries)
+      .collect { case (n, _, Some(sql)) =>
+        n -> sql.stripMargin.trim.replace("round(", "round(1e-8 + ")
+      }.toMap
 }

@@ -233,6 +233,37 @@ object TextQueries {
              CAST(sum(nc) AS BIGINT) AS total_chars
       FROM q GROUP BY source, lang""")),
 
+    // Text normalization: lowercase, strip non-alphanumerics, collapse
+    // whitespace — the canonicalization step before hashing/shingling.
+    ("q54_normalize", (s: SparkSession, d: String) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+    }, Some("""
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+      FROM documents""")),
+
+    // Corpus-wide token frequencies: explode + count + top-k — the
+    // vocabulary profile.
+    ("q55_token_freq", (s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(20)
+    }, Some("""
+      SELECT token, count(*) AS freq
+      FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+      WHERE length(token) > 0
+      GROUP BY token ORDER BY freq DESC, token LIMIT 20""")),
+
     // Document-length histogram (fixed-width buckets) — distribution
     // shape for curation decisions.
     ("q53_length_histogram", (s: SparkSession, d: String) => {
