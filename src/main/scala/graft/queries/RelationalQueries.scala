@@ -722,6 +722,30 @@ object RelationalQueries {
              count(*) AS n_orders
       FROM orders o JOIN cohorts c ON o.o_custkey = c.o_custkey
       GROUP BY cohort_month, order_month""")),
+
+    // Window-function breadth: ntile, percent_rank, first/last value over
+    // frames (beyond the reference's ranking-only windows).
+    ("q59_window_misc", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(first(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 2).as("min_price"),
+        round(last(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 2).as("max_price"))
+    }, Some("""
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(first_value(o_totalprice) OVER wf, 2) AS min_price,
+             round(last_value(o_totalprice) OVER wf, 2) AS max_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+             wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
   )
 
   val queries: Map[String, Q] =

@@ -264,6 +264,49 @@ object TextQueries {
       WHERE length(token) > 0
       GROUP BY token ORDER BY freq DESC, token LIMIT 20""")),
 
+    // Edit distance between sampled document pairs — the character-level
+    // near-dup metric (both engines implement classic Levenshtein).
+    ("q56_edit_distance", (s: SparkSession, d: String) => {
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("prefix"))
+      val a = t.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("id_a"), col("prefix").as("pa"))
+      val b = t.filter(col("doc_id") % 50 === 1)
+        .select(col("doc_id").as("id_b"), col("prefix").as("pb"))
+      a.crossJoin(b)
+        .select(col("id_a"), col("id_b"), levenshtein(col("pa"), col("pb")).as("edit_dist"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, substr(text, 1, 80) AS prefix FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
+      FROM t a CROSS JOIN t b
+      WHERE a.doc_id % 50 = 0 AND b.doc_id % 50 = 1""")),
+
+    // Embedding-corpus statistics per label: norm and component spread —
+    // the sanity dashboard over a vector store.
+    ("q64_embedding_stats", (s: SparkSession, d: String) => {
+      import graft.functions.VectorFunctions
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          VectorFunctions.l2Norm(VectorFunctions.asDouble(col("embedding"))).as("nrm"),
+          element_at(col("embedding"), 1).cast("double").as("c0"))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          round(avg(col("nrm")), 6).as("avg_norm"),
+          round(stddev(col("nrm")), 6).as("std_norm"),
+          round(avg(col("c0")), 6).as("avg_c0"))
+    }, Some("""
+      WITH t AS (SELECT label,
+                        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm,
+                        CAST(embedding[1] AS DOUBLE) AS c0
+                 FROM embeddings)
+      SELECT label, count(*) AS n_vecs,
+             round(avg(nrm), 6) AS avg_norm,
+             round(stddev(nrm), 6) AS std_norm,
+             round(avg(c0), 6) AS avg_c0
+      FROM t GROUP BY label""")),
+
     // Document-length histogram (fixed-width buckets) — distribution
     // shape for curation decisions.
     ("q53_length_histogram", (s: SparkSession, d: String) => {
