@@ -746,6 +746,34 @@ object RelationalQueries {
       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
              wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
+
+    // As-of (point-in-time) join: each purchase matched to the user's most
+    // recent prior-or-simultaneous click (union+window composition — see
+    // operators.AsOfJoin; DuckDB's native ASOF JOIN is the oracle).
+    ("q65_asof_join", (s: SparkSession, d: String) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.operators.AsOfJoin
+        .joinAsOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_ts", "click_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+          round(col("click_value"), 2).as("click_value"))
+    }, Some("""
+      WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, value AS cvalue
+            FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+             strftime(c.cts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+             round(c.cvalue, 2) AS click_value
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts""")),
   )
 
   val queries: Map[String, Q] =
