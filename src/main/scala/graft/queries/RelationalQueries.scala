@@ -672,11 +672,16 @@ object RelationalQueries {
     // Engine-specific sketch internals -> no DuckDB oracle; tolerance vs
     // exact is asserted in SketchSpec.
     ("q37_approx_sketches", (s: SparkSession, d: String) => {
-      Tables.lineitem(s, d).agg(
+      // separate aggregations: a distinct aggregate in the same agg would
+      // force the sketch buffers through the 4-level distinct rewrite
+      // (measured 6.3 s -> ~2 s at sf0.1)
+      val li = Tables.lineitem(s, d)
+      val sketches = li.agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+      val exact = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      sketches.crossJoin(exact)
     }, None),
   )
 
