@@ -779,6 +779,28 @@ object RelationalQueries {
              strftime(c.cts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
              round(c.cvalue, 2) AS click_value
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts""")),
+
+    // Range join via bucket decomposition (operators.RangeJoin): orders
+    // classified into price bands — the banded equi-join replaces the
+    // BroadcastNestedLoopJoin a naive inequality join would plan.
+    ("q66_range_join", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val bands = Seq(
+        ("tiny", 0.0, 50000.0), ("small", 50000.0, 150000.0),
+        ("medium", 150000.0, 300000.0), ("large", 300000.0, 1e9))
+        .toDF("band", "lo", "hi")
+      graft.operators.RangeJoin
+        .byBucket(Tables.orders(s, d), "o_totalprice", bands, "lo", "hi", 50000.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"))
+    }, Some("""
+      WITH bands(band, lo, hi) AS (VALUES
+        ('tiny', 0.0, 50000.0), ('small', 50000.0, 150000.0),
+        ('medium', 150000.0, 300000.0), ('large', 300000.0, 1e9))
+      SELECT band, count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+      FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY band""")),
   )
 
   val queries: Map[String, Q] =

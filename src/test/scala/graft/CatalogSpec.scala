@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL/catalog surface (SURVEY §2.1 Hive-external-table scan + §3.3
+  * lifecycle): external CSV tables declared in the catalog, TSV sink
+  * round-trip, and a full reference query run through spark.sql over
+  * registered views.
+  */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("external CSV catalog table (Hive external-table analog)") {
+    val dir = Files.createTempDirectory("graft_cat").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/loc.csv"),
+      "location_id,city_name\n1,Colombo\n2,Kandy\n")
+    spark.sql("DROP TABLE IF EXISTS ext_locations")
+    spark.sql(s"""
+      CREATE TABLE ext_locations (location_id INT, city_name STRING)
+      USING csv OPTIONS (header 'true', path '$dir/loc.csv')""")
+    val got = spark.sql(
+      "SELECT city_name FROM ext_locations WHERE location_id = 2")
+      .collect().map(_.getString(0))
+    assert(got.toSeq === Seq("Kandy"))
+    spark.sql("DROP TABLE ext_locations")
+  }
+
+  test("TSV sink round-trip (TabSeparated bulk-insert analog)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tsv").toString + "/out"
+    val df = Seq((1, "a\tb escaped?"), (2, "plain")).toDF("k", "v")
+    df.write.option("sep", "\t").option("header", "true").csv(dir)
+    val back = spark.read.option("sep", "\t").option("header", "true")
+      .schema(df.schema).csv(dir)
+    assert(back.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2))
+  }
+
+  test("reference query through spark.sql over registered views (§3.3)") {
+    Tables.registerAll(spark, TestSpark.sf0001)
+    // Hive q2 analog as literal SQL — season CASE + season-year shift
+    val sql = spark.sql("""
+      SELECT n_name,
+             CASE WHEN month(o_orderdate) IN (1,2,3,9,10,11,12)
+                  THEN 'Maha' ELSE 'Yala' END AS season,
+             CASE WHEN month(o_orderdate) IN (1,2,3)
+                  THEN year(o_orderdate) - 1 ELSE year(o_orderdate) END AS season_year,
+             round(avg(o_totalprice) + 1e-8, 2) AS avg_total,
+             count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, season, season_year""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        (r.getDouble(3), r.getLong(4))).toMap
+    val df = SparkEntry.queries("q16_seasonal_shift")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        (r.getDouble(3), r.getLong(4))).toMap
+    assert(sql === df)
+  }
+}
