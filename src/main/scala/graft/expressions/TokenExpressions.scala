@@ -99,8 +99,22 @@ object TokenExpressions {
     * sets; 0.0 when the union is empty.
     */
   case class JaccardSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Double.valueOf(
+        JaccardSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = ${JaccardSim.getClass.getName.stripSuffix("$")}.compute($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+      copy(left = l, right = r)
+  }
+
+  object JaccardSim {
     private def toSet(a: ArrayData): java.util.HashSet[UTF8String] = {
       val s = new java.util.HashSet[UTF8String](a.numElements() * 2)
       var i = 0
@@ -111,17 +125,18 @@ object TokenExpressions {
       }
       s
     }
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val sa = toSet(a.asInstanceOf[ArrayData])
-      val sb = toSet(b.asInstanceOf[ArrayData])
+    /** Static entry shared by eval and generated code (the set-building
+      * loop gains nothing from inlining into the generated class).
+      */
+    def compute(a: ArrayData, b: ArrayData): Double = {
+      val sa = toSet(a)
+      val sb = toSet(b)
       var inter = 0
       val it = sa.iterator()
       while (it.hasNext) if (sb.contains(it.next())) inter += 1
       val union = sa.size + sb.size - inter
-      java.lang.Double.valueOf(if (union == 0) 0.0 else inter.toDouble / union)
+      if (union == 0) 0.0 else inter.toDouble / union
     }
-    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
-      copy(left = l, right = r)
   }
 
   def tokenSetCount(tokens: Column, set: Seq[String]): Column =

@@ -360,8 +360,12 @@ object RelationalQueries {
     // Window frames: running sum + lag/lead per supplier (beyond the
     // reference's ranking-only windows — real frame specs).
     ("q20_window_running", (s: SparkSession, d: String) => {
+      // the synthetic corpus has duplicate (orderkey, linenumber) keys at
+      // sf0.1, so the price joins the tie-break: rows identical in all
+      // ordering columns then have order-invariant window outputs
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
       Tables.lineitem(s, d).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         round(sum(col("l_extendedprice"))
@@ -374,9 +378,11 @@ object RelationalQueries {
              round(lag(l_extendedprice, 1) OVER w2, 2) AS prev_price,
              round(lead(l_extendedprice, 1) OVER w2, 2) AS next_price
       FROM lineitem
-      WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      WINDOW w AS (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             w2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)""")),
+             w2 AS (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice)""")),
 
     // ORDER BY + LIMIT top-k (§2.6) → TakeOrderedAndProject.
     ("q21_orderby_limit", (s: SparkSession, d: String) => {

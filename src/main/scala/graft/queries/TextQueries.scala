@@ -307,6 +307,18 @@ object TextQueries {
              round(avg(c0), 6) AS avg_c0
       FROM t GROUP BY label""")),
 
+    // Deterministic hash sampling + per-stratum quotas — reproducible
+    // curation sampling (same keys selected on any engine; the xxhash64
+    // selector itself is Spark-specific, so rows-only + SamplingSpec).
+    ("q67_sampling", (s: SparkSession, d: String) => {
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, d)
+      Sampling.stratifiedQuota(
+        Sampling.deterministicSample(docs, "doc_id", 0.8),
+        "lang", "doc_id", 10)
+        .select(col("doc_id"), col("lang"))
+    }, None),
+
     // Document-length histogram (fixed-width buckets) — distribution
     // shape for curation decisions.
     ("q53_length_histogram", (s: SparkSession, d: String) => {
