@@ -1,0 +1,95 @@
+package graft.app
+
+import graft.analytics.WeatherAnalytics
+import graft.io.{CsvIngest, ResultStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Batch runner (SURVEY.md §7.1 `app/`): the whole reference system as one
+  * Spark job — typed CSV ingest → the six analytics pipelines → result
+  * tables. What took the reference four engines, five loaders, and a
+  * PowerShell relay is one `runAll` call; every output lands as a parquet
+  * table named after its reference counterpart (§1.4 catalog).
+  *
+  * `main`: `runMain graft.app.WeatherRunner <weather.csv> <locations.csv>
+  * <outDir>`.
+  */
+object WeatherRunner {
+
+  /** FIXTURES.md §1 — the 21-column weather fact (normalized names). */
+  val weatherSchema: StructType = StructType(Seq(
+    StructField("location_id", IntegerType),
+    StructField("date", StringType),
+    StructField("weather_code", IntegerType),
+    StructField("temperature_2m_max", DoubleType),
+    StructField("temperature_2m_min", DoubleType),
+    StructField("temperature_2m_mean", DoubleType),
+    StructField("apparent_temperature_max", DoubleType),
+    StructField("apparent_temperature_min", DoubleType),
+    StructField("apparent_temperature_mean", DoubleType),
+    StructField("daylight_duration", DoubleType),
+    StructField("sunshine_duration", DoubleType),
+    StructField("precipitation_sum", DoubleType),
+    StructField("rain_sum", DoubleType),
+    StructField("precipitation_hours", DoubleType),
+    StructField("wind_speed_10m_max", DoubleType),
+    StructField("wind_gusts_10m_max", DoubleType),
+    StructField("wind_direction_10m_dominant", DoubleType),
+    StructField("shortwave_radiation_sum", DoubleType),
+    StructField("et0_fao_evapotranspiration", DoubleType),
+    StructField("sunrise", StringType),
+    StructField("sunset", StringType)))
+
+  /** FIXTURES.md §2 — the 8-column location dimension. */
+  val locationSchema: StructType = StructType(Seq(
+    StructField("location_id", IntegerType),
+    StructField("latitude", DoubleType),
+    StructField("longitude", DoubleType),
+    StructField("elevation", DoubleType),
+    StructField("utc_offset_seconds", IntegerType),
+    StructField("timezone", StringType),
+    StructField("timezone_abbreviation", StringType),
+    StructField("city_name", StringType)))
+
+  /** Ingest both CSVs (any header dialect, whole-row malformed policy)
+    * and run all six pipelines, writing each result table under `outDir`.
+    * Returns table name → row count.
+    */
+  def runAll(spark: SparkSession, weatherCsv: String, locationsCsv: String,
+      outDir: String): Map[String, Long] = {
+    val weather = WeatherAnalytics.prepare(
+      CsvIngest.readCsv(spark, weatherCsv, weatherSchema)).cache()
+    val locations = CsvIngest.readCsv(spark, locationsCsv, locationSchema)
+
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "district_monthly_weather" -> WeatherAnalytics.districtMonthly(weather, locations),
+      "highest_precipitation" -> WeatherAnalytics.highestPrecipitationMonth(weather),
+      "top_temperate_cities" -> WeatherAnalytics.topTemperateCities(weather, locations),
+      "evapotranspiration_by_season" -> WeatherAnalytics.seasonalEvapotranspiration(weather, locations),
+      "radiation_analysis" -> WeatherAnalytics.radiationAnalysis(weather),
+      "weekly_max_temp_hottest_months" -> WeatherAnalytics.weeklyMaxTempHottestMonths(weather, locations),
+      "raw_weather_data" -> weather,
+      "locations" -> locations,
+    )
+    val counts = tables.map { case (name, df) =>
+      ResultStore.overwrite(df, s"$outDir/$name")
+      name -> spark.read.parquet(s"$outDir/$name").count()
+    }.toMap
+    weather.unpersist()
+    counts
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(weatherCsv, locationsCsv, outDir) = args.take(3)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    runAll(spark, weatherCsv, locationsCsv, outDir).toSeq.sortBy(_._1)
+      .foreach { case (t, n) => println(f"$t%-32s $n%8d rows") }
+    spark.stop()
+  }
+}
