@@ -307,6 +307,14 @@ object TextQueries {
              round(avg(c0), 6) AS avg_c0
       FROM t GROUP BY label""")),
 
+    // Full corpus-cleaning pipeline: exact + MinHash-LSH fuzzy dedup,
+    // surviving rows out (xxhash-based — rows-only; SketchSpec asserts the
+    // survivor set on a crafted corpus).
+    ("q68_dedup_corpus", (s: SparkSession, d: String) => {
+      Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }, None),
+
     // Deterministic hash sampling + per-stratum quotas — reproducible
     // curation sampling (same keys selected on any engine; the xxhash64
     // selector itself is Spark-specific, so rows-only + SamplingSpec).
