@@ -43,10 +43,21 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver parses this line out of a bounded tail of the process
+    // output (last ~2000 chars, after sbt's own [success] footer), so the
+    // line must stay compact: 2-decimal seconds, emitted after spark.stop()
+    // so no shutdown logging can land between it and the end of output.
+    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // keys are the qNN prefix (the driver contract's own example shape):
+    // ~80 full names would not fit the tail budget, the prefixes always do
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1850)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may overflow the driver tail")
     spark.stop()
+    println(line)
   }
 }

@@ -109,34 +109,18 @@ object TokenExpressions {
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
         : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"${ev.value} = ${JaccardSim.getClass.getName.stripSuffix("$")}.compute($a, $b);")
+        // JaccardOps is TOP-LEVEL so scalac emits a mirror class with a
+        // static `compute` forwarder Janino can link (a nested object has
+        // no forwarder — calling it failed to compile and silently dropped
+        // the whole stage to interpreted execution)
+        s"${ev.value} = ${JaccardOps.getClass.getName.stripSuffix("$")}.compute($a, $b);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
       copy(left = l, right = r)
   }
 
   object JaccardSim {
-    private def toSet(a: ArrayData): java.util.HashSet[UTF8String] = {
-      val s = new java.util.HashSet[UTF8String](a.numElements() * 2)
-      var i = 0
-      val n = a.numElements()
-      while (i < n) {
-        if (!a.isNullAt(i)) s.add(a.getUTF8String(i))
-        i += 1
-      }
-      s
-    }
-    /** Static entry shared by eval and generated code (the set-building
-      * loop gains nothing from inlining into the generated class).
-      */
-    def compute(a: ArrayData, b: ArrayData): Double = {
-      val sa = toSet(a)
-      val sb = toSet(b)
-      var inter = 0
-      val it = sa.iterator()
-      while (it.hasNext) if (sb.contains(it.next())) inter += 1
-      val union = sa.size + sb.size - inter
-      if (union == 0) 0.0 else inter.toDouble / union
-    }
+    /** Shared by interpreted eval and generated code. */
+    def compute(a: ArrayData, b: ArrayData): Double = JaccardOps.compute(a, b)
   }
 
   def tokenSetCount(tokens: Column, set: Seq[String]): Column =
@@ -147,4 +131,32 @@ object TokenExpressions {
 
   def jaccardSim(a: Column, b: Column): Column =
     Bridge.column(JaccardSim(Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** Top-level on purpose: generated (Janino) code calls the static
+  * forwarder `graft.expressions.JaccardOps.compute`, which scalac only
+  * emits for top-level objects.
+  */
+object JaccardOps {
+  private def toSet(a: ArrayData): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (!a.isNullAt(i)) s.add(a.getUTF8String(i))
+      i += 1
+    }
+    s
+  }
+
+  /** |distinct(A)∩distinct(B)| / |distinct(A)∪distinct(B)|; 0.0 on empty union. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val sa = toSet(a)
+    val sb = toSet(b)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
 }

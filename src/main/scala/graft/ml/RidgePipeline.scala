@@ -36,13 +36,19 @@ object RidgePipeline {
     val scaler = new StandardScaler()
       .setInputCol("features_raw").setOutputCol("features")
       .setWithMean(true).setWithStd(true)
+    // elasticNetParam=0 (pure ridge) admits the closed-form normal-equation
+    // solver — one corpus pass instead of up to maxIter L-BFGS passes;
+    // maxIter kept for hyperparameter parity with the reference but unused
     val lr = new LinearRegression()
       .setFeaturesCol("features").setLabelCol(labelCol)
       .setMaxIter(100).setRegParam(0.1).setElasticNetParam(0.0)
+      .setSolver("normal")
 
     // Fixed partition count before the split: randomSplit assigns rows per
-    // partition, so this pins reproducibility across input layouts.
-    val Array(train, test) = clean.repartition(8).randomSplit(Array(0.8, 0.2), seed = 42)
+    // partition, so this pins reproducibility across input layouts. Cached
+    // so the two split branches don't each re-scan and re-shuffle the input.
+    val base = clean.repartition(8).cache()
+    val Array(train, test) = base.randomSplit(Array(0.8, 0.2), seed = 42)
     train.cache(); test.cache()
 
     val model = new Pipeline().setStages(Array(assembler, scaler, lr)).fit(train)
@@ -65,7 +71,7 @@ object RidgePipeline {
       coefs.map(c => math.rint(c * 1e4) / 1e4).mkString(","),
     )).toDF("n_train", "n_test", "rmse", "r2", "mae", "intercept", "coefficients")
     metrics.count() // materialize before releasing the cached inputs
-    train.unpersist(); test.unpersist(); predictions.unpersist()
+    base.unpersist(); train.unpersist(); test.unpersist(); predictions.unpersist()
     TrainedModel(model, metrics)
   }
 

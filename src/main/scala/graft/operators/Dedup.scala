@@ -53,27 +53,37 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
 
-    val sigs = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minHashSignature(col("sh"), k))
-      .withColumn("sh", array_distinct(col("sh")))
+    // band id + hash of that band's signature slice = LSH bucket key.
+    // Deliberately NARROW: only (band, band_hash, id) enters the bucket
+    // shuffle — shuffling the shingle arrays through every band would
+    // multiply shuffle bytes by `bands` and make bucket skew array-sized.
+    val banded = docs
+      .select(col(idCol).as("id"),
+        minHashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+      .select(
+        col("id"),
+        posexplode(
+          array((0 until bands).map { b =>
+            xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+          }: _*)
+        ).as(Seq("band", "band_hash")),
+      )
 
-    // band id + hash of that band's signature slice = LSH bucket key
-    val banded = sigs.select(
-      col("id"), col("sh"),
-      posexplode(
-        array((0 until bands).map { b =>
-          xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
-        }: _*)
-      ).as(Seq("band", "band_hash")),
-    )
-
-    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "band_hash"))
+    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    // a pair can collide in several bands → dedup on the bare id pair
+    // (map-side combinable, 16 bytes/row) before touching any array
+    val pairs = l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .distinct() // a pair can collide in several bands
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    // verify stage: fetch each side's shingle set once, exact Jaccard
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         graft.expressions.TokenExpressions.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)

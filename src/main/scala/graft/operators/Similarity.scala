@@ -86,7 +86,12 @@ object Similarity {
 
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("features", array_to_vector(col("v")))
+    // coarse quantizer only needs rough cells: cap the iteration count and
+    // loosen tol — every extra k-means iteration is a full corpus pass, and
+    // recall (tested vs the exact baseline) is insensitive to the last
+    // few centroid updates
     val km = new KMeans().setK(nCells).setSeed(42L)
+      .setMaxIter(8).setTol(1e-3)
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(c.select(col("features")))
 

@@ -1,0 +1,272 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 coverage widening: relational/functional surfaces the round-1
+  * inventory did not yet exercise as first-class query entries — full outer
+  * join, pivot/unpivot, exact percentiles, grouping sets, regexp extraction,
+  * string/array aggregation, JSON functions, correlated (EXISTS) and scalar
+  * subqueries, time-series gap fill, and RANGE-frame sliding windows.
+  *
+  * All are oracle-checked against DuckDB. SQL-subquery entries run through
+  * `spark.sql` over registered views — the same SQL text runs verbatim on
+  * both engines, covering the parser/analyzer surface too.
+  */
+object ExtendedQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Parity round shadow — see ColumnFunctions.pround. */
+  private def round(c: org.apache.spark.sql.Column, d: Int) =
+    graft.functions.ColumnFunctions.pround(c, d)
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Full outer join of two aggregates: per-nation customer vs supplier
+    // counts. Both sides are pre-aggregated (shuffle on a 25-key column),
+    // so the join is between tiny relations regardless of fact scale.
+    ("q69_full_outer", (s: SparkSession, d: String) => {
+      val cust = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val supp = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, Seq("nationkey"), "full_outer")
+        .select(col("nationkey").cast("long").as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }, Some("""
+      WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+                 FROM customer GROUP BY 1),
+      s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+            FROM supplier GROUP BY 1)
+      SELECT CAST(COALESCE(c.nationkey, s.nationkey) AS BIGINT) AS nationkey,
+             COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""")),
+
+    // Pivot: order counts by year × status. Pivot values are pinned
+    // (F/O/P) so the plan is a single aggregation — Spark never needs the
+    // extra distinct-values job a dynamic pivot would run.
+    ("q70_pivot", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .withColumn("year", year(col("o_orderdate")))
+        .groupBy(col("year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+    }, Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      FROM orders GROUP BY 1""")),
+
+    // Exact percentiles (linear interpolation) — Spark `percentile` and
+    // DuckDB `quantile_cont` share the (n-1)·q interpolation rule. One
+    // sort-based agg per group; at scale approx_percentile (q37) is the
+    // sketch path, this is the exact path.
+    ("q71_percentiles", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+    }, Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+      FROM lineitem GROUP BY l_returnflag""")),
+
+    // Regexp extraction: first integer and first Capitalized word per doc
+    // (both engines return '' on no match; RE2 and java.util.regex agree
+    // on this pattern class).
+    ("q72_regexp_extract", (s: SparkSession, d: String) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([0-9]+)", 1).as("first_int"),
+        regexp_extract(col("text"), "\\b([A-Z][a-z]+)\\b", 1).as("first_cap"))
+    }, Some("""
+      SELECT doc_id,
+             regexp_extract(text, '([0-9]+)', 1) AS first_int,
+             regexp_extract(text, '\b([A-Z][a-z]+)\b', 1) AS first_cap
+      FROM documents""")),
+
+    // Ordered string aggregation: per-nation roster. collect_list is
+    // order-nondeterministic under parallel merge, so the sort happens
+    // inside the array before joining — deterministic on any partitioning.
+    ("q73_string_agg", (s: SparkSession, d: String) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_list(col("c_name"))), ",").as("names"))
+    }, Some("""
+      SELECT c_nationkey, count(*) AS n,
+             string_agg(c_name, ',' ORDER BY c_name) AS names
+      FROM customer GROUP BY c_nationkey""")),
+
+    // JSON functions: extract a typed field from the `props` JSON payload,
+    // bucket it, aggregate. get_json_object is codegen'd; no UDF.
+    ("q74_json_extract", (s: SparkSession, d: String) => {
+      Tables.events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("value"))
+        // floor() on both sides: DuckDB CAST(x AS INT) rounds half-away
+        // while Spark's cast truncates — floor agrees for non-negative k
+        .groupBy(floor(col("k") / 10).cast("int").as("k_decile"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    }, Some("""
+      SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10.0) AS INTEGER)
+               AS k_decile,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1""")),
+
+    // Grouping sets via the typed API (finer than rollup/cube: an explicit
+    // lattice subset), with GROUPING() flags to disambiguate rolled-up
+    // nulls from data nulls.
+    ("q75_grouping_sets", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+             count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")),
+
+    // Time-series gap fill: per event type, a dense daily axis spanning
+    // min..max date (sequence+explode — the generator side), left-joined
+    // to observed daily counts. The dense axis is generated from the tiny
+    // per-type span aggregate, never by exploding the fact table.
+    ("q76_gap_fill", (s: SparkSession, d: String) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("dt"))
+        .groupBy(col("event_type"), col("dt"))
+        .agg(count(lit(1)).as("n"))
+      val axis = daily.groupBy(col("event_type"))
+        .agg(min(col("dt")).as("mind"), max(col("dt")).as("maxd"))
+        .select(col("event_type"),
+          explode(sequence(col("mind"), col("maxd"))).as("dt"))
+      axis.join(daily, Seq("event_type", "dt"), "left_outer")
+        .select(col("event_type"),
+          date_format(col("dt"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS dt, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      axis AS (
+        SELECT event_type,
+               CAST(unnest(generate_series(min(dt), max(dt), INTERVAL 1 DAY)) AS DATE) AS dt
+        FROM daily GROUP BY event_type)
+      SELECT a.event_type, strftime(a.dt, '%Y-%m-%d') AS day,
+             COALESCE(d.n, 0) AS n_events
+      FROM axis a LEFT JOIN daily d
+        ON a.event_type = d.event_type AND a.dt = d.dt""")),
+
+    // RANGE-frame sliding window: 7-day trailing average of daily order
+    // revenue, keyed on epoch-day so the frame is a true value range (a
+    // missing day shrinks the window — rowsBetween would silently span it).
+    ("q77_sliding_window", (s: SparkSession, d: String) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("dt"))
+        .agg(sum(col("o_totalprice")).as("total"))
+        .withColumn("epoch_day", datediff(col("dt"), lit("1970-01-01")))
+      val w = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
+      daily.select(
+        date_format(col("dt"), "yyyy-MM-dd").as("day"),
+        round(col("total"), 2).as("total"),
+        round(avg(col("total")).over(w), 2).as("trailing_avg_7d"))
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS dt, sum(o_totalprice) AS total
+        FROM orders GROUP BY 1),
+      e AS (SELECT dt, total, datediff('day', DATE '1970-01-01', dt) AS epoch_day FROM daily)
+      SELECT strftime(dt, '%Y-%m-%d') AS day, round(total, 2) AS total,
+             round(avg(total) OVER (ORDER BY epoch_day
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS trailing_avg_7d
+      FROM e""")),
+
+    // Correlated subqueries (EXISTS / NOT EXISTS) through spark.sql —
+    // Catalyst rewrites them to semi/anti joins; the identical SQL text is
+    // the oracle.
+    ("q78_exists_subquery", (s: SparkSession, d: String) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n_cust
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F')
+        GROUP BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n_cust
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_orderstatus = 'F')
+      GROUP BY c_mktsegment""")),
+
+    // Scalar subquery: orders above the global mean price, per priority.
+    ("q79_scalar_subquery", (s: SparkSession, d: String) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_above
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderpriority""")
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n_above
+      FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      GROUP BY o_orderpriority""")),
+
+    // Unpivot (wide→long melt): one generator pass, no shuffle.
+    ("q80_unpivot", (s: SparkSession, d: String) => {
+      Tables.part(s, d).unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_size").cast("double").as("p_size"), col("p_retailprice")),
+        "metric", "val")
+    }, Some("""
+      SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part""")),
+
+    // BPE-ish regex tokenization: letter-runs, digit-runs, single symbols —
+    // the pre-tokenizer split every BPE implementation starts from.
+    ("q81_bpe_tokens", (s: SparkSession, d: String) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe_tokens"))
+    }, Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+               AS n_bpe_tokens
+      FROM documents""")),
+  )
+
+  val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+  val oracles: Map[String, String] = entries.collect { case (n, _, Some(sql)) =>
+    n -> sql.stripMargin.trim.replace("round(", "round(1e-8 + ")
+  }.toMap
+}

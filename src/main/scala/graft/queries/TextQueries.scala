@@ -113,7 +113,12 @@ object TextQueries {
       val a = t.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("id_a"), col("tok").as("tok_a"))
       val b = t.select(col("doc_id").as("id_b"), col("tok").as("tok_b"))
+      // size prefilter: jaccard ≥ 0.9 ⇒ |A∩B|/|A∪B| ≥ 0.9 ⇒ min/max sizes
+      // within 10% — a codegen'd int compare that skips the O(|A|+|B|)
+      // set intersection for ~all pairs, with identical output
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(size(col("tok_a")) * 10 >= size(col("tok_b")) * 9 &&
+          size(col("tok_b")) * 10 >= size(col("tok_a")) * 9)
         .withColumn("jaccard",
           round(graft.expressions.TokenExpressions.jaccardSim(col("tok_a"), col("tok_b")), 4))
         .filter(col("jaccard") >= 0.9)

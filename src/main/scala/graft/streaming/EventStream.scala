@@ -49,12 +49,22 @@ object EventStream {
         col("event_type"), col("n_events"), col("total_value"), col("avg_value"))
 
     val name = synchronized { sinkCounter += 1; s"graft_stream_hourly_$sinkCounter" }
-    val query = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // Stateful-agg state partition count is pinned from shuffle.partitions
+    // at first batch; 32 partitions means 32 HDFSBackedStateStore
+    // commit+fsync cycles per micro-batch for a few thousand state rows.
+    // Drop to 8 for the stream, restore the session conf afterwards.
+    val conf = spark.sessionState.conf
+    val saved = conf.getConfString("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        conf.setConfString("spark.sql.shuffle.partitions", "8")
+        agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally conf.setConfString("spark.sql.shuffle.partitions", saved)
     query.awaitTermination()
     spark.table(name)
   }
