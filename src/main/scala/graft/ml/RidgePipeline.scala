@@ -47,9 +47,11 @@ object RidgePipeline {
     // Fixed partition count before the split: randomSplit assigns rows per
     // partition, so this pins reproducibility across input layouts. Cached
     // so the two split branches don't each re-scan and re-shuffle the input.
+    // Only `base` is cached: the split branches are narrow per-partition
+    // samples over it, cheap to recompute — separate caches for train/test
+    // would triple the materialized bytes for no saved work.
     val base = clean.repartition(8).cache()
     val Array(train, test) = base.randomSplit(Array(0.8, 0.2), seed = 42)
-    train.cache(); test.cache()
 
     val model = new Pipeline().setStages(Array(assembler, scaler, lr)).fit(train)
     val predictions = model.transform(test).cache()
@@ -71,7 +73,7 @@ object RidgePipeline {
       coefs.map(c => math.rint(c * 1e4) / 1e4).mkString(","),
     )).toDF("n_train", "n_test", "rmse", "r2", "mae", "intercept", "coefficients")
     metrics.count() // materialize before releasing the cached inputs
-    base.unpersist(); train.unpersist(); test.unpersist(); predictions.unpersist()
+    base.unpersist(); predictions.unpersist()
     TrainedModel(model, metrics)
   }
 

@@ -90,8 +90,10 @@ object Similarity {
     // loosen tol — every extra k-means iteration is a full corpus pass, and
     // recall (tested vs the exact baseline) is insensitive to the last
     // few centroid updates
+    // random init: k-means|| costs ~initSteps extra corpus passes for
+    // centroid quality the probe stage doesn't need
     val km = new KMeans().setK(nCells).setSeed(42L)
-      .setMaxIter(8).setTol(1e-3)
+      .setMaxIter(8).setTol(1e-3).setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
     val model = km.fit(c.select(col("features")))
 

@@ -68,13 +68,16 @@ object ExtendedQueries {
     // sort-based agg per group; at scale approx_percentile (q37) is the
     // sketch path, this is the exact path.
     ("q71_percentiles", (s: SparkSession, d: String) => {
+      // one array-percentile aggregate: a single value digest per group,
+      // not four (4 separate percentile() calls each buffer the column)
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+        .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"),
+          round(element_at(col("ps"), 4), 4).as("p95"))
     }, Some("""
       SELECT l_returnflag,
              round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
@@ -250,6 +253,26 @@ object ExtendedQueries {
       SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
       UNION ALL
       SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part""")),
+
+    // Sliding (overlapping) time windows: 2-hour windows every hour — each
+    // event lands in exactly two windows. The batch twin of the streaming
+    // window() surface; the oracle expands the membership set explicitly.
+    ("q83_sliding_window", (s: SparkSession, d: String) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("win_start"),
+          col("event_type"), col("n"), col("total_value"))
+    }, Some("""
+      WITH expanded AS (
+        SELECT unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+               event_type, value
+        FROM events)
+      SELECT strftime(ws, '%Y-%m-%d %H:00:00') AS win_start, event_type,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM expanded GROUP BY 1, 2""")),
 
     // BPE-ish regex tokenization: letter-runs, digit-runs, single symbols —
     // the pre-tokenizer split every BPE implementation starts from.

@@ -37,6 +37,14 @@ object PipelineQueries {
              round(avg(value), 2) AS avg_value
       FROM events GROUP BY hour, event_type""")),
 
+    // Streaming dedup (dropDuplicatesWithinWatermark — bounded state) +
+    // rollup; must equal the batch count-distinct.
+    ("q82_stream_dedup", (s: SparkSession, d: String) => {
+      EventStream.dedupCountAvailableNow(s, d)
+    }, Some("""
+      SELECT event_type, count(DISTINCT event_id) AS n_unique_events
+      FROM events GROUP BY event_type""")),
+
     // Multimodal metadata extraction over binary payloads via typed
     // mapPartitions; the stub decode derives from byte length only, so the
     // whole pipeline is oracle-able through DuckDB's strlen (byte length).

@@ -69,6 +69,44 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Streaming exact dedup + rollup: dropDuplicatesWithinWatermark keys
+    * state on event_id but EVICTS entries older than the watermark — the
+    * only dedup formulation whose state is bounded on an unbounded stream
+    * (a plain dropDuplicates would grow state forever). Drained with
+    * AvailableNow; result must equal the batch count-distinct oracle.
+    */
+  def dedupCountAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique_events"))
+
+    val name = synchronized { sinkCounter += 1; s"graft_stream_dedup_$sinkCounter" }
+    val conf = spark.sessionState.conf
+    val saved = conf.getConfString("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        conf.setConfString("spark.sql.shuffle.partitions", "8")
+        agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally conf.setConfString("spark.sql.shuffle.partitions", saved)
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   /** File-ingest with routing (kafka_hdfs_consumer.py:37-110 shape): one
     * stream, `foreachBatch` writes each micro-batch to parquet partitioned
     * by a routing column, exactly once per batch id. Used by StreamingSpec.
