@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale properties the queries rely
+  * on (broadcast choices, pushdown, shuffle counts, codegen) must survive
+  * refactors — a silent fallback to a shuffled join or an interpreted
+  * stage is a 100×-scale regression even when results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.sf0001)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  private def countOccurrences(s: String, token: String): Int =
+    s.sliding(token.length).count(_ == token)
+
+  test("q3 filter reaches the parquet scan as PushedFilters") {
+    val p = plan("q3_filter_conjunction")
+    assert(p.contains("PushedFilters: ["), p)
+    // at least one concrete pushed predicate, not an empty list
+    assert(!p.contains("PushedFilters: []"), p)
+  }
+
+  test("q13 joins dims by broadcast, never shuffled-hash/sort-merge") {
+    val p = plan("q13_district_monthly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q7 dim join broadcasts") {
+    val p = plan("q7_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q48 ANN broadcasts the query set; corpus is never shuffled") {
+    val p = plan("q48_ann_brute_force")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q1 aggregation is whole-stage codegen'd") {
+    // AQE's pre-execution plan string carries no codegen markers; codegen
+    // explain mode compiles the stages and reports the subtree count
+    val df = SparkEntry.queries("q1_agg")(spark, TestSpark.sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen"), p)
+  }
+
+  test("q21 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q21_orderby_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q41 per-doc scoring is shuffle-free (narrow projection)") {
+    val p = plan("q41_token_count")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q71 percentile plan has exactly one aggregate pair (one digest)") {
+    val p = plan("q71_percentiles")
+    // partial+final ObjectHashAggregate = 2 mentions; 4 separate digests
+    // would plan 4 pairs
+    val aggs = countOccurrences(p, "ObjectHashAggregate")
+    assert(aggs <= 2, s"expected <= 2 ObjectHashAggregate nodes, got $aggs\n$p")
+  }
+
+  test("q44 size prefilter is conjoined ahead of the Jaccard computation") {
+    // the cross-join condition must short-circuit on the cheap size compare
+    // before ever evaluating jaccardsim on the arrays
+    val df = SparkEntry.queries("q44_token_jaccard")(spark, TestSpark.sf0001)
+    val conds = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join if j.condition.isDefined =>
+        j.condition.get.toString
+    }
+    val c = conds.find(_.contains("jaccardsim")).getOrElse(fail(s"no jaccard join: $conds"))
+    assert(c.contains("size("), c)
+    assert(c.indexOf("size(") < c.indexOf("jaccardsim"), c)
+  }
+
+  test("q45 LSH band join is array-free (only ids and hashes shuffle)") {
+    // the bucket self-join must see narrow (band, band_hash, id) inputs;
+    // the shingle arrays may only appear in the later verify joins
+    val df = SparkEntry.queries("q45_minhash_lsh")(spark, TestSpark.sf0001)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    val bandJoin = joins.filter(j =>
+      (j.left.output ++ j.right.output).forall(a =>
+        !a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+    assert(bandJoin.nonEmpty, "expected the band-bucket join to carry no array columns")
+  }
+}
