@@ -147,6 +147,27 @@ object TextFunctions {
       .reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** PII scrubbing: masks emails, URLs, and phone-shaped digit runs with
+    * typed placeholders — the standard pre-release redaction pass over a
+    * training corpus. Order matters (URLs can contain '@'); pure
+    * regexp_replace cascade, codegen'd, per-row only.
+    */
+  def scrubPii(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    val noEmail = regexp_replace(noUrl, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>")
+  }
+
+  /** Duplicate-n-gram fraction (Rae et al. 2021 "repetition" quality
+    * signal): 1 − |distinct n-grams| / |n-grams|; 0 for docs with a single
+    * shingle. High values flag boilerplate/spam for curation filters.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    graft.functions.ColumnFunctions.pround(
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 4)
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

@@ -45,6 +45,17 @@ object PipelineQueries {
       SELECT event_type, count(DISTINCT event_id) AS n_unique_events
       FROM events GROUP BY event_type""")),
 
+    // Stream-static join: unbounded events joined to a broadcast tier dim,
+    // rolled up per tier — must equal the batch CASE-mapping oracle.
+    ("q85_stream_static_join", (s: SparkSession, d: String) => {
+      EventStream.tieredRollupAvailableNow(s, d)
+    }, Some("""
+      SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                  WHEN event_type IN ('click', 'view') THEN 'engagement'
+                  ELSE 'ops' END AS tier,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM events GROUP BY tier""")),
+
     // Multimodal metadata extraction over binary payloads via typed
     // mapPartitions; the stub decode derives from byte length only, so the
     // whole pipeline is oracle-able through DuckDB's strlen (byte length).

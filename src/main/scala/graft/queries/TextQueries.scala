@@ -332,6 +332,23 @@ object TextQueries {
         .select(col("doc_id"), col("lang"))
     }, None),
 
+    // Duplicate-3-gram repetition ratio (boilerplate/spam signal for
+    // curation filters); the DuckDB twin rebuilds the same shingle set
+    // with list functions.
+    ("q84_repetition", (s: SparkSession, d: String) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        repetitionRatio(col("text"), 3).as("rep_ratio"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tok FROM documents),
+      g AS (SELECT doc_id,
+                   list_transform(generate_series(1, greatest(1, len(tok) - 2)),
+                                  i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2])) AS grams
+            FROM t)
+      SELECT doc_id,
+             round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) AS rep_ratio
+      FROM g""")),
+
     // Document-length histogram (fixed-width buckets) — distribution
     // shape for curation decisions.
     ("q53_length_histogram", (s: SparkSession, d: String) => {

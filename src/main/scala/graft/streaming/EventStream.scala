@@ -107,6 +107,49 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Stream-static join + rollup: the unbounded stream joins a small batch
+    * dimension (re-read per micro-batch, so dim updates are picked up —
+    * Spark's stream-static contract), then aggregates per tier. The dim
+    * broadcasts; the stream never shuffles before the aggregation.
+    */
+  def tieredRollupAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = Seq(
+      ("purchase", "conversion"), ("signup", "conversion"),
+      ("click", "engagement"), ("view", "engagement"),
+      ("error", "ops")).toDF("event_type", "tier")
+
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+    val agg = stream
+      .join(broadcast(tiers), Seq("event_type"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.ColumnFunctions.pround(sum(col("value")), 2).as("total_value"))
+
+    val name = synchronized { sinkCounter += 1; s"graft_stream_tiered_$sinkCounter" }
+    val conf = spark.sessionState.conf
+    val saved = conf.getConfString("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        conf.setConfString("spark.sql.shuffle.partitions", "8")
+        agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally conf.setConfString("spark.sql.shuffle.partitions", saved)
+    query.awaitTermination()
+    spark.table(name)
+  }
+
   /** File-ingest with routing (kafka_hdfs_consumer.py:37-110 shape): one
     * stream, `foreachBatch` writes each micro-batch to parquet partitioned
     * by a routing column, exactly once per batch id. Used by StreamingSpec.
