@@ -29,7 +29,12 @@ object RidgePipeline {
     */
   def train(spark: SparkSession, df: DataFrame, featureCols: Seq[String],
       labelCol: String): TrainedModel = {
-    val clean = df.na.drop(featureCols :+ labelCol)
+    // project to the model columns FIRST: the cache below materializes its
+    // input as-is (no column pruning through a cache), so caching the full
+    // table would store every column for a 4-column model
+    val modelCols = featureCols :+ labelCol
+    val clean = df.select(modelCols.map(org.apache.spark.sql.functions.col): _*)
+      .na.drop(modelCols)
 
     val assembler = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features_raw")
