@@ -33,6 +33,40 @@ object Sampling {
       .filter(col("__rn") <= quota)
       .drop("__rn")
 
+  /** Source-mixing rates: given target proportions per stratum (the "data
+    * mixture" of a training recipe), compute the largest total corpus that
+    * honours them without upsampling any stratum, and each stratum's keep
+    * rate toward it. Pure relational arithmetic over the per-stratum
+    * counts — the (tiny) rates table then drives [[deterministicSample]]
+    * per stratum.
+    *
+    * Output: (stratum, n_rows, target_frac, n_keep, rate) where
+    * n_keep = round(target_frac · N_out), N_out = min_s(n_s / p_s)
+    * over strata with p_s > 0; strata absent from `targets` get rate 0.
+    */
+  def mixingRates(df: DataFrame, stratumCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.values.forall(_ >= 0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.toDF(stratumCol, "target_frac")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_rows"))
+    val joined = counts.join(tgt, Seq(stratumCol), "left_outer")
+      .na.fill(0.0, Seq("target_frac"))
+    // N_out = min over strata of n_s / p_s (capacity of the scarcest source)
+    val nOut = joined.filter(col("target_frac") > 0)
+      .select(min(col("n_rows") / col("target_frac")).as("n_out"))
+    joined.crossJoin(nOut)
+      .withColumn("n_keep",
+        graft.functions.ColumnFunctions.pround(
+          col("target_frac") * col("n_out"), 0).cast("long"))
+      .withColumn("rate",
+        graft.functions.ColumnFunctions.pround(
+          col("n_keep").cast("double") / col("n_rows"), 6))
+      .select(col(stratumCol), col("n_rows"), col("target_frac"),
+        col("n_keep"), col("rate"))
+  }
+
   /** Frequent-items profile per column (Spark's stat.freqItems — the
     * Karp-Papadimitriou-Shenker sketch): items with frequency above
     * `support`, per column. One pass, no shuffle of raw data.

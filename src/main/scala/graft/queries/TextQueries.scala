@@ -349,6 +349,28 @@ object TextQueries {
              round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4) AS rep_ratio
       FROM g""")),
 
+    // Training-mixture rates: per-source keep rates toward a target data
+    // mix, capped by the scarcest source (no upsampling) — the "data
+    // recipe" computation every pretraining pipeline runs before sampling.
+    ("q86_mixing_rates", (s: SparkSession, d: String) => {
+      import graft.operators.Sampling
+      Sampling.mixingRates(Tables.documents(s, d), "source",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+    }, Some("""
+      WITH counts AS (SELECT source, count(*) AS n_rows FROM documents GROUP BY source),
+      tgt(source, target_frac) AS (VALUES
+        ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
+      j AS (SELECT c.source, n_rows, COALESCE(target_frac, 0.0) AS target_frac
+            FROM counts c LEFT JOIN tgt USING (source)),
+      cap AS (SELECT min(n_rows / target_frac) AS n_out FROM j WHERE target_frac > 0),
+      k AS (SELECT source, n_rows, target_frac,
+                   CAST(round(target_frac * n_out, 0) AS BIGINT) AS n_keep
+            FROM j, cap)
+      SELECT source, n_rows, target_frac, n_keep,
+             round(CAST(n_keep AS DOUBLE) / n_rows, 6) AS rate
+      FROM k""")),
+
     // Document-length histogram (fixed-width buckets) — distribution
     // shape for curation decisions.
     ("q53_length_histogram", (s: SparkSession, d: String) => {

@@ -98,6 +98,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard expression equals size(intersect)/size(union) on distinct arrays") {
+    forAll(tokensGen, tokensGen) { (ta, tb) =>
+      val df = Seq((ta.distinct, tb.distinct)).toDF("a", "b")
+      val r = df.select(
+        TokenExpressions.jaccardSim($"a", $"b").as("fast"),
+        when(size(array_union($"a", $"b")) === 0, 0.0)
+          .otherwise(size(array_intersect($"a", $"b")).cast("double") /
+            size(array_union($"a", $"b"))).as("ref")).head()
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("interleaveBits is monotone per coordinate and bounded") {
+    val coordGen = Gen.choose(0, 255)
+    forAll(coordGen, coordGen) { (x, y) =>
+      val df = Seq((x, y, (x + 1) % 256, (y + 1) % 256)).toDF("x", "y", "x2", "y2")
+      val r = df.select(
+        graft.io.Layout.interleaveBits(Seq($"x", $"y"), 8).as("z"),
+        graft.io.Layout.interleaveBits(Seq($"x2", $"y"), 8).as("zx"),
+        graft.io.Layout.interleaveBits(Seq($"x", $"y2"), 8).as("zy")).head()
+      val (z, zx, zy) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(z >= 0 && z < (1L << 16))
+      if (x < 255) assert(zx > z) // larger x, same y → larger z
+      if (y < 255) assert(zy > z)
+    }
+  }
+
+  test("mixingRates: rates in [0,1], no stratum upsampled, scarcest source fully kept") {
+    val df = Seq.tabulate(100)(i => (s"s${i % 4}", i)).toDF("src", "id")
+    val rates = graft.operators.Sampling
+      .mixingRates(df, "src", Map("s0" -> 0.5, "s1" -> 0.25, "s2" -> 0.25))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    // 25 rows per stratum; capacity = min(25/0.5, 25/0.25) = 50
+    assert(rates("s0") === ((25L, 0.5, 25L, 1.0)))   // scarcest: fully kept
+    assert(rates("s1")._3 === 13L)                    // 0.25*50 = 12.5 → 13
+    assert(rates("s3")._4 === 0.0)                    // untargeted source
+    assert(rates.values.forall { case (_, _, _, r) => r >= 0.0 && r <= 1.0 })
+  }
+
   test("season/seasonYear partition the calendar with no gaps") {
     val all = (2019 to 2021).flatMap(y => (1 to 12).map(m => (y, m)))
     val got = all.toDF("y", "m")
