@@ -82,6 +82,34 @@ class PlanSpec extends AnyFunSuite {
     assert(c.indexOf("size(") < c.indexOf("jaccardsim"), c)
   }
 
+  test("runtime bloom filter injects into the probe side of a selective shuffled join") {
+    // at cluster scale Spark plants a bloom filter built from the filtered
+    // dim side into the fact scan (runtime row-level filtering); the size
+    // thresholds are tuned for real clusters, so pin them down for the demo
+    val conf = spark.sessionState.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+    ).map(k => k -> conf.getConfString(k, null)).toMap
+    try {
+      conf.setConfString("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.setConfString("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.setConfString("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.setConfString("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, TestSpark.sf0001)
+      val ord = Tables.orders(spark, TestSpark.sf0001)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"no runtime bloom filter in:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      if (v == null) conf.unsetConf(k) else conf.setConfString(k, v)
+    }
+  }
+
   test("q45 LSH band join is array-free (only ids and hashes shuffle)") {
     // the bucket self-join must see narrow (band, band_hash, id) inputs;
     // the shingle arrays may only appear in the later verify joins
