@@ -371,6 +371,20 @@ object TextQueries {
              round(CAST(n_keep AS DOUBLE) / n_rows, 6) AS rate
       FROM k""")),
 
+    // Mergeable HLL sketch rollup: per-source sketches union to the global
+    // estimate without re-reading data — the sketch-store pattern that
+    // replaces count-distinct at 100 TB (partial sketches persist and
+    // merge across days/sources). DataSketches binary — rows-only; the
+    // merge==direct and near-exact laws are asserted in UpsertSpec.
+    ("q87_hll_mergeable", (s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(hll_sketch_agg(col("doc_id")).as("sk"), count(lit(1)).as("n"))
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct_docs"),
+          sum(col("n")).as("n_docs"))
+    }, None),
+
     // Document-length histogram (fixed-width buckets) — distribution
     // shape for curation decisions.
     ("q53_length_histogram", (s: SparkSession, d: String) => {

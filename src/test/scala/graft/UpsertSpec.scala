@@ -1,0 +1,57 @@
+package graft
+
+import graft.io.Upsert
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("upsert replaces colliding keys and appends new ones") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+    val out = Upsert.upsert(target, updates, Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out === Map(
+      1L -> ("a", 10.0), 2L -> ("B", 99.0), 3L -> ("c", 30.0), 4L -> ("d", 40.0)))
+  }
+
+  test("partitioned upsert rewrites only affected partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/table"
+    Seq((1L, "p1", 1.0), (2L, "p1", 2.0), (3L, "p2", 3.0), (4L, "p3", 4.0))
+      .toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(dir)
+
+    def files(p: String) = new java.io.File(s"$dir/part=$p").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val p2Before = files("p2")
+    val p3Before = files("p3")
+
+    // updates touch p1 (replace k=2) and p3 (new key) — p2 must be inert
+    val updates = Seq((2L, "p1", 22.0), (5L, "p3", 5.0)).toDF("k", "part", "v")
+    Upsert.upsertPartitioned(spark, dir, updates, Seq("k"), "part")
+
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(out === Map(1L -> 1.0, 2L -> 22.0, 3L -> 3.0, 4L -> 4.0, 5L -> 5.0))
+    assert(files("p2") === p2Before, "untouched partition was rewritten")
+    assert(files("p3") !== p3Before, "affected partition should be rewritten")
+  }
+
+  test("hll sketches are mergeable: per-source union == direct estimate, near exact") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val direct = docs.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("doc_id"))).as("est"),
+      countDistinct(col("doc_id")).as("exact")).head()
+    val merged = docs
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("doc_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est")).head()
+    val exact = direct.getAs[Long]("exact").toDouble
+    assert(math.abs(direct.getAs[Long]("est") - exact) / exact < 0.05)
+    // the two-level merge is a sketch union (not bit-identical to the
+    // single-pass sketch) — it must stay within the same error envelope
+    assert(math.abs(merged.getAs[Long]("est") - exact) / exact < 0.05)
+  }
+}
