@@ -274,6 +274,48 @@ object ExtendedQueries {
              count(*) AS n, round(sum(value), 2) AS total_value
       FROM expanded GROUP BY 1, 2""")),
 
+    // lag/lead windows: per-user deltas between consecutive events (value
+    // change and microsecond gap) — the feature-engineering staple.
+    ("q88_lag_lead", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        round(col("value") - lag(col("value"), 1).over(w), 2).as("delta_value"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+    }, Some("""
+      SELECT event_id, user_id,
+             round(value - lag(value) OVER w, 2) AS delta_value,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+             lead(event_type) OVER w AS next_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+
+    // Higher-order array functions: L2-normalize embeddings with
+    // transform(); spot components + the unit-norm check come back as
+    // scalars (array cells don't round-trip the compare harness).
+    ("q89_embedding_normalize", (s: SparkSession, d: String) => {
+      import graft.functions.VectorFunctions
+      val v = VectorFunctions.asDouble(col("embedding"))
+      val nrm = VectorFunctions.l2Norm(v)
+      val unit = transform(v, x => x / nrm)
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        round(element_at(unit, 1), 6).as("c0"),
+        round(element_at(unit, 2), 6).as("c1"),
+        round(aggregate(unit, lit(0.0), (acc, x) => acc + x * x), 6).as("unit_norm_sq"))
+    }, Some("""
+      WITH t AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        FROM embeddings),
+      u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS unit FROM t)
+      SELECT vec_id,
+             round(unit[1], 6) AS c0,
+             round(unit[2], 6) AS c1,
+             round(list_sum(list_transform(unit, x -> x * x)), 6) AS unit_norm_sq
+      FROM u""")),
+
     // BPE-ish regex tokenization: letter-runs, digit-runs, single symbols —
     // the pre-tokenizer split every BPE implementation starts from.
     ("q81_bpe_tokens", (s: SparkSession, d: String) => {
