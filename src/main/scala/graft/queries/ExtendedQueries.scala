@@ -316,6 +316,38 @@ object ExtendedQueries {
              round(list_sum(list_transform(unit, x -> x * x)), 6) AS unit_norm_sq
       FROM u""")),
 
+    // Built-in session windows (gap-merged): Spark's session_window
+    // operator; the oracle rebuilds identical sessions with the classic
+    // gaps-and-islands formulation (a new session starts when the gap
+    // reaches the timeout, since [t, t+gap) windows that merely touch do
+    // not overlap).
+    ("q90_session_window", (s: SparkSession, d: String) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_end"),
+          col("n_events"), col("total_value"))
+    }, Some("""
+      WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT user_id, ts, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o)
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+             strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM s GROUP BY user_id, sid""")),
+
     // BPE-ish regex tokenization: letter-runs, digit-runs, single symbols —
     // the pre-tokenizer split every BPE implementation starts from.
     ("q81_bpe_tokens", (s: SparkSession, d: String) => {

@@ -82,6 +82,13 @@ class PlanSpec extends AnyFunSuite {
     assert(c.indexOf("size(") < c.indexOf("jaccardsim"), c)
   }
 
+  test("q19 rank filter plans WindowGroupLimit (partial top-k before the shuffle)") {
+    // rank<=k predicates must push a per-partition group limit below the
+    // window exchange — without it every group's full row set shuffles
+    val p = plan("q19_window_topn")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("runtime bloom filter injects into the probe side of a selective shuffled join") {
     // at cluster scale Spark plants a bloom filter built from the filtered
     // dim side into the fact scan (runtime row-level filtering); the size
