@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan regression guards: the scale properties the queries rely
@@ -112,6 +113,39 @@ class PlanSpec extends AnyFunSuite {
       val p = joined.queryExecution.optimizedPlan.toString
       assert(p.contains("might_contain") || p.contains("bloom_filter"),
         s"no runtime bloom filter in:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      if (v == null) conf.unsetConf(k) else conf.setConfString(k, v)
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val conf = spark.sessionState.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+    )
+    val saved = keys.map(k => k -> conf.getConfString(k, null)).toMap
+    try {
+      // local-size thresholds so a hot key qualifies as skewed
+      conf.setConfString("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.setConfString("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.setConfString("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.setConfString("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+      conf.setConfString("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 40k rows on one hot key vs a uniform right side
+      val left = spark.range(40000).select(lit(7L).as("k"), $"id".as("payload"))
+        .union(spark.range(1000).select(($"id" % 100).as("k"), $"id".as("payload")))
+      val right = spark.range(100).select($"id".as("k"), ($"id" * 2).as("r"))
+      val joined = left.join(right, "k")
+      // collect() drives THIS queryExecution (a write would plan a fresh
+      // command tree and leave this adaptive plan unexecuted)
+      assert(joined.collect().length === 41000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(4000))
     } finally saved.foreach { case (k, v) =>
       if (v == null) conf.unsetConf(k) else conf.setConfString(k, v)
     }
