@@ -348,6 +348,24 @@ object ExtendedQueries {
              count(*) AS n_events, round(sum(value), 2) AS total_value
       FROM s GROUP BY user_id, sid""")),
 
+    // Date arithmetic breadth: month addition (with end-of-month clamping),
+    // month end, ISO week truncation, Monday-based weekday — the calendar
+    // functions beyond q25's part extraction.
+    ("q91_date_math", (s: SparkSession, d: String) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("week_start"),
+        weekday(col("o_orderdate")).as("wd"))
+    }, Some("""
+      SELECT o_orderkey,
+             strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+             strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+             strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+             CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd
+      FROM orders""")),
+
     // BPE-ish regex tokenization: letter-runs, digit-runs, single symbols —
     // the pre-tokenizer split every BPE implementation starts from.
     ("q81_bpe_tokens", (s: SparkSession, d: String) => {
