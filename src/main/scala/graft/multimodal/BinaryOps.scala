@@ -52,4 +52,19 @@ object BinaryOps {
     meta.toDF()
       .select(col("doc_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))).as("frame_idx"))
+
+  /** Resize planning: fit each image into a `box`×`box` square preserving
+    * aspect ratio (never upscale) — the target-dimension arithmetic every
+    * thumbnail/normalization stage runs before the actual pixel work. Pure
+    * column math over the metadata; the decode-and-scale kernel would
+    * consume (out_w, out_h) per row.
+    */
+  def resizePlan(meta: Dataset[MediaMeta], box: Int): DataFrame = {
+    val scale = least(lit(1.0), lit(box.toDouble) / col("width"),
+      lit(box.toDouble) / col("height"))
+    meta.toDF().select(
+      col("doc_id"), col("width"), col("height"),
+      floor(col("width") * scale).cast("int").as("out_w"),
+      floor(col("height") * scale).cast("int").as("out_h"))
+  }
 }

@@ -69,6 +69,23 @@ object PipelineQueries {
              CAST(1 + strlen(text) % 30 AS INTEGER) AS n_frames
       FROM documents""")),
 
+    // Resize planning over the stubbed media metadata: fit into a 224-box
+    // preserving aspect, never upscaling — exact integer/double arithmetic,
+    // so the whole multimodal plan stays oracle-checkable.
+    ("q92_resize_plan", (s: SparkSession, d: String) => {
+      BinaryOps.resizePlan(BinaryOps.extractMeta(s, Tables.documents(s, d)), 224)
+    }, Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(64 + strlen(text) % 512 AS INTEGER) AS width,
+               CAST(64 + (strlen(text) * 7) % 512 AS INTEGER) AS height
+        FROM documents),
+      sc AS (SELECT *, least(1.0, 224.0 / width, 224.0 / height) AS scale FROM m)
+      SELECT doc_id, width, height,
+             CAST(floor(width * scale) AS INTEGER) AS out_w,
+             CAST(floor(height * scale) AS INTEGER) AS out_h
+      FROM sc""")),
+
     // Frame-sampling fan-out (explode) — generator/UDTF surface.
     ("q63_frame_sample", (s: SparkSession, d: String) => {
       BinaryOps.sampleFrames(BinaryOps.extractMeta(s, Tables.documents(s, d)), 5)

@@ -385,6 +385,50 @@ object TextQueries {
           sum(col("n")).as("n_docs"))
     }, None),
 
+    // End-to-end curation pipeline, every stage oracle-expressible:
+    // normalize → quality-filter → exact-dedup on normalized hash (smallest
+    // id survives) → per-(source, lang) dataset-card rollup. The fuzzy
+    // variant (MinHash) is q68; this is the deterministic twin the gate can
+    // hash-check stage-for-stage.
+    ("q93_curation_pipeline", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("source"), col("lang"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm"),
+        qualityScore(col("text")).as("q"))
+      scored.filter(col("q") >= 0.5)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(md5(col("norm"))).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("q")), 4).as("avg_quality"))
+    }, Some(s"""
+      WITH t AS (
+        SELECT doc_id, source, lang, text,
+               CAST(length(text) AS INTEGER) AS nc,
+               CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS nt,
+               CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INTEGER) AS np,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                    t -> t IN ($stopwordsSql))) AS INTEGER) AS ns
+        FROM documents),
+      q AS (
+        SELECT doc_id, source, lang,
+               trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                 ' +', ' ', 'g')) AS norm,
+               round((least(nc / 500.0, 1.0)
+                 + least((CASE WHEN nt = 0 THEN 0.0 ELSE CAST(ns AS DOUBLE) / nt END) * 5.0, 1.0)
+                 + least((CASE WHEN nc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / nc END) * 20.0, 1.0)
+                 ) / 3.0, 4) AS q
+        FROM t),
+      dedup AS (
+        SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+        FROM q WHERE q >= 0.5)
+      SELECT source, lang, count(*) AS n_docs, round(avg(q), 4) AS avg_quality
+      FROM dedup WHERE rn = 1 GROUP BY source, lang""")),
+
     // Document-length histogram (fixed-width buckets) — distribution
     // shape for curation decisions.
     ("q53_length_histogram", (s: SparkSession, d: String) => {
