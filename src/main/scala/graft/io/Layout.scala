@@ -47,6 +47,40 @@ object Layout {
       acc + when(col(colName) >= b, 1).otherwise(0)
     }
 
+  /** Per-file column min/max from parquet footers — the statistics file
+    * skipping actually uses, surfaced for layout validation (a Z-order
+    * rewrite is only worth its shuffle if these ranges come out narrow).
+    * Footer reads only — no data pages touched. Driver-side listing: this
+    * is a diagnostic over a bounded file set; wrap in a Dataset of paths
+    * to distribute at larger counts.
+    */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      colName: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val files = fs.listStatus(new Path(path))
+      .filter(f => f.getPath.getName.endsWith(".parquet"))
+    val rows = files.toSeq.map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        val stats = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == colName)
+          .map(_.getStatistics)
+        val mins = stats.map(_.genericGetMin.toString.toDouble)
+        val maxs = stats.map(_.genericGetMax.toString.toDouble)
+        val nRows = blocks.map(_.getRowCount).sum
+        (f.getPath.getName, mins.min, maxs.max, nRows)
+      } finally reader.close()
+    }
+    import spark.implicits._
+    rows.toDF("file", "min", "max", "n_rows")
+  }
+
   /** Z-order `df` by `cols` into `numFiles` range-partitioned, internally
     * sorted partitions, ready for `.write.parquet`. `bits` per-column rank
     * resolution (default 8 → 256 ranks/col, plenty for file-level stats).

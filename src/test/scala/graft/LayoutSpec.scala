@@ -50,6 +50,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(box <= files / 2, s"box predicate touched $box of $files files")
   }
 
+  test("fileStats: z-ordered files carry narrow per-file ranges in BOTH dims") {
+    import spark.implicits._
+    val n = 4096
+    val df = (0 until n)
+      .map(i => (i * 2654435761L % n, i * 40503L % n))
+      .toDF("x", "y")
+      .withColumn("x", col("x").cast("double"))
+      .withColumn("y", col("y").cast("double"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zstats").toString + "/t"
+    graft.io.Layout.zorderBy(df, Seq("x", "y"), 16, bits = 8)
+      .write.parquet(dir)
+    for (c <- Seq("x", "y")) {
+      val stats = graft.io.Layout.fileStats(spark, dir, c)
+        .withColumn("span", col("max") - col("min"))
+      val avgSpan = stats.agg(avg("span")).head().getDouble(0)
+      // 16 z-files over 2 dims ≈ 4×4 grid → ~1/4 of each dim per file;
+      // any 1-D-sorted or random layout leaves the non-sort dim at ~full span
+      assert(avgSpan < n * 0.55, s"$c avg per-file span $avgSpan of $n")
+    }
+  }
+
   test("zorderBy preserves every row exactly once") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i.toDouble, (999 - i).toDouble)).toDF("a", "b")
