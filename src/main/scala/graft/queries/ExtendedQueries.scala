@@ -366,6 +366,28 @@ object ExtendedQueries {
              CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd
       FROM orders""")),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match each other instead of silently dropping — the join dialect a
+    // plain equi-join gets wrong on nullable keys.
+    ("q94_nullsafe_join", (s: SparkSession, d: String) => {
+      val nk = when(col("l_discount") === 0, lit(null)).otherwise(col("l_discount"))
+      val t = Tables.lineitem(s, d).select(col("l_returnflag"), nk.as("k"))
+      val dim = t.groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+        .withColumnRenamed("k", "dk")
+      t.join(dim, t("k") <=> dim("dk"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(when(col("k").isNull, 1).otherwise(0)).cast("bigint").as("n_null_matched"))
+    }, Some("""
+      WITH t AS (SELECT l_returnflag,
+                        CASE WHEN l_discount = 0 THEN NULL ELSE l_discount END AS k
+                 FROM lineitem),
+      dim AS (SELECT k AS dk, count(*) AS n_k FROM t GROUP BY k)
+      SELECT l_returnflag, count(*) AS n_matched,
+             CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_matched
+      FROM t JOIN dim ON t.k IS NOT DISTINCT FROM dim.dk
+      GROUP BY l_returnflag""")),
+
     // BPE-ish regex tokenization: letter-runs, digit-runs, single symbols —
     // the pre-tokenizer split every BPE implementation starts from.
     ("q81_bpe_tokens", (s: SparkSession, d: String) => {
