@@ -101,9 +101,83 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** `tables` independent random-hyperplane sign signatures (Charikar 2002)
+    * of `bitsPerTable` bits each, one long bucket id per table — the
+    * OR-of-AND (banded) LSH family for cosine radius search: a pair is a
+    * candidate if it collides in ANY table. Hyperplane coefficient
+    * (table, bit, dim) is a splitmix64-derived uniform in [-0.5, 0.5) —
+    * deterministic, public construction, no stored model. Both the
+    * interpreted and generated paths call the single top-level
+    * [[VecOps.hyperplaneBuckets]] kernel, so they cannot diverge.
+    */
+  case class HyperplaneBuckets(child: Expression, bitsPerTable: Int, tables: Int)
+      extends UnaryExpression {
+    require(bitsPerTable >= 1 && bitsPerTable <= 63 && tables >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any =
+      VecOps.hyperplaneBuckets(input.asInstanceOf[ArrayData], bitsPerTable, tables)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        // VecOps is TOP-LEVEL: scalac emits a static forwarder Janino can
+        // link (nested objects have none — see JaccardOps)
+        s"${ev.value} = ${VecOps.getClass.getName.stripSuffix("$")}" +
+          s".hyperplaneBuckets($a, $bitsPerTable, $tables);")
+
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+      copy(child = newChild)
+  }
+
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
   def l2Norm(v: Column): Column =
     Bridge.column(L2Norm(Bridge.expression(v)))
+
+  def hyperplaneBuckets(v: Column, bitsPerTable: Int, tables: Int): Column =
+    Bridge.column(HyperplaneBuckets(Bridge.expression(v), bitsPerTable, tables))
+}
+
+/** Top-level codegen kernel host (static-forwarder requirement — see
+  * [[graft.expressions.JaccardOps]]).
+  */
+object VecOps {
+
+  /** splitmix64 finalizer → uniform double in [-0.5, 0.5). */
+  private def coef(table: Int, bit: Int, dim: Int): Double = {
+    var z = (table.toLong << 42) ^ (bit.toLong << 24) ^ dim.toLong
+    z += 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11) * (1.0 / (1L << 53)) - 0.5
+  }
+
+  /** One bucket id per table: bit b of table t set iff the projection of
+    * the vector onto hyperplane (t, b) is positive. Null elements
+    * contribute 0 (corpus has none — matches DotProduct's convention).
+    */
+  def hyperplaneBuckets(v: ArrayData, bitsPerTable: Int, tables: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bitsPerTable) {
+        var proj = 0.0
+        var i = 0
+        while (i < n) {
+          if (!v.isNullAt(i)) proj += v.getDouble(i) * coef(t, b, i)
+          i += 1
+        }
+        if (proj > 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

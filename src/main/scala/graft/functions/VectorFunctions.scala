@@ -43,6 +43,15 @@ object VectorFunctions {
     * Vectors in the same bucket are candidate near-neighbours; used to cut
     * the O(n²) brute-force search to per-bucket joins at scale.
     */
+  /** Banded multi-table hyperplane signatures: one bucket id per table
+    * (codegen'd kernel — see VectorExpressions.HyperplaneBuckets). The
+    * OR-of-AND construction for cosine radius search: per-table collision
+    * probability is p^bits (p = 1 − θ/π), detection over L tables is
+    * 1 − (1 − p^bits)^L — tune (bits, tables) like MinHash banding.
+    */
+  def hyperplaneBuckets(v: Column, bitsPerTable: Int, tables: Int): Column =
+    graft.expressions.VectorExpressions.hyperplaneBuckets(v, bitsPerTable, tables)
+
   def lshBucket(v: Column, nBits: Int): Column =
     (0 until nBits)
       .map { b =>

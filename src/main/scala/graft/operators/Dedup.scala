@@ -135,6 +135,72 @@ object Dedup {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** EXACT token-set Jaccard self-join via prefix filtering (Chaudhuri et
+    * al. 2006 SSJoin; Bayardo et al. 2007 All-Pairs; Xiao et al. 2008
+    * PPJoin): under a global total token order, any pair with
+    * J(A,B) ≥ t must share its smallest common token within both prefixes
+    * of length |X| − ⌈t·|X|⌉ + 1 — so candidates come from an EQUI-JOIN on
+    * exploded prefix tokens, never a cross join, with zero false negatives.
+    *
+    * The global order is document-frequency ascending (ties by token), the
+    * All-Pairs trick: the rarest tokens land in prefixes, so candidate
+    * lists per join key stay short and the prefix join cannot hot-spot on
+    * stopwords. Scale shape: the corpus shuffles as (token, id, size)
+    * triples — never token arrays — and the verify stage fetches each
+    * surviving side's array exactly once by id.
+    *
+    * Exactness at the rounding boundary: the output filter is
+    * round(J, 4) ≥ t (so the DuckDB oracle can replay it), hence blocking
+    * runs at t − 1e−4 to keep pairs that round UP to t; the ⌈·⌉ uses a
+    * 1e−9 slack so an exactly-integral t·|X| (e.g. 0.9 · 10) is not
+    * over-ceiled by float error — both slacks only lengthen prefixes,
+    * preserving exactness.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4.
+    */
+  def jaccardSelfJoin(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val tEff = threshold - 1e-4 // round-to-4-then-filter boundary margin
+
+    val tok = docs.select(col(idCol).as("id"),
+      explode(array_distinct(split(col(textCol), "\\s+"))).as("tok"))
+    // document frequency per token — the global order driver; vocab-sized
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    // per doc: tokens sorted rare-first ((freq, tok) struct sort = total order)
+    val ordered = tok.join(freq, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("freq"), col("tok")))).as("ord"))
+      .select(col("id"), col("ord").getField("tok").as("toks"))
+    val prefixes = ordered
+      .withColumn("sz", size(col("toks")))
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * tEff - 1e-9) + 1).cast("int"))
+      .select(col("id"), col("sz"),
+        explode(slice(col("toks"), lit(1), col("plen"))).as("ptok"))
+
+    val l = prefixes.select(col("ptok"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val r = prefixes.select(col("ptok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val candidates = l.join(r, Seq("ptok"))
+      .filter(col("id_a") < col("id_b"))
+      // size band before the distinct: J ≥ t ⇒ sizes within factor t
+      .filter(col("sz_a") >= col("sz_b") * tEff && col("sz_b") >= col("sz_a") * tEff)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    // verify: fetch each side's token set once, exact Jaccard
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(split(col(textCol), "\\s+")).as("tok"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("tok").as("tok_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("tok").as("tok_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.ColumnFunctions.pround(
+          graft.expressions.TokenExpressions.jaccardSim(col("tok_a"), col("tok_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exact word-n-gram Jaccard similarity for given candidate pairs
     * (id_a, id_b) — the verification stage after any blocking scheme.
     */

@@ -95,7 +95,18 @@ object Similarity {
     val km = new KMeans().setK(nCells).setSeed(42L)
       .setMaxIter(8).setTol(1e-3).setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
-    val model = km.fit(c.select(col("features")))
+    // the coarse quantizer fits on a BOUNDED sample: every k-means
+    // iteration is a pass over its input, and cell quality is insensitive
+    // to sampling at this granularity (recall law in SimilaritySpec).
+    // count() is parquet-metadata-cheap; fraction 1.0 below the cap keeps
+    // small corpora (and the spec fixtures) on the exact previous path
+    val fitCap = 100000L
+    val nCorpus = c.count()
+    val fitSet =
+      if (nCorpus <= fitCap) c.select(col("features"))
+      else c.sample(withReplacement = false, fitCap.toDouble / nCorpus, seed = 42L)
+        .select(col("features"))
+    val model = km.fit(fitSet)
 
     val cells = model.transform(c).select(col("id"), col("v"), col("cell"))
       .withColumn("nrm", l2Norm(col("v")))
@@ -122,9 +133,52 @@ object Similarity {
         graft.functions.ColumnFunctions.pround(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Banded (multi-table) hyperplane-LSH near-dup pairs by cosine ≥
+    * threshold — the 100 TB radius-search path. `tables` independent
+    * `bitsPerTable`-bit bucketings (OR-of-AND, exactly MinHash banding's
+    * shape): a pair is a candidate if it shares ANY table's bucket, then
+    * the exact cosine verifies, so precision is 1.0 and recall is
+    * 1 − (1 − p^bits)^tables with p = 1 − θ/π. Defaults (8 bits × 16
+    * tables) give ≥ 0.93 detection at cos 0.8 and ≥ 0.995 at cos 0.9
+    * while random near-orthogonal pairs collide in only ~1/16 of n² —
+    * radius search close to the random-similarity regime is inherently
+    * a recall/cost dial; tune toward more, narrower tables for higher
+    * recall at lower thresholds.
+    *
+    * Scale shape mirrors [[graft.operators.Dedup.minHashLsh]]: only
+    * (table, bucket, id) triples shuffle through the candidate join —
+    * never the vectors — and each surviving side's vector is fetched once
+    * by id for the verify stage. Returns (id_a, id_b, cos_sim) with
+    * id_a < id_b.
+    */
+  def embeddingNearDupsBanded(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 16, bitsPerTable: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val banded = c.select(col("id"),
+      posexplode(hyperplaneBuckets(col("v"), bitsPerTable, tables))
+        .as(Seq("tbl", "bucket")))
+    val l = banded.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("tbl"), col("bucket"), col("id").as("id_b"))
+    // multi-table collisions → dedup on the bare 16-byte id pair first
+    val pairs = l.join(r, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sets = c.withColumn("nrm", l2Norm(col("v")))
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.ColumnFunctions.pround(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold, bucketed self-join
     * (id_a < id_b). For exhaustive (non-approximate) output use nBits=0,
-    * which degenerates to the full cross self-join — only for small n.
+    * which degenerates to the full cross self-join — only for small n
+    * (the test oracle for [[embeddingNearDupsBanded]], which is the
+    * declared scale path).
     */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8): DataFrame = {

@@ -104,25 +104,13 @@ object TextQueries {
       FROM t"""
     }),
 
-    // Token-set (1-gram) Jaccard near-dup pairs, sampled a-side blocking.
-    // The library generalizes to any n (Dedup.ngramJaccardPairs).
+    // Token-set (1-gram) Jaccard near-dup pairs over the WHOLE corpus via
+    // the exact prefix-filter self-join (Dedup.jaccardSelfJoin) — zero
+    // false negatives, so the exhaustive DuckDB cross join is still the
+    // hash-exact oracle while the executed Spark plan contains only
+    // equi-joins (guarded in PlanSpec).
     ("q44_token_jaccard", (s: SparkSession, d: String) => {
-      val docs = Tables.documents(s, d)
-      val t = docs.select(col("doc_id"),
-        array_distinct(split(col("text"), "\\s+")).as("tok"))
-      val a = t.filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id").as("id_a"), col("tok").as("tok_a"))
-      val b = t.select(col("doc_id").as("id_b"), col("tok").as("tok_b"))
-      // size prefilter: jaccard ≥ 0.9 ⇒ |A∩B|/|A∪B| ≥ 0.9 ⇒ min/max sizes
-      // within 10% — a codegen'd int compare that skips the O(|A|+|B|)
-      // set intersection for ~all pairs, with identical output
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .filter(size(col("tok_a")) * 10 >= size(col("tok_b")) * 9 &&
-          size(col("tok_b")) * 10 >= size(col("tok_a")) * 9)
-        .withColumn("jaccard",
-          round(graft.expressions.TokenExpressions.jaccardSim(col("tok_a"), col("tok_b")), 4))
-        .filter(col("jaccard") >= 0.9)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
+      Dedup.jaccardSelfJoin(Tables.documents(s, d), "doc_id", "text", 0.9)
     }, Some("""
       WITH t AS (SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS tok
                  FROM documents)
@@ -130,7 +118,7 @@ object TextQueries {
              round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
                    / len(list_distinct(list_concat(a.tok, b.tok))), 4) AS jaccard
       FROM t a, t b
-      WHERE a.doc_id % 20 = 0 AND a.doc_id < b.doc_id
+      WHERE a.doc_id < b.doc_id
         AND round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.tok, b.tok))), 4) >= 0.9""")),
 
@@ -174,17 +162,16 @@ object TextQueries {
              round(cos, 6) AS cos_sim
       FROM scored WHERE rank <= 10""")),
 
-    // Cosine-radius embedding near-dup pairs, exhaustive (small corpus);
-    // the LSH-bucketed variant is the 100 TB path (SimilaritySpec).
+    // Cosine-radius embedding near-dup pairs via banded multi-table
+    // hyperplane LSH — the 100 TB path: candidates meet in (table, bucket)
+    // equi-joins, never a cross join. Bucket construction is
+    // engine-specific → rows-only; SimilaritySpec asserts precision 1.0
+    // (every pair verified by exact cosine, equal to the exhaustive twin)
+    // and the high-similarity recall law vs the nBits=0 exhaustive oracle.
     ("q49_embedding_neardup", (s: SparkSession, d: String) => {
-      Similarity.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.4, nBits = 0)
-    }, Some("""
-      WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-      FROM c a, c b
-      WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.4""")),
+      Similarity.embeddingNearDupsBanded(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4)
+    }, None),
 
     // LSH-bucketed approximate ANN (xxhash64 buckets — rows-only; recall
     // vs q48 is asserted in SimilaritySpec).

@@ -58,6 +58,38 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  /** Brute-force oracle for jaccardSelfJoin: all pairs, exact token-set
+    * Jaccard rounded to 4, filtered at the threshold.
+    */
+  private def bruteJaccard(df: org.apache.spark.sql.DataFrame, t: Double) = {
+    val toks = df.select($"doc_id", array_distinct(split($"text", "\\s+")).as("tok"))
+    toks.select($"doc_id".as("id_a"), $"tok".as("tok_a"))
+      .crossJoin(toks.select($"doc_id".as("id_b"), $"tok".as("tok_b")))
+      .filter($"id_a" < $"id_b")
+      .withColumn("jaccard", graft.functions.ColumnFunctions.pround(
+        graft.expressions.TokenExpressions.jaccardSim($"tok_a", $"tok_b"), 4))
+      .filter($"jaccard" >= t)
+      .select($"id_a", $"id_b", $"jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+  }
+
+  test("jaccardSelfJoin == brute force on the crafted corpus (several thresholds)") {
+    // 0.5 with even-sized token sets exercises the integral t·|X| ceiling;
+    // 0.9 the near-dup regime; 0.99 identical-only
+    for (t <- Seq(0.5, 0.9, 0.99)) {
+      val got = Dedup.jaccardSelfJoin(corpus, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got === bruteJaccard(corpus, t), s"threshold $t")
+    }
+  }
+
+  test("jaccardSelfJoin == brute force on the real sf0.001 corpus") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = Dedup.jaccardSelfJoin(docs, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === bruteJaccard(docs, 0.9))
+  }
+
   test("ngramJaccardPairs verifies candidates exactly") {
     val cand = Seq((0L, 1L), (0L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", cand, n = 3)

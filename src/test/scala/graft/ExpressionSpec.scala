@@ -95,6 +95,29 @@ class ExpressionSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("hyperplaneBuckets: codegen == interpreted eval, deterministic, sign-symmetric") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).limit(50)
+      .select(VF.asDouble($"embedding").as("v")).cache()
+    // codegen path (DataFrame) vs direct interpreted eval of the kernel
+    val viaDf = emb.select(VF.hyperplaneBuckets($"v", 8, 4).as("b"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val viaEval = emb.collect().map { r =>
+      graft.expressions.VecOps.hyperplaneBuckets(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(r.getSeq[Double](0).toArray),
+        8, 4).toLongArray().toSeq
+    }
+    assert(viaDf.toSeq === viaEval.toSeq)
+    // deterministic across runs
+    val again = emb.select(VF.hyperplaneBuckets($"v", 8, 4).as("b"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(viaDf.toSeq === again.toSeq)
+    // v and 2v always share every bucket (scale-invariant signs)
+    val scaled = emb.select(VF.hyperplaneBuckets($"v", 8, 4).as("b1"),
+      VF.hyperplaneBuckets(transform($"v", x => x * 2), 8, 4).as("b2"))
+      .filter($"b1" =!= $"b2").count()
+    assert(scaled === 0)
+  }
+
   test("fingerprint is deterministic and hamming64 is sane") {
     val fp1 = docs.select(TF.fingerprint($"text").as("fp")).collect().map(_.getLong(0))
     val fp2 = docs.select(TF.fingerprint($"text").as("fp")).collect().map(_.getLong(0))

@@ -70,17 +70,33 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs <= 2, s"expected <= 2 ObjectHashAggregate nodes, got $aggs\n$p")
   }
 
-  test("q44 size prefilter is conjoined ahead of the Jaccard computation") {
-    // the cross-join condition must short-circuit on the cheap size compare
-    // before ever evaluating jaccardsim on the arrays
-    val df = SparkEntry.queries("q44_token_jaccard")(spark, TestSpark.sf0001)
-    val conds = df.queryExecution.optimizedPlan.collect {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join if j.condition.isDefined =>
-        j.condition.get.toString
+  test("q44 prefix-filter join plans no cartesian/nested-loop product") {
+    // the scale property the prefix filter buys: candidates come from an
+    // equi-join on exploded prefix tokens — a cross join here is O(n²)
+    val p = plan("q44_token_jaccard")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
+  test("q49 banded LSH self-join plans no cartesian/nested-loop product") {
+    val p = plan("q49_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
+  test("q44/q49 pair-candidate joins shuffle no array columns") {
+    // candidate generation must be narrow: (key, id, size) triples only —
+    // the arrays may appear solely in the per-id verify joins
+    for (name <- Seq("q44_token_jaccard", "q49_embedding_neardup")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.sf0001)
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      val narrow = joins.filter(j =>
+        (j.left.output ++ j.right.output).forall(a =>
+          !a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+      assert(narrow.nonEmpty, s"$name: no array-free candidate join found")
     }
-    val c = conds.find(_.contains("jaccardsim")).getOrElse(fail(s"no jaccard join: $conds"))
-    assert(c.contains("size("), c)
-    assert(c.indexOf("size(") < c.indexOf("jaccardsim"), c)
   }
 
   test("q19 rank filter plans WindowGroupLimit (partial top-k before the shuffle)") {

@@ -58,6 +58,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(wrong === 0)
   }
 
+  test("banded near-dups: precision 1.0 vs exhaustive, high-sim recall law") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val exhaustive = Similarity.embeddingNearDups(emb, "vec_id", "embedding", 0.4, nBits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = Similarity.embeddingNearDupsBanded(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision 1.0: every banded pair is a true pair with the true cosine
+    banded.foreach { case (pair, cos) =>
+      assert(exhaustive.get(pair).contains(cos), s"false positive or wrong cos: $pair")
+    }
+    // recall law: strongly-similar pairs (cos >= 0.8) must all be found
+    val strong = exhaustive.filter(_._2 >= 0.8)
+    val missedStrong = strong.keySet -- banded.keySet
+    assert(missedStrong.isEmpty, s"missed high-sim pairs: $missedStrong")
+  }
+
+  test("banded near-dups find a planted duplicate pair") {
+    import spark.implicits._
+    // 64-dim: a planted near-identical pair among random-ish vectors
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 31 + i * 7).toFloat))
+    val base = (0 until 40).map(s => (s.toLong, vec(s)))
+    val planted = (1000L, vec(7).map(x => x * 1.001f + 0.001f))
+    val df = (base :+ planted).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupsBanded(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((7L, 1000L)), s"planted pair not found: ${pairs.toSeq}")
+  }
+
   test("lsh bucket is deterministic") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001).limit(50)
     val b1 = emb.select(graft.functions.VectorFunctions.lshBucket(
