@@ -21,6 +21,35 @@ object Sampling {
     df.filter(pmod(xxhash64(col(keyCol)), lit(buckets)) < (fraction * buckets).toLong)
   }
 
+  /** PORTABLE deterministic sampling: selection by the first 8 hex chars
+    * of md5(key as string), compared lexicographically against the
+    * fraction's hex threshold — md5 hex is identical in every engine
+    * (Spark, DuckDB, Hive, Postgres...), so an external system can replay
+    * the exact row selection. [[deterministicSample]] (xxhash64) is the
+    * cheaper engine-native default; use this variant when the sample
+    * membership itself must be auditable across engines.
+    */
+  def deterministicSamplePortable(df: DataFrame, keyCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    // floor(fraction · 2^32) as 8 lowercase hex chars; md5 hex is lowercase
+    // everywhere, so string order == numeric order
+    val threshold = f"${(fraction * 4294967296.0).toLong}%08x"
+    df.filter(substring(md5(col(keyCol).cast("string")), 1, 8) < lit(threshold))
+  }
+
+  /** Portable twin of [[stratifiedQuota]]: per-stratum quota in
+    * md5-hex-of-key order — replayable by any engine with md5 and
+    * row_number.
+    */
+  def stratifiedQuotaPortable(df: DataFrame, stratumCol: String, keyCol: String,
+      quota: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(stratumCol))
+          .orderBy(md5(col(keyCol).cast("string")), col(keyCol))))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+
   /** Exactly `quota` rows per stratum (fewer if the stratum is smaller),
     * chosen deterministically by key hash order — bounded output per
     * group regardless of skew.
@@ -53,6 +82,12 @@ object Sampling {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_rows"))
     val joined = counts.join(tgt, Seq(stratumCol), "left_outer")
       .na.fill(0.0, Seq("target_frac"))
+    // fail fast when no positive-target stratum exists in the data — the
+    // min() capacity aggregate would otherwise be null and every n_keep /
+    // rate would come back silently null
+    require(joined.filter(col("target_frac") > 0).limit(1).count() > 0,
+      s"mixingRates: no stratum present in the data has a positive target " +
+        s"(targets: ${targets.keys.mkString(", ")})")
     // N_out = min over strata of n_s / p_s (capacity of the scarcest source)
     val nOut = joined.filter(col("target_frac") > 0)
       .select(min(col("n_rows") / col("target_frac")).as("n_out"))

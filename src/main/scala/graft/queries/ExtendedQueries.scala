@@ -113,11 +113,15 @@ object ExtendedQueries {
              string_agg(c_name, ',' ORDER BY c_name) AS names
       FROM customer GROUP BY c_nationkey""")),
 
-    // JSON functions: extract a typed field from the `props` JSON payload,
-    // bucket it, aggregate. get_json_object is codegen'd; no UDF.
+    // JSON functions: parse the `props` JSON payload ONCE with an explicit
+    // schema (from_json) and extract the typed field — one tokenizer pass
+    // per row; a get_json_object per field re-parses the payload each time.
     ("q74_json_extract", (s: SparkSession, d: String) => {
       Tables.events(s, d)
-        .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        .select(from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"),
           col("value"))
         // floor() on both sides: DuckDB CAST(x AS INT) rounds half-away
         // while Spark's cast truncates — floor agrees for non-negative k

@@ -675,20 +675,39 @@ object RelationalQueries {
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
     // HLL/quantile sketches — the 100 TB cardinality/distribution tools.
-    // Engine-specific sketch internals -> no DuckDB oracle; tolerance vs
-    // exact is asserted in SketchSpec.
+    // Sketch internals are engine-specific, but their estimates are
+    // DETERMINISTIC for fixed data, so the entry emits the exact values
+    // plus within-tolerance booleans the DuckDB oracle replays as TRUE —
+    // the whole row hash-checks while still exercising the sketch path
+    // (tighter numeric tolerances asserted in SketchSpec).
     ("q37_approx_sketches", (s: SparkSession, d: String) => {
       // separate aggregations: a distinct aggregate in the same agg would
       // force the sketch buffers through the 4-level distinct rewrite
       // (measured 6.3 s -> ~2 s at sf0.1)
       val li = Tables.lineitem(s, d)
       val sketches = li.agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
-      val exact = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
-      sketches.crossJoin(exact)
-    }, None),
+        approx_count_distinct(col("l_partkey")).as("apx"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50a"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99a"))
+      val exact = li.agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile(l_extendedprice, array(0.5, 0.99))").as("ps"))
+      sketches.crossJoin(exact).select(
+        col("exact_parts"),
+        round(element_at(col("ps"), 1), 2).as("p50_price"),
+        round(element_at(col("ps"), 2), 2).as("p99_price"),
+        (abs(col("apx") - col("exact_parts")) <= col("exact_parts") * 0.05)
+          .as("approx_distinct_ok"),
+        (abs(col("p50a") - element_at(col("ps"), 1)) <= element_at(col("ps"), 1) * 0.02)
+          .as("p50_ok"),
+        (abs(col("p99a") - element_at(col("ps"), 2)) <= element_at(col("ps"), 2) * 0.02)
+          .as("p99_ok"))
+    }, Some("""
+      SELECT count(DISTINCT l_partkey) AS exact_parts,
+             round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+             round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price,
+             TRUE AS approx_distinct_ok, TRUE AS p50_ok, TRUE AS p99_ok
+      FROM lineitem""")),
   )
 
   /** Behavioral-analytics shapes over the events/orders tables. */

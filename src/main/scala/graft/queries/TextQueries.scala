@@ -308,16 +308,27 @@ object TextQueries {
     }, None),
 
     // Deterministic hash sampling + per-stratum quotas — reproducible
-    // curation sampling (same keys selected on any engine; the xxhash64
-    // selector itself is Spark-specific, so rows-only + SamplingSpec).
+    // curation sampling. The declared entry uses the PORTABLE md5-hex
+    // selector, so DuckDB replays the exact selection and the row set
+    // hash-checks; the cheaper xxhash64 variants stay the engine-native
+    // default (SamplingSpec covers both).
     ("q67_sampling", (s: SparkSession, d: String) => {
       import graft.operators.Sampling
       val docs = Tables.documents(s, d)
-      Sampling.stratifiedQuota(
-        Sampling.deterministicSample(docs, "doc_id", 0.8),
+      Sampling.stratifiedQuotaPortable(
+        Sampling.deterministicSamplePortable(docs, "doc_id", 0.8),
         "lang", "doc_id", 10)
         .select(col("doc_id"), col("lang"))
-    }, None),
+    }, Some("""
+      WITH s AS (
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'),
+      r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM s)
+      SELECT doc_id, lang FROM r WHERE rn <= 10""")),
 
     // Duplicate-3-gram repetition ratio (boilerplate/spam signal for
     // curation filters); the DuckDB twin rebuilds the same shingle set
@@ -361,16 +372,28 @@ object TextQueries {
     // Mergeable HLL sketch rollup: per-source sketches union to the global
     // estimate without re-reading data — the sketch-store pattern that
     // replaces count-distinct at 100 TB (partial sketches persist and
-    // merge across days/sources). DataSketches binary — rows-only; the
-    // merge==direct and near-exact laws are asserted in UpsertSpec.
+    // merge across days/sources). The sketch binary is engine-specific but
+    // its estimate is deterministic for fixed data, so the entry emits the
+    // exact count plus a within-5% boolean the DuckDB oracle replays as
+    // TRUE — oracle-checked end to end (merge==direct law in UpsertSpec).
     ("q87_hll_mergeable", (s: SparkSession, d: String) => {
-      Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
+      val merged = docs
         .groupBy(col("source"))
         .agg(hll_sketch_agg(col("doc_id")).as("sk"), count(lit(1)).as("n"))
         .agg(
-          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct_docs"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
           sum(col("n")).as("n_docs"))
-    }, None),
+      val exact = docs.agg(countDistinct(col("doc_id")).as("exact_distinct_docs"))
+      merged.crossJoin(exact).select(
+        col("n_docs"), col("exact_distinct_docs"),
+        (abs(col("est") - col("exact_distinct_docs"))
+          <= col("exact_distinct_docs") * 0.05).as("est_ok"))
+    }, Some("""
+      SELECT count(*) AS n_docs,
+             count(DISTINCT doc_id) AS exact_distinct_docs,
+             TRUE AS est_ok
+      FROM documents""")),
 
     // End-to-end curation pipeline, every stage oracle-expressible:
     // normalize → quality-filter → exact-dedup on normalized hash (smallest

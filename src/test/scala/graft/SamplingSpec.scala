@@ -34,6 +34,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(again === q.select($"doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("portable sample: stable membership, ~fraction kept, quota bounded") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val s1 = Sampling.deterministicSamplePortable(docs, "doc_id", 0.8)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSamplePortable(docs.repartition(7), "doc_id", 0.8)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+    val frac = s1.size.toDouble / docs.count()
+    assert(frac > 0.7 && frac < 0.9, s"fraction $frac")
+    val q = Sampling.stratifiedQuotaPortable(docs, "lang", "doc_id", 7)
+    assert(q.groupBy($"lang").count().collect().forall(_.getLong(1) <= 7))
+  }
+
+  test("portable sample selector matches a hand-computed md5 verdict") {
+    // doc_id 1: md5("1") = c4ca4238a0b923820dcc509a6f75849b -> "c4ca4238" < "cccccccc" -> kept
+    // doc_id 3: md5("3") = eccbc87e4b5ce2fe28308fd9f2a7baf3 -> "eccbc87e" >= threshold -> dropped
+    val df = Seq(1L, 3L).toDF("doc_id")
+    val kept = Sampling.deterministicSamplePortable(df, "doc_id", 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+  }
+
+  test("mixingRates fails fast when no positive-target stratum is present") {
+    val df = Seq("only_src").toDF("source")
+    intercept[IllegalArgumentException] {
+      Sampling.mixingRates(df, "source", Map("absent" -> 1.0))
+    }
+  }
+
   test("frequentItems surfaces the dominant value") {
     val df = (Seq.fill(80)("common") ++ Seq("rare1", "rare2")).toDF("v")
     val freq = Sampling.frequentItems(df, Seq("v"), 0.4)
