@@ -34,9 +34,16 @@ object CsvIngest {
   /** Read a CSV with an explicit schema declared against NORMALIZED names;
     * raw headers may carry unit suffixes in any mix. Unit strings are kept
     * as `unit` metadata on the matching StructField.
+    *
+    * `corruptFilterStorage` sizes the one materialization this read needs
+    * (see the persist below): MEMORY_AND_DISK (default) spills overflow to
+    * disk; pass DISK_ONLY for inputs far beyond executor memory so the
+    * deserialized rows never compete with the query's own working set.
     */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
-      dropMalformed: Boolean = true): DataFrame = {
+      dropMalformed: Boolean = true,
+      corruptFilterStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // pass 1 (driver-side, one line): raw header -> normalized mapping
     val headerLine = spark.read.text(path).limit(1).collect().head.getString(0)
     val rawNames = headerLine.split(",", -1).map(_.trim)
@@ -60,9 +67,13 @@ object CsvIngest {
       .csv(path)
     val df =
       if (dropMalformed)
-        // cache: Spark disallows filtering a raw CSV scan by only its
-        // corrupt-record column
-        df0.cache().filter(col("_corrupt").isNull).drop("_corrupt")
+        // persist: Spark disallows filtering a raw CSV scan by only its
+        // corrupt-record column, so the parsed rows must be materialized
+        // once. The default MEMORY_AND_DISK spills rather than recomputes
+        // when the input outgrows memory; DISK_ONLY keeps a huge ingest
+        // from evicting hot cached data entirely.
+        df0.persist(corruptFilterStorage)
+          .filter(col("_corrupt").isNull).drop("_corrupt")
       else df0
 
     // rename to normalized names + attach unit metadata

@@ -64,17 +64,26 @@ object Layout {
     val fs = new Path(path).getFileSystem(conf)
     val files = fs.listStatus(new Path(path))
       .filter(f => f.getPath.getName.endsWith(".parquet"))
+    def asDouble(v: Any): Option[Double] = v match {
+      case null => None
+      case n: Number => Some(n.doubleValue())
+      case other => scala.util.Try(other.toString.toDouble).toOption
+    }
     val rows = files.toSeq.map { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala
+        // only chunks with usable stats: all-null row groups have no
+        // min/max, string/binary columns have non-numeric ones — a layout
+        // diagnostic reports those as null bounds instead of throwing
         val stats = blocks.flatMap(_.getColumns.asScala)
           .filter(_.getPath.toDotString == colName)
           .map(_.getStatistics)
-        val mins = stats.map(_.genericGetMin.toString.toDouble)
-        val maxs = stats.map(_.genericGetMax.toString.toDouble)
+          .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+        val mins = stats.flatMap(s => asDouble(s.genericGetMin))
+        val maxs = stats.flatMap(s => asDouble(s.genericGetMax))
         val nRows = blocks.map(_.getRowCount).sum
-        (f.getPath.getName, mins.min, maxs.max, nRows)
+        (f.getPath.getName, mins.minOption, maxs.maxOption, nRows)
       } finally reader.close()
     }
     import spark.implicits._

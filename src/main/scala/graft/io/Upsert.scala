@@ -17,23 +17,45 @@ object Upsert {
 
   /** Key-based upsert as a relational expression: target rows whose key
     * collides with an update are replaced, new keys append. One anti-join
-    * (broadcast when updates are small) + union.
+    * + union; the join strategy is left to the planner — with AQE the
+    * distinct key set broadcasts automatically when it is small, and a
+    * large update batch degrades gracefully to a shuffled join instead of
+    * forcing an OOM-prone driver broadcast.
     */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     target
-      .join(broadcast(updates.select(keys.map(col): _*).distinct()), keys, "left_anti")
+      .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(updates)
 
   /** Partition-pruned in-place upsert: merge `updates` into the
     * `partitionCol`-partitioned parquet table at `path`, rewriting only
-    * affected partitions (dynamic partition overwrite). Partitions not
-    * named by any update row are never read or written.
+    * affected partitions (dynamic partition overwrite).
+    *
+    * Affected = partitions named by the updates UNION partitions where an
+    * updated key currently lives — a key whose update carries a NEW
+    * partition value still gets its old row rewritten away (no silent
+    * duplicate after a key moves partition). Locating the old rows costs a
+    * (key, partition)-projected column-pruned scan of the target; pass
+    * `assumeStablePartitions = true` to skip it when the caller guarantees
+    * partitionCol is immutable per key (the common time-partitioned case),
+    * restoring pure update-side pruning.
     */
   def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
-      keys: Seq[String], partitionCol: String): Unit = {
-    val parts = updates.select(col(partitionCol)).distinct()
-    val affected = spark.read.parquet(path)
-      .join(broadcast(parts), Seq(partitionCol), "left_semi")
+      keys: Seq[String], partitionCol: String,
+      assumeStablePartitions: Boolean = false): Unit = {
+    val target = spark.read.parquet(path)
+    val updateParts = updates.select(col(partitionCol)).distinct()
+    val parts =
+      if (assumeStablePartitions) updateParts
+      else {
+        val keyCols = keys.map(col)
+        val oldParts = target
+          .select(keyCols :+ col(partitionCol): _*)
+          .join(updates.select(keyCols: _*).distinct(), keys, "left_semi")
+          .select(col(partitionCol)).distinct()
+        updateParts.union(oldParts).distinct()
+      }
+    val affected = target.join(broadcast(parts), Seq(partitionCol), "left_semi")
     val merged = upsert(affected, updates, keys)
       // sever lineage from `path`: Spark refuses to overwrite a path its
       // own plan reads; materializing the (partition-pruned, small) merge

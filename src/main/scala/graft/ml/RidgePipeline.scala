@@ -82,17 +82,50 @@ object RidgePipeline {
     TrainedModel(model, metrics)
   }
 
-  /** Scenario-grid batch inference (predict_et_model.py:279-331 shape):
-    * cross-join of value ranges → model.transform → filter + rank.
+  /** Scenario-feasibility score (0–100) mirroring the reference's
+    * `calculate_feasibility_score` (predict_et_model.py:169-197): piecewise
+    * penalties for high precipitation, low sunshine, and extreme wind,
+    * clamped to [0, 100]. Pure Column arithmetic — evaluated per scenario
+    * row, no driver loop.
+    */
+  def feasibilityScore(precip: org.apache.spark.sql.Column,
+      sunshine: org.apache.spark.sql.Column,
+      wind: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val precipPenalty = when(precip > 15, (precip - 15) * 2)
+      .when(precip > 10, precip - 10).otherwise(lit(0.0))
+    val sunPenalty = when(sunshine < 3, (lit(3.0) - sunshine) * 5).otherwise(lit(0.0))
+    val windPenalty = when(wind > 20, (wind - 20) * 3)
+      .when(wind < 8, (lit(8.0) - wind) * 2).otherwise(lit(0.0))
+    greatest(lit(0.0), least(lit(100.0),
+      lit(100.0) - precipPenalty - sunPenalty - windPenalty))
+  }
+
+  /** Scenario-grid batch inference (predict_et_model.py:279-380 shape):
+    * cross-join of value ranges → model.transform → threshold filter →
+    * recommendation ranking. `feasibility` (optional) is the reference's
+    * tie-breaker: rank = row_number over (prediction ASC, feasibility
+    * DESC, grid columns ASC) — rank 1 is the recommended scenario ("best
+    * scenario" deliverable, ASSIGNMENT_ASSESSMENT.md:403-418). The global
+    * window is safe here: the scenario grid is generated and bounded (it
+    * never scales with the corpus).
     */
   def predictGrid(spark: SparkSession, model: org.apache.spark.ml.PipelineModel,
-      grids: Seq[(String, Seq[Double])], maxPrediction: Double): DataFrame = {
+      grids: Seq[(String, Seq[Double])], maxPrediction: Double,
+      feasibility: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val gridDf = grids.map { case (name, values) => values.toDF(name) }
       .reduce(_.crossJoin(_))
-    model.transform(gridDf)
+    val scored = model.transform(gridDf)
       .filter(col("prediction") < maxPrediction)
       .withColumn("prediction", round(col("prediction"), 4))
-      .orderBy((col("prediction") +: grids.map(g => col(g._1))): _*)
+      .withColumn("feasibility_score",
+        feasibility.getOrElse(lit(100.0)))
+    val order = col("prediction").asc +: col("feasibility_score").desc +:
+      grids.map(g => col(g._1).asc)
+    scored
+      .withColumn("recommendation_rank",
+        row_number().over(Window.orderBy(order: _*)))
+      .orderBy(col("recommendation_rank"))
   }
 }

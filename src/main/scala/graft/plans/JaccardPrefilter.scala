@@ -64,13 +64,25 @@ object JaccardPrefilter extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  /** min(|A|,|B|) >= t · max(|A|,|B|), written symmetrically. */
+  /** min(|A|,|B|) ≥ t · (max(|A|,|B|) − 1), written symmetrically.
+    *
+    * The −1 slack makes the guard sound under null elements:
+    * JaccardOps.compute ignores nulls, but `size()` counts them, and
+    * array_distinct (the eligibility proof) keeps at most ONE null — so
+    * the true set cardinality is size or size−1. From J ≥ t follows
+    * min(|A|,|B|) ≥ t·max(|A|,|B|) ≥ t·(max(sa,sb)−1) and
+    * min(sa,sb) ≥ min(|A|,|B|), hence the relaxed compare never drops a
+    * qualifying pair (e.g. [x,null] vs [x], J = 1.0, sizes 2 vs 1 — the
+    * strict form rejected it). For null-free arrays it is weaker by at
+    * most t, preserving essentially all of the pruning.
+    */
   private def bandGuard(j: JaccardSim, t: Double): Expression = {
     val sa = Cast(Size(j.left), DoubleType)
     val sb = Cast(Size(j.right), DoubleType)
+    val one = Literal(1.0)
     And(
-      GreaterThanOrEqual(sa, Multiply(Literal(t), sb)),
-      GreaterThanOrEqual(sb, Multiply(Literal(t), sa)))
+      GreaterThanOrEqual(sa, Multiply(Literal(t), Subtract(sb, one))),
+      GreaterThanOrEqual(sb, Multiply(Literal(t), Subtract(sa, one))))
   }
 
   /** Duplicate-freedom proof: inline array_distinct, or an attribute whose

@@ -12,18 +12,35 @@ class CatalogSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("external CSV catalog table (Hive external-table analog)") {
+    import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_cat").toString
     Files.writeString(java.nio.file.Path.of(s"$dir/loc.csv"),
       "location_id,city_name\n1,Colombo\n2,Kandy\n")
-    spark.sql("DROP TABLE IF EXISTS ext_locations")
-    spark.sql(s"""
-      CREATE TABLE ext_locations (location_id INT, city_name STRING)
-      USING csv OPTIONS (header 'true', path '$dir/loc.csv')""")
+    graft.io.Catalog.createExternalCsv(spark, "ext_locations", s"$dir/loc.csv",
+      StructType(Seq(StructField("location_id", IntegerType),
+        StructField("city_name", StringType))))
     val got = spark.sql(
       "SELECT city_name FROM ext_locations WHERE location_id = 2")
       .collect().map(_.getString(0))
     assert(got.toSeq === Seq("Kandy"))
+    // EXTERNAL semantics: dropping the table must leave the data intact
     spark.sql("DROP TABLE ext_locations")
+    assert(Files.exists(java.nio.file.Path.of(s"$dir/loc.csv")))
+  }
+
+  test("external parquet tables + view through the Catalog helper") {
+    graft.io.Catalog.registerParquetTables(spark, Map(
+      "cat_nation" -> s"${TestSpark.sf0001}/nation.parquet",
+      "cat_region" -> s"${TestSpark.sf0001}/region.parquet"))
+    graft.io.Catalog.createView(spark, "cat_nations_per_region", """
+      SELECT r_name, count(*) AS n_nations
+      FROM cat_nation JOIN cat_region ON n_regionkey = r_regionkey
+      GROUP BY r_name""")
+    val n = spark.sql("SELECT sum(n_nations) FROM cat_nations_per_region")
+      .head().getLong(0)
+    assert(n === 25L)
+    spark.sql("DROP VIEW cat_nations_per_region")
+    spark.sql("DROP TABLE cat_nation"); spark.sql("DROP TABLE cat_region")
   }
 
   test("TSV sink round-trip (TabSeparated bulk-insert analog)") {

@@ -67,6 +67,44 @@ class JaccardPrefilterSpec extends AnyFunSuite {
     }
   }
 
+  test("null element in a distinct array: guard keeps the qualifying pair") {
+    // array_distinct keeps one null; compute ignores it — [x,null] vs [x]
+    // has J = 1.0 but sizes 2 vs 1, which the strict size band would drop
+    withRule {
+      import spark.implicits._
+      val p = java.nio.file.Files.createTempDirectory("graft_jacc_null").toString
+      // element_at past the end yields null inside the array constructor
+      Seq((1L, "x y"), (2L, "x")).toDF("id", "text")
+        .write.mode("overwrite").parquet(p)
+      val t = spark.read.parquet(p).select(col("id"),
+        array_distinct(array(element_at(split(col("text"), " "), 1),
+          element_at(split(col("text"), " "), 2))).as("tok"))
+      val a = t.select(col("id").as("id_a"), col("tok").as("tok_a"))
+      val b = t.select(col("id").as("id_b"), col("tok").as("tok_b"))
+      val df = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(jaccardSim(col("tok_a"), col("tok_b")) >= 0.9)
+        .select("id_a", "id_b")
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("size("), plan) // guard IS injected...
+      // ...and "x y"->[x,y] vs "x"->[x,null]: J([x,y],[x,null]) = 0.5 < 0.9
+      // is correctly out, while a doc pair with a retained null and J=1.0
+      // must stay in (parquet-backed so the array_distinct Project survives
+      // to the optimizer, as above):
+      val p2 = java.nio.file.Files.createTempDirectory("graft_jacc_null2").toString
+      Seq((1L, Seq[String]("x", null)), (2L, Seq[String]("x")))
+        .toDF("id", "tok0").write.mode("overwrite").parquet(p2)
+      val t2 = spark.read.parquet(p2)
+      val (a2, b2) = (t2.select(col("id").as("id_a"), array_distinct(col("tok0")).as("tok_a")),
+        t2.select(col("id").as("id_b"), array_distinct(col("tok0")).as("tok_b")))
+      val df2 = a2.crossJoin(b2).filter(col("id_a") < col("id_b"))
+        .filter(jaccardSim(col("tok_a"), col("tok_b")) >= 0.9)
+        .select("id_a", "id_b")
+      assert(df2.queryExecution.optimizedPlan.toString.contains("size("))
+      assert(df2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        === Set((1L, 2L)))
+    }
+  }
+
   test("idempotent: a hand-guarded predicate gains no second guard") {
     import spark.implicits._
     withRule {

@@ -71,6 +71,21 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("fileStats reports null bounds for all-null and string columns instead of throwing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString + "/t"
+    Seq((None: Option[Double], "abc"), (None, "xyz"))
+      .toDF("allnull", "s").coalesce(1).write.parquet(dir)
+    val nullStats = Layout.fileStats(spark, dir, "allnull").collect()
+    assert(nullStats.length === 1 && nullStats.head.isNullAt(1) && nullStats.head.isNullAt(2))
+    // string column: non-numeric min/max -> null bounds, no exception
+    val strStats = Layout.fileStats(spark, dir, "s").collect()
+    assert(strStats.length === 1 && strStats.head.isNullAt(1))
+    // column absent from the file entirely -> null bounds
+    val absent = Layout.fileStats(spark, dir, "no_such_col").collect()
+    assert(absent.length === 1 && absent.head.isNullAt(1))
+  }
+
   test("zorderBy preserves every row exactly once") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i.toDouble, (999 - i).toDouble)).toDF("a", "b")

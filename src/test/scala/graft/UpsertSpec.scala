@@ -39,6 +39,35 @@ class UpsertSpec extends AnyFunSuite {
     assert(files("p3") !== p3Before, "affected partition should be rewritten")
   }
 
+  test("partitioned upsert handles a key that MOVES partition (no stale duplicate)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_mv").toString + "/table"
+    Seq((1L, "p1", 1.0), (2L, "p1", 2.0), (3L, "p2", 3.0))
+      .toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(dir)
+
+    // k=2 moves p1 -> p2: its old p1 row must be rewritten away even though
+    // no update row names p1
+    val updates = Seq((2L, "p2", 22.0)).toDF("k", "part", "v")
+    Upsert.upsertPartitioned(spark, dir, updates, Seq("k"), "part")
+
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("part"), r.getAs[Double]("v")))
+    assert(rows.count(_._1 == 2L) === 1, s"stale duplicate after move: ${rows.toSeq}")
+    assert(rows.toSet === Set((1L, "p1", 1.0), (2L, "p2", 22.0), (3L, "p2", 3.0)))
+  }
+
+  test("assumeStablePartitions skips the old-location scan (stable keys only)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_st").toString + "/table"
+    Seq((1L, "p1", 1.0), (2L, "p2", 2.0)).toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(dir)
+    val updates = Seq((2L, "p2", 22.0)).toDF("k", "part", "v")
+    Upsert.upsertPartitioned(spark, dir, updates, Seq("k"), "part",
+      assumeStablePartitions = true)
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(out === Map(1L -> 1.0, 2L -> 22.0))
+  }
+
   test("hll sketches are mergeable: per-source union == direct estimate, near exact") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val direct = docs.agg(

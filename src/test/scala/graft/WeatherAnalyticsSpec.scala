@@ -54,6 +54,22 @@ class WeatherAnalyticsSpec extends AnyFunSuite {
     (w, l)
   }
 
+  test("ingest: DISK_ONLY storage option for beyond-memory inputs") {
+    import org.apache.spark.storage.StorageLevel
+    val dir = Files.createTempDirectory("graft_weather_disk").toString
+    val p = s"$dir/w.csv"
+    Files.writeString(java.nio.file.Path.of(p),
+      "location_id,city_name\n1,Colombo\nbad_id,Kandy\n2,Galle\n")
+    val df = CsvIngest.readCsv(spark, p, locationSchema,
+      corruptFilterStorage = StorageLevel.DISK_ONLY)
+    assert(df.count() === 2, "malformed row dropped under DISK_ONLY too")
+    // the materialization actually uses the requested level
+    val cached = spark.sparkContext.getPersistentRDDs.values
+      .map(_.getStorageLevel)
+    assert(cached.exists(_ == StorageLevel.DISK_ONLY), cached.toSeq.toString)
+    df.unpersist()
+  }
+
   test("ingest: header normalization + unit metadata + date typing") {
     assert(weather.columns.contains("temperature_2m_max"))
     val f = weather.schema.find(_.name == "temperature_2m_max").get
