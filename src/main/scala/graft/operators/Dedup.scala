@@ -156,6 +156,13 @@ object Dedup {
     * over-ceiled by float error — both slacks only lengthen prefixes,
     * preserving exactness.
     *
+    * Identical token SETS are collapsed first (md5 of the sorted set) and
+    * the join runs on one representative per distinct set, then pairs are
+    * expanded back through group membership — on real web corpora 30–50 %
+    * of documents are exact duplicates, so the quadratic stage sees a
+    * fraction of the corpus and every intra-group pair is emitted as
+    * J = 1.0 without ever being verified.
+    *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4.
     */
   def jaccardSelfJoin(docs: DataFrame, idCol: String, textCol: String,
@@ -163,8 +170,19 @@ object Dedup {
     require(threshold > 0 && threshold <= 1)
     val tEff = threshold - 1e-4 // round-to-4-then-filter boundary margin
 
-    val tok = docs.select(col(idCol).as("id"),
-      explode(array_distinct(split(col(textCol), "\\s+"))).as("tok"))
+    // collapse identical token sets: h identifies the SET (order-free);
+    // one representative (min id) carries it through the expensive join.
+    // Empty sets are excluded throughout (J(∅,·) is undefined — same
+    // contract as the prefix scheme, which generates no prefix for them).
+    val docSets = docs.select(col(idCol).as("id"),
+      array_distinct(split(col(textCol), "\\s+")).as("tok"))
+      .filter(size(col("tok")) > 0)
+      .withColumn("h", md5(concat_ws(" ", array_sort(col("tok")))))
+    val members = docSets.select(col("h"), col("id"))
+    val reps = docSets.groupBy(col("h"))
+      .agg(min(col("id")).as("id"), min_by(col("tok"), col("id")).as("tok"))
+
+    val tok = reps.select(col("id"), explode(col("tok")).as("tok"))
     // document frequency per token — the global order driver; vocab-sized
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
     // per doc: tokens sorted rare-first ((freq, tok) struct sort = total order)
@@ -172,26 +190,57 @@ object Dedup {
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("freq"), col("tok")))).as("ord"))
       .select(col("id"), col("ord").getField("tok").as("toks"))
+    // prefix rows carry the 1-based POSITION of each prefix token (PPJoin's
+    // positional information) and hash the token to a long: the join key
+    // shuffles as 8 bytes, and a hash collision can only MERGE two tokens'
+    // candidate lists — extra candidates for the verify stage, never a lost
+    // pair, so exactness is preserved.
     val prefixes = ordered
       .withColumn("sz", size(col("toks")))
       .withColumn("plen",
         (col("sz") - ceil(col("sz") * tEff - 1e-9) + 1).cast("int"))
       .select(col("id"), col("sz"),
-        explode(slice(col("toks"), lit(1), col("plen"))).as("ptok"))
+        posexplode(slice(col("toks"), lit(1), col("plen"))).as(Seq("pos0", "ptok0")))
+      .select(col("id"), col("sz"), (col("pos0") + 1).as("pos"),
+        xxhash64(col("ptok0")).as("ptok"))
 
-    val l = prefixes.select(col("ptok"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val r = prefixes.select(col("ptok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    // The streamed side MUST be spread before the expansion: upstream is a
+    // corpus-count-sized aggregate that AQE happily coalesces into very few
+    // partitions, and on a dense corpus (small vocabulary) each prefix row
+    // can match thousands of bucket entries — the candidate blow-up then
+    // runs on a handful of tasks. An explicit numPartitions repartition is
+    // exempt from AQE coalescing, so the expansion parallelizes by id_a no
+    // matter how small the prefix table itself is.
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val l = prefixes.repartition(nPart, col("id"))
+      .select(col("ptok"), col("id").as("id_a"), col("sz").as("sz_a"), col("pos").as("pos_a"))
+    val r = prefixes.select(col("ptok"), col("id").as("id_b"), col("sz").as("sz_b"),
+      col("pos").as("pos_b"))
+    // J ≥ t ⇒ overlap ≥ t/(1+t)·(sa+sb); for any shared token at positions
+    // (pa, pb) the overlap is ≤ min(pa,pb)−1 + 1 + min(sa−pa, sb−pb)
+    // (common tokens strictly before it are within both position prefixes;
+    // strictly after it within both suffixes) — the PPJoin positional
+    // filter. A qualifying pair satisfies the bound at EVERY shared prefix
+    // token, so dropping matches that fail it loses no pair.
+    val overlapBound = least(col("pos_a"), col("pos_b")) +
+      least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b"))
     val candidates = l.join(r, Seq("ptok"))
       .filter(col("id_a") < col("id_b"))
       // size band before the distinct: J ≥ t ⇒ sizes within factor t
       .filter(col("sz_a") >= col("sz_b") * tEff && col("sz_b") >= col("sz_a") * tEff)
+      .filter(overlapBound >=
+        (col("sz_a") + col("sz_b")) * (tEff / (1 + tEff)) - 1e-9)
       .select(col("id_a"), col("id_b"))
       .distinct()
+      // candidate pairs are 16 bytes each, so AQE coalesces even millions
+      // of them into a couple of partitions — which would serialize the
+      // verify stage's per-pair set intersections. Explicit numPartitions
+      // keeps the verify fan-out wide.
+      .repartition(nPart, col("id_a"), col("id_b"))
 
-    // verify: fetch each side's token set once, exact Jaccard
-    val sets = docs.select(col(idCol).as("id"),
-      array_distinct(split(col(textCol), "\\s+")).as("tok"))
-    candidates
+    // verify: fetch each representative's token set once, exact Jaccard
+    val sets = reps.select(col("id"), col("tok"))
+    val repPairs = candidates
       .join(sets.select(col("id").as("id_a"), col("tok").as("tok_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("tok").as("tok_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -199,6 +248,24 @@ object Dedup {
           graft.expressions.TokenExpressions.jaccardSim(col("tok_a"), col("tok_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+    // expand back to document pairs through group membership
+    val repOf = members
+      .join(reps.select(col("h"), col("id").as("rep")), Seq("h"))
+      .select(col("id"), col("rep"))
+    // distinct-set pairs → every cross-group member pair (ids re-ordered:
+    // group membership does not respect the representatives' id order)
+    val inter = repPairs
+      .join(repOf.select(col("rep").as("id_a"), col("id").as("m_a")), Seq("id_a"))
+      .join(repOf.select(col("rep").as("id_b"), col("id").as("m_b")), Seq("id_b"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+    // identical-set pairs: J = 1.0 by construction, no verification needed
+    val intra = members.select(col("h"), col("id").as("id_a"))
+      .join(members.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    inter.unionByName(intra)
   }
 
   /** Exact word-n-gram Jaccard similarity for given candidate pairs
