@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.functions.TextFunctions.shingles
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: flag (and drop)
+  * documents that share word n-grams with an evaluation/benchmark set —
+  * the standard leakage guard run before LLM training (n-gram overlap
+  * decontamination as described in the GPT-3, PaLM and Llama reports;
+  * typically n in 8–13).
+  *
+  * Scale shape: the benchmark side collapses to DISTINCT n-grams and
+  * broadcasts (eval sets are tiny next to a training corpus), so the
+  * corpus never shuffles — its n-grams stream through a map-side hash
+  * join and the per-doc hit counts partial-aggregate before the one
+  * doc_id-keyed exchange. Joining on the raw n-gram string keeps the
+  * operator exact (no hash-collision false positives).
+  */
+object Decontaminate {
+
+  /** Per contaminated document: (idCol, n_grams, n_hits,
+    * contaminated_frac) where n_hits counts the doc's DISTINCT n-grams
+    * that appear anywhere in `bench`. Documents with zero overlap are
+    * absent (inner join) — the common case, kept off the shuffle.
+    */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val grams = corpus
+      .select(col(idCol), array_distinct(shingles(col(textCol), n)).as("gs"))
+      .withColumn("n_grams", size(col("gs")))
+      .select(col(idCol), col("n_grams"), explode(col("gs")).as("g"))
+    val benchGrams = bench
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("g"))
+      .distinct()
+    grams
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("contaminated_frac",
+        graft.functions.ColumnFunctions.pround(
+          col("n_hits").cast("double") / col("n_grams"), 4))
+  }
+
+  /** The corpus minus every document overlapping `bench` above
+    * `maxFrac` of its distinct n-grams (0.0 = drop on any shared
+    * n-gram). Anti-join on the flagged id set — one broadcast-able key
+    * exchange.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, maxFrac: Double = 0.0): DataFrame = {
+    val flagged = contaminationReport(corpus, bench, idCol, textCol, n)
+      .filter(col("contaminated_frac") > maxFrac)
+      .select(col(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.operators
 import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -134,13 +135,28 @@ object TextQueries {
       Dedup.simHashDups(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
     }, None),
 
-    // Winnowing-style fingerprints (rows-only: xxhash64).
+    // Winnowing-style document fingerprint: min hash over word 5-gram
+    // shingles. The declared entry uses md5 as the shingle hash so the
+    // fingerprint is engine-portable and DuckDB-replayable; the xxhash64
+    // production kernel (TextFunctions.fingerprint) and simHash64 are the
+    // same shape and stay covered by q46 + ExpressionSpec determinism laws.
     ("q47_fingerprint", (s: SparkSession, d: String) => {
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        fingerprint(col("text"), 5).as("fp"),
-        simHash64(col("text")).as("simhash"))
-    }, None),
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(shingles(col("text"), 5)).as("sh"))
+        .groupBy(col("doc_id"))
+        .agg(min(md5(col("sh"))).as("fp"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      s AS (
+        SELECT doc_id,
+               CASE WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+                    ELSE [array_to_string(w[i+1:i+5], ' ')
+                          for i in generate_series(0, len(w)-5)]
+               END AS shs
+        FROM t),
+      u AS (SELECT doc_id, unnest(shs) AS sh FROM s)
+      SELECT doc_id, min(md5(sh)) AS fp
+      FROM u GROUP BY doc_id""")),
 
     // Brute-force cosine top-10 for 5 query vectors — the exact-ANN
     // baseline. Query set broadcasts; corpus scanned once.
@@ -449,6 +465,30 @@ object TextQueries {
       SELECT CAST(CAST(floor(length(text) / 100) AS BIGINT) * 100 AS INTEGER) AS bucket_start,
              count(*) AS n_docs
       FROM documents GROUP BY bucket_start""")),
+
+    // Benchmark decontamination (word-8-gram overlap vs an eval set —
+    // the GPT-3/Llama-style leakage guard). The "benchmark" here is the
+    // deterministic doc_id % 97 slice of the corpus so the oracle can
+    // replay the whole report.
+    ("q95_decontaminate", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      operators.Decontaminate.contaminationReport(
+        docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 8)
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(w) <= 8 THEN [array_to_string(w, ' ')]
+                    ELSE [array_to_string(w[i+1:i+8], ' ')
+                          for i in generate_series(0, len(w)-8)]
+               END) AS gs
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)),
+      cg AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM sh),
+      bg AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % 97 = 0)
+      SELECT cg.doc_id, CAST(any_value(cg.n_grams) AS INTEGER) AS n_grams,
+             count(*) AS n_hits,
+             round(count(*) * 1.0 / any_value(cg.n_grams), 4) AS contaminated_frac
+      FROM cg JOIN bg USING (g)
+      GROUP BY cg.doc_id""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

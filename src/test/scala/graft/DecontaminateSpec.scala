@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Decontaminate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DecontaminateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // doc 10 copies the benchmark item verbatim; doc 11 embeds it inside
+  // extra prose (partial overlap); doc 12 shares no 4-gram with it.
+  lazy val bench = Seq(
+    (100L, "what is the capital of france answer paris of course")
+  ).toDF("doc_id", "text")
+  lazy val corpus = Seq(
+    (10L, "what is the capital of france answer paris of course"),
+    (11L, "trivia dump follows what is the capital of france answer paris of course end of dump"),
+    (12L, "an entirely unrelated training document about spark aggregation"),
+  ).toDF("doc_id", "text")
+
+  test("contaminationReport flags exact and partial overlap, skips clean docs") {
+    val rep = Decontaminate.contaminationReport(corpus, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("contaminated_frac"))).toMap
+    assert(rep.keySet === Set(10L, 11L))
+    // verbatim copy: every one of its distinct 4-grams is in the bench set
+    assert(rep(10L)._2 === 1.0)
+    // partial: some hits, strictly between 0 and 1
+    assert(rep(11L)._1 > 0 && rep(11L)._2 > 0.0 && rep(11L)._2 < 1.0)
+  }
+
+  test("decontaminate drops any-overlap docs at maxFrac 0, keeps the clean one") {
+    val kept = Decontaminate.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(12L))
+    // a lenient threshold keeps the partial-overlap doc
+    val lenient = Decontaminate.decontaminate(corpus, bench, "doc_id", "text",
+      n = 4, maxFrac = 0.9).select("doc_id").as[Long].collect().toSet
+    assert(lenient === Set(11L, 12L))
+  }
+
+  test("corpus side never shuffles before the hit count: bench is broadcast") {
+    val rep = Decontaminate.contaminationReport(corpus, bench, "doc_id", "text", n = 4)
+    val plan = rep.queryExecution.optimizedPlan.toString
+    assert(plan.contains("ResolvedHint") || rep.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"), plan)
+  }
+}
