@@ -489,6 +489,25 @@ object TextQueries {
              round(count(*) * 1.0 / any_value(cg.n_grams), 4) AS contaminated_frac
       FROM cg JOIN bg USING (g)
       GROUP BY cg.doc_id""")),
+
+    // Sequence packing: assign every doc a (seq_id, offset) in the
+    // md5-shuffled global token stream chopped into 512-token training
+    // sequences. Spark side is the distributed two-phase prefix sum
+    // (operators/Packing); the oracle replays it as one global window.
+    ("q96_pack_sequences", (s: SparkSession, d: String) => {
+      operators.Packing.packSequences(Tables.documents(s, d), "doc_id",
+        size(split(col("text"), "\\s+")), budget = 512L)
+    }, Some("""
+      WITH t AS (SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tok,
+                        md5(CAST(doc_id AS VARCHAR)) AS ord
+                 FROM documents),
+      c AS (SELECT doc_id, n_tok,
+                   sum(n_tok) OVER (ORDER BY ord, doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tok AS start
+            FROM t)
+      SELECT doc_id, n_tok, CAST(floor(start / 512.0) AS BIGINT) AS seq_id,
+             CAST(start % 512 AS BIGINT) AS offset_in_seq
+      FROM c""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
