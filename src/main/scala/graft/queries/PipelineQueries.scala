@@ -56,6 +56,21 @@ object PipelineQueries {
              count(*) AS n_events, round(sum(value), 2) AS total_value
       FROM events GROUP BY tier""")),
 
+    // Stream-STREAM interval join (funnel attribution): clicks joined to
+    // the same user's purchases within the next 30 minutes, watermarks on
+    // both sides bounding the join state. The oracle replays the exact
+    // truncated-μs comparison in batch.
+    ("q97_stream_interval_join", (s: SparkSession, d: String) => {
+      EventStream.clickPurchaseFunnelAvailableNow(s, d)
+    }, Some("""
+      SELECT a.user_id, epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS purchase_us,
+             b.value AS purchase_value
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+       AND epoch_us(b.ts) >= epoch_us(a.ts)
+       AND epoch_us(b.ts) <= epoch_us(a.ts) + 30 * 60 * 1000000""")),
+
     // Multimodal metadata extraction over binary payloads via typed
     // mapPartitions; the stub decode derives from byte length only, so the
     // whole pipeline is oracle-able through DuckDB's strlen (byte length).

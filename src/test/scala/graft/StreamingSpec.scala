@@ -15,6 +15,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.clickPurchaseFunnelAvailableNow(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSet
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"))
+      .select(col("user_id"), unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"), col("purchase_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("routedIngest is exactly-once across restarts (checkpoint)") {
     val out = Files.createTempDirectory("graft_ingest").toString
     EventStream.routedIngest(spark, TestSpark.sf0001, out)
