@@ -42,13 +42,13 @@ object EventStream {
     * thousand state rows (the session conf is restored afterwards).
     */
   private def drain(spark: SparkSession, df: DataFrame, prefix: String,
-      mode: String): DataFrame = {
+      mode: String, statePartitions: Int = 8): DataFrame = {
     val name = synchronized { sinkCounter += 1; s"${prefix}_$sinkCounter" }
     val conf = spark.sessionState.conf
     val saved = conf.getConfString("spark.sql.shuffle.partitions")
     val query =
       try {
-        conf.setConfString("spark.sql.shuffle.partitions", "8")
+        conf.setConfString("spark.sql.shuffle.partitions", statePartitions.toString)
         df.writeStream
           .outputMode(mode)
           .format("memory")
@@ -71,11 +71,14 @@ object EventStream {
     * comparison.
     */
   def clickPurchaseFunnelAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = eventStream(spark, dir)
+    // one source, two filtered views — a stream self-join scans the input
+    // once per micro-batch instead of running two file sources
+    val events = eventStream(spark, dir)
+    val clicks = events
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
-    val purchases = eventStream(spark, dir)
+    val purchases = events
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
         col("value").as("purchase_value"))
