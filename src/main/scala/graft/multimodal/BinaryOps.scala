@@ -53,6 +53,38 @@ object BinaryOps {
       .select(col("doc_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))).as("frame_idx"))
 
+  /** STUB feature extractor: a deterministic `dim`-float vector derived
+    * from the payload bytes — standing in for an image/audio embedding
+    * model. Each component folds every byte once (one pass over the
+    * payload per vector, the same access pattern a real featurizer has).
+    */
+  def stubFeaturize(payload: Array[Byte], dim: Int): Array[Double] = {
+    val acc = new Array[Long](dim)
+    var i = 0
+    while (i < payload.length) {
+      val d = i % dim
+      acc(d) = acc(d) * 31 + (payload(i) & 0xff)
+      i += 1
+    }
+    acc.map(v => ((v % 1000) + 1000) % 1000 / 1000.0)
+  }
+
+  /** Per-payload embedding extraction: the mapPartitions stage a model
+    * featurizer rides on (batch shape = one partition; swap
+    * [[stubFeaturize]] for an ONNX/JNI model call and nothing else
+    * changes). Output embeds straight into [[graft.operators.Similarity]]
+    * — `bruteForceTopK` / `lshTopK` / `ivfTopK` accept the array column
+    * as-is.
+    */
+  def featurize(spark: SparkSession, docs: DataFrame, dim: Int = 8): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, stubFeaturize(bytes, dim)) })
+      .toDF("doc_id", "embedding")
+  }
+
   /** Resize planning: fit each image into a `box`×`box` square preserving
     * aspect ratio (never upscale) — the target-dimension arithmetic every
     * thumbnail/normalization stage runs before the actual pixel work. Pure
