@@ -90,6 +90,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got === bruteJaccard(docs, 0.9))
   }
 
+  test("jaccardSelfJoin edge corpora: all-identical, all-unique, singleton") {
+    // all-identical token sets: every pair emitted as J = 1.0 through the
+    // set-collapse fast path, none verified
+    val same = (1L to 20L).map(i => (i, "alpha beta gamma")).toDF("doc_id", "text")
+    val allPairs = Dedup.jaccardSelfJoin(same, "doc_id", "text", 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(allPairs.length === 20 * 19 / 2)
+    assert(allPairs.forall(_._2 === 1.0))
+    assert(allPairs.forall(p => p._1._1 < p._1._2))
+
+    // pairwise-disjoint token sets: nothing qualifies
+    val uniq = (1L to 10L).map(i => (i, s"tok${i}a tok${i}b tok${i}c")).toDF("doc_id", "text")
+    assert(Dedup.jaccardSelfJoin(uniq, "doc_id", "text", 0.5).count() === 0)
+
+    // a single doc has no pairs; doc order within text must not matter
+    val one = Seq((1L, "x y z")).toDF("doc_id", "text")
+    assert(Dedup.jaccardSelfJoin(one, "doc_id", "text", 0.1).count() === 0)
+    val perm = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val p = Dedup.jaccardSelfJoin(perm, "doc_id", "text", 0.9).collect()
+    assert(p.length === 1 && p.head.getDouble(2) === 1.0,
+      "identical sets in different array order must collapse to one group")
+  }
+
   test("ngramJaccardPairs verifies candidates exactly") {
     val cand = Seq((0L, 1L), (0L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", cand, n = 3)
