@@ -60,12 +60,14 @@ object Packing {
     val local = ordered.withColumn("local_cum", sum(col("n_tok")).over(wLocal))
 
     // phase 2: one row per partition — running offset of all earlier
-    // partitions. Partition count is driver-sized, so the single-partition
-    // window here is over nPart rows, not the corpus.
+    // partitions. Totals come from `ordered` (not the windowed side) so
+    // this branch partial-aggregates to nPart rows BEFORE its exchange
+    // instead of replaying the corpus-wide sort+window; the
+    // single-partition window here is over nPart rows, not the corpus.
     val wOff = Window.orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("pid"))
-      .agg(max(col("local_cum")).as("ptotal"))
+    val offsets = ordered.groupBy(col("pid"))
+      .agg(sum(col("n_tok")).as("ptotal"))
       .withColumn("poffset", coalesce(sum(col("ptotal")).over(wOff), lit(0L)))
       .select(col("pid"), col("poffset"))
 
