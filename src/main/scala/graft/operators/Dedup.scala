@@ -47,17 +47,19 @@ object Dedup {
     * exact shingle-set Jaccard filters to `threshold`.
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
-  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+  /** The persistable LSH state of a corpus: one (id, band, band_hash) row
+    * per band per doc. This is the mergeable "signature store" of an
+    * incremental dedup pipeline — append each ingested batch's rows and
+    * new batches only ever join against it, never against raw text.
+    * Deliberately NARROW: only (band, band_hash, id) enters any bucket
+    * shuffle — shuffling the shingle arrays through every band would
+    * multiply shuffle bytes by `bands` and make bucket skew array-sized.
+    */
+  def bandSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-
-    // band id + hash of that band's signature slice = LSH bucket key.
-    // Deliberately NARROW: only (band, band_hash, id) enters the bucket
-    // shuffle — shuffling the shingle arrays through every band would
-    // multiply shuffle bytes by `bands` and make bucket skew array-sized.
-    val banded = docs
+    docs
       .select(col(idCol).as("id"),
         minHashSignature(shingles(col(textCol), shingleN), k).as("sig"))
       .select(
@@ -68,6 +70,12 @@ object Dedup {
           }: _*)
         ).as(Seq("band", "band_hash")),
       )
+  }
+
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val banded = bandSignatures(docs, idCol, textCol, shingleN, k, bands)
 
     val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
@@ -133,6 +141,64 @@ object Dedup {
       shingleN = shingleN, k = k, bands = bands, threshold = threshold)
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
     exact.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental fuzzy dedup: clean a NEW ingest batch against the
+    * already-ingested corpus WITHOUT re-pairing the corpus with itself —
+    * the only dedup shape that works when the corpus is 100 TB and the
+    * batch is a morning's crawl.
+    *
+    * `oldBands` is the persisted [[bandSignatures]] state of the existing
+    * corpus (append-only across batches); `oldDocs` is the corpus itself,
+    * touched ONLY to fetch shingle sets for the candidate ids that
+    * survive banding (a semi-join-pruned, column-pruned point lookup —
+    * never a full scan of old text). A new doc is dropped when it
+    * verifies ≥ `threshold` against any old doc (old corpus always wins)
+    * or against a smaller-id new doc (the [[dedupCorpus]] greedy rule).
+    * Exact duplicates need no separate stage: identical text ⇒ identical
+    * signature ⇒ band collision ⇒ J = 1.0.
+    *
+    * Returns the surviving rows of `newDocs`; the caller appends
+    * `bandSignatures(survivors)` to the store to ingest the next batch.
+    * If the old corpus is clean and all new ids sort after old ids, the
+    * result equals re-running [[dedupCorpus]] over old ∪ new (law in
+    * DedupSpec).
+    */
+  def dedupIncremental(newDocs: DataFrame, oldDocs: DataFrame,
+      oldBands: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.7,
+      k: Int = 32, bands: Int = 16): DataFrame = {
+    val newClean = dropExactDups(newDocs, idCol, textCol)
+    val newBands = bandSignatures(newClean, idCol, textCol, shingleN, k, bands)
+
+    // candidates vs the persisted corpus state: equi-join on the bucket key
+    val crossCand = newBands.select(col("band"), col("band_hash"), col("id").as("new_id"))
+      .join(oldBands.select(col("band"), col("band_hash"), col("id").as("old_id")),
+        Seq("band", "band_hash"))
+      .select(col("new_id"), col("old_id"))
+      .distinct()
+
+    // verify: new-side shingles from the batch, old-side shingles fetched
+    // ONLY for candidate ids (semi-join-pruned scan of the corpus)
+    def sh(df: DataFrame) = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    val oldCandSh = sh(oldDocs)
+      .join(crossCand.select(col("old_id").as("id")).distinct(), Seq("id"), "left_semi")
+    val droppedVsOld = crossCand
+      .join(sh(newClean).select(col("id").as("new_id"), col("sh").as("sh_a")), Seq("new_id"))
+      .join(oldCandSh.select(col("id").as("old_id"), col("sh").as("sh_b")), Seq("old_id"))
+      .filter(graft.expressions.TokenExpressions.jaccardSim(col("sh_a"), col("sh_b"))
+        >= threshold)
+      .select(col("new_id").as(idCol))
+      .distinct()
+
+    // within-batch near-dups: the ordinary self-join over the batch only
+    val withinPairs = minHashLsh(newClean, idCol, textCol,
+      shingleN = shingleN, k = k, bands = bands, threshold = threshold)
+    val droppedWithin = withinPairs.select(col("id_b").as(idCol)).distinct()
+
+    newClean
+      .join(droppedVsOld.union(droppedWithin).distinct(), Seq(idCol), "left_anti")
   }
 
   /** EXACT token-set Jaccard self-join via prefix filtering (Chaudhuri et

@@ -43,6 +43,21 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat_nation"); spark.sql("DROP TABLE cat_region")
   }
 
+  test("useDatabase: tables land in the named database (01_create_tables.hql:7-8)") {
+    graft.io.Catalog.useDatabase(spark, "graft_db_test")
+    try {
+      graft.io.Catalog.createExternalParquet(spark, "db_nation",
+        s"${TestSpark.sf0001}/nation.parquet")
+      assert(spark.sql("SELECT count(*) FROM graft_db_test.db_nation")
+        .head().getLong(0) === 25L)
+      assert(spark.catalog.tableExists("graft_db_test.db_nation"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_db_test.db_nation")
+      spark.sql("USE default")
+      spark.sql("DROP DATABASE IF EXISTS graft_db_test")
+    }
+  }
+
   test("TSV sink round-trip (TabSeparated bulk-insert analog)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_tsv").toString + "/out"

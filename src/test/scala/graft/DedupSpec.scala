@@ -90,6 +90,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got === bruteJaccard(docs, 0.9))
   }
 
+  test("dedupIncremental: new batch cleans against persisted band state") {
+    // clean old corpus (ids 0,3,4 — the crafted corpus survivors)
+    val old = corpus.filter($"doc_id".isin(0L, 3L, 4L))
+    val oldBands = Dedup.bandSignatures(old, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 16)
+    // new batch: 10 = exact copy of 0; 11 = near-dup of 0 (one word);
+    // 12 fresh; 13 = exact copy of 12 within the batch
+    val fresh = "totally new subject matter concerning distributed prefix sums today ok"
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (12L, fresh), (13L, fresh)).toDF("doc_id", "text")
+    val survivors = Dedup.dedupIncremental(batch, old, oldBands, "doc_id", "text",
+      shingleN = 3, threshold = 0.5, k = 32, bands = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(12L),
+      "10 exact-dups old 0, 11 near-dups old 0, 13 exact-dups new 12")
+
+    // law: incremental == batch re-dedup when old is clean and ids sort
+    val batchResult = Dedup.dedupCorpus(old.unionByName(batch), "doc_id", "text",
+      shingleN = 3, threshold = 0.5, k = 32, bands = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchResult === Set(0L, 3L, 4L) ++ survivors)
+  }
+
   test("jaccardSelfJoin edge corpora: all-identical, all-unique, singleton") {
     // all-identical token sets: every pair emitted as J = 1.0 through the
     // set-collapse fast path, none verified
