@@ -39,11 +39,24 @@ object CsvIngest {
     * (see the persist below): MEMORY_AND_DISK (default) spills overflow to
     * disk; pass DISK_ONLY for inputs far beyond executor memory so the
     * deserialized rows never compete with the query's own working set.
+    * The materialization lives until session end; use [[readCsvManaged]]
+    * when ingesting many files in one session and release each once its
+    * downstream results are written.
     */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
       dropMalformed: Boolean = true,
       corruptFilterStorage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    readCsvManaged(spark, path, schema, dropMalformed, corruptFilterStorage)._1
+
+  /** [[readCsv]] plus a release handle that unpersists the ingest's
+    * internal materialization (the returned frame's own plan does not
+    * match the persisted one, so `result.unpersist()` cannot release it).
+    */
+  def readCsvManaged(spark: SparkSession, path: String, schema: StructType,
+      dropMalformed: Boolean = true,
+      corruptFilterStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) = {
     // pass 1 (driver-side, one line): raw header -> normalized mapping
     val headerLine = spark.read.text(path).limit(1).collect().head.getString(0)
     val rawNames = headerLine.split(",", -1).map(_.trim)
@@ -65,24 +78,25 @@ object CsvIngest {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .schema(rawSchema.add("_corrupt", StringType))
       .csv(path)
-    val df =
-      if (dropMalformed)
+    val (df, release) =
+      if (dropMalformed) {
         // persist: Spark disallows filtering a raw CSV scan by only its
         // corrupt-record column, so the parsed rows must be materialized
         // once. The default MEMORY_AND_DISK spills rather than recomputes
         // when the input outgrows memory; DISK_ONLY keeps a huge ingest
         // from evicting hot cached data entirely.
-        df0.persist(corruptFilterStorage)
-          .filter(col("_corrupt").isNull).drop("_corrupt")
-      else df0
+        val cached = df0.persist(corruptFilterStorage)
+        (cached.filter(col("_corrupt").isNull).drop("_corrupt"),
+          () => { cached.unpersist(); () })
+      } else (df0, () => ())
 
     // rename to normalized names + attach unit metadata
-    df.select(rawNames.map { raw =>
+    (df.select(rawNames.map { raw =>
       val (name, unit) = normalizeHeader(raw)
       val meta = unit.map(u => new MetadataBuilder().putString("unit", u).build())
         .getOrElse(Metadata.empty)
       col(s"`$raw`").as(name, meta)
-    }: _*)
+    }: _*), release)
   }
 
   /** Canonical non-padded date parse (`1/5/2010`-style). */

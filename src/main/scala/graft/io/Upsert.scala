@@ -61,10 +61,31 @@ object Upsert {
       // own plan reads; materializing the (partition-pruned, small) merge
       // result first is the batch-parquet equivalent of a staged commit
       .localCheckpoint(true)
+    // collected BEFORE the overwrite below invalidates this plan's input
+    // files (parts reads the pre-overwrite table)
+    val affectedVals = parts.collect().map(_.get(0)).toSet
     merged.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(path)
+
+    // dynamic overwrite only rewrites partitions PRESENT in the output —
+    // an affected partition whose merged result is empty (its only rows
+    // moved away) would silently keep its stale files. Both sides here
+    // are affected-partition-sized (bounded by the update batch).
+    val writtenVals = merged.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val emptied = affectedVals -- writtenVals
+    if (emptied.nonEmpty) {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { v =>
+        val u = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        val dirName = u.getPartitionPathString(partitionCol,
+          if (v == null) u.DEFAULT_PARTITION_NAME else v.toString)
+        fs.delete(new Path(path, dirName), true)
+      }
+    }
   }
 }

@@ -42,11 +42,6 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn")
 
-  /** MinHash-LSH candidate pairs: signature of `k` hashes split into
-    * `bands`; docs sharing any band-hash become a candidate pair, then
-    * exact shingle-set Jaccard filters to `threshold`.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b.
-    */
   /** The persistable LSH state of a corpus: one (id, band, band_hash) row
     * per band per doc. This is the mergeable "signature store" of an
     * incremental dedup pipeline — append each ingested batch's rows and
@@ -72,23 +67,24 @@ object Dedup {
       )
   }
 
-  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
-    val banded = bandSignatures(docs, idCol, textCol, shingleN, k, bands)
-
+  /** Candidate id pairs from a band-signature table: docs sharing any
+    * band-hash, deduped on the bare id pair (map-side combinable,
+    * 16 bytes/row) before touching any array.
+    */
+  private def pairsFromBands(banded: DataFrame): DataFrame = {
     val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
     val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    // a pair can collide in several bands → dedup on the bare id pair
-    // (map-side combinable, 16 bytes/row) before touching any array
-    val pairs = l.join(r, Seq("band", "band_hash"))
+    l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
 
-    // verify stage: fetch each side's shingle set once, exact Jaccard
-    val sh = docs.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+  /** Exact shingle-set Jaccard over candidate (id_a, id_b) pairs: fetch
+    * each side's shingle set once by id, keep pairs at/above `threshold`.
+    */
+  private def verifyPairs(pairs: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -96,6 +92,19 @@ object Dedup {
         graft.expressions.TokenExpressions.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** MinHash-LSH candidate pairs: signature of `k` hashes split into
+    * `bands`; docs sharing any band-hash become a candidate pair, then
+    * exact shingle-set Jaccard filters to `threshold`.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val banded = bandSignatures(docs, idCol, textCol, shingleN, k, bands)
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    verifyPairs(pairsFromBands(banded), sh, threshold)
   }
 
   /** SimHash near-dup pairs within hamming radius `maxDist`, blocked by
@@ -169,7 +178,13 @@ object Dedup {
       shingleN: Int = 3, threshold: Double = 0.7,
       k: Int = 32, bands: Int = 16): DataFrame = {
     val newClean = dropExactDups(newDocs, idCol, textCol)
+    // the batch is signed ONCE; the same band table drives both the
+    // vs-corpus candidate join and the within-batch self-join (the MinHash
+    // signature stage is the dominant per-batch cost)
     val newBands = bandSignatures(newClean, idCol, textCol, shingleN, k, bands)
+    def sh(df: DataFrame) = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    val newSh = sh(newClean)
 
     // candidates vs the persisted corpus state: equi-join on the bucket key
     val crossCand = newBands.select(col("band"), col("band_hash"), col("id").as("new_id"))
@@ -180,21 +195,18 @@ object Dedup {
 
     // verify: new-side shingles from the batch, old-side shingles fetched
     // ONLY for candidate ids (semi-join-pruned scan of the corpus)
-    def sh(df: DataFrame) = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
     val oldCandSh = sh(oldDocs)
       .join(crossCand.select(col("old_id").as("id")).distinct(), Seq("id"), "left_semi")
     val droppedVsOld = crossCand
-      .join(sh(newClean).select(col("id").as("new_id"), col("sh").as("sh_a")), Seq("new_id"))
+      .join(newSh.select(col("id").as("new_id"), col("sh").as("sh_a")), Seq("new_id"))
       .join(oldCandSh.select(col("id").as("old_id"), col("sh").as("sh_b")), Seq("old_id"))
       .filter(graft.expressions.TokenExpressions.jaccardSim(col("sh_a"), col("sh_b"))
         >= threshold)
       .select(col("new_id").as(idCol))
       .distinct()
 
-    // within-batch near-dups: the ordinary self-join over the batch only
-    val withinPairs = minHashLsh(newClean, idCol, textCol,
-      shingleN = shingleN, k = k, bands = bands, threshold = threshold)
+    // within-batch near-dups from the SAME band table
+    val withinPairs = verifyPairs(pairsFromBands(newBands), newSh, threshold)
     val droppedWithin = withinPairs.select(col("id_b").as(idCol)).distinct()
 
     newClean

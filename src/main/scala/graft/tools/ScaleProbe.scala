@@ -18,16 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  def scaledCorpus(docs: DataFrame, k: Int): DataFrame = {
-    val n = docs.count()
+  def scaledCorpus(docs: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>
       docs.select(
-        (col("doc_id") + lit(i.toLong * n)).as("doc_id"),
-        // prefix every token with the shard tag: shards are disjoint
-        regexp_replace(concat(lit(s"c${i}_"), col("text")), " ", s" c${i}_")
+        // id * k + i is collision-free for ANY base id distribution
+        (col("doc_id") * k + i).as("doc_id"),
+        // prefix every token with the shard tag (any whitespace run
+        // separates tokens downstream, so normalize \s+): shards are
+        // vocabulary-disjoint by construction
+        regexp_replace(concat(lit(s"c${i}_"), col("text")), "\\s+", s" c${i}_")
           .as("text"))
     }.reduce(_ unionByName _)
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -56,6 +56,22 @@ class UpsertSpec extends AnyFunSuite {
     assert(rows.toSet === Set((1L, "p1", 1.0), (2L, "p2", 22.0), (3L, "p2", 3.0)))
   }
 
+  test("key move that EMPTIES its old partition leaves no stale files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_empty").toString + "/table"
+    // p1 holds ONLY k=2 — after the move the merged output contains no p1
+    // rows, so dynamic overwrite alone would keep p1's old file
+    Seq((1L, "p0", 1.0), (2L, "p1", 2.0)).toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(dir)
+    val updates = Seq((2L, "p2", 22.0)).toDF("k", "part", "v")
+    Upsert.upsertPartitioned(spark, dir, updates, Seq("k"), "part")
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("part"), r.getAs[Double]("v")))
+    assert(rows.toSet === Set((1L, "p0", 1.0), (2L, "p2", 22.0)),
+      s"stale row survived in the emptied partition: ${rows.toSeq}")
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(s"$dir/part=p1")),
+      "emptied partition directory must be removed")
+  }
+
   test("assumeStablePartitions skips the old-location scan (stable keys only)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_st").toString + "/table"
     Seq((1L, "p1", 1.0), (2L, "p2", 2.0)).toDF("k", "part", "v")

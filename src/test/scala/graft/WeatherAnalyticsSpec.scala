@@ -60,14 +60,17 @@ class WeatherAnalyticsSpec extends AnyFunSuite {
     val p = s"$dir/w.csv"
     Files.writeString(java.nio.file.Path.of(p),
       "location_id,city_name\n1,Colombo\nbad_id,Kandy\n2,Galle\n")
-    val df = CsvIngest.readCsv(spark, p, locationSchema,
+    val (df, release) = CsvIngest.readCsvManaged(spark, p, locationSchema,
       corruptFilterStorage = StorageLevel.DISK_ONLY)
     assert(df.count() === 2, "malformed row dropped under DISK_ONLY too")
     // the materialization actually uses the requested level
-    val cached = spark.sparkContext.getPersistentRDDs.values
-      .map(_.getStorageLevel)
-    assert(cached.exists(_ == StorageLevel.DISK_ONLY), cached.toSeq.toString)
-    df.unpersist()
+    def levels = spark.sparkContext.getPersistentRDDs.values
+      .map(_.getStorageLevel).toSeq
+    assert(levels.exists(_ == StorageLevel.DISK_ONLY), levels.toString)
+    // the handle releases the INTERNAL persisted frame (the returned
+    // frame's plan differs, so df.unpersist() could not)
+    release()
+    assert(!levels.exists(_ == StorageLevel.DISK_ONLY), levels.toString)
   }
 
   test("ingest: header normalization + unit metadata + date typing") {
