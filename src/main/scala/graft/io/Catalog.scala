@@ -17,10 +17,25 @@ import org.apache.spark.sql.types.StructType
   */
 object Catalog {
 
+  /** Backtick-quoted identifier: embedded backticks double, per Spark's
+    * identifier lexer (a bare interpolation would let a name containing a
+    * backtick escape the quoting).
+    */
+  private def ident(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** Single-quoted string literal with backslash escaping. Spark's lexer
+    * treats `''` inside a literal as END + a new adjacent literal (implicit
+    * concatenation drops the quote), so the SQL-standard doubling used by
+    * other dialects silently mangles values here — backslash is the only
+    * correct escape.
+    */
+  private def str(value: String): String =
+    "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** `CREATE DATABASE IF NOT EXISTS` + `USE` (01_create_tables.hql:7-8). */
   def useDatabase(spark: SparkSession, name: String): Unit = {
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
-    spark.sql(s"USE `$name`")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${ident(name)}")
+    spark.sql(s"USE ${ident(name)}")
   }
 
   /** External CSV table over `path` with an explicit schema — the
@@ -30,20 +45,20 @@ object Catalog {
     */
   def createExternalCsv(spark: SparkSession, name: String, path: String,
       schema: StructType, header: Boolean = true, sep: String = ","): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"DROP TABLE IF EXISTS ${ident(name)}")
     spark.sql(s"""
-      CREATE TABLE `$name` (${schema.toDDL})
+      CREATE TABLE ${ident(name)} (${schema.toDDL})
       USING csv
-      OPTIONS (header '$header', sep '$sep', path '${path.replace("'", "''")}')""")
+      OPTIONS (header '$header', sep ${str(sep)}, path ${str(path)})""")
   }
 
   /** External parquet table over `path` (schema from the footers). */
   def createExternalParquet(spark: SparkSession, name: String, path: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"DROP TABLE IF EXISTS ${ident(name)}")
     spark.sql(s"""
-      CREATE TABLE `$name`
+      CREATE TABLE ${ident(name)}
       USING parquet
-      OPTIONS (path '${path.replace("'", "''")}')""")
+      OPTIONS (path ${str(path)})""")
   }
 
   /** Register every (name → parquet path) pair as an external table —
@@ -57,7 +72,7 @@ object Catalog {
     * the non-materialized Spark-native equivalent).
     */
   def createView(spark: SparkSession, name: String, sql: String): Unit = {
-    spark.sql(s"DROP VIEW IF EXISTS `$name`")
-    spark.sql(s"CREATE VIEW `$name` AS $sql")
+    spark.sql(s"DROP VIEW IF EXISTS ${ident(name)}")
+    spark.sql(s"CREATE VIEW ${ident(name)} AS $sql")
   }
 }

@@ -61,9 +61,23 @@ object Upsert {
       // own plan reads; materializing the (partition-pruned, small) merge
       // result first is the batch-parquet equivalent of a staged commit
       .localCheckpoint(true)
+    // Partition values compared in SPARK-CAST string space on both sides:
+    // the writer renders a partition directory from Cast(value, string)
+    // (then path-escapes it), so a JVM toString — whose rendering diverges
+    // for e.g. fractional-second timestamps — must never enter the compare.
+    // null partitions render as the writer's DEFAULT_PARTITION_NAME.
+    val u = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def valStrs(df: DataFrame): Set[String] =
+      df.select(col(partitionCol).cast("string")).distinct().collect()
+        .map { r =>
+          val s = if (r.isNullAt(0)) null else r.getString(0)
+          // the writer folds null AND "" into the same default bucket
+          if (s == null || s.isEmpty) u.DEFAULT_PARTITION_NAME else s
+        }
+        .toSet
     // collected BEFORE the overwrite below invalidates this plan's input
     // files (parts reads the pre-overwrite table)
-    val affectedVals = parts.collect().map(_.get(0)).toSet
+    val affectedVals = valStrs(parts)
     merged.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -73,19 +87,22 @@ object Upsert {
     // dynamic overwrite only rewrites partitions PRESENT in the output —
     // an affected partition whose merged result is empty (its only rows
     // moved away) would silently keep its stale files. Both sides here
-    // are affected-partition-sized (bounded by the update batch).
-    val writtenVals = merged.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)).toSet
+    // are affected-partition-sized (bounded by the update batch). The
+    // stale directories are found by LISTING what is actually on disk and
+    // decoding each name, never by re-deriving an escaped name.
+    val writtenVals = valStrs(merged.select(col(partitionCol)))
     val emptied = affectedVals -- writtenVals
     if (emptied.nonEmpty) {
       import org.apache.hadoop.fs.Path
-      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { v =>
-        val u = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        val dirName = u.getPartitionPathString(partitionCol,
-          if (v == null) u.DEFAULT_PARTITION_NAME else v.toString)
-        fs.delete(new Path(path, dirName), true)
-      }
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prefix = u.escapePathName(partitionCol) + "="
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .foreach { st =>
+          val decoded = u.unescapePathName(st.getPath.getName.drop(prefix.length))
+          if (emptied.contains(decoded)) fs.delete(st.getPath, true)
+        }
     }
   }
 }

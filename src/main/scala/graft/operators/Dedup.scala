@@ -49,11 +49,22 @@ object Dedup {
     * Deliberately NARROW: only (band, band_hash, id) enters any bucket
     * shuffle — shuffling the shingle arrays through every band would
     * multiply shuffle bytes by `bands` and make bucket skew array-sized.
+    *
+    * The banding parameters (shingleN, k, bands) are stamped into the
+    * `band_hash` column's metadata — which survives a parquet round-trip —
+    * so a later [[dedupIncremental]] can refuse state built with a
+    * different scheme instead of silently producing a near-empty join.
+    * Defaults match [[dedupCorpus]]/[[dedupIncremental]] (16×2 banding).
     */
   def bandSignatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+      shingleN: Int = 3, k: Int = 32, bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
+    val params = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.shingleN", shingleN.toLong)
+      .putLong("graft.k", k.toLong)
+      .putLong("graft.bands", bands.toLong)
+      .build()
     docs
       .select(col(idCol).as("id"),
         minHashSignature(shingles(col(textCol), shingleN), k).as("sig"))
@@ -65,6 +76,7 @@ object Dedup {
           }: _*)
         ).as(Seq("band", "band_hash")),
       )
+      .withMetadata("band_hash", params)
   }
 
   /** Candidate id pairs from a band-signature table: docs sharing any
@@ -99,7 +111,7 @@ object Dedup {
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     val banded = bandSignatures(docs, idCol, textCol, shingleN, k, bands)
     val sh = docs.select(col(idCol).as("id"),
@@ -177,6 +189,21 @@ object Dedup {
       oldBands: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.7,
       k: Int = 32, bands: Int = 16): DataFrame = {
+    // fail fast on state built under a different banding scheme: with
+    // mismatched (shingleN, k, bands) the (band, band_hash) join is
+    // silently near-empty and cross-batch duplicates sail through.
+    // bandSignatures stamps its parameters into band_hash's metadata
+    // (parquet-persistent); absent metadata (hand-built state) is allowed.
+    val m = oldBands.schema.find(_.name == "band_hash").map(_.metadata)
+      .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    if (m.contains("graft.bands")) {
+      val (os, ok2, ob) =
+        (m.getLong("graft.shingleN"), m.getLong("graft.k"), m.getLong("graft.bands"))
+      require(os == shingleN && ok2 == k && ob == bands,
+        s"dedupIncremental: oldBands was built with (shingleN=$os, k=$ok2, " +
+          s"bands=$ob) but this call uses (shingleN=$shingleN, k=$k, " +
+          s"bands=$bands) — band hashes would never collide across batches")
+    }
     val newClean = dropExactDups(newDocs, idCol, textCol)
     // the batch is signed ONCE; the same band table drives both the
     // vs-corpus candidate join and the within-batch self-join (the MinHash

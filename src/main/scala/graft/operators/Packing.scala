@@ -50,6 +50,13 @@ object Packing {
       .withColumn("ord", mixOrder(col(idCol)))
       .repartitionByRange(nPart, col("ord"), col(idCol))
       .withColumn("pid", spark_partition_id())
+      // both phases below consume this frame; spark_partition_id() is
+      // nondeterministic and range boundaries are sampled per physical
+      // exchange, so the pid column must be computed exactly ONCE — a lazy
+      // local checkpoint pins both branches (and any recompute) to a single
+      // materialized copy instead of leaning on exchange reuse. Rows are
+      // narrow (id, n_tok, ord, pid), so the persisted copy is cheap.
+      .localCheckpoint(false)
 
     // phase 1: running sum inside each range partition. The window's
     // partitionBy("pid") re-shuffles by pid, keeping each range partition

@@ -32,10 +32,17 @@ object Sampling {
   def deterministicSamplePortable(df: DataFrame, keyCol: String,
       fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1)
-    // floor(fraction · 2^32) as 8 lowercase hex chars; md5 hex is lowercase
-    // everywhere, so string order == numeric order
-    val threshold = f"${(fraction * 4294967296.0).toLong}%08x"
-    df.filter(substring(md5(col(keyCol).cast("string")), 1, 8) < lit(threshold))
+    // fraction=1.0 would render threshold 0x100000000 as the 9-char string
+    // "100000000", which sorts BELOW most 8-char hex prefixes — short-circuit
+    // the boundary fractions instead of comparing against an out-of-range key
+    if (fraction >= 1.0) df
+    else if (fraction <= 0.0) df.filter(lit(false))
+    else {
+      // floor(fraction · 2^32) as 8 lowercase hex chars; md5 hex is lowercase
+      // everywhere, so string order == numeric order
+      val threshold = f"${(fraction * 4294967296.0).toLong}%08x"
+      df.filter(substring(md5(col(keyCol).cast("string")), 1, 8) < lit(threshold))
+    }
   }
 
   /** Portable twin of [[stratifiedQuota]]: per-stratum quota in

@@ -58,6 +58,17 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("paths containing an apostrophe survive DDL interpolation") {
+    // Spark's lexer treats '' as literal-end + adjacent literal (implicit
+    // concat drops the quote) — only backslash escaping round-trips
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_apos").toString + "/o'brien"
+    Seq((1, "x"), (2, "y")).toDF("k", "v").write.parquet(dir)
+    graft.io.Catalog.createExternalParquet(spark, "apos_table", dir)
+    try assert(spark.sql("SELECT count(*) FROM apos_table").head().getLong(0) === 2L)
+    finally spark.sql("DROP TABLE apos_table")
+  }
+
   test("TSV sink round-trip (TabSeparated bulk-insert analog)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_tsv").toString + "/out"

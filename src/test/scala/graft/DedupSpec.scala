@@ -115,6 +115,24 @@ class DedupSpec extends AnyFunSuite {
     assert(batchResult === Set(0L, 3L, 4L) ++ survivors)
   }
 
+  test("dedupIncremental rejects band state built under a different scheme") {
+    val old = corpus.filter($"doc_id".isin(0L, 3L, 4L))
+    // state built with 8 bands, parquet round-trip (metadata must survive)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands").toString + "/bands"
+    Dedup.bandSignatures(old, "doc_id", "text", shingleN = 3, k = 32, bands = 8)
+      .write.parquet(dir)
+    val oldBands = spark.read.parquet(dir)
+    val batch = Seq((10L, "anything at all here")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupIncremental(batch, old, oldBands, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, k = 32, bands = 16)
+    }
+    assert(ex.getMessage.contains("bands=8"))
+    // matching parameters pass the gate
+    Dedup.dedupIncremental(batch, old, oldBands, "doc_id", "text",
+      shingleN = 3, threshold = 0.5, k = 32, bands = 8).count()
+  }
+
   test("jaccardSelfJoin edge corpora: all-identical, all-unique, singleton") {
     // all-identical token sets: every pair emitted as J = 1.0 through the
     // set-collapse fast path, none verified

@@ -56,6 +56,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept === Set(1L))
   }
 
+  test("boundary fractions: 1.0 keeps every row, 0.0 keeps none (both variants)") {
+    // fraction=1.0 used to render a 9-char hex threshold that lexicographically
+    // dropped ~94% of rows
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val n = docs.count()
+    assert(Sampling.deterministicSamplePortable(docs, "doc_id", 1.0).count() === n)
+    assert(Sampling.deterministicSamplePortable(docs, "doc_id", 0.0).count() === 0L)
+    assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() === n)
+    assert(Sampling.deterministicSample(docs, "doc_id", 0.0).count() === 0L)
+  }
+
   test("mixingRates fails fast when no positive-target stratum is present") {
     val df = Seq("only_src").toDF("source")
     intercept[IllegalArgumentException] {

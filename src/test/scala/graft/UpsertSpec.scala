@@ -72,6 +72,27 @@ class UpsertSpec extends AnyFunSuite {
       "emptied partition directory must be removed")
   }
 
+  test("emptied-partition cleanup survives timestamp partition values") {
+    // fractional-second timestamps render differently under JVM toString
+    // ("2024-01-01 00:00:00.123") vs the writer's partition path — the
+    // cleanup must find the stale directory by listing, not reconstruction
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_ts").toString + "/table"
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00.123")
+    val t2 = java.sql.Timestamp.valueOf("2024-06-01 12:30:45.5")
+    Seq((1L, t1, 1.0), (2L, t2, 2.0)).toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(dir)
+    // k=1 moves t1 -> t2: t1's partition is emptied and must vanish
+    val updates = Seq((1L, t2, 11.0)).toDF("k", "part", "v")
+    Upsert.upsertPartitioned(spark, dir, updates, Seq("k"), "part")
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[java.sql.Timestamp]("part"), r.getAs[Double]("v")))
+    assert(rows.toSet === Set((1L, t2, 11.0), (2L, t2, 2.0)))
+    val staleDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("part="))
+    assert(staleDirs.length === 1,
+      s"emptied timestamp partition dir survived: ${staleDirs.map(_.getName).toSeq}")
+  }
+
   test("assumeStablePartitions skips the old-location scan (stable keys only)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_st").toString + "/table"
     Seq((1L, "p1", 1.0), (2L, "p2", 2.0)).toDF("k", "part", "v")
