@@ -273,21 +273,28 @@ object TextQueries {
       GROUP BY token ORDER BY freq DESC, token LIMIT 20""")),
 
     // Edit distance between sampled document pairs — the character-level
-    // near-dup metric (both engines implement classic Levenshtein).
+    // near-dup metric (both engines implement classic Levenshtein). The
+    // samples are paired through a DERIVED EQUI-JOIN KEY (doc_id div 50
+    // aligns each 50m row with its 50m+1 neighbour), so the executed plan
+    // is a hash join over ~n/50 rows per side — a crossJoin of the two
+    // samples would be O(n²/2500), still quadratic at 100 TB. Guarded by a
+    // no-cartesian plan test in PlanSpec.
     ("q56_edit_distance", (s: SparkSession, d: String) => {
       val t = Tables.documents(s, d)
         .select(col("doc_id"), substring(col("text"), 1, 80).as("prefix"))
       val a = t.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("id_a"), col("prefix").as("pa"))
+        .select(col("doc_id").as("id_a"), floor(col("doc_id") / 50).as("grp"),
+          col("prefix").as("pa"))
       val b = t.filter(col("doc_id") % 50 === 1)
-        .select(col("doc_id").as("id_b"), col("prefix").as("pb"))
-      a.crossJoin(b)
+        .select(col("doc_id").as("id_b"), floor(col("doc_id") / 50).as("grp"),
+          col("prefix").as("pb"))
+      a.join(b, Seq("grp"))
         .select(col("id_a"), col("id_b"), levenshtein(col("pa"), col("pb")).as("edit_dist"))
     }, Some("""
       WITH t AS (SELECT doc_id, substr(text, 1, 80) AS prefix FROM documents)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
-      FROM t a CROSS JOIN t b
+      FROM t a JOIN t b ON a.doc_id // 50 = b.doc_id // 50
       WHERE a.doc_id % 50 = 0 AND b.doc_id % 50 = 1""")),
 
     // Embedding-corpus statistics per label: norm and component spread —

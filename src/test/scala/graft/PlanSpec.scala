@@ -78,6 +78,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
 
+  test("q56 sampled-pair edit distance plans no cartesian/nested-loop product") {
+    // the two 1/50 samples pair through a derived equi-join key
+    // (doc_id div 50) — a crossJoin of the samples is still O(n²) at scale
+    val p = plan("q56_edit_distance")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("q49 banded LSH self-join plans no cartesian/nested-loop product") {
     val p = plan("q49_embedding_neardup")
     assert(!p.contains("CartesianProduct"), p.take(4000))
