@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract parses one JSON line out of the process tail.
+// With the default LoggedOutput strategy sbt prefixes every forked-stdout
+// line with "[info] ", which breaks that parse (BENCH_r01..r04 all read
+// `parsed: null` for exactly this reason). StdoutOutput forwards the forked
+// process's stdout/stderr verbatim, so the JSON line starts at column 0.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -31,10 +31,11 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count()
       .write.format("noop").mode("overwrite").save()
 
-    // two timed executions per query, min reported: the first run carries
-    // one-off planning/codegen-compile cost and ambient noise; min-of-2 is
+    // three timed executions per query, min reported: the first run carries
+    // one-off planning/codegen-compile cost, and ambient machine load can
+    // inflate any single run 5-25x (observed on shared hosts) — min-of-3 is
     // the steady-state figure a resident service would see
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // comma-separated allowlist for focused iteration; unset = all queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
