@@ -283,9 +283,17 @@ object Dedup {
       array_distinct(split(col(textCol), "\\s+")).as("tok"))
       .filter(size(col("tok")) > 0)
       .withColumn("h", md5(concat_ws(" ", array_sort(col("tok")))))
-    val members = docSets.select(col("h"), col("id"))
-    val reps = docSets.groupBy(col("h"))
+    // Materialized once: docSets feeds members (read 3×: repOf + intra×2)
+    // and reps; reps feeds the prefix chain, BOTH verify-side set lookups,
+    // and repOf. Without lineage truncation every consumer replays the
+    // scan + tokenize + set-collapse groupBy from scratch — localCheckpoint
+    // pins the (tiny: one row per document / per distinct set) frames in
+    // the block manager so consumers read blocks instead of recomputing.
+    val docSetsCk = docSets.localCheckpoint()
+    val members = docSetsCk.select(col("h"), col("id"))
+    val reps = docSetsCk.groupBy(col("h"))
       .agg(min(col("id")).as("id"), min_by(col("tok"), col("id")).as("tok"))
+      .localCheckpoint()
 
     val tok = reps.select(col("id"), explode(col("tok")).as("tok"))
     // document frequency per token — the global order driver; vocab-sized
@@ -295,6 +303,9 @@ object Dedup {
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("freq"), col("tok")))).as("ord"))
       .select(col("id"), col("ord").getField("tok").as("toks"))
+      // prefixes is read by BOTH sides of the candidate join — truncate so
+      // the freq-join + rare-first ordering groupBy runs once, not twice
+      .localCheckpoint()
     // prefix rows carry the 1-based POSITION of each prefix token (PPJoin's
     // positional information) and hash the token to a long: the join key
     // shuffles as 8 bytes, and a hash collision can only MERGE two tokens'
