@@ -147,9 +147,93 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Engine-portable MinHash signature: sig(i) = the first 16 hex chars of
+    * md5("<i>:" ++ shingle), minimized over shingles. The first 16 hex
+    * chars of an md5 are its first 8 digest bytes read big-endian as an
+    * unsigned 64-bit value, so the loop tracks a bare long per seed
+    * (Long.compareUnsigned) and hex-formats once at the end — no string
+    * churn inside the hot loop. Equals
+    * TextFunctions.minHashSignaturePortableReference element-for-element
+    * (differential-tested in ExpressionSpec) and is replayed by the DuckDB
+    * oracles of q45/q68 via `substr(md5(i || ':' || sh), 1, 16)`.
+    */
+  case class PortableMinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any =
+      PortableMinhashOps.signature(input.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = graft.expressions.PortableMinhashOps.signature($a, $k);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): PortableMinHashSignature =
+      copy(child = newChild)
+  }
+
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
 
   def minhashSignature(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), k))
+
+  def portableMinhashSignature(shingles: Column, k: Int): Column =
+    Bridge.column(PortableMinHashSignature(Bridge.expression(shingles), k))
+}
+
+/** Top-level on purpose: generated (Janino) code calls the static
+  * forwarder `graft.expressions.PortableMinhashOps.signature`, which scalac
+  * only emits for top-level objects (nested-object statics don't link and
+  * silently drop the stage to interpreted).
+  */
+object PortableMinhashOps {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  // "<i>:" prefix bytes per seed index, cached per distinct k
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def prefixes(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k,
+      n => Array.tabulate(n)(i => s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  /** sig(i) = min over shingles of the first 8 md5 bytes of "<i>:"+shingle,
+    * as an unsigned long; emitted as the 16-lowercase-hex string whose
+    * lexicographic order equals the unsigned numeric order.
+    */
+  def signature(shingles: ArrayData, k: Int): ArrayData = {
+    val pre = prefixes(k)
+    val md = digests.get()
+    val out = new Array[Byte](16)
+    // unsigned min; MaxValue pattern only survives an empty shingle array,
+    // where the signature row is all-ff — same degenerate value every engine
+    // computes for "no shingles", never compared against real corpora
+    val sig = Array.fill(k)(-1L) // 0xffffffffffffffff == unsigned max
+    var s = 0
+    val n = shingles.numElements()
+    while (s < n) {
+      if (!shingles.isNullAt(s)) {
+        val bytes = shingles.getUTF8String(s).getBytes
+        var i = 0
+        while (i < k) {
+          md.reset()
+          md.update(pre(i))
+          md.update(bytes)
+          md.digest(out, 0, 16)
+          var h = 0L
+          var b = 0
+          while (b < 8) { h = (h << 8) | (out(b) & 0xffL); b += 1 }
+          if (java.lang.Long.compareUnsigned(h, sig(i)) < 0) sig(i) = h
+          i += 1
+        }
+      }
+      s += 1
+    }
+    val strs: Array[AnyRef] = Array.tabulate(k) { i =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(f"${sig(i)}%016x")
+    }
+    new GenericArrayData(strs)
+  }
 }

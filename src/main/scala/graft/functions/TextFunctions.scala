@@ -119,6 +119,28 @@ object TextFunctions {
       i => array_min(transform(shinglesCol, s => xxhash64(i, s))),
     )
 
+  /** Engine-portable MinHash signature: element i is the minimum over
+    * shingles of the first 16 hex chars of `md5("<i>:" ++ shingle)` — a
+    * fixed-width unsigned-64 order encoded as lowercase hex, so the
+    * lexicographic `array_min` IS the numeric min. Any engine with md5 can
+    * replay it bit-for-bit (the q45/q68 DuckDB oracles do); the xxhash64
+    * codegen kernel ([[minHashSignature]]) stays the engine-native default
+    * for production pipelines where cross-engine parity isn't needed.
+    * Delegates to the codegen'd expression (the HOF twin below measured
+    * ~18 s vs sub-second at sf0.1 — interpreted per element).
+    */
+  def minHashSignaturePortable(shinglesCol: Column, k: Int): Column =
+    graft.expressions.HashExpressions.portableMinhashSignature(shinglesCol, k)
+
+  /** Pure higher-order-function portable MinHash (interpreted — the
+    * differential-test reference for the codegen kernel).
+    */
+  def minHashSignaturePortableReference(shinglesCol: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shinglesCol, s =>
+        substring(md5(concat(lit(s"$i:"), s)), 1, 16)))
+    }: _*)
+
   /** 64-bit SimHash (Charikar 2002) over whitespace tokens: per bit, sum
     * +1/−1 votes from each token's xxhash64; bit set iff the vote is
     * positive. Emitted as the signed Long whose bits are the fingerprint.

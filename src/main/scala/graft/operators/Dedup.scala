@@ -103,7 +103,9 @@ object Dedup {
       .withColumn("jaccard",
         graft.expressions.TokenExpressions.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      // parity round: q45's oracle replays this column in DuckDB
+      .select(col("id_a"), col("id_b"),
+        graft.functions.ColumnFunctions.pround(col("jaccard"), 4).as("jaccard"))
 
   /** MinHash-LSH candidate pairs: signature of `k` hashes split into
     * `bands`; docs sharing any band-hash become a candidate pair, then
@@ -114,6 +116,54 @@ object Dedup {
       shingleN: Int = 3, k: Int = 32, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     val banded = bandSignatures(docs, idCol, textCol, shingleN, k, bands)
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    verifyPairs(pairsFromBands(banded), sh, threshold)
+  }
+
+  /** Engine-portable twin of [[bandSignatures]]: md5-hex minhash rows
+    * ([[TextFunctions.minHashSignaturePortable]]) and an md5 band hash over
+    * `"<band>:" ++ join(rows, ",")`, so any engine with md5 reproduces the
+    * exact (band, band_hash) buckets — this is what lets the q45/q68
+    * oracles replay LSH candidate generation in DuckDB instead of settling
+    * for a rows-only check. Same narrow shuffle shape as the native
+    * variant: only (band, band_hash, id) ever enters a bucket join.
+    */
+  def bandSignaturesPortable(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs
+      // The k·|shingles| md5 loop is ~10× an xxhash64, so this stage is
+      // compute-bound: a small parquet input arrives in 1-2 partitions and
+      // would hash on 1-2 cores. Explicit repartition (AQE-exempt) spreads
+      // the digest work across the cluster before the heavy projection.
+      .repartition(nPart, col(idCol))
+      .select(col(idCol).as("id"),
+        minHashSignaturePortable(
+          array_distinct(shingles(col(textCol), shingleN)), k).as("sig"))
+      .select(
+        col("id"),
+        posexplode(
+          array((0 until bands).map { b =>
+            md5(concat(lit(s"$b:"),
+              concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))))
+          }: _*)
+        ).as(Seq("band", "band_hash")),
+      )
+  }
+
+  /** [[minHashLsh]] on the portable md5 banding — byte-identical candidate
+    * buckets in any md5-capable engine (DuckDB oracle for q45).
+    */
+  def minHashLshPortable(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    // materialized once: both sides of the bucket self-join read the banded
+    // frame, and the md5 signature stage is too expensive to recompute
+    val banded = bandSignaturesPortable(docs, idCol, textCol, shingleN, k, bands)
+      .localCheckpoint()
     val sh = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleN)).as("sh"))
     verifyPairs(pairsFromBands(banded), sh, threshold)
@@ -159,6 +209,20 @@ object Dedup {
     // j=0.5 (8×4 banding would coin-flip mid-similarity pairs)
     val exact = dropExactDups(docs, idCol, textCol)
     val pairs = minHashLsh(exact, idCol, textCol,
+      shingleN = shingleN, k = k, bands = bands, threshold = threshold)
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    exact.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupCorpus]] on the portable md5 banding — the survivor set is
+    * engine-reproducible, so q68's oracle replays the whole exact→LSH→
+    * anti-join pipeline in DuckDB.
+    */
+  def dedupCorpusPortable(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.7,
+      k: Int = 32, bands: Int = 16): DataFrame = {
+    val exact = dropExactDups(docs, idCol, textCol)
+    val pairs = minHashLshPortable(exact, idCol, textCol,
       shingleN = shingleN, k = k, bands = bands, threshold = threshold)
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
     exact.join(losers, Seq(idCol), "left_anti")

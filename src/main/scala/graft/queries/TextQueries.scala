@@ -123,12 +123,45 @@ object TextQueries {
         AND round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.tok, b.tok))), 4) >= 0.9""")),
 
-    // MinHash + banded LSH near-dup pairs (xxhash64 — no DuckDB twin;
-    // invariant-tested in DedupSpec instead).
+    // MinHash + banded LSH near-dup pairs. The declared entry uses the
+    // PORTABLE md5-hex signature (Dedup.minHashLshPortable) so DuckDB
+    // replays the exact band hashes and the candidate set — the xxhash64
+    // codegen kernel stays the engine-native default (minHashLsh), covered
+    // by the DedupSpec planted-dup laws + differential tests.
     ("q45_minhash_lsh", (s: SparkSession, d: String) => {
-      Dedup.minHashLsh(Tables.documents(s, d), "doc_id", "text",
+      Dedup.minHashLshPortable(Tables.documents(s, d), "doc_id", "text",
         shingleN = 3, k = 32, bands = 8, threshold = 0.5)
-    }, None),
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      s AS (
+        SELECT doc_id,
+               CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                    ELSE [array_to_string(w[i+1:i+3], ' ')
+                          for i in generate_series(0, len(w)-3)]
+               END AS shs
+        FROM t),
+      sig AS (
+        SELECT doc_id,
+               [list_min([substr(md5(i::VARCHAR || ':' || sh), 1, 16) for sh in shs])
+                for i in generate_series(0, 31)] AS sig
+        FROM s),
+      bd AS (
+        SELECT doc_id, g.b AS band,
+               md5(g.b::VARCHAR || ':' || array_to_string(sig[g.b*4+1:g.b*4+4], ',')) AS band_hash
+        FROM sig, generate_series(0, 7) AS g(b)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bd x JOIN bd y ON x.band = y.band AND x.band_hash = y.band_hash
+        WHERE x.doc_id < y.doc_id),
+      d AS (SELECT doc_id, list_distinct(shs) AS sh FROM s)
+      SELECT c.id_a, c.id_b,
+             round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS jaccard
+      FROM cand c
+      JOIN d da ON da.doc_id = c.id_a
+      JOIN d db ON db.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(da.sh, db.sh))) >= 0.5""")),
 
     // SimHash near-dup pairs within hamming radius 3 (rows-only).
     ("q46_simhash", (s: SparkSession, d: String) => {
@@ -323,12 +356,51 @@ object TextQueries {
       FROM t GROUP BY label""")),
 
     // Full corpus-cleaning pipeline: exact + MinHash-LSH fuzzy dedup,
-    // surviving rows out (xxhash-based — rows-only; SketchSpec asserts the
-    // survivor set on a crafted corpus).
+    // surviving rows out. Declared on the PORTABLE md5 banding
+    // (Dedup.dedupCorpusPortable, 16x2 bands) so DuckDB replays the whole
+    // exact→LSH→anti-join survivor computation; the xxhash64-native
+    // dedupCorpus stays covered by the SketchSpec crafted-corpus law.
     ("q68_dedup_corpus", (s: SparkSession, d: String) => {
-      Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
+      Dedup.dedupCorpusPortable(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
         .select(col("doc_id"), col("lang"), col("source"))
-    }, None),
+    }, Some("""
+      WITH keep AS (
+        SELECT doc_id, lang, source, text FROM (
+          SELECT doc_id, lang, source, text,
+                 row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1),
+      t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM keep),
+      s AS (
+        SELECT doc_id,
+               CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                    ELSE [array_to_string(w[i+1:i+3], ' ')
+                          for i in generate_series(0, len(w)-3)]
+               END AS shs
+        FROM t),
+      sig AS (
+        SELECT doc_id,
+               [list_min([substr(md5(i::VARCHAR || ':' || sh), 1, 16) for sh in shs])
+                for i in generate_series(0, 31)] AS sig
+        FROM s),
+      bd AS (
+        SELECT doc_id, g.b AS band,
+               md5(g.b::VARCHAR || ':' || array_to_string(sig[g.b*2+1:g.b*2+2], ',')) AS band_hash
+        FROM sig, generate_series(0, 15) AS g(b)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bd x JOIN bd y ON x.band = y.band AND x.band_hash = y.band_hash
+        WHERE x.doc_id < y.doc_id),
+      d AS (SELECT doc_id, list_distinct(shs) AS sh FROM s),
+      losers AS (
+        SELECT DISTINCT c.id_b
+        FROM cand c
+        JOIN d da ON da.doc_id = c.id_a
+        JOIN d db ON db.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.sh, db.sh))) >= 0.5)
+      SELECT k.doc_id, k.lang, k.source
+      FROM keep k WHERE k.doc_id NOT IN (SELECT id_b FROM losers)""")),
 
     // Deterministic hash sampling + per-stratum quotas — reproducible
     // curation sampling. The declared entry uses the PORTABLE md5-hex

@@ -133,6 +133,53 @@ class DedupSpec extends AnyFunSuite {
       shingleN = 3, threshold = 0.5, k = 32, bands = 8).count()
   }
 
+  test("minHashLshPortable: same planted-dup law as the native variant") {
+    val pairs = Dedup.minHashLshPortable(corpus, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)))
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 === 1.0)
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L)))
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minHashLshPortable on real corpus: verified pairs only, at sf0.001") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val pairs = Dedup.minHashLshPortable(docs, "doc_id", "text", threshold = 0.5)
+    assert(pairs.count() > 0)
+    assert(pairs.agg(min($"jaccard")).head().getDouble(0) >= 0.5)
+  }
+
+  test("dedupCorpusPortable keeps exactly the crafted-corpus survivors") {
+    val survivors = Dedup.dedupCorpusPortable(corpus, "doc_id", "text",
+      shingleN = 3, threshold = 0.5, k = 32, bands = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(0L, 3L, 4L),
+      "1 exact-dups 0; 2 near-dups 0; 3 and 4 unrelated survive")
+  }
+
+  test("dedupIncremental happy path: parquet round-tripped matching state still catches the planted dup") {
+    // Twin of the MISMATCH-rejection test: a matching-scheme state read
+    // back from parquet must look metadata-complete AND still detect the
+    // cross-batch duplicate — a metadata regression that made valid state
+    // look parameterless would otherwise silently disable incremental dedup.
+    val old = corpus.filter($"doc_id".isin(0L, 3L, 4L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands_ok").toString + "/bands"
+    Dedup.bandSignatures(old, "doc_id", "text", shingleN = 3, k = 32, bands = 16)
+      .write.parquet(dir)
+    val oldBands = spark.read.parquet(dir)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "brand new material on adaptive query execution and skew handling"),
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.dedupIncremental(batch, old, oldBands, "doc_id", "text",
+      shingleN = 3, threshold = 0.5, k = 32, bands = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(11L), "10 duplicates old doc 0 and must be dropped")
+  }
+
   test("jaccardSelfJoin edge corpora: all-identical, all-unique, singleton") {
     // all-identical token sets: every pair emitted as J = 1.0 through the
     // set-collapse fast path, none verified

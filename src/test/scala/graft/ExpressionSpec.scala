@@ -45,6 +45,18 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("portable minHash signature expression == HOF md5 reference") {
+    for (df <- Seq(docs.select($"text"), edge)) {
+      val bad = df
+        .select(
+          TF.minHashSignaturePortable(TF.shingles($"text", 3), 16).as("fast"),
+          TF.minHashSignaturePortableReference(TF.shinglesReference($"text", 3), 16).as("ref"))
+        .filter($"fast" =!= $"ref")
+        .count()
+      assert(bad === 0)
+    }
+  }
+
   test("shingles expression == HOF reference") {
     for (df <- Seq(docs.select($"text"), edge)) {
       val bad = df
