@@ -26,24 +26,97 @@ object BinaryOps {
       n_frames: Int)
 
   /** STUB decoder: derives fake media metadata deterministically from the
-    * payload byte length. A real implementation would parse the container
-    * header here.
+    * payload byte length. The fallback when the payload is not a container
+    * format [[parseImageHeader]] understands (the synthetic test corpus
+    * carries UTF-8 text payloads, which can never match the PNG/JPEG
+    * signatures).
     */
   def stubDecode(docId: Long, payload: Array[Byte]): MediaMeta = {
     val n = payload.length
     MediaMeta(docId, n, 64 + n % 512, 64 + (n * 7) % 512, 1 + n % 30)
   }
 
+  private def be16(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+  private def be32(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+      ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+
+  /** REAL image header parsing — (width, height) from the container bytes:
+    *
+    *  - PNG (ISO/IEC 15948 §5.2, §11.2.2): 8-byte signature, then IHDR is
+    *    required to be the first chunk — width/height are the big-endian
+    *    32-bit words at offsets 16 and 20.
+    *  - JPEG (ITU-T T.81 §B.2.2): SOI marker, then marker segments are
+    *    walked (2-byte big-endian payload length, which includes itself)
+    *    until the first frame header SOFn (0xC0–0xCF minus DHT 0xC4,
+    *    JPG 0xC8, DAC 0xCC); the frame carries precision(1),
+    *    height(2 BE), width(2 BE).
+    *
+    * Returns None for anything malformed or non-image — callers fall back
+    * to [[stubDecode]] so synthetic corpora keep flowing through the same
+    * pipeline.
+    */
+  def parseImageHeader(p: Array[Byte]): Option[(Int, Int)] = {
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length >= 24 && pngSig.indices.forall(i => (p(i) & 0xff) == pngSig(i))
+        && p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R') {
+      val w = be32(p, 16)
+      val h = be32(p, 20)
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } else if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 3 < p.length && (p(i) & 0xff) == 0xff) {
+        var j = i
+        while (j < p.length && (p(j) & 0xff) == 0xff) j += 1 // fill bytes
+        if (j >= p.length) return None
+        val marker = p(j) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf
+            && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // j indexes the SOFn marker code; then len(2) precision(1)
+          // height(2) width(2)
+          if (j + 7 >= p.length) return None
+          val h = be16(p, j + 4)
+          val w = be16(p, j + 6)
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        } else if (marker >= 0xd0 && marker <= 0xd9) {
+          i = j + 1 // standalone marker (RSTn/SOI/EOI): no length field
+        } else {
+          if (j + 2 >= p.length) return None
+          i = j + 1 + be16(p, j + 1)
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Header-aware decode: real PNG/JPEG dimensions when the payload is one
+    * (a still image is one frame); deterministic stub otherwise.
+    */
+  def decodeMeta(docId: Long, payload: Array[Byte]): MediaMeta =
+    parseImageHeader(payload) match {
+      case Some((w, h)) => MediaMeta(docId, payload.length, w, h, 1)
+      case None         => stubDecode(docId, payload)
+    }
+
+  /** Metadata extraction over a (doc_id, payload binary) frame — the real
+    * entry point a media table feeds. Per-partition batching; decode is
+    * embarrassingly parallel.
+    */
+  def extractMetaBinary(spark: SparkSession, payloads: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeMeta(id, bytes) })
+  }
+
   /** Attach a binary payload column (documents.text encoded as UTF-8 —
     * standing in for real media bytes) and extract metadata per partition.
     */
-  def extractMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
-    import spark.implicits._
-    docs
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => stubDecode(id, bytes) })
-  }
+  def extractMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] =
+    extractMetaBinary(spark,
+      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
 
   /** Frame-sampling shape: explode n_frames into (doc_id, frame_idx) rows —
     * the fan-out a video pipeline feeds to per-frame feature extraction.
