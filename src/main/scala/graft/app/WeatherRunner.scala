@@ -1,7 +1,7 @@
 package graft.app
 
 import graft.analytics.WeatherAnalytics
-import graft.io.{CsvIngest, ResultStore}
+import graft.io.{Catalog, CsvIngest, ResultStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -51,6 +51,37 @@ object WeatherRunner {
     StructField("timezone_abbreviation", StringType),
     StructField("city_name", StringType)))
 
+  /** The reference's Hive SQL surface (`run_hive_analysis_simple.py:278-331`):
+    * a `weather_analytics` database of EXTERNAL tables over the raw CSVs
+    * (the weather date column is `dt` there — `date` is a Hive reserved
+    * word), queried by name through `spark.sql` with the reference's
+    * Query 1 verbatim (plus the deterministic city tie-break, intentional
+    * deviation #1). Bad rows arrive as nulls and are filtered by the
+    * query's own IS NOT NULL — exactly how the Hive path behaves.
+    */
+  def runSqlSurface(spark: SparkSession, weatherCsv: String,
+      locationsCsv: String): DataFrame = {
+    val hiveWeatherSchema = StructType(weatherSchema.map(f =>
+      if (f.name == "date") f.copy(name = "dt") else f))
+    Catalog.useDatabase(spark, "weather_analytics")
+    Catalog.createExternalCsv(spark, "weather_data", weatherCsv, hiveWeatherSchema)
+    Catalog.createExternalCsv(spark, "location_data", locationsCsv, locationSchema)
+    val result = spark.sql("""
+      SELECT
+          l.city_name,
+          ROUND(AVG(w.temperature_2m_max), 2) AS avg_max_temp,
+          ABS(AVG(w.temperature_2m_max) - 22) AS temp_deviation
+      FROM weather_data w
+      JOIN location_data l
+          ON w.location_id = l.location_id
+      WHERE w.temperature_2m_max IS NOT NULL
+      GROUP BY l.city_name
+      ORDER BY temp_deviation ASC, l.city_name
+      LIMIT 10""")
+    spark.sql("USE default") // plans are analyzed eagerly; safe to restore
+    result
+  }
+
   /** Ingest both CSVs (any header dialect, whole-row malformed policy)
     * and run all six pipelines, writing each result table under `outDir`.
     * Returns table name → row count.
@@ -70,6 +101,8 @@ object WeatherRunner {
       "weekly_max_temp_hottest_months" -> WeatherAnalytics.weeklyMaxTempHottestMonths(weather, locations),
       "raw_weather_data" -> weather,
       "locations" -> locations,
+      // the catalog/SQL route to the same answer, exercised end-to-end
+      "top_temperate_cities_hql" -> runSqlSurface(spark, weatherCsv, locationsCsv),
     )
     val counts = tables.map { case (name, df) =>
       ResultStore.overwrite(df, s"$outDir/$name")

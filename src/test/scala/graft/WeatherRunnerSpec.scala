@@ -40,5 +40,13 @@ class WeatherRunnerSpec extends AnyFunSuite {
     val hp = spark.read.parquet(s"$dir/out/highest_precipitation").head()
     assert(hp.getString(0) === "2014-12")
     assert(hp.getDouble(1) === 18.0)
+
+    // HiveQL-parity: the reference's Query 1 run through registered
+    // catalog tables (run_hive_analysis_simple.py:278-331) lands on the
+    // same rows as the DataFrame-API pipeline
+    assert(counts("top_temperate_cities_hql") === 2)
+    def rows(t: String) = spark.read.parquet(s"$dir/out/$t")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(rows("top_temperate_cities_hql") === rows("top_temperate_cities"))
   }
 }
