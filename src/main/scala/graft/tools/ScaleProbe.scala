@@ -4,8 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical scaling probe for the corpus operators: times the
-  * linear-output pipeline ops over 1×/2×/4×/8× corpora and prints one
-  * JSON line per (op, scale) so the growth curve is measurable.
+  * linear-output pipeline ops over 1×/2×/4×/8×… corpora and prints one
+  * JSON line per (op, scale) so the growth curve is measurable — and,
+  * given an output path, writes the same lines plus a ratio summary as a
+  * per-round artifact (`SCALEPROBE_r{N}.json`). ScaleProbeSpec asserts the
+  * sub-linearity bound per test run, so the scaling claim is re-checked
+  * every round instead of living only in README prose.
   *
   * The scaled corpus is K independent shards: copy k prefixes every token
   * with `ck_`, so shards share no vocabulary and the duplicate/near-dup
@@ -14,9 +18,11 @@ import org.apache.spark.sql.functions._
   * overhead); anything superlinear is a plan problem, not a data
   * property.
   *
-  * `runMain graft.tools.ScaleProbe [sfDir] [maxK]`
+  * `runMain graft.tools.ScaleProbe [sfDir] [maxK] [outFile]`
   */
 object ScaleProbe {
+
+  final case class Probe(op: String, k: Int, rows: Long, sec: Double)
 
   def scaledCorpus(docs: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>
@@ -30,9 +36,66 @@ object ScaleProbe {
           .as("text"))
     }.reduce(_ unionByName _)
 
+  /** The probed operator suite over a materialized corpus frame. */
+  def ops(docs: DataFrame): Seq[(String, () => Long)] = Seq(
+    ("exact_dedup", () =>
+      graft.operators.Dedup.exactDupGroups(docs, "doc_id", "text").count()),
+    ("minhash_lsh", () =>
+      graft.operators.Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.5).count()),
+    ("dedup_corpus", () =>
+      graft.operators.Dedup.dedupCorpus(docs, "doc_id", "text").count()),
+    ("pack_sequences", () =>
+      graft.operators.Packing.packSequences(docs, "doc_id",
+        size(split(col("text"), "\\s+")), budget = 512L).count()),
+    ("decontaminate", () =>
+      graft.operators.Decontaminate.contaminationReport(
+        docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text").count()))
+
+  /** Times every op at every scale in `ks`; `iters` timed runs per (op,
+    * k), min reported (single runs on a shared host inflate under ambient
+    * load). The scaled corpus is materialized to parquet first so
+    * generation cost is outside the op timings and every op reads the
+    * same files.
+    */
+  def run(spark: SparkSession, base: DataFrame, ks: Seq[Int], tmpDir: String,
+      iters: Int = 1): Seq[Probe] =
+    ks.flatMap { k =>
+      val path = s"$tmpDir/docs_x$k"
+      scaledCorpus(base, k).write.mode("overwrite").parquet(path)
+      val docs = spark.read.parquet(path)
+      ops(docs).map { case (name, op) =>
+        var rows = 0L
+        val secs = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          rows = op()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Probe(name, k, rows, secs.min)
+      }
+    }
+
+  def jsonLine(p: Probe): String =
+    f"""{"probe":"${p.op}","k":${p.k},"rows":${p.rows},"sec":${p.sec}%.2f}"""
+
+  /** One summary line per op: wall-time ratio between the largest and
+    * smallest probed scale vs the data ratio — sub-linear means
+    * sec_ratio < k_ratio. A floor on the denominator keeps scheduling
+    * noise out of the ratio on near-instant ops.
+    */
+  def summaryLines(probes: Seq[Probe]): Seq[String] = {
+    probes.groupBy(_.op).toSeq.sortBy(_._1).map { case (op, ps) =>
+      val lo = ps.minBy(_.k)
+      val hi = ps.maxBy(_.k)
+      val ratio = hi.sec / math.max(lo.sec, 0.15)
+      f"""{"summary":"$op","k_ratio":${hi.k / lo.k},"sec_ratio":$ratio%.2f,"sec_lo":${lo.sec}%.2f,"sec_hi":${hi.sec}%.2f}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val maxK = if (args.length > 1) args(1).toInt else 8
+    val outFile = if (args.length > 2) Some(args(2)) else None
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -46,34 +109,12 @@ object ScaleProbe {
 
     val base = graft.Tables.documents(spark, sfDir)
     val ks = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).toSeq
-    for (k <- ks) {
-      // materialize the scaled corpus so generation cost is out of the op
-      // timings and every op reads the same parquet
-      val path = s"/tmp/graft_scale/docs_x$k"
-      scaledCorpus(base, k).write.mode("overwrite").parquet(path)
-      val docs = spark.read.parquet(path)
-
-      val ops: Seq[(String, () => Long)] = Seq(
-        ("exact_dedup", () =>
-          graft.operators.Dedup.exactDupGroups(docs, "doc_id", "text").count()),
-        ("minhash_lsh", () =>
-          graft.operators.Dedup.minHashLsh(docs, "doc_id", "text",
-            shingleN = 3, k = 32, bands = 8, threshold = 0.5).count()),
-        ("dedup_corpus", () =>
-          graft.operators.Dedup.dedupCorpus(docs, "doc_id", "text").count()),
-        ("pack_sequences", () =>
-          graft.operators.Packing.packSequences(docs, "doc_id",
-            size(split(col("text"), "\\s+")), budget = 512L).count()),
-        ("decontaminate", () =>
-          graft.operators.Decontaminate.contaminationReport(
-            docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text").count()))
-
-      for ((name, run) <- ops) {
-        val t0 = System.nanoTime()
-        val rows = run()
-        val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"probe":"$name","k":$k,"rows":$rows,"sec":$sec%.2f}""")
-      }
+    val probes = run(spark, base, ks, "/tmp/graft_scale", iters = 2)
+    val lines = probes.map(jsonLine) ++ summaryLines(probes)
+    lines.foreach(println)
+    outFile.foreach { f =>
+      java.nio.file.Files.writeString(java.nio.file.Path.of(f),
+        lines.mkString("", "\n", "\n"))
     }
     spark.stop()
   }

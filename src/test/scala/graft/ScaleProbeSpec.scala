@@ -1,0 +1,33 @@
+package graft
+
+import graft.tools.ScaleProbe
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Asserts the scaling claim instead of trusting README prose: over
+  * vocabulary-disjoint shard corpora, 16× more data must cost well under
+  * 16× wall time for every probed corpus operator. The bound is generous
+  * (linear growth would hit ~16 minus fixed overhead; quadratic blow-ups
+  * land at hundreds) so ambient machine load can't flake the test while a
+  * real plan regression — a cross join, a lost prefix filter, a
+  * single-partition stage — still trips it.
+  */
+class ScaleProbeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("corpus operators scale sub-linearly from 2x to 32x shards") {
+    val base = Tables.documents(spark, TestSpark.sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scaleprobe").toString
+    val probes = ScaleProbe.run(spark, base, Seq(2, 32), tmp, iters = 2)
+    val byOp = probes.groupBy(_.op)
+    assert(byOp.size === 5, "every probed op must report both scales")
+    for ((op, ps) <- byOp) {
+      val lo = ps.minBy(_.k)
+      val hi = ps.maxBy(_.k)
+      assert(hi.rows > lo.rows, s"$op: scaled corpus must produce more rows")
+      // floor the denominator: near-instant ops divide scheduling noise
+      val ratio = hi.sec / math.max(lo.sec, 0.15)
+      assert(ratio < 16.0,
+        f"$op: sec(32x)=${hi.sec}%.2f / sec(2x)=${lo.sec}%.2f = $ratio%.1f — not sub-linear")
+    }
+  }
+}
