@@ -172,8 +172,33 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Engine-portable SimHash64: identical vote/bitmap semantics to
+    * [[SimHash64]], but the per-token hash is the first 8 md5 bytes read
+    * big-endian — the value any engine reproduces as
+    * `('0x' || substr(md5(token), 1, 16))::UBIGINT` (the q46 DuckDB oracle
+    * does exactly that).
+    */
+  case class PortableSimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        PortableMinhashOps.simhash(input.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = graft.expressions.PortableMinhashOps.simhash($a);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): PortableSimHash64 =
+      copy(child = newChild)
+  }
+
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  def portableSimhash64(tokens: Column): Column =
+    Bridge.column(PortableSimHash64(Bridge.expression(tokens)))
 
   def minhashSignature(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), k))
@@ -198,6 +223,49 @@ object PortableMinhashOps {
   private def prefixes(k: Int): Array[Array[Byte]] =
     prefixCache.computeIfAbsent(k,
       n => Array.tabulate(n)(i => s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  /** First 8 md5 bytes of the UTF-8 string, big-endian — the 64-bit value
+    * `('0x' || substr(md5(s), 1, 16))::UBIGINT` in any md5-capable engine.
+    */
+  def hash64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digests.get()
+    val out = new Array[Byte](16)
+    md.reset()
+    md.update(s.getBytes)
+    md.digest(out, 0, 16)
+    var h = 0L
+    var b = 0
+    while (b < 8) { h = (h << 8) | (out(b) & 0xffL); b += 1 }
+    h
+  }
+
+  /** SimHash64 with [[hash64]] as the token hash: per token ±1 votes per
+    * bit, bit set iff the vote is positive — the same semantics as the
+    * xxhash64-native kernel.
+    */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash64(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 
   /** sig(i) = min over shingles of the first 8 md5 bytes of "<i>:"+shingle,
     * as an unsigned long; emitted as the 16-lowercase-hex string whose

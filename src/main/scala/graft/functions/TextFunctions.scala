@@ -150,6 +150,14 @@ object TextFunctions {
   def simHash64(text: Column): Column =
     graft.expressions.HashExpressions.simhash64(tokens(text))
 
+  /** Engine-portable SimHash64: same vote semantics, but the token hash is
+    * the first 8 md5 bytes big-endian, so any engine replays the exact
+    * fingerprint (the q46 DuckDB oracle does) — xxhash64 [[simHash64]]
+    * stays the engine-native default.
+    */
+  def simHash64Portable(text: Column): Column =
+    graft.expressions.HashExpressions.portableSimhash64(tokens(text))
+
   /** Pure higher-order-function SimHash (interpreted — reference only). */
   def simHash64Reference(text: Column): Column = {
     // Bit loops are unrolled Scala-side (shift amounts must be constants);

@@ -173,8 +173,22 @@ object Dedup {
     * 16-bit fingerprint chunks so candidates meet in an equi-join.
     */
   def simHashDups(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
-    val fp = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("fp"))
+      maxDist: Int = 3): DataFrame =
+    simHashDupsImpl(docs.select(col(idCol).as("id"),
+      simHash64(col(textCol)).as("fp")), maxDist)
+
+  /** [[simHashDups]] on the portable md5 token hash
+    * ([[TextFunctions.simHash64Portable]]): the 16-bit chunk blocking is
+    * EXACT for the hamming radius (pigeonhole), so the emitted pair set
+    * equals the brute-force hamming scan any engine can run — which is
+    * precisely how the q46 DuckDB oracle checks it.
+    */
+  def simHashDupsPortable(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame =
+    simHashDupsImpl(docs.select(col(idCol).as("id"),
+      simHash64Portable(col(textCol)).as("fp")), maxDist)
+
+  private def simHashDupsImpl(fp: DataFrame, maxDist: Int): DataFrame = {
     val chunked = fp.select(
       col("id"), col("fp"),
       posexplode(

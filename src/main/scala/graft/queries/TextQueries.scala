@@ -163,10 +163,30 @@ object TextQueries {
       WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(da.sh, db.sh))) >= 0.5""")),
 
-    // SimHash near-dup pairs within hamming radius 3 (rows-only).
+    // SimHash near-dup pairs within hamming radius 3. Declared on the
+    // PORTABLE md5 token hash; the 16-bit chunk pigeonhole blocking is
+    // EXACT for radius <= 3, so the DuckDB oracle is simply the
+    // brute-force hamming scan over engine-identical fingerprints
+    // (('0x'||substr(md5(tok),1,16))::UBIGINT == the Spark kernel's
+    // big-endian first 8 md5 bytes). xxhash64 simHashDups stays the
+    // engine-native default under the DedupSpec laws.
     ("q46_simhash", (s: SparkSession, d: String) => {
-      Dedup.simHashDups(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
-    }, None),
+      Dedup.simHashDupsPortable(Tables.documents(s, d), "doc_id", "text", maxDist = 3)
+    }, Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+                 FROM documents),
+      h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM t),
+      v AS (SELECT doc_id, g.b AS b,
+                   sum(CASE WHEN (hv >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+            FROM h, generate_series(0, 63) AS g(b) GROUP BY doc_id, g.b),
+      f AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN vote > 0 THEN (1::UBIGINT << b)
+                                 ELSE 0::UBIGINT END) AS UBIGINT) AS fpu
+            FROM v GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+             CAST(bit_count(xor(a.fpu, b2.fpu)) AS INTEGER) AS dist
+      FROM f a JOIN f b2 ON a.doc_id < b2.doc_id
+      WHERE bit_count(xor(a.fpu, b2.fpu)) <= 3""")),
 
     // Winnowing-style document fingerprint: min hash over word 5-gram
     // shingles. The declared entry uses md5 as the shingle hash so the

@@ -133,6 +133,14 @@ class DedupSpec extends AnyFunSuite {
       shingleN = 3, threshold = 0.5, k = 32, bands = 8).count()
   }
 
+  test("simHashDupsPortable: same planted-dup law as the native variant") {
+    val pairs = Dedup.simHashDupsPortable(corpus, "doc_id", "text", maxDist = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number]("dist").intValue())).toMap
+    assert(pairs((0L, 1L)) === 0, "identical docs have identical fingerprints")
+    assert(pairs.contains((0L, 2L)), "one changed word stays within radius")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("minHashLshPortable: same planted-dup law as the native variant") {
     val pairs = Dedup.minHashLshPortable(corpus, "doc_id", "text",
       shingleN = 3, k = 32, bands = 16, threshold = 0.5)
