@@ -129,6 +129,40 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** [[HyperplaneBuckets]] on the PORTABLE Rademacher planes ([[VecOps
+    * .radSign]] of "t:b:d"): one tight loop over a precomputed ±1 table
+    * instead of tables×bits wide Column dot products (which overflow the
+    * whole-stage method budget and fall back to interpreted eval). Sign
+    * test is `>= 0` to match the Column/SQL formulation.
+    */
+  case class PortableHyperplaneBuckets(child: Expression, bitsPerTable: Int,
+      tables: Int, dim: Int) extends UnaryExpression {
+    require(bitsPerTable >= 1 && bitsPerTable <= 63 && tables >= 1 && dim >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    // laid out [(t*bitsPerTable + b)*dim + d]
+    @transient private lazy val planes: Array[Double] = {
+      val out = new Array[Double](tables * bitsPerTable * dim)
+      for (t <- 0 until tables; b <- 0 until bitsPerTable; d <- 0 until dim)
+        out((t * bitsPerTable + b) * dim + d) = VecOps.radSign(s"$t:$b:$d")
+      out
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      VecOps.portableBuckets(input.asInstanceOf[ArrayData], bitsPerTable, tables,
+        dim, planes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val ref = ctx.addReferenceObj("portablePlanes", planes, "double[]")
+        s"${ev.value} = ${VecOps.getClass.getName.stripSuffix("$")}" +
+          s".portableBuckets($a, $bitsPerTable, $tables, $dim, $ref);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): PortableHyperplaneBuckets =
+      copy(child = newChild)
+  }
+
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
@@ -137,6 +171,11 @@ object VectorExpressions {
 
   def hyperplaneBuckets(v: Column, bitsPerTable: Int, tables: Int): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(v), bitsPerTable, tables))
+
+  def portableHyperplaneBuckets(v: Column, bitsPerTable: Int, tables: Int,
+      dim: Int): Column =
+    Bridge.column(PortableHyperplaneBuckets(Bridge.expression(v), bitsPerTable,
+      tables, dim))
 }
 
 /** Top-level codegen kernel host (static-forwarder requirement — see
@@ -173,6 +212,47 @@ object VecOps {
           i += 1
         }
         if (proj > 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Portable Rademacher sign for a derivation key: +1 when the low bit of
+    * the big-endian first-8-byte word of md5(key) is set (the value
+    * `('0x' || substr(md5(key), 1, 16))::UBIGINT & 1` in any engine),
+    * else −1. Shared by the Column-level hyperplane builders and the
+    * codegen kernel so the two derivations cannot drift.
+    */
+  def radSign(key: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if ((h(7) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** Portable multi-table buckets over a precomputed ±1 plane table laid
+    * out [(t*bits + b)*dim + d]; sign test `>= 0`, sequential summation —
+    * engine-exact vs the SQL `list_dot_product(...) >= 0` formulation.
+    */
+  def portableBuckets(v: ArrayData, bitsPerTable: Int, tables: Int, dim: Int,
+      planes: Array[Double]): ArrayData = {
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bitsPerTable) {
+        val base = (t * bitsPerTable + b) * dim
+        var proj = 0.0
+        var i = 0
+        while (i < n) {
+          if (!v.isNullAt(i)) proj += v.getDouble(i) * planes(base + i)
+          i += 1
+        }
+        if (proj >= 0) bucket |= (1L << b)
         b += 1
       }
       out(t) = bucket

@@ -52,6 +52,47 @@ object VectorFunctions {
   def hyperplaneBuckets(v: Column, bitsPerTable: Int, tables: Int): Column =
     graft.expressions.VectorExpressions.hyperplaneBuckets(v, bitsPerTable, tables)
 
+  /** Deterministic Rademacher (±1) hyperplanes for the PORTABLE bucket
+    * variant: component (b, d) is +1 when the low bit of the 64-bit value
+    * `('0x' || substr(md5('b:d'), 1, 16))::UBIGINT` is set, else −1.
+    * Sign-random projections are a valid cosine-LSH family (±1 entries are
+    * 2-stable enough for the sign test — Charikar 2002 §3, Achlioptas
+    * 2001 sparse projections), and ±1 multipliers keep the dot product an
+    * EXACT sequence of additions, so any engine that sums left-to-right
+    * reproduces the same sign and therefore the same bucket.
+    */
+  def portableHyperplanes(nBits: Int, dim: Int, prefix: String = ""): Array[Array[Double]] =
+    Array.tabulate(nBits) { b =>
+      Array.tabulate(dim) { d =>
+        // single source of truth for the sign derivation (shared with the
+        // PortableHyperplaneBuckets codegen kernel)
+        graft.expressions.VecOps.radSign(s"$prefix$b:$d")
+      }
+    }
+
+  /** Engine-portable LSH bucket id: sign bits of the [[portableHyperplanes]]
+    * projections, baked into the plan as array literals — the q50 oracle
+    * bakes the SAME literals into its SQL, so bucket assignment is
+    * engine-exact. `dim` must match the embedding dimension.
+    */
+  def lshBucketPortable(v: Column, nBits: Int, dim: Int): Column =
+    portableHyperplanes(nBits, dim).zipWithIndex
+      .map { case (w, b) =>
+        when(dot(v, lit(w)) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** Portable multi-table signatures: table t uses [[portableHyperplanes]]
+    * with prefix "t:", one bucket id per table — the engine-exact twin of
+    * [[hyperplaneBuckets]] for the q49 oracle. Delegates to the codegen'd
+    * kernel: tables×bits wide Column dot products overflow the whole-stage
+    * method budget and drop the projection to interpreted eval (measured
+    * 5.2 s vs sub-second at sf0.1).
+    */
+  def hyperplaneBucketsPortable(v: Column, bitsPerTable: Int, tables: Int,
+      dim: Int): Column =
+    graft.expressions.VectorExpressions.portableHyperplaneBuckets(v, bitsPerTable, tables, dim)
+
   def lshBucket(v: Column, nBits: Int): Column =
     (0 until nBits)
       .map { b =>

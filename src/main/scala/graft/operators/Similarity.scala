@@ -68,6 +68,32 @@ object Similarity {
         graft.functions.ColumnFunctions.pround(col("cos"), 6).as("cos_sim"))
   }
 
+  /** [[lshTopK]] on the portable Rademacher hyperplanes
+    * ([[graft.functions.VectorFunctions.lshBucketPortable]]): bucket
+    * assignment is engine-exact (±1 literal hyperplanes, sequential
+    * summation), so the q50 DuckDB oracle replays the whole bucketed
+    * search. `dim` must match the embedding dimension.
+    */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nBits: Int, dim: Int): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucketPortable(col("v"), nBits, dim))
+      .withColumn("nrm", l2Norm(col("v")))
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucketPortable(col("qv"), nBits, dim))
+      .withColumn("qnrm", l2Norm(col("qv")))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        graft.functions.ColumnFunctions.pround(col("cos"), 6).as("cos_sim"))
+  }
+
   /** IVF (inverted-file) approximate top-k: k-means centroids learned once
     * over (a sample of) the corpus; each corpus vector is assigned to its
     * nearest centroid cell, and a query only scans its `nProbe` nearest
@@ -160,6 +186,35 @@ object Similarity {
     val l = banded.select(col("tbl"), col("bucket"), col("id").as("id_a"))
     val r = banded.select(col("tbl"), col("bucket"), col("id").as("id_b"))
     // multi-table collisions → dedup on the bare 16-byte id pair first
+    val pairs = l.join(r, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sets = c.withColumn("nrm", l2Norm(col("v")))
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.ColumnFunctions.pround(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** [[embeddingNearDupsBanded]] on the portable per-table Rademacher
+    * hyperplanes ([[graft.functions.VectorFunctions.hyperplaneBucketsPortable]]):
+    * candidate generation is engine-exact, so the q49 DuckDB oracle
+    * replays the whole banded search + cosine verify. `dim` must match
+    * the embedding dimension.
+    */
+  def embeddingNearDupsBandedPortable(corpus: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, tables: Int = 16,
+      bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val banded = c.select(col("id"),
+      posexplode(hyperplaneBucketsPortable(col("v"), bitsPerTable, tables, dim))
+        .as(Seq("tbl", "bucket")))
+    val l = banded.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("tbl"), col("bucket"), col("id").as("id_b"))
     val pairs = l.join(r, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

@@ -233,22 +233,68 @@ object TextQueries {
 
     // Cosine-radius embedding near-dup pairs via banded multi-table
     // hyperplane LSH — the 100 TB path: candidates meet in (table, bucket)
-    // equi-joins, never a cross join. Bucket construction is
-    // engine-specific → rows-only; SimilaritySpec asserts precision 1.0
-    // (every pair verified by exact cosine, equal to the exhaustive twin)
-    // and the high-similarity recall law vs the nBits=0 exhaustive oracle.
+    // equi-joins, never a cross join. Declared on the PORTABLE per-table
+    // Rademacher planes (same ±1 literals baked into plan and SQL), so the
+    // DuckDB oracle replays banding, candidate generation, and the cosine
+    // verify engine-exactly; the gaussian-coefficient native variant keeps
+    // the SimilaritySpec precision-1.0/recall laws.
     ("q49_embedding_neardup", (s: SparkSession, d: String) => {
-      Similarity.embeddingNearDupsBanded(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.4)
-    }, None),
+      Similarity.embeddingNearDupsBandedPortable(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4, tables = 16, bitsPerTable = 8, dim = 64)
+    }, Some {
+      import graft.functions.VectorFunctions.portableHyperplanes
+      def bucket(t: Int, v: String): String =
+        portableHyperplanes(8, 64, s"$t:").zipWithIndex.map { case (w, b) =>
+          s"(CASE WHEN list_dot_product($v, ${w.mkString("[", ",", "]")}) >= 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+      val bks = (0 until 16).map(t => bucket(t, "v")).mkString("[", ", ", "]")
+      s"""
+      WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cb AS (SELECT vec_id, $bks AS bks FROM c),
+      bd AS (SELECT vec_id, g.t AS tbl, bks[g.t+1] AS bucket
+             FROM cb, generate_series(0, 15) AS g(t)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+               FROM bd a JOIN bd b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+               WHERE a.vec_id < b2.vec_id)
+      SELECT p.id_a, p.id_b,
+             round(list_cosine_similarity(va.v, vb.v), 6) AS cos_sim
+      FROM cand p
+      JOIN c va ON va.vec_id = p.id_a
+      JOIN c vb ON vb.vec_id = p.id_b
+      WHERE list_cosine_similarity(va.v, vb.v) >= 0.4"""
+    }),
 
-    // LSH-bucketed approximate ANN (xxhash64 buckets — rows-only; recall
-    // vs q48 is asserted in SimilaritySpec).
+    // LSH-bucketed approximate ANN. Declared on the PORTABLE Rademacher
+    // hyperplanes: the SAME ±1 literal arrays are baked into the Spark plan
+    // and this generated SQL, and ±1 multipliers keep each projection an
+    // exact left-to-right sum — so bucket assignment, candidate set, and
+    // ranking replay engine-exactly in DuckDB. The xxhash64-coefficient
+    // lshTopK stays the engine-native default (recall law in
+    // SimilaritySpec).
     ("q50_ann_lsh", (s: SparkSession, d: String) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, nBits = 4)
-    }, None),
+      Similarity.lshTopKPortable(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nBits = 4, dim = 64)
+    }, Some {
+      val planes = graft.functions.VectorFunctions.portableHyperplanes(4, 64)
+      def bucket(v: String): String = planes.zipWithIndex.map { case (w, b) =>
+        s"(CASE WHEN list_dot_product($v, ${w.mkString("[", ",", "]")}) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""
+      WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cb AS (SELECT vec_id, v, ${bucket("v")} AS bucket FROM c),
+      q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, c2.vec_id AS neighbor_id,
+               list_cosine_similarity(c2.v, q.qv) AS cos,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_cosine_similarity(c2.v, q.qv) DESC, c2.vec_id)
+                 AS rank
+        FROM cb c2 JOIN q ON c2.bucket = q.bucket AND c2.vec_id != q.query_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+             round(cos, 6) AS cos_sim
+      FROM scored WHERE rank <= 10"""
+    }),
 
     // IVF coarse-quantizer ANN (KMeans cells, nProbe nearest probed) — the
     // partitioned-corpus scale path; model-dependent, so rows-only.

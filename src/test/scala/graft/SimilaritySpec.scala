@@ -43,6 +43,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(joined.filter($"exact_cos".isNotNull && $"cos_sim" =!= $"exact_cos").count() === 0)
   }
 
+  test("lshTopKPortable: same exact-cosine law as the native variant") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id", $"cos_sim".as("exact_cos"))
+    val approx = Similarity.lshTopKPortable(emb, queries, "vec_id", "embedding",
+      k = 10, nBits = 4, dim = 64)
+    assert(approx.count() > 0)
+    val joined = approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter($"exact_cos".isNotNull && $"cos_sim" =!= $"exact_cos").count() === 0)
+    // determinism: the Rademacher hyperplanes are value-stable across calls
+    val again = Similarity.lshTopKPortable(emb, queries, "vec_id", "embedding",
+      k = 10, nBits = 4, dim = 64)
+    assert(approx.collect().toSeq === again.collect().toSeq)
+  }
+
+  test("embeddingNearDupsBandedPortable: precision 1.0 vs exhaustive, finds the parallel pair") {
+    val found = Similarity.embeddingNearDupsBandedPortable(vecs, "vec_id", "embedding",
+      threshold = 0.99, tables = 16, bitsPerTable = 8, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical-direction vectors land in every table's same bucket
+    assert(found === Set((0L, 1L)))
+  }
+
   test("ivfTopK: decent recall vs exact baseline, exact cosines") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val queries = emb.filter($"vec_id" < 10)
