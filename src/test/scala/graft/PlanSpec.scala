@@ -175,6 +175,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q46/q50 candidate joins plan no cartesian/nested-loop product") {
+    // SimHash chunk blocking and hyperplane bucketing must pair candidates
+    // through equi-joins on derived keys — at scale a cross join here is
+    // the difference between per-bucket work and O(n²)
+    for (name <- Seq("q46_simhash", "q50_ann_lsh")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(4000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: ${p.take(4000)}")
+    }
+  }
+
   test("q45 LSH band join is array-free (only ids and hashes shuffle)") {
     // the bucket self-join must see narrow (band, band_hash, id) inputs;
     // the shingle arrays may only appear in the later verify joins
