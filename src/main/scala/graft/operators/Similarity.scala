@@ -229,6 +229,115 @@ object Similarity {
         graft.functions.ColumnFunctions.pround(col("cos"), 6).as("cos_sim"))
   }
 
+  /** The persistable LSH state of an embedding corpus: one (id, tbl,
+    * bucket) row per table per vector — the embeddings twin of
+    * [[graft.operators.Dedup.bandSignatures]]. Built on the PORTABLE
+    * Rademacher planes so state computed by any engine (or any session)
+    * is bucket-identical; parameters are stamped into the `bucket`
+    * column's metadata (parquet-persistent) so
+    * [[embeddingDedupIncremental]] can refuse state built under a
+    * different scheme. Deliberately narrow: only (tbl, bucket, id) ever
+    * enters a candidate shuffle — never the vectors.
+    */
+  def bucketSignatures(corpus: DataFrame, idCol: String, vecCol: String,
+      tables: Int = 16, bitsPerTable: Int = 8, dim: Int = 64): DataFrame = {
+    val params = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.tables", tables.toLong)
+      .putLong("graft.bitsPerTable", bitsPerTable.toLong)
+      .putLong("graft.dim", dim.toLong)
+      .build()
+    corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"),
+        posexplode(hyperplaneBucketsPortable(col("v"), bitsPerTable, tables, dim))
+          .as(Seq("tbl", "bucket")))
+      .withMetadata("bucket", params)
+  }
+
+  /** Incremental embedding dedup: clean a NEW embedding batch against the
+    * already-ingested corpus WITHOUT re-pairing the corpus with itself —
+    * the embeddings twin of [[graft.operators.Dedup.dedupIncremental]].
+    *
+    * `oldBuckets` is the persisted [[bucketSignatures]] state (append-only
+    * across batches); `oldVecs` is the corpus itself, touched ONLY to
+    * fetch vectors for candidate ids that survive bucketing (a
+    * semi-join-pruned point lookup — never a full scan). A new vector is
+    * dropped when its cosine vs any old vector reaches `threshold` (old
+    * corpus always wins) or vs a smaller-id new vector (the greedy
+    * min-keeper rule). Byte-identical vectors need no separate stage:
+    * identical vector ⇒ identical buckets ⇒ collision ⇒ cos = 1.
+    */
+  def embeddingDedupIncremental(newVecs: DataFrame, oldVecs: DataFrame,
+      oldBuckets: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 16, bitsPerTable: Int = 8,
+      dim: Int = 64): DataFrame = {
+    // fail fast on state built under a different bucketing scheme — with
+    // mismatched (tables, bits, dim) the (tbl, bucket) join is silently
+    // near-empty and cross-batch duplicates sail through
+    val m = oldBuckets.schema.find(_.name == "bucket").map(_.metadata)
+      .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+    if (m.contains("graft.tables")) {
+      val (ot, ob, od) = (m.getLong("graft.tables"),
+        m.getLong("graft.bitsPerTable"), m.getLong("graft.dim"))
+      require(ot == tables && ob == bitsPerTable && od == dim,
+        s"embeddingDedupIncremental: oldBuckets was built with (tables=$ot, " +
+          s"bitsPerTable=$ob, dim=$od) but this call uses (tables=$tables, " +
+          s"bitsPerTable=$bitsPerTable, dim=$dim) — buckets would never " +
+          "collide across batches")
+    }
+    // the batch is bucketed ONCE; the same table drives both joins
+    val newBuckets = bucketSignatures(newVecs, idCol, vecCol, tables, bitsPerTable, dim)
+    def vecs(df: DataFrame) = df.select(col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v")).withColumn("nrm", l2Norm(col("v")))
+    val newV = vecs(newVecs)
+
+    val crossCand = newBuckets.select(col("tbl"), col("bucket"), col("id").as("new_id"))
+      .join(oldBuckets.select(col("tbl"), col("bucket"), col("id").as("old_id")),
+        Seq("tbl", "bucket"))
+      .select(col("new_id"), col("old_id"))
+      .distinct()
+
+    val oldCandV = vecs(oldVecs)
+      .join(crossCand.select(col("old_id").as("id")).distinct(), Seq("id"), "left_semi")
+    val droppedVsOld = crossCand
+      .join(newV.select(col("id").as("new_id"), col("v").as("v_a"), col("nrm").as("nrm_a")), Seq("new_id"))
+      .join(oldCandV.select(col("id").as("old_id"), col("v").as("v_b"), col("nrm").as("nrm_b")), Seq("old_id"))
+      .filter(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")) >= threshold)
+      .select(col("new_id").as(idCol))
+      .distinct()
+
+    // within-batch pairs from the SAME bucket table
+    val l = newBuckets.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val r = newBuckets.select(col("tbl"), col("bucket"), col("id").as("id_b"))
+    val withinCand = l.join(r, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val droppedWithin = withinCand
+      .join(newV.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(newV.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")), Seq("id_b"))
+      .filter(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")) >= threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+
+    newVecs.join(droppedVsOld.union(droppedWithin).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** Batch corpus-level embedding dedup: greedy min-keeper over the banded
+    * near-dup pairs (a vector is dropped iff it is the larger id of any
+    * confirmed pair — one pass, no connected components; transitive chains
+    * keep their minimum element). The batch law twin of
+    * [[embeddingDedupIncremental]].
+    */
+  def dedupEmbeddings(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 16, bitsPerTable: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val losers = embeddingNearDupsBandedPortable(corpus, idCol, vecCol,
+      threshold, tables, bitsPerTable, dim)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold, bucketed self-join
     * (id_a < id_b). For exhaustive (non-approximate) output use nBits=0,
     * which degenerates to the full cross self-join — only for small n

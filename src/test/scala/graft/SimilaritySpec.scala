@@ -67,6 +67,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(found === Set((0L, 1L)))
   }
 
+  test("embeddingDedupIncremental: batch cleans against persisted bucket state") {
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    def vec(dir: Array[Double], scale: Double): Array[Float] =
+      dir.map(x => (x * scale).toFloat)
+    val a = Array(1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 1.5, 0.25)
+    val b = Array(-2.0, 1.0, 4.0, -0.5, 0.0, 1.0, -3.0, 2.0)
+    val c = Array(0.5, -3.0, 1.0, 2.0, -1.0, 0.0, 2.5, -1.5)
+    val old = Seq((0L, vec(a, 1.0)), (3L, vec(b, 1.0))).toDF("vec_id", "embedding")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_buckets").toString + "/state"
+    Similarity.bucketSignatures(old, "vec_id", "embedding",
+      tables = 16, bitsPerTable = 8, dim = dim).write.parquet(dir2)
+    val oldBuckets = spark.read.parquet(dir2)
+    // 10 = parallel to old 0 (cos 1); 11 fresh; 12 = parallel to 11
+    val batch = Seq(
+      (10L, vec(a, 2.0)), (11L, vec(c, 1.0)), (12L, vec(c, 3.0)),
+    ).toDF("vec_id", "embedding")
+    val survivors = Similarity.embeddingDedupIncremental(batch, old, oldBuckets,
+      "vec_id", "embedding", threshold = 0.99, tables = 16, bitsPerTable = 8, dim = dim)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors === Set(11L),
+      "10 duplicates old 0; 12 duplicates new 11 (smaller id wins)")
+
+    // law: incremental == batch re-dedup when old is clean and ids sort
+    val batchResult = Similarity.dedupEmbeddings(old.unionByName(batch),
+      "vec_id", "embedding", threshold = 0.99, tables = 16, bitsPerTable = 8, dim = dim)
+      .select("vec_id").as[Long].collect().toSet
+    assert(batchResult === Set(0L, 3L) ++ survivors)
+
+    // mismatched bucketing scheme must fail fast, matching must proceed
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.embeddingDedupIncremental(batch, old, oldBuckets,
+        "vec_id", "embedding", threshold = 0.99, tables = 8, bitsPerTable = 8, dim = dim)
+    }
+    assert(ex.getMessage.contains("tables=16"))
+  }
+
   test("ivfTopK: decent recall vs exact baseline, exact cosines") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val queries = emb.filter($"vec_id" < 10)
