@@ -1,8 +1,8 @@
 package graft.plans
 
-import graft.expressions.HashExpressions.{MinHashSignature, SimHash64}
+import graft.expressions.HashExpressions.{MinHashSignature, PortableMinHashSignature, PortableSimHash64, SimHash64}
 import graft.expressions.TokenExpressions.{JaccardSim, Shingles, TokenSetCount}
-import graft.expressions.VectorExpressions.{DotProduct, L2Norm}
+import graft.expressions.VectorExpressions.{DotProduct, L2Norm, PortableHyperplaneBuckets}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -45,6 +45,15 @@ object GraftExtensions {
     "graft_jaccard" -> ((args: Seq[Expression]) => JaccardSim(args.head, args(1))),
     "graft_dot" -> ((args: Seq[Expression]) => DotProduct(args.head, args(1))),
     "graft_l2norm" -> ((args: Seq[Expression]) => L2Norm(args.head)),
+    // engine-portable (md5-derived) twins — any md5-capable engine replays
+    // their outputs bit-for-bit (see the q45/q46/q49 oracles)
+    "graft_minhash_portable" -> ((args: Seq[Expression]) =>
+      PortableMinHashSignature(args.head, intArg(args(1), "k"))),
+    "graft_simhash64_portable" -> ((args: Seq[Expression]) =>
+      PortableSimHash64(args.head)),
+    "graft_hyperplane_buckets_portable" -> ((args: Seq[Expression]) =>
+      PortableHyperplaneBuckets(args.head, intArg(args(1), "bitsPerTable"),
+        intArg(args(2), "tables"), intArg(args(3), "dim"))),
   )
 
   /** Register into an already-running session as temp functions. */

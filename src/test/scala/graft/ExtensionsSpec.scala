@@ -43,4 +43,20 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(graft.functions.TextFunctions.simHash64($"t")).head().getLong(0)
     assert(viaSql === viaCol)
   }
+
+  test("portable twins callable from SQL, consistent with the Column API") {
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT
+        |  graft_minhash_portable(array('a b c', 'b c d'), 4) AS mh,
+        |  graft_simhash64_portable(array('x', 'y', 'z')) AS sh,
+        |  graft_hyperplane_buckets_portable(array(1.0d, -2.0d), 8, 16, 2) AS hb
+        |""".stripMargin).head()
+    assert(r.getAs[Seq[String]]("mh").length === 4)
+    assert(r.getAs[Seq[String]]("mh").forall(_.matches("[0-9a-f]{16}")))
+    assert(r.getAs[Seq[Long]]("hb").length === 16)
+    val viaCol = Seq("x y z").toDF("t")
+      .select(graft.functions.TextFunctions.simHash64Portable($"t")).head().getLong(0)
+    assert(r.getAs[Long]("sh") === viaCol)
+  }
 }
