@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -137,9 +137,18 @@ object Similarity {
     val cells = model.transform(c).select(col("id"), col("v"), col("cell"))
       .withColumn("nrm", l2Norm(col("v")))
 
-    // per query: its nProbe nearest centroid cells (centroids are tiny —
-    // computed driver-side, shipped as a literal array)
-    val centroids = model.clusterCenters.map(_.toArray)
+    probeCells(cells, model.clusterCenters.map(_.toArray), queries, idCol,
+      vecCol, k, nProbe)
+  }
+
+  /** The IVF probe stage shared by the one-shot [[ivfTopK]] and the
+    * persisted-index [[ivfSearch]]: each query scans only its nProbe
+    * nearest centroid cells (centroids are tiny — shipped as a literal
+    * array), candidates meet in an equi-join on the cell id.
+    */
+  private def probeCells(cells: DataFrame, centroids: Array[Array[Double]],
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qnrm", l2Norm(col("qv")))
       .withColumn("cellDists", array(centroids.zipWithIndex.map { case (ctr, i) =>
@@ -157,6 +166,67 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
         graft.functions.ColumnFunctions.pround(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Build a PERSISTED IVF index under `indexDir`: the fitted coarse
+    * quantizer at `indexDir/model` and the cell assignments at
+    * `indexDir/cells`, written `partitionBy("cell")` — the 100 TB layout:
+    * a query batch reads only its probed cells' files (partition pruning
+    * on the cell directory), and new corpus batches append without
+    * touching existing files. Fit is bounded by the same 100k sample cap
+    * as [[ivfTopK]].
+    */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, nCells: Int = 16): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val km = new KMeans().setK(nCells).setSeed(42L)
+      .setMaxIter(8).setTol(1e-3).setInitMode("random")
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val fitCap = 100000L
+    val nCorpus = c.count()
+    val fitSet =
+      if (nCorpus <= fitCap) c.select(col("features"))
+      else c.sample(withReplacement = false, fitCap.toDouble / nCorpus, seed = 42L)
+        .select(col("features"))
+    val model = km.fit(fitSet)
+    model.write.overwrite().save(s"$indexDir/model")
+    model.transform(c).select(col("id"), col("v"), col("cell"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
+  /** Assign a NEW corpus batch to the persisted index's cells and append —
+    * the incremental path: the quantizer is NEVER refit (cell ids stay
+    * stable, existing files untouched), matching how production IVF
+    * indexes absorb a morning's crawl. Periodic rebuilds (when drift
+    * degrades recall) are a fresh [[ivfBuild]].
+    */
+  def ivfAppend(spark: SparkSession, batch: DataFrame, idCol: String,
+      vecCol: String, indexDir: String): Unit = {
+    import org.apache.spark.ml.clustering.KMeansModel
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = KMeansModel.load(s"$indexDir/model")
+    val c = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    model.transform(c).select(col("id"), col("v"), col("cell"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
+  /** Serve top-k queries from a persisted IVF index: load the quantizer,
+    * probe nProbe cells per query against the cell store (partition-pruned
+    * read). Same output shape as [[bruteForceTopK]].
+    */
+  def ivfSearch(spark: SparkSession, queries: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, k: Int, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeansModel
+    val model = KMeansModel.load(s"$indexDir/model")
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    probeCells(cells, model.clusterCenters.map(_.toArray), queries, idCol,
+      vecCol, k, nProbe)
   }
 
   /** Banded (multi-table) hyperplane-LSH near-dup pairs by cosine ≥

@@ -107,6 +107,39 @@ class ExpressionSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("portable hex encoding: lexicographic order == unsigned numeric order") {
+    // the portable MinHash min-tracks a bare unsigned long and emits
+    // %016x — the whole scheme rests on hex order matching numeric order
+    val rnd = new scala.util.Random(42)
+    val samples = Array.fill(2000)(rnd.nextLong()) ++
+      Array(0L, -1L, 1L, Long.MaxValue, Long.MinValue, Long.MinValue + 1)
+    for (a <- samples.take(60); b <- samples.take(60)) {
+      val (ha, hb) = (f"$a%016x", f"$b%016x")
+      assert((ha < hb) === (java.lang.Long.compareUnsigned(a, b) < 0),
+        s"$a vs $b: hex order diverged from unsigned order")
+    }
+  }
+
+  test("portableHyperplaneBuckets: codegen == interpreted eval, scale-invariant") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).limit(50)
+      .select(VF.asDouble($"embedding").as("v")).cache()
+    val viaDf = emb.select(VF.hyperplaneBucketsPortable($"v", 8, 4, 64).as("b"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val expr = graft.expressions.VectorExpressions.PortableHyperplaneBuckets(
+      org.apache.spark.sql.catalyst.expressions.Literal(1), 8, 4, 64)
+    val viaEval = emb.collect().map { r =>
+      expr.nullSafeEval(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(r.getSeq[Double](0).toArray))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+    }
+    assert(viaDf.toSeq === viaEval.toSeq)
+    // positive scaling never flips a projection sign
+    val scaled = emb.select(VF.hyperplaneBucketsPortable($"v", 8, 4, 64).as("b1"),
+      VF.hyperplaneBucketsPortable(transform($"v", x => x * 2), 8, 4, 64).as("b2"))
+      .filter($"b1" =!= $"b2").count()
+    assert(scaled === 0)
+  }
+
   test("hyperplaneBuckets: codegen == interpreted eval, deterministic, sign-symmetric") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001).limit(50)
       .select(VF.asDouble($"embedding").as("v")).cache()

@@ -104,6 +104,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("tables=16"))
   }
 
+  test("persisted IVF index: build, append a batch, search finds both generations") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    // build on the even ids, append the odd ids with the FROZEN quantizer
+    Similarity.ivfBuild(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      idx, nCells = 4)
+    Similarity.ivfAppend(spark, emb.filter(col("vec_id") % 2 === 1), "vec_id",
+      "embedding", idx)
+    val queries = emb.filter(col("vec_id") < 5)
+    val res = Similarity.ivfSearch(spark, queries, "vec_id", "embedding", idx,
+      k = 10, nProbe = 4)
+    val rows = res.collect()
+    assert(rows.length === 5 * 10, "every query fills its top-10 from the full store")
+    val neighbors = rows.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(neighbors.exists(_ % 2 == 0) && neighbors.exists(_ % 2 == 1),
+      "results must draw from both the built and the appended generation")
+    // cosines are exact (same verify math as the brute-force baseline)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim").as("exact_cos"))
+    val joined = res.join(exact, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter(col("exact_cos").isNotNull &&
+      col("cos_sim") =!= col("exact_cos")).count() === 0)
+  }
+
   test("ivfTopK: decent recall vs exact baseline, exact cosines") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val queries = emb.filter($"vec_id" < 10)
