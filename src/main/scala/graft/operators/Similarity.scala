@@ -146,10 +146,9 @@ object Similarity {
     * nearest centroid cells (centroids are tiny — shipped as a literal
     * array), candidates meet in an equi-join on the cell id.
     */
-  private def probeCells(cells: DataFrame, centroids: Array[Array[Double]],
-      queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nProbe: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+  private def probeSide(centroids: Array[Array[Double]], queries: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame =
+    queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qnrm", l2Norm(col("qv")))
       .withColumn("cellDists", array(centroids.zipWithIndex.map { case (ctr, i) =>
         struct(l2Sq(col("qv"), lit(ctr)).as("d"), lit(i).as("cell"))
@@ -158,6 +157,7 @@ object Similarity {
       .withColumn("cell", explode(col("probe.cell")))
       .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
 
+  private def scoreProbe(cells: DataFrame, q: DataFrame, k: Int): DataFrame =
     cells.join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
@@ -166,7 +166,11 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
         graft.functions.ColumnFunctions.pround(col("cos"), 6).as("cos_sim"))
-  }
+
+  private def probeCells(cells: DataFrame, centroids: Array[Array[Double]],
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int): DataFrame =
+    scoreProbe(cells, probeSide(centroids, queries, idCol, vecCol, nProbe), k)
 
   /** Build a PERSISTED IVF index under `indexDir`: the fitted coarse
     * quantizer at `indexDir/model` and the cell assignments at
@@ -225,8 +229,16 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeansModel
     val model = KMeansModel.load(s"$indexDir/model")
     val cells = spark.read.parquet(s"$indexDir/cells")
-    probeCells(cells, model.clusterCenters.map(_.toArray), queries, idCol,
-      vecCol, k, nProbe)
+    val q = probeSide(model.clusterCenters.map(_.toArray), queries, idCol,
+      vecCol, nProbe)
+    // The probed-cell set is bounded by nCells (driver-sized BY
+    // CONSTRUCTION — it cannot exceed the centroid count), so a static IN
+    // filter on the partition column makes pruning unconditional: the scan
+    // touches only the probed cells' directories, instead of hoping DPP
+    // fires through the exploded probe side.
+    val probed = q.select(col("cell")).distinct().collect()
+      .map(_.getAs[Number](0).intValue())
+    scoreProbe(cells.filter(col("cell").isin(probed.map(Integer.valueOf): _*)), q, k)
   }
 
   /** Banded (multi-table) hyperplane-LSH near-dup pairs by cosine ≥

@@ -127,6 +127,26 @@ class SimilaritySpec extends AnyFunSuite {
     val joined = res.join(exact, Seq("query_id", "neighbor_id"), "left")
     assert(joined.filter(col("exact_cos").isNotNull &&
       col("cos_sim") =!= col("exact_cos")).count() === 0)
+
+    // partition pruning: with a low nProbe only the probed cells' files
+    // are read — the layout property the cell-partitioned store exists for
+    val narrow = Similarity.ivfSearch(spark, emb.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", idx, k = 3, nProbe = 1)
+    narrow.collect() // execute so AQE finalizes
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans) ++
+          other.subqueries.flatMap(scans)
+      }
+    val cellScan = scans(narrow.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("cells")))
+    assert(cellScan.nonEmpty, "no file scan over the cell store found")
+    val scanned = cellScan
+      .map(_.metrics.get("numPartitions").map(_.value).getOrElse(0L)).sum
+    assert(scanned === 1, s"nProbe=1 must read exactly one cell partition, read $scanned")
   }
 
   test("ivfTopK: decent recall vs exact baseline, exact cosines") {
