@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level n-gram language-model scoring — the classic statistical
+  * quality signal a curation pipeline computes before any neural scoring:
+  * train bigram counts over the corpus itself, then score each document by
+  * its average bigram log-probability under add-k smoothing. Gibberish,
+  * boilerplate, and wrong-language text land far below the corpus's own
+  * register; the score is a strong cheap filter feature.
+  *
+  * Scale shape: two grouped counts (bigram, unigram) + one scalar (vocab
+  * size), then one equi-join of the corpus's bigram stream against the
+  * count tables — every stage keyed by token text, arbitrarily
+  * partitionable, no driver-side state beyond the single vocab-size
+  * scalar. The count tables are corpus-level aggregates a production
+  * pipeline would persist and reuse across scoring runs.
+  */
+object LanguageModel {
+
+  /** Per-document average bigram log-probability:
+    * score(d) = (1/|bigrams(d)|) · Σ ln((c(w1,w2)+k) / (c(w1)+k·V))
+    * over the document's word bigrams, with counts trained on the whole
+    * corpus and V = |vocabulary|. Documents with fewer than 2 tokens have
+    * no bigrams and are omitted (no register to judge them against).
+    * Returns (id, n_bigrams, avg_logprob rounded to 6).
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      k: Double = 1.0): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      split(col(textCol), "\\s+").as("w"))
+    // one row per bigram occurrence: the array zipped with its own shift
+    val bigrams = toks
+      .filter(size(col("w")) >= 2)
+      .withColumn("bg", zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .select(col("id"), explode(col("bg")).as("bg"))
+      .select(col("id"), col("bg.w1"), col("bg.w2"))
+
+    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("w")).as("w")).agg(
+      countDistinct(col("w")).as("v"))
+
+    bigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(vocab) // 1-row scalar: broadcast, not a real product
+      .withColumn("lp", log((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.ColumnFunctions.pround(avg(col("lp")), 6).as("avg_logprob"))
+  }
+
+  /** Train-then-score: score `docs` against counts trained on `trainDocs`
+    * ONLY — the production shape (count tables persist, each new batch is
+    * scored against the frozen register), and the variant whose unseen
+    * bigrams get the true smoothing floor k/(k·V). Self-scoring
+    * ([[bigramLogProb]]) inflates singleton contexts instead: a
+    * document's own bigrams contribute (1+k)/(1+k·V) > k/(k·V), so
+    * out-of-register text is better separated by THIS variant.
+    */
+  def bigramLogProbAgainst(trainDocs: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, k: Double = 1.0): DataFrame = {
+    def bg(df: DataFrame) = df
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .withColumn("bg", zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .select(col("id"), explode(col("bg")).as("bg"))
+      .select(col("id"), col("bg.w1"), col("bg.w2"))
+    val train = bg(trainDocs)
+    val c12 = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = trainDocs
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bg(docs)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(vocab)
+      .withColumn("lp", log(
+        (coalesce(col("c12"), lit(0L)) + lit(k))
+          / (coalesce(col("c1"), lit(0L)) + lit(k) * col("v"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.ColumnFunctions.pround(avg(col("lp")), 6).as("avg_logprob"))
+  }
+}

@@ -635,6 +635,28 @@ object TextQueries {
       FROM cg JOIN bg USING (g)
       GROUP BY cg.doc_id""")),
 
+    // Corpus-trained bigram language-model scoring (add-1 smoothing) —
+    // the classic statistical quality signal before any neural scorer;
+    // pure count arithmetic, so the DuckDB twin replays it exactly
+    // (parallel unnests zip in DuckDB, matching the zip_with shift).
+    ("q98_bigram_lm", (s: SparkSession, d: String) => {
+      operators.LanguageModel.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+             FROM t WHERE len(w) >= 2),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM t))
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+             round(avg(ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v))), 6) AS avg_logprob
+      FROM bg
+      JOIN c12 USING (w1, w2)
+      JOIN c1 USING (w1)
+      CROSS JOIN v
+      GROUP BY bg.doc_id""")),
+
     // Sequence packing: assign every doc a (seq_id, offset) in the
     // md5-shuffled global token stream chopped into 512-token training
     // sequences. Spark side is the distributed two-phase prefix sum
