@@ -109,6 +109,41 @@ object Sampling {
         col("n_keep"), col("rate"))
   }
 
+  /** Leakage-safe train/val/test split: the split key is the CONTENT hash
+    * (md5 of the text), not the row id, so byte-identical duplicates can
+    * never straddle splits — the classic eval-contamination bug when a
+    * corpus is split by id before dedup finishes. Assignment compares the
+    * first 8 md5 hex chars against the cumulative-fraction thresholds of
+    * the 32-bit hex space; deterministic, partitioning-independent, and
+    * engine-portable (the q99 DuckDB oracle replays it verbatim). For
+    * near-duplicate safety, pass an already-deduped corpus or key on a
+    * canonical representative (e.g. [[graft.operators.Dedup]] survivors).
+    *
+    * `splits`: ordered (name, fraction) with fractions summing to 1.
+    * Returns `df` plus a `split` column.
+    */
+  def leakageSafeSplit(df: DataFrame, textCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0.0)
+      && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must be non-negative and sum to 1")
+    val h = substring(md5(col(textCol)), 1, 8)
+    // upper threshold per split (all but the last, which takes the rest)
+    val uppers = splits.init
+      .zip(splits.scanLeft(0.0)(_ + _._2).tail)
+      .map { case ((name, _), cum) =>
+        (name, f"${(cum * 4294967296.0).toLong}%08x")
+      }
+    val assign = uppers match {
+      case Nil => lit(splits.last._1)
+      case (n0, t0) +: rest =>
+        rest.foldLeft(when(h < lit(t0), lit(n0))) {
+          case (acc, (n, t)) => acc.when(h < lit(t), lit(n))
+        }.otherwise(lit(splits.last._1))
+    }
+    df.withColumn("split", assign)
+  }
+
   /** Frequent-items profile per column (Spark's stat.freqItems — the
     * Karp-Papadimitriou-Shenker sketch): items with frequency above
     * `support`, per column. One pass, no shuffle of raw data.

@@ -491,6 +491,21 @@ object TextQueries {
         FROM s)
       SELECT doc_id, lang FROM r WHERE rn <= 10""")),
 
+    // Leakage-safe train/val/test split: assignment keyed on the CONTENT
+    // hash so byte-identical duplicates can never straddle splits —
+    // deterministic, partitioning-independent, engine-replayable.
+    ("q99_leakage_split", (s: SparkSession, d: String) => {
+      import graft.operators.Sampling
+      Sampling.leakageSafeSplit(Tables.documents(s, d), "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+    }, Some("""
+      SELECT doc_id,
+             CASE WHEN substr(md5(text), 1, 8) < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(text), 1, 8) < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents""")),
+
     // Duplicate-3-gram repetition ratio (boilerplate/spam signal for
     // curation filters); the DuckDB twin rebuilds the same shingle set
     // with list functions.

@@ -74,6 +74,35 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("leakageSafeSplit: exact duplicates always share a split, fractions roughly hold") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).select($"doc_id", $"text")
+    // plant byte-identical duplicates with fresh ids
+    val dups = docs.limit(10).select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    val split = Sampling.leakageSafeSplit(docs.unionByName(dups), "text",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // same content -> same split, regardless of id
+    val straddlers = split.groupBy($"text")
+      .agg(countDistinct($"split").as("n"))
+      .filter($"n" > 1)
+      .count()
+    assert(straddlers === 0, "byte-identical documents must share a split")
+    // deterministic across evaluations
+    val a = split.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = split.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    // rough proportions on the base corpus (50 docs: generous bands)
+    val byName = split.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.getOrElse("train", 0L) > byName.getOrElse("val", 0L))
+    assert(byName.values.sum === docs.count() + 10)
+    // every named split key is one of the declared three
+    assert(byName.keySet.subsetOf(Set("train", "val", "test")))
+
+    // degenerate single split takes everything
+    val one = Sampling.leakageSafeSplit(docs, "text", Seq("all" -> 1.0))
+    assert(one.filter($"split" =!= "all").count() === 0)
+  }
+
   test("frequentItems surfaces the dominant value") {
     val df = (Seq.fill(80)("common") ++ Seq("rare1", "rare2")).toDF("v")
     val freq = Sampling.frequentItems(df, Seq("v"), 0.4)
