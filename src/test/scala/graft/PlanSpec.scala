@@ -175,6 +175,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q99 split assignment is shuffle-free (narrow projection)") {
+    // content-keyed split assignment is pure per-row hashing — any
+    // Exchange here would mean the assignment grew a corpus-wide stage
+    val p = plan("q99_leakage_split")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q98 LM scoring joins count tables by key, never a real product") {
+    // the only nested-loop join allowed is the 1-row vocab scalar
+    // (broadcast of a single aggregate row — the mixingRates pattern);
+    // bigram-to-count joins must be hash equi-joins
+    val p = plan("q98_bigram_lm")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p.take(4000))
+  }
+
   test("q46/q50 candidate joins plan no cartesian/nested-loop product") {
     // SimHash chunk blocking and hyperplane bucketing must pair candidates
     // through equi-joins on derived keys — at scale a cross join here is
