@@ -672,6 +672,27 @@ object TextQueries {
       CROSS JOIN v
       GROUP BY bg.doc_id""")),
 
+    // Context-window chunking: split each doc's token stream into 32-token
+    // windows with 8-token overlap — the dual of q96's packing (that
+    // concatenates short docs; this splits long ones). Narrow per-row
+    // arithmetic; the oracle replays the window math with list slicing.
+    ("q100_chunk_windows", (s: SparkSession, d: String) => {
+      operators.Chunking.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+        .withColumnRenamed("id", "doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      c AS (SELECT doc_id, w, len(w) AS n,
+                   CAST(floor((greatest(0, len(w) - 32) + 23) / 24.0) + 1 AS INT) AS n_chunks
+            FROM t),
+      e AS (SELECT doc_id, w, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+            FROM c)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+             CAST(chunk_id * 24 AS INT) AS start_tok,
+             CAST(len(w[chunk_id*24 + 1 : least(chunk_id*24 + 32, n)]) AS INT) AS n_tok,
+             array_to_string(w[chunk_id*24 + 1 : least(chunk_id*24 + 32, n)], ' ') AS chunk
+      FROM e""")),
+
     // Sequence packing: assign every doc a (seq_id, offset) in the
     // md5-shuffled global token stream chopped into 512-token training
     // sequences. Spark side is the distributed two-phase prefix sum
