@@ -69,6 +69,27 @@ object Sampling {
       .filter(col("__rn") <= quota)
       .drop("__rn")
 
+  /** Per-stratum TOKEN-budget take (the unit that actually matters for a
+    * training mixture — [[stratifiedQuota]] caps rows, this caps tokens):
+    * within each stratum, walk rows in md5(key) order and keep every row
+    * that STARTS before the budget is exhausted, i.e. whose running token
+    * total (exclusive of itself) is < `budget`. Deterministic,
+    * partitioning-independent, engine-replayable; the prefix sum is one
+    * window per stratum — strata scan in parallel, no global order.
+    * Output: input columns + `n_tok` (the weight used) + `start_tok`
+    * (tokens consumed before this row).
+    */
+  def tokenBudgetTake(df: DataFrame, stratumCol: String, keyCol: String,
+      weight: org.apache.spark.sql.Column, budget: Long): DataFrame = {
+    require(budget >= 1, "need budget >= 1")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tok", weight.cast("long"))
+      .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+      .filter(col("start_tok") < budget)
+  }
+
   /** Source-mixing rates: given target proportions per stratum (the "data
     * mixture" of a training recipe), compute the largest total corpus that
     * honours them without upsampling any stratum, and each stratum's keep

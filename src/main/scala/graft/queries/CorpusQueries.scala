@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Chunking, Components, Indexing, Sampling}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-pipeline operators, second wave: dup-cluster resolution,
+  * token-budget mixing, index construction, passage-level dedup, TF-IDF
+  * curation signals, shard assignment, per-source diversity. Every entry
+  * is oracle-checked — the hash/window arithmetic is md5/instr/window
+  * math that DuckDB replays verbatim.
+  */
+object CorpusQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Parity round shadow — see RelationalQueries / ColumnFunctions.pround. */
+  private def round(c: org.apache.spark.sql.Column, d: Int) =
+    graft.functions.ColumnFunctions.pround(c, d)
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Dup-CLUSTER resolution: near-dup pair relations are not transitive,
+    // so survivors are chosen per connected component of the pair graph.
+    // Edges here are content-window fingerprint star edges (prefix +
+    // middle window — overlapping windows chain A≈B≈C into one cluster);
+    // components by distributed min-label propagation, O(diameter)
+    // rounds. The oracle replays the closure with a recursive CTE.
+    ("q101_dup_clusters", (s: SparkSession, d: String) => {
+      Components.dupClusters(Tables.documents(s, d), "doc_id", "text")
+    }, Some("""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      e1 AS (SELECT doc_id AS src,
+                    min(doc_id) OVER (PARTITION BY md5(array_to_string(w[1:8], ' '))) AS dst
+             FROM t WHERE len(w) >= 8),
+      e2 AS (SELECT doc_id AS src,
+                    min(doc_id) OVER (PARTITION BY md5(array_to_string(w[5:12], ' '))) AS dst
+             FROM t WHERE len(w) >= 12),
+      ed AS (SELECT src, dst FROM e1 WHERE src <> dst
+             UNION SELECT src, dst FROM e2 WHERE src <> dst),
+      und AS (SELECT src, dst FROM ed UNION SELECT dst AS src, src AS dst FROM ed),
+      r(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.dst, r.lbl FROM r JOIN und u ON u.src = r.id),
+      cc AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id)
+      SELECT id AS doc_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cc""")),
+
+    // Token-budget quota per source: the mixing unit that matters for
+    // pretraining is tokens, not rows — walk each source in md5 order and
+    // keep rows starting before the 1000-token budget. One window per
+    // stratum (parallel across sources), no global order.
+    ("q102_token_budget", (s: SparkSession, d: String) => {
+      Sampling.tokenBudgetTake(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+        "source", "doc_id", size(split(col("text"), "\\s+")), 1000L)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("start_tok"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, source,
+                        len(string_split_regex(text, '\s+')) AS n_tok,
+                        md5(CAST(doc_id AS VARCHAR)) AS ord
+                 FROM documents),
+      c AS (SELECT doc_id, source, n_tok,
+                   CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY ord, doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_tok
+            FROM t)
+      SELECT doc_id, source, n_tok, start_tok FROM c WHERE start_tok < 1000""")),
+
+    // Inverted-index construction with capped posting heads — the
+    // retrieval-side artifact of the corpus (serves dedup lookups and
+    // audits). Explode → hash agg with map-side combine; rare tokens
+    // dropped below min doc-freq as production indexes tier them.
+    ("q103_inverted_index", (s: SparkSession, d: String) => {
+      Indexing.invertedIndex(Tables.documents(s, d), "doc_id", "text",
+        minDf = 50L, postingCap = 10)
+    }, Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+                  FROM documents),
+      agg AS (SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_tf,
+                     array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',')
+                       AS postings_head
+              FROM tk GROUP BY token)
+      SELECT token, doc_freq, total_tf, postings_head
+      FROM agg WHERE doc_freq >= 50""")),
+
+    // Passage-level dedup rate: chop each doc into 16-token passages
+    // (q100's chunker, overlap 0), hash them, and report per doc how many
+    // passages also appear verbatim in ANOTHER doc — the boilerplate /
+    // template-contamination signal paragraph dedup pipelines act on.
+    // The hot-passage side is bounded by actual duplication, so it
+    // broadcast-joins back; the corpus is never re-shuffled.
+    ("q104_passage_dedup", (s: SparkSession, d: String) => {
+      val ch = Chunking.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 16, overlap = 0)
+        .select(col("id"), md5(col("chunk")).as("h"))
+      val hot = ch.groupBy(col("h"))
+        .agg(countDistinct(col("id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("h"), lit(1L).as("dup"))
+      ch.join(hot, Seq("h"), "left")
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_passages"),
+          sum(coalesce(col("dup"), lit(0L))).as("n_shared"))
+        .select(col("doc_id"), col("n_passages"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("n_passages"), 4)
+            .as("shared_frac"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      c AS (SELECT doc_id, w, len(w) AS n,
+                   CAST(floor((greatest(0, len(w) - 16) + 15) / 16.0) + 1 AS INT) AS n_chunks
+            FROM t),
+      e AS (SELECT doc_id, w, n, unnest(generate_series(0, n_chunks - 1)) AS k FROM c),
+      p AS (SELECT doc_id,
+                   md5(array_to_string(w[k*16 + 1 : least(k*16 + 16, n)], ' ')) AS h
+            FROM e),
+      hot AS (SELECT h, 1 AS dup FROM p GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2)
+      SELECT p.doc_id, count(*) AS n_passages,
+             CAST(sum(coalesce(hot.dup, 0)) AS BIGINT) AS n_shared,
+             round(sum(coalesce(hot.dup, 0)) * 1.0 / count(*), 4) AS shared_frac
+      FROM p LEFT JOIN hot USING (h)
+      GROUP BY p.doc_id""")),
+
+    // Per-document top-3 TF-IDF terms (score = tf · ln(N/df)) — the
+    // distinguishing-term surface curation review reads. Ranked on the
+    // ROUNDED score with a token tie-break so the cut is deterministic
+    // and engine-replayable; per-doc top-k is a WindowGroupLimit.
+    ("q105_tfidf", (s: SparkSession, d: String) => {
+      Indexing.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+    }, Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+                  FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+             FROM tf JOIN df USING (token) CROSS JOIN n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, token) AS rn FROM sc)
+      SELECT doc_id, token, tf, df, score FROM r WHERE rn <= 3""")),
+
+    // Deterministic global shuffle into training shards: shard = first
+    // md5 hex digit of the salted id (16-way), position = rank within the
+    // shard by full hash — reproducible on any cluster, and the windows
+    // run per shard in parallel (no global sort, no single partition).
+    ("q106_shuffle_shard", (s: SparkSession, d: String) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("shard",
+          (expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+                 FROM documents),
+      s AS (SELECT doc_id, h,
+                   CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS INTEGER) AS shard
+            FROM t)
+      SELECT doc_id, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+      FROM s""")),
+
+    // Per-source token-distribution Shannon entropy + vocabulary size —
+    // the corpus-diversity stat dataset cards report (a source whose
+    // entropy collapses is template spam). Two hash aggs over (source,
+    // token) counts; the raw token stream never crosses the wire twice.
+    ("q107_source_entropy", (s: SparkSession, d: String) => {
+      val toks = Tables.documents(s, d).select(col("source"),
+        explode(split(col("text"), "\\s+")).as("token"))
+      val c = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      val tot = c.groupBy(col("source")).agg(
+        sum(col("c")).as("t"), count(lit(1)).as("nd"))
+      c.join(tot, "source")
+        .groupBy(col("source"))
+        .agg(max(col("t")).as("n_tokens"),
+          max(col("nd")).as("n_distinct_tokens"),
+          round(-sum((col("c") / col("t")) * log(col("c") / col("t"))), 6)
+            .as("token_entropy"))
+    }, Some("""
+      WITH tk AS (SELECT source, unnest(string_split_regex(text, '\s+')) AS token
+                  FROM documents),
+      c AS (SELECT source, token, count(*) AS c FROM tk GROUP BY source, token),
+      tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t, count(*) AS nd
+              FROM c GROUP BY source)
+      SELECT c.source, max(tot.t) AS n_tokens, max(tot.nd) AS n_distinct_tokens,
+             round(-sum((c.c * 1.0 / tot.t) * ln(c.c * 1.0 / tot.t)), 6)
+               AS token_entropy
+      FROM c JOIN tot USING (source) GROUP BY c.source""")),
+  )
+
+  val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+  val oracles: Map[String, String] = entries.collect { case (n, _, Some(sql)) =>
+    n -> sql.stripMargin.trim.replace("round(", "round(1e-8 + ")
+  }.toMap
+}

@@ -203,6 +203,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q101 fingerprint edges pair docs through hash equi-joins, never a product") {
+    // star-edge construction must join fingerprints to their group hub by
+    // key — a product here is O(n²) at corpus scale
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val p = graft.operators.Components.fingerprintEdges(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
+  test("q102/q106 windows stay partitioned by stratum — no single-partition sort") {
+    // the prefix sum / shard position must run one window PER stratum in
+    // parallel; Exchange SinglePartition would serialize the corpus
+    for (name <- Seq("q102_token_budget", "q106_shuffle_shard")) {
+      val p = plan(name)
+      assert(!p.contains("SinglePartition"), s"$name: ${p.take(4000)}")
+      assert(p.contains("Window"), s"$name: ${p.take(4000)}")
+    }
+  }
+
+  test("q105 per-doc top-k plans WindowGroupLimit; joins are equi-joins") {
+    val p = plan("q105_tfidf")
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q104 hot-passage join is an equi-join on the passage hash") {
+    val p = plan("q104_passage_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("q45 LSH band join is array-free (only ids and hashes shuffle)") {
     // the bucket self-join must see narrow (band, band_hash, id) inputs;
     // the shingle arrays may only appear in the later verify joins

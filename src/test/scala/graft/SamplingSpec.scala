@@ -103,6 +103,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(one.filter($"split" =!= "all").count() === 0)
   }
 
+  test("tokenBudgetTake: every stratum keeps >=1 row, totals bounded, partition-invariant") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select($"doc_id", $"source", $"text")
+    val w = size(split($"text", "\\s+"))
+    val took = Sampling.tokenBudgetTake(docs, "source", "doc_id", w, 200L)
+    val perSource = took.groupBy($"source")
+      .agg(count(lit(1)).as("n"), max($"start_tok").as("max_start"))
+      .collect()
+    val allSources = docs.select($"source").distinct().count()
+    assert(perSource.length == allSources,
+      "the first doc of a stratum starts at 0 < budget, so no stratum can vanish")
+    // every kept row STARTS inside the budget
+    assert(perSource.forall(_.getLong(2) < 200L))
+    // a budget >= the stratum's total tokens keeps everything
+    val all = Sampling.tokenBudgetTake(docs, "source", "doc_id", w, 1000000L)
+    assert(all.count() == docs.count())
+    // membership is partitioning-independent
+    val a = took.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.tokenBudgetTake(docs.repartition(7), "source", "doc_id", w, 200L)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("frequentItems surfaces the dominant value") {
     val df = (Seq.fill(80)("common") ++ Seq("rare1", "rare2")).toDF("v")
     val freq = Sampling.frequentItems(df, Seq("v"), 0.4)
