@@ -23,6 +23,40 @@ object RidgePipeline {
       model: org.apache.spark.ml.PipelineModel,
       metrics: DataFrame)
 
+  /** Closed-form single-feature ridge regression (intercept unpenalized):
+    * slope = Sxy / (Sxx + λ) over centered data, computed from the
+    * numerically stable covar_pop/var_pop aggregates — one pass, one row
+    * out, no iterative solver. mse follows without a second data pass:
+    * with a = ȳ − b·x̄, residual = (y−ȳ) − b(x−x̄), so
+    * mse = var_y − 2b·covar + b²·var_x. Every quantity is a standard SQL
+    * aggregate, which makes this the ORACLE-CHECKED twin of the seeded
+    * MLlib pipeline in [[train]] (q60 stays rows-only; q109 hash-checks
+    * this one end to end against DuckDB).
+    *
+    * Output row: (n, slope, intercept, rmse, r2) — rounded for
+    * cross-engine float parity.
+    */
+  def closedFormSimpleRidge(df: DataFrame, xCol: String, yCol: String,
+      lambda: Double): DataFrame = {
+    require(lambda >= 0, "need lambda >= 0")
+    val pr = graft.functions.ColumnFunctions.pround _
+    val stats = df
+      .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("x")).as("ax"), avg(col("y")).as("ay"),
+        covar_pop(col("x"), col("y")).as("cxy"),
+        var_pop(col("x")).as("vx"), var_pop(col("y")).as("vy"))
+    val slope = col("cxy") / (col("vx") + lit(lambda) / col("n"))
+    val mse = col("vy") - lit(2.0) * slope * col("cxy") + slope * slope * col("vx")
+    stats.select(
+      col("n"),
+      pr(slope, 4).as("slope"),
+      pr(col("ay") - slope * col("ax"), 4).as("intercept"),
+      pr(sqrt(mse), 4).as("rmse"),
+      pr(lit(1.0) - mse / col("vy"), 6).as("r2"))
+  }
+
   /** Train on `df` with the reference's hyperparameters; returns the fitted
     * pipeline and a one-row metrics DataFrame (the `ml_model_performance`
     * table shape: counts, rmse/r2/mae, intercept, coefficients).

@@ -242,6 +242,47 @@ object Dedup {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Per-document dup-cluster map over the verified LSH pair graph:
+    * exact dedup first, then connected components over the confirmed
+    * near-dup pairs ([[Components.connectedComponents]] — min-label
+    * propagation, O(diameter) rounds). Returns (id, cluster_id) for every
+    * exact-dedup survivor; cluster_id = the smallest id reachable through
+    * near-dup pairs.
+    *
+    * This is the CLUSTER-dedup policy (one survivor per connected
+    * component — what C4/FineWeb-style pipelines apply): strictly more
+    * aggressive than [[dedupCorpus]]'s pairwise rule, which keeps every
+    * LOCAL minimum (a doc smaller than all its pair partners survives even
+    * when its component has a smaller member it never paired with).
+    * Declared on the portable md5 banding so the whole map — banding,
+    * verification, closure — is engine-replayable (q108's DuckDB oracle
+    * runs it as a recursive CTE).
+    */
+  def dupClusterMap(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.7,
+      k: Int = 32, bands: Int = 16): DataFrame = {
+    val exact = dropExactDups(docs, idCol, textCol)
+    val pairs = minHashLshPortable(exact, idCol, textCol,
+      shingleN = shingleN, k = k, bands = bands, threshold = threshold)
+    Components.connectedComponents(
+      exact.select(col(idCol).as("id")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+  }
+
+  /** [[dedupCorpus]] with cluster-based survivor selection: keep exactly
+    * the minimum id of each near-dup component. Survivors are the fixed
+    * points of [[dupClusterMap]] (id == cluster_id); always a subset of
+    * the pairwise policy's survivors (law in DedupSpec).
+    */
+  def dedupCorpusClustered(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.7,
+      k: Int = 32, bands: Int = 16): DataFrame = {
+    val survivors = dupClusterMap(docs, idCol, textCol, shingleN, threshold, k, bands)
+      .filter(col("id") === col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(survivors, Seq(idCol), "left_semi")
+  }
+
   /** Incremental fuzzy dedup: clean a NEW ingest batch against the
     * already-ingested corpus WITHOUT re-pairing the corpus with itself —
     * the only dedup shape that works when the corpus is 100 TB and the

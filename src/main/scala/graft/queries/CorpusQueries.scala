@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Chunking, Components, Indexing, Sampling}
+import graft.operators.{Chunking, Components, Dedup, Indexing, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -196,6 +196,118 @@ object CorpusQueries {
              round(-sum((c.c * 1.0 / tot.t) * ln(c.c * 1.0 / tot.t)), 6)
                AS token_entropy
       FROM c JOIN tot USING (source) GROUP BY c.source""")),
+    // Cluster-dedup policy over the verified MinHash-LSH pair graph: one
+    // survivor per connected component (C4/FineWeb-style), vs q68's
+    // pairwise local-minimum rule. Declared on the portable md5 banding —
+    // the oracle replays banding, Jaccard verification AND the transitive
+    // closure (recursive CTE), hash-checking the full per-doc cluster map.
+    ("q108_cluster_dedup", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val cm = Dedup.dupClusterMap(docs, "doc_id", "text", threshold = 0.5)
+        .withColumnRenamed("id", "doc_id")
+      docs.join(cm, "doc_id")
+        .select(col("doc_id"), col("cluster_id"), col("lang"), col("source"))
+    }, Some("""
+      WITH RECURSIVE
+      keep AS (
+        SELECT doc_id, lang, source, text FROM (
+          SELECT doc_id, lang, source, text,
+                 row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents)
+        WHERE rn = 1),
+      t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM keep),
+      s AS (
+        SELECT doc_id,
+               CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                    ELSE [array_to_string(w[i+1:i+3], ' ')
+                          for i in generate_series(0, len(w)-3)]
+               END AS shs
+        FROM t),
+      sig AS (
+        SELECT doc_id,
+               [list_min([substr(md5(i::VARCHAR || ':' || sh), 1, 16) for sh in shs])
+                for i in generate_series(0, 31)] AS sig
+        FROM s),
+      bd AS (
+        SELECT doc_id, g.b AS band,
+               md5(g.b::VARCHAR || ':' || array_to_string(sig[g.b*2+1:g.b*2+2], ',')) AS band_hash
+        FROM sig, generate_series(0, 15) AS g(b)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bd x JOIN bd y ON x.band = y.band AND x.band_hash = y.band_hash
+        WHERE x.doc_id < y.doc_id),
+      dd AS (SELECT doc_id, list_distinct(shs) AS sh FROM s),
+      pr AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN dd da ON da.doc_id = c.id_a
+        JOIN dd db ON db.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(da.sh, db.sh))) >= 0.5),
+      und AS (SELECT id_a AS src, id_b AS dst FROM pr
+              UNION SELECT id_b AS src, id_a AS dst FROM pr),
+      r(id, lbl) AS (
+        SELECT doc_id, doc_id FROM keep
+        UNION
+        SELECT u.dst, rr.lbl FROM r rr JOIN und u ON u.src = rr.id),
+      cc AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id)
+      SELECT k.doc_id, cc.cluster_id, k.lang, k.source
+      FROM keep k JOIN cc ON cc.id = k.doc_id""")),
+
+    // Closed-form single-feature ridge (covar/var aggregates, no solver) —
+    // the oracle-checked twin of the seeded MLlib pipeline (q60): DuckDB
+    // replays slope/intercept/rmse/r2 from the same population moments.
+    ("q109_ridge_closed_form", (s: SparkSession, d: String) => {
+      graft.ml.RidgePipeline.closedFormSimpleRidge(
+        Tables.lineitem(s, d), "l_quantity", "l_extendedprice", lambda = 1.0)
+    }, Some("""
+      WITH st AS (
+        SELECT count(*) AS n, avg(x) AS ax, avg(y) AS ay,
+               covar_pop(x, y) AS cxy, var_pop(x) AS vx, var_pop(y) AS vy
+        FROM (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                     CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem)),
+      co AS (SELECT n, ax, ay, cxy, vx, vy,
+                    cxy / (vx + 1.0 / n) AS slope FROM st)
+      SELECT n, round(slope, 4) AS slope,
+             round(ay - slope * ax, 4) AS intercept,
+             round(sqrt(vy - 2.0 * slope * cxy + slope * slope * vx), 4) AS rmse,
+             round(1.0 - (vy - 2.0 * slope * cxy + slope * slope * vx) / vy, 6) AS r2
+      FROM co""")),
+
+    // Per-vector int8 scalar quantization (the storage format IVF/SQ ANN
+    // indexes keep instead of float32 — 4× smaller, cheap to scan):
+    // codes = floor((x−min)/(max−min)·255 + 0.5), reconstruction error
+    // reported per vector. Pure per-row HOF arithmetic (shuffle-free);
+    // IEEE double ops replay bit-identically in DuckDB's list lambdas.
+    ("q110_quantize_embeddings", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.Column
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        array_min(col("embedding")).cast("double").as("vmin"),
+        array_max(col("embedding")).cast("double").as("vmax"))
+      val sc = col("vmax") - col("vmin")
+      def recon(x: Column) =
+        col("vmin") + floor((x.cast("double") - col("vmin")) / sc * lit(255.0)
+          + lit(0.5)) / lit(255.0) * sc
+      val se = aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + (x.cast("double") - recon(x)) * (x.cast("double") - recon(x)))
+      emb.select(col("vec_id"),
+        round(col("vmin"), 6).as("qmin"), round(col("vmax"), 6).as("qmax"),
+        round(when(col("vmax") === col("vmin"), lit(0.0))
+          .otherwise(se / size(col("embedding"))), 8).as("q_mse"))
+    }, Some("""
+      WITH b AS (SELECT vec_id, embedding,
+                        CAST(list_min(embedding) AS DOUBLE) AS vmin,
+                        CAST(list_max(embedding) AS DOUBLE) AS vmax
+                 FROM embeddings)
+      SELECT vec_id, round(vmin, 6) AS qmin, round(vmax, 6) AS qmax,
+             round(CASE WHEN vmax = vmin THEN 0.0 ELSE
+               list_sum(list_transform(embedding, x ->
+                 (CAST(x AS DOUBLE) - (vmin + floor((CAST(x AS DOUBLE) - vmin)
+                    / (vmax - vmin) * 255.0 + 0.5) / 255.0 * (vmax - vmin)))
+                 * (CAST(x AS DOUBLE) - (vmin + floor((CAST(x AS DOUBLE) - vmin)
+                    / (vmax - vmin) * 255.0 + 0.5) / 255.0 * (vmax - vmin)))))
+               / len(embedding) END, 8) AS q_mse
+      FROM b""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

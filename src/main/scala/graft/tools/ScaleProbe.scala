@@ -50,7 +50,12 @@ object ScaleProbe {
         size(split(col("text"), "\\s+")), budget = 512L).count()),
     ("decontaminate", () =>
       graft.operators.Decontaminate.contaminationReport(
-        docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text").count()))
+        docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text").count()),
+    // the one ITERATIVE op in the suite: round count is diameter-bound
+    // (constant per shard by construction), so growth here measures the
+    // per-round shuffle volume, not an iteration blow-up
+    ("dup_clusters", () =>
+      graft.operators.Components.dupClusters(docs, "doc_id", "text").count()))
 
   /** Times every op at every scale in `ks`; `iters` timed runs per (op,
     * k), min reported (single runs on a shared host inflate under ambient

@@ -188,6 +188,36 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors === Set(11L), "10 duplicates old doc 0 and must be dropped")
   }
 
+  test("cluster dedup collapses a hub component the pairwise rule keeps") {
+    // Hub pattern: doc 3 = doc 1's tokens ++ doc 2's tokens, so 3 pairs
+    // with BOTH 1 and 2 (J ≈ 18/38 ≈ 0.47) while 1 and 2 share nothing.
+    // Pairwise rule: only 3 is the larger id of a pair -> survivors {1,2}.
+    // Cluster rule: {1,2,3} is ONE component -> survivor {1} alone.
+    val a = (0 until 20).map(i => s"alpha$i").mkString(" ")
+    val b = (0 until 20).map(i => s"beta$i").mkString(" ")
+    val hub = Seq((1L, a), (2L, b), (3L, s"$a $b")).toDF("doc_id", "text")
+    val pairwise = Dedup.dedupCorpusPortable(hub, "doc_id", "text", threshold = 0.45)
+      .select($"doc_id").as[Long].collect().toSet
+    val clustered = Dedup.dedupCorpusClustered(hub, "doc_id", "text", threshold = 0.45)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(pairwise === Set(1L, 2L), "pairwise keeps both local minima")
+    assert(clustered === Set(1L), "cluster policy keeps one survivor per component")
+    // the cluster map itself: all three docs in the min-labelled component
+    val cm = Dedup.dupClusterMap(hub, "doc_id", "text", threshold = 0.45)
+      .as[(Long, Long)].collect().toMap
+    assert(cm === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("clustered survivors are a subset of pairwise survivors (real corpus)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val pairwise = Dedup.dedupCorpusPortable(docs, "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    val clustered = Dedup.dedupCorpusClustered(docs, "doc_id", "text", threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(clustered.subsetOf(pairwise))
+    assert(clustered.nonEmpty)
+  }
+
   test("jaccardSelfJoin edge corpora: all-identical, all-unique, singleton") {
     // all-identical token sets: every pair emitted as J = 1.0 through the
     // set-collapse fast path, none verified

@@ -19,7 +19,7 @@ class ScaleProbeSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_scaleprobe").toString
     val probes = ScaleProbe.run(spark, base, Seq(2, 32), tmp, iters = 2)
     val byOp = probes.groupBy(_.op)
-    assert(byOp.size === 5, "every probed op must report both scales")
+    assert(byOp.size === 6, "every probed op must report both scales")
     for ((op, ps) <- byOp) {
       val lo = ps.minBy(_.k)
       val hi = ps.maxBy(_.k)
