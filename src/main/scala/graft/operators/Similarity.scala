@@ -141,6 +141,39 @@ object Similarity {
       vecCol, k, nProbe)
   }
 
+  /** PORTABLE IVF: identical probe machinery to [[ivfTopK]] but the coarse
+    * quantizer is the "random centroids" layout — the nCells corpus vectors
+    * that sort FIRST by md5(id) (a deterministic, engine-replayable draw)
+    * instead of fitted k-means means. Random-vector coarse quantizers are
+    * the standard cheap IVF initialization; cell balance is worse than
+    * k-means but the probe/scan shape — assign by nearest centroid, scan
+    * nProbe/nCells of the corpus per query — is exactly the same, so this
+    * variant puts the whole IVF search path (assignment, probe selection,
+    * cell equi-join, top-k) under the DuckDB hash check (q111) while the
+    * k-means quantizer stays engine-native under the SimilaritySpec recall
+    * laws (q51). Centroid fetch is a driver-sized top-nCells collect.
+    */
+  def ivfTopKPortable(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val centroids = c
+      .withColumn("h", md5(col("id").cast("string")))
+      .orderBy(col("h"), col("id"))
+      .limit(nCells)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    // nearest-centroid assignment as a narrow projection over a literal
+    // centroid array (ties broken by cell index — same rule as probeSide)
+    val cells = c
+      .withColumn("cellDists", array(centroids.zipWithIndex.map { case (ctr, i) =>
+        struct(l2Sq(col("v"), lit(ctr)).as("d"), lit(i).as("cell"))
+      }: _*))
+      .withColumn("cell", element_at(array_sort(col("cellDists")), 1).getField("cell"))
+      .drop("cellDists")
+      .withColumn("nrm", l2Norm(col("v")))
+    probeCells(cells, centroids, queries, idCol, vecCol, k, nProbe)
+  }
+
   /** The IVF probe stage shared by the one-shot [[ivfTopK]] and the
     * persisted-index [[ivfSearch]]: each query scans only its nProbe
     * nearest centroid cells (centroids are tiny — shipped as a literal

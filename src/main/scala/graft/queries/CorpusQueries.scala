@@ -308,6 +308,80 @@ object CorpusQueries {
                     / (vmax - vmin) * 255.0 + 0.5) / 255.0 * (vmax - vmin)))))
                / len(embedding) END, 8) AS q_mse
       FROM b""")),
+    // Per-source KL divergence from the corpus token distribution — the
+    // drift signal a dataset card pairs with q107's entropy: a source
+    // whose KL spikes is off-distribution (template spam, wrong language,
+    // scraper breakage). p_c(token) > 0 whenever p_s(token) > 0 (the
+    // corpus contains every source), so no smoothing term is needed.
+    ("q112_kl_drift", (s: SparkSession, d: String) => {
+      val toks = Tables.documents(s, d).select(col("source"),
+        explode(split(col("text"), "\\s+")).as("token"))
+      val cs = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      val ct = toks.groupBy(col("token")).agg(count(lit(1)).as("ct"))
+      val ts = cs.groupBy(col("source")).agg(sum(col("c")).as("t"))
+      val n = ct.agg(sum(col("ct")).as("n_total"))
+      cs.join(ct, "token").join(ts, "source").crossJoin(broadcast(n))
+        .groupBy(col("source"))
+        .agg(max(col("t")).as("n_tokens"),
+          round(sum((col("c") / col("t"))
+            * log((col("c") / col("t")) / (col("ct") / col("n_total")))), 6)
+            .as("kl_vs_corpus"))
+    }, Some("""
+      WITH tk AS (SELECT source, unnest(string_split_regex(text, '\s+')) AS token
+                  FROM documents),
+      cs AS (SELECT source, token, count(*) AS c FROM tk GROUP BY source, token),
+      ct AS (SELECT token, count(*) AS ct FROM tk GROUP BY token),
+      ts AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cs GROUP BY source),
+      n AS (SELECT CAST(sum(ct) AS BIGINT) AS n_total FROM ct)
+      SELECT cs.source, max(ts.t) AS n_tokens,
+             round(sum((cs.c * 1.0 / ts.t)
+               * ln((cs.c * 1.0 / ts.t) / (ct.ct * 1.0 / n.n_total))), 6)
+               AS kl_vs_corpus
+      FROM cs JOIN ct USING (token) JOIN ts USING (source) CROSS JOIN n
+      GROUP BY cs.source""")),
+
+    // IVF ANN search with the PORTABLE random-centroid coarse quantizer:
+    // centroids = the 16 corpus vectors first in md5(id) order, assignment
+    // and probe selection by nearest centroid with a cell-index tie-break.
+    // Hash-checks the ENTIRE IVF search path (assignment, nProbe cell
+    // selection, cell equi-join, per-query top-k) — the k-means quantizer
+    // variant (q51) stays engine-native under the recall laws.
+    ("q111_ann_ivf_portable", (s: SparkSession, d: String) => {
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopKPortable(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4)
+    }, Some("""
+      WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ord AS (SELECT vec_id, v,
+                     row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn
+              FROM c),
+      ctr AS (SELECT rn AS cell, v AS cv FROM ord WHERE rn < 16),
+      asg AS (SELECT vec_id, v, cell FROM (
+                SELECT c.vec_id, c.v, ctr.cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_distance(c.v, ctr.cv), ctr.cell) AS r
+                FROM c CROSS JOIN ctr)
+              WHERE r = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+      probe AS (SELECT query_id, qv, cell FROM (
+                  SELECT q.query_id, q.qv, ctr.cell,
+                         row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_distance(q.qv, ctr.cv), ctr.cell) AS r
+                  FROM q CROSS JOIN ctr)
+                WHERE r <= 4),
+      scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(a.v, p.qv) AS cos
+        FROM probe p JOIN asg a ON a.cell = p.cell
+        WHERE a.vec_id != p.query_id),
+      rk AS (SELECT query_id, neighbor_id, cos,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rank
+             FROM scored)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+             round(cos, 6) AS cos_sim
+      FROM rk WHERE rank <= 10""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -235,6 +235,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
 
+  test("q111 portable IVF broadcasts the probe side; corpus cells never re-shuffle") {
+    val p = plan("q111_ann_ivf_portable")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("q45 LSH band join is array-free (only ids and hashes shuffle)") {
     // the bucket self-join must see narrow (band, band_hash, id) inputs;
     // the shingle arrays may only appear in the later verify joins

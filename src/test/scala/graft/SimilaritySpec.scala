@@ -164,6 +164,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(wrong === 0)
   }
 
+  test("ivfTopKPortable: exact cosines, recall comparable to the k-means quantizer") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id", $"cos_sim".as("exact_cos"))
+    val ivf = Similarity.ivfTopKPortable(emb, queries, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 4)
+    // random centroids partition less evenly than k-means, but probing
+    // half the cells must still recover a real share of the true top-5
+    val hits = ivf.join(exact, Seq("query_id", "neighbor_id")).count()
+    assert(hits >= 20, s"portable IVF recall too low: $hits/50")
+    val wrong = ivf.join(exact, Seq("query_id", "neighbor_id"))
+      .filter($"cos_sim" =!= $"exact_cos").count()
+    assert(wrong === 0)
+    // determinism: same result under a different input partitioning
+    val again = Similarity.ivfTopKPortable(emb.repartition(7), queries,
+      "vec_id", "embedding", 5, nCells = 8, nProbe = 4)
+      .collect().map(_.toString).sorted
+    assert(again === ivf.collect().map(_.toString).sorted)
+  }
+
   test("banded near-dups: precision 1.0 vs exhaustive, high-sim recall law") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val exhaustive = Similarity.embeddingNearDups(emb, "vec_id", "embedding", 0.4, nBits = 0)
