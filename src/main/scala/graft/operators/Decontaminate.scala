@@ -42,6 +42,39 @@ object Decontaminate {
           col("n_hits").cast("double") / col("n_grams"), 4))
   }
 
+  /** Cross-split n-gram novelty: for every document of the `target` split,
+    * the fraction of its DISTINCT word n-grams never seen anywhere in the
+    * `seen` split — the leakage/novelty curve reported when validating a
+    * train/val split ([[Sampling.leakageSafeSplit]] guards byte-identical
+    * duplicates; this measures what near-duplicate overlap remains).
+    *
+    * Unlike [[contaminationReport]] the reference side here is another
+    * corpus split, not a tiny benchmark — so nothing broadcasts: the seen
+    * side collapses to DISTINCT n-grams (partial-aggregated before the
+    * wire) and the overlap is a shuffled left semi-style join on the
+    * n-gram string, then one doc_id-keyed count. Every target doc is
+    * reported, including fully-novel ones (novelty 1.0).
+    */
+  def crossSplitNovelty(target: DataFrame, seen: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val grams = target
+      .select(col(idCol), array_distinct(shingles(col(textCol), n)).as("gs"))
+      .withColumn("n_grams", size(col("gs")).cast("long"))
+      .select(col(idCol), col("n_grams"), explode(col("gs")).as("g"))
+    val seenGrams = seen
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("g"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    grams
+      .join(seenGrams, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(max(col("n_grams")).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_seen"))
+      .withColumn("novelty",
+        graft.functions.ColumnFunctions.pround(
+          lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 4))
+  }
+
   /** The corpus minus every document overlapping `bench` above
     * `maxFrac` of its distinct n-grams (0.0 = drop on any shared
     * n-gram). Anti-join on the flagged id set — one broadcast-able key

@@ -41,6 +41,40 @@ object Indexing {
       .filter(col("doc_freq") >= minDf)
   }
 
+  /** Per-stratum Zipf fit: OLS of ln(count) on ln(rank) over the top
+    * `topN` tokens (rank by count desc, token asc — deterministic). A
+    * healthy natural-language source fits slope ≈ −1 (Zipf's law); a
+    * collapsed slope or r² is the template-spam / scraper-breakage smell
+    * a dataset card flags next to entropy ([[graft.queries]] q107).
+    * Closed-form population moments — covar_pop/var_pop — so any engine
+    * replays it; one token-count aggregate, one tiny per-stratum window
+    * over ≤ topN rows, one scalar aggregate per stratum.
+    *
+    * Output: (stratum, n_top, zipf_slope, zipf_r2), rounded to 6.
+    */
+  def zipfFit(docs: DataFrame, stratumCol: String, textCol: String,
+      topN: Int = 100): DataFrame = {
+    require(topN >= 2)
+    val counts = docs
+      .select(col(stratumCol).as("stratum"),
+        explode(split(col(textCol), "\\s+")).as("token"))
+      .groupBy(col("stratum"), col("token")).agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(Window.partitionBy(col("stratum"))
+        .orderBy(col("c").desc, col("token"))))
+      .filter(col("rank") <= topN)
+      .select(col("stratum"), log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    val r = graft.functions.ColumnFunctions.pround(_: org.apache.spark.sql.Column, 6)
+    ranked.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_top"),
+        covar_pop(col("y"), col("x")).as("cxy"),
+        var_pop(col("x")).as("vx"), var_pop(col("y")).as("vy"))
+      .select(col("stratum"), col("n_top"),
+        r(col("cxy") / col("vx")).as("zipf_slope"),
+        r(col("cxy") * col("cxy") / (col("vx") * col("vy"))).as("zipf_r2"))
+  }
+
   /** Per-document top-`k` TF-IDF terms: score = tf · ln(N/df), ranked
     * (rounded score desc, token asc) so the cut is deterministic and
     * engine-replayable. Output: (id, token, tf, df, score). The corpus

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval scoring over the corpus: BM25 top-k — the ranking
+  * function behind the retrieval side of a training-data pipeline
+  * (kNN-LM data selection, dedup candidate lookup by content, quality
+  * audits of "what does the corpus say about X").
+  *
+  * Scale shape: statistics (tf, df, doc length, avgdl) are explode →
+  * hash-aggregate pipelines with map-side partial combine; the query set
+  * is small by construction and broadcast to the term-frequency table, so
+  * the corpus is scanned once and only (query, candidate) pairs that
+  * share at least one term materialize. Per-query top-k is a
+  * WindowGroupLimit over that candidate set, never a global sort.
+  * Robertson & Walker / Robertson-Spärck Jones BM25 (TREC-3, public);
+  * idf = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Lucene-standard
+  * non-negative variant.
+  */
+object Retrieval {
+
+  /** Score every corpus document against every query document's term
+    * multiset with BM25 and keep the top `k` per query (self-matches
+    * excluded). Query terms are DISTINCT tokens of the query doc — the
+    * standard bag-of-query-terms formulation.
+    *
+    * Output: (query_id, rank, doc_id, score), rank by rounded score desc
+    * with doc_id tie-break so the cut is deterministic and
+    * engine-replayable.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1 && k1 > 0 && b >= 0 && b <= 1)
+    val toks: DataFrame => DataFrame = df => df.select(
+      col(idCol).cast("long").as("id"),
+      explode(split(col(textCol), "\\s+")).as("token"))
+    // one row per (doc, token) with its tf — the only shuffle over the corpus
+    val tf = toks(docs).groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // corpus constants ride along as a one-row broadcast, never a collect;
+    // avgdl as exact-integer sum ÷ count (not avg()) so every engine's
+    // accumulation order produces the bit-identical double
+    val consts = dl
+      .agg(count(lit(1)).cast("double").as("n_docs"), sum(col("dl")).as("sdl"))
+      .withColumn("avgdl", col("sdl").cast("double") / col("n_docs"))
+      .drop("sdl")
+    val qterms = toks(queries).select(col("id").as("query_id"), col("token")).distinct()
+    // df is vocabulary-sized — too big to broadcast at scale. Restrict it to
+    // the query vocabulary first (semi-join against the tiny broadcast query
+    // term set); THAT is broadcastable by construction.
+    val qdf = df_.join(broadcast(qterms.select(col("token")).distinct()), "token")
+    val idf: Column = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm: Column = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(qterms), "token")
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(qdf), "token")
+      .join(dl, "id")
+      .crossJoin(broadcast(consts))
+      .groupBy(col("query_id"), col("id"))
+      .agg(graft.functions.ColumnFunctions.pround(sum(idf * tfNorm), 4).as("score"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"), col("score"))
+  }
+}

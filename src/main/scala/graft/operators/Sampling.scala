@@ -165,6 +165,37 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Temperature-scaled mixing weights: w_s ∝ p_s^(1/T) where p_s is the
+    * stratum's natural share of `weight` (tokens, usually) — the standard
+    * multilingual/multi-source rebalancing rule (mT5's τ-sampling;
+    * exponent alpha = 1/T, alpha < 1 upweights scarce sources). Also
+    * reports each stratum's expected epoch count at `budgetTokens`, the
+    * number every data recipe checks before committing (epochs ≫ 1 on a
+    * small source means it will be memorized).
+    *
+    * Pure arithmetic over the per-stratum aggregate (one shuffle over
+    * stratum keys; the normalizing sum is a one-row broadcast). Output:
+    * (stratum, n_tokens, natural_frac, mix_frac, epochs_at_budget).
+    */
+  def temperatureWeights(df: DataFrame, stratumCol: String,
+      weight: org.apache.spark.sql.Column, alpha: Double,
+      budgetTokens: Long): DataFrame = {
+    require(alpha > 0 && budgetTokens >= 1)
+    val r = graft.functions.ColumnFunctions.pround(_: org.apache.spark.sql.Column, 6)
+    val counts = df.groupBy(col(stratumCol))
+      .agg(sum(weight.cast("long")).as("n_tokens"))
+    val tot = counts.agg(sum(col("n_tokens")).as("n_total"),
+      sum(pow(col("n_tokens").cast("double"), alpha)).as("z"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("mix_frac_raw",
+        pow(col("n_tokens").cast("double"), alpha) / col("z"))
+      .select(col(stratumCol), col("n_tokens"),
+        r(col("n_tokens") / col("n_total")).as("natural_frac"),
+        r(col("mix_frac_raw")).as("mix_frac"),
+        r(col("mix_frac_raw") * budgetTokens / col("n_tokens"))
+          .as("epochs_at_budget"))
+  }
+
   /** Frequent-items profile per column (Spark's stat.freqItems — the
     * Karp-Papadimitriou-Shenker sketch): items with frequency above
     * `support`, per column. One pass, no shuffle of raw data.

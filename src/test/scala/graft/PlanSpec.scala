@@ -241,6 +241,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("q113 BM25 broadcasts query terms; candidates pair by equi-join, top-k is grouped") {
+    // the corpus tf table must meet the (tiny) query-term set through a
+    // broadcast hash join — a shuffled or product join here re-keys the
+    // whole corpus per query at scale; per-query top-k is a WindowGroupLimit
+    val p = plan("q113_bm25")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+  }
+
+  test("q114/q115 windows stay partitioned by stratum/entity — no single-partition sort") {
+    for (name <- Seq("q114_zipf_slope", "q115_scd2")) {
+      val p = plan(name)
+      assert(!p.contains("SinglePartition"), s"$name: ${p.take(4000)}")
+      assert(p.contains("Window"), s"$name: ${p.take(4000)}")
+    }
+  }
+
+  test("q116 novelty gram overlap is an equi-join on the gram, never a product") {
+    val p = plan("q116_ngram_novelty")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("q45 LSH band join is array-free (only ids and hashes shuffle)") {
     // the bucket self-join must see narrow (band, band_hash, id) inputs;
     // the shingle arrays may only appear in the later verify joins
