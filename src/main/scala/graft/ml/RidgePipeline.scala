@@ -48,13 +48,19 @@ object RidgePipeline {
         covar_pop(col("x"), col("y")).as("cxy"),
         var_pop(col("x")).as("vx"), var_pop(col("y")).as("vy"))
     val slope = col("cxy") / (col("vx") + lit(lambda) / col("n"))
-    val mse = col("vy") - lit(2.0) * slope * col("cxy") + slope * slope * col("vx")
+    // clamped at 0: floating-point cancellation in vy − 2b·cxy + b²·vx can
+    // land epsilon-negative on a near-perfect fit, and sqrt of that is NaN
+    val mse = greatest(
+      col("vy") - lit(2.0) * slope * col("cxy") + slope * slope * col("vx"),
+      lit(0.0))
     stats.select(
       col("n"),
       pr(slope, 4).as("slope"),
       pr(col("ay") - slope * col("ax"), 4).as("intercept"),
       pr(sqrt(mse), 4).as("rmse"),
-      pr(lit(1.0) - mse / col("vy"), 6).as("r2"))
+      // r² is undefined when y is constant (vy = 0) — null, not a 0/0 NaN
+      when(col("vy") === 0, lit(null).cast("double"))
+        .otherwise(pr(lit(1.0) - mse / col("vy"), 6)).as("r2"))
   }
 
   /** Train on `df` with the reference's hyperparameters; returns the fitted

@@ -20,28 +20,43 @@ import org.apache.spark.sql.functions._
   * no driver-side graph, no vertex ever collected. For adversarial
   * long-path graphs the published fix is alternating large-star/small-star
   * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
-  * 2014), which squares path lengths per round; the propagation loop below
-  * keeps the simpler shape because dedup graphs never pay that worst case,
-  * and `maxIter` fails fast (rather than silently under-merging) if one
-  * ever shows up.
+  * 2014), which contracts path structure geometrically per round; the loop
+  * below starts with the simpler propagation shape (dedup graphs rarely pay
+  * the worst case) and ESCAPES to the alternating-star algorithm after
+  * `starAfter` unconverged rounds, seeded with the propagation progress —
+  * so a planted 10k-hop path converges in O(log n) star rounds instead of
+  * failing.
   *
   * Scale shape at 100 TB: the edge set (already distilled to star edges by
   * [[fingerprintEdges]]) is O(corpus); each round shuffles only 16-byte
-  * rows on a long key; `localCheckpoint` truncates lineage so the plan
-  * does not grow with rounds and a lost executor replays one round, not
-  * the whole history.
+  * rows on a long key. `localCheckpoint` truncates lineage so the plan does
+  * not grow with rounds — the trade is fault tolerance for speed: the
+  * checkpoint blocks live on executors, so losing one fails the job and
+  * the caller reruns it (acceptable for a minutes-long dedup step; use
+  * reliable `checkpoint()` with an HDFS checkpoint dir if a rerun is more
+  * expensive than the extra write). Each round's superseded labels are
+  * unpersisted once the next round's checkpoint materializes, so executor
+  * storage stays O(|V| + |E|), not O(rounds).
   */
 object Components {
 
-  /** Min-label propagation. `vertices`: one `id` column; `edges`:
-    * (`src`, `dst`) — direction ignored, self-loops dropped. Returns
-    * (id, cluster_id) where cluster_id = min id reachable from `id`.
-    * Throws (rather than returning an under-merged labelling) if the
-    * fixpoint is not reached within `maxIter` rounds.
+  /** Min-label propagation with an alternating-star escape. `vertices`:
+    * one `id` column; `edges`: (`src`, `dst`) — direction ignored,
+    * self-loops dropped. Returns (id, cluster_id) where cluster_id = min
+    * id reachable from `id`.
+    *
+    * Propagation runs up to min(`starAfter`, `maxIter`) rounds; if the
+    * fixpoint is not reached and budget remains, the Kiveris alternating
+    * large-star/small-star phase takes over (seeded with the propagation
+    * progress) for up to `maxIter` rounds of its own. Throws — rather
+    * than returning an under-merged labelling — only if even the star
+    * phase fails to converge (or `maxIter` ≤ `starAfter` left it no room,
+    * the strict fail-fast configuration).
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, starAfter: Int = 8): DataFrame = {
     require(maxIter >= 1, "need maxIter >= 1")
+    require(starAfter >= 1, "need starAfter >= 1")
     // undirected, deduped, self-loop-free; materialized once — every round
     // re-reads this, so it must not re-derive from the (possibly expensive)
     // candidate-pair plan each time
@@ -58,7 +73,7 @@ object Components {
       col("id").cast("long").as("label")).localCheckpoint()
     var round = 0
     var converged = false
-    while (!converged && round < maxIter) {
+    while (!converged && round < math.min(maxIter, starAfter)) {
       // each vertex's next label = min(own, neighbours') — labels only
       // ever decrease, so "no label decreased" is the fixpoint test
       val viaNeighbour = both.join(labels, both("src") === labels("id"))
@@ -70,15 +85,92 @@ object Components {
         .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
         .filter(col("label") < col("prev"))
         .isEmpty
+      labels.unpersist()
       labels = next
       round += 1
+    }
+    if (!converged && maxIter > starAfter) {
+      // escape path: the progress edges (label → id, label < id by the
+      // monotone-decrease invariant, so already canonical) compress every
+      // hop propagation already traversed; connectivity is preserved
+      // because a vertex's label is always an id inside its own component
+      val seed = und.union(
+        labels.filter(col("label") =!= col("id"))
+          .select(col("label").as("src"), col("id").as("dst")))
+        .distinct()
+      val stars = alternatingStars(seed, maxIter)
+      val out = vertices.select(col("id").cast("long").as("id"))
+        .join(stars.select(col("dst").as("id"), col("src").as("__lab")),
+          Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("__lab"), col("id")).as("cluster_id"))
+      labels.unpersist()
+      both.unpersist()
+      return out
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds — graph has " +
           "a longer path structure than a dedup pair graph should; raise " +
-          "maxIter or switch to large-star/small-star")
+          "maxIter above starAfter to enable the large-star/small-star escape")
+    both.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Alternating large-star/small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): large-star links
+    * every neighbour v > u to m(u) = min(Γ(u) ∪ {u}); small-star links
+    * every neighbour v < u (and u itself) to the min of those. Each phase
+    * preserves connectivity, only ever contracts toward component minima,
+    * and the fixed points are exactly unions of stars centred at each
+    * component's min — so path structure collapses geometrically
+    * (O(log n) rounds on a path) instead of one hop per round.
+    *
+    * Input: canonical undirected edges (src < dst, distinct, no
+    * self-loops). Output: the converged star edges — (component_min,
+    * member) one row per non-min member; isolated vertices and the
+    * centres themselves emit nothing (the caller coalesces to self).
+    * Same per-round shape as propagation: equi-join + groupBy over
+    * 16-byte rows, localCheckpoint + unpersist per round.
+    */
+  private[operators] def alternatingStars(edges0: DataFrame,
+      maxRounds: Int): DataFrame = {
+    def canon(df: DataFrame) = df
+      .select(array_min(array(col("a"), col("b"))).as("src"),
+        array_max(array(col("a"), col("b"))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    var cur = edges0.localCheckpoint()
+    var round = 0
+    var done = cur.isEmpty
+    while (!done && round < maxRounds) {
+      val both = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
+      // large-star: each edge appears once with dst > src in `both`, so the
+      // whole phase is one min-aggregate + one equi-join
+      val mAll = both.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+      val large = canon(
+        both.join(mAll, both("src") === col("u"))
+          .filter(col("dst") > col("src"))
+          .select(col("dst").as("a"), col("m").as("b")))
+      // small-star on the large-star output: from each u's perspective only
+      // the smaller neighbours (every canonical edge appears once as
+      // (src = larger endpoint, dst = smaller) in `lboth` filtered)
+      val lboth = large.union(large.select(col("dst").as("src"), col("src").as("dst")))
+      val smallN = lboth.filter(col("dst") < col("src"))
+      val mS = smallN.groupBy("src").agg(min("dst").as("m"))
+      val next = canon(
+        smallN.join(mS, "src").select(col("dst").as("a"), col("m").as("b"))
+          .union(mS.select(col("src").as("a"), col("m").as("b"))))
+        .localCheckpoint()
+      done = next.except(cur).isEmpty && cur.except(next).isEmpty
+      cur.unpersist()
+      cur = next
+      round += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"alternatingStars: no fixpoint after $maxRounds rounds — raise maxIter")
+    cur
   }
 
   /** Star edges from content-window fingerprints: md5 over each configured

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,20 +25,158 @@ object Indexing {
     * lookup service would pin in memory). Tokens below `minDf` are
     * dropped: rare-token postings dominate index size but never serve
     * dedup lookups, so production indexes cap or tier them.
+    *
+    * Every aggregation buffer here is bounded: occurrences collapse to
+    * one (token, doc) row map-side; df/tf are scalar partial aggregates;
+    * and the posting head is rank-filtered (`row_number <= postingCap`,
+    * planned as a WindowGroupLimit that keeps per-group state at
+    * postingCap on BOTH sides of its shuffle) before anything is
+    * collected — a stopword present in every document of a 100 TB corpus
+    * costs postingCap ids in the collect buffer, never all of them.
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
       minDf: Long, postingCap: Int = 10): DataFrame = {
     require(minDf >= 1 && postingCap >= 1)
+    statsTail(postingRows(docs, idCol, textCol), minDf, postingCap)
+  }
+
+  /** One (token, id, tf) row per distinct (doc, token) — the posting rows
+    * every index artifact derives from; raw occurrences collapse in the
+    * map-side partial aggregate. */
+  private def postingRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).cast("long").as("id"),
         explode(split(col(textCol), "\\s+")).as("token"))
-      .groupBy(col("token"))
-      .agg(
-        countDistinct(col("id")).as("doc_freq"),
-        count(lit(1)).as("total_tf"),
-        array_join(slice(sort_array(collect_set(col("id"))), 1, postingCap), ",")
-          .as("postings_head"))
+      .groupBy(col("token"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Posting rows → the index surface (token, doc_freq, total_tf,
+    * postings_head), with the rank-bounded head (see [[invertedIndex]]). */
+  private def statsTail(perDoc: DataFrame, minDf: Long, postingCap: Int): DataFrame = {
+    val stats = perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("tf")).as("total_tf"))
       .filter(col("doc_freq") >= minDf)
+    stats.join(postingHead(perDoc, postingCap), "token")
+      .select(col("token"), col("doc_freq"), col("total_tf"), col("postings_head"))
+  }
+
+  private def postingHead(perDoc: DataFrame, postingCap: Int): DataFrame =
+    perDoc
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("token")).orderBy(col("id"))))
+      .filter(col("__rn") <= postingCap)
+      .groupBy(col("token"))
+      .agg(array_join(sort_array(collect_list(col("id"))), ",").as("postings_head"))
+
+  /** Token → shard for the persisted store's layout. */
+  private[operators] def shardOf(token: org.apache.spark.sql.Column, nShards: Int) =
+    pmod(xxhash64(token), lit(nShards.toLong)).cast("int")
+
+  /** Build a PERSISTED inverted index under `indexDir` — the index the
+    * serving paths ([[indexStats]], [[indexLookup]],
+    * [[Retrieval.bm25FromIndex]]) read so no caller ever re-tokenizes the
+    * corpus. Layout (the reference's watermark loader is the analogous
+    * append-only contract — load_mapreduce_output.py:36-119):
+    *
+    *  - `postings/` (token, id, tf) `partitionBy(shard)` where
+    *    shard = xxhash64(token) mod nShards — a token's postings live in
+    *    exactly one shard directory, so lookups prune to it;
+    *  - `stats/`  per-generation (shard, token, df, ttf) segment rows,
+    *    merged by sum at read (the Lucene-segment shape: appends never
+    *    rewrite old files, readers fold segments);
+    *  - `doclen/` (id, dl); `consts/` per-generation (n_docs, sum_dl);
+    *  - `meta/`   (n_shards) — stamped so appends keep the layout.
+    */
+  def indexBuild(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, nShards: Int = 16): Unit = {
+    require(nShards >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    postingRows(docs, idCol, textCol)
+      .withColumn("shard", shardOf(col("token"), nShards))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$indexDir/postings")
+    // derive the rest from the store: the tokenize+groupBy ran exactly once
+    val stored = spark.read.parquet(s"$indexDir/postings")
+    stored.groupBy(col("shard"), col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$indexDir/stats")
+    val dl = stored.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$indexDir/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/consts")
+    Seq(nShards).toDF("n_shards").write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** Absorb a NEW document batch into the persisted index without
+    * rescanning the old corpus: the batch is tokenized once and its
+    * posting/stat/doclen/const rows APPENDED — existing files are never
+    * rewritten, and readers merge segments by sum. Append-only contract:
+    * a doc id enters the index exactly once (re-ingesting would silently
+    * double df/tf), enforced by a semi-join point lookup against the
+    * stored doclens.
+    */
+  def indexAppend(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    val nShards = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
+    val dupe = spark.read.parquet(s"$indexDir/doclen")
+      .join(batch.select(col(idCol).cast("long").as("id")), Seq("id"), "left_semi")
+    require(dupe.isEmpty,
+      "indexAppend: batch contains doc ids already in the index — " +
+        "the append-only contract forbids re-ingesting a document")
+    // materialized once (batch-sized): four writes below must not each
+    // re-run the tokenize+groupBy
+    val p = postingRows(batch, idCol, textCol)
+      .withColumn("shard", shardOf(col("token"), nShards))
+      .localCheckpoint()
+    p.write.mode("append").partitionBy("shard").parquet(s"$indexDir/postings")
+    p.groupBy(col("shard"), col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
+      .write.mode("append").partitionBy("shard").parquet(s"$indexDir/stats")
+    val dl = p.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    dl.write.mode("append").parquet(s"$indexDir/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("append").parquet(s"$indexDir/consts")
+    p.unpersist()
+  }
+
+  /** Serve the [[invertedIndex]] surface from the persisted store:
+    * df/ttf fold the per-generation stat segments by sum (never re-reading
+    * text); the posting head is rank-bounded over the stored posting rows
+    * exactly as the batch build. Equals [[invertedIndex]] over the union
+    * of all ingested batches (law in IndexingSpec).
+    */
+  def indexStats(spark: SparkSession, indexDir: String, minDf: Long,
+      postingCap: Int = 10): DataFrame = {
+    require(minDf >= 1 && postingCap >= 1)
+    val stats = spark.read.parquet(s"$indexDir/stats")
+      .groupBy(col("token"))
+      .agg(sum(col("df")).as("doc_freq"), sum(col("ttf")).as("total_tf"))
+      .filter(col("doc_freq") >= minDf)
+    val head = postingHead(
+      spark.read.parquet(s"$indexDir/postings").select("token", "id", "tf"),
+      postingCap)
+    stats.join(head, "token")
+      .select(col("token"), col("doc_freq"), col("total_tf"), col("postings_head"))
+  }
+
+  /** Point lookup of a (small) token set's postings. The probed shard
+    * values are computed driver-side — bounded by nShards by construction
+    * — so the static IN on the partition column prunes unconditionally,
+    * the [[Similarity.ivfSearch]] cell-store pattern: the scan touches
+    * only the probed shards' directories.
+    */
+  def indexLookup(spark: SparkSession, indexDir: String,
+      tokens: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val nShards = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
+    val t = tokens.toDF("token")
+    val shards = t.select(shardOf(col("token"), nShards).as("s"))
+      .distinct().collect().map(_.getInt(0))
+    spark.read.parquet(s"$indexDir/postings")
+      .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
+      .join(broadcast(t), Seq("token"))
+      .select(col("token"), col("id"), col("tf"))
   }
 
   /** Per-stratum Zipf fit: OLS of ln(count) on ln(rank) over the top

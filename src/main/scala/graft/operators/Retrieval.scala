@@ -30,29 +30,22 @@ object Retrieval {
     * with doc_id tie-break so the cut is deterministic and
     * engine-replayable.
     */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
-      textCol: String, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k >= 1 && k1 > 0 && b >= 0 && b <= 1)
-    val toks: DataFrame => DataFrame = df => df.select(
-      col(idCol).cast("long").as("id"),
+  private def toks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
       explode(split(col(textCol), "\\s+")).as("token"))
-    // one row per (doc, token) with its tf — the only shuffle over the corpus
-    val tf = toks(docs).groupBy(col("id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    // corpus constants ride along as a one-row broadcast, never a collect;
-    // avgdl as exact-integer sum ÷ count (not avg()) so every engine's
-    // accumulation order produces the bit-identical double
-    val consts = dl
-      .agg(count(lit(1)).cast("double").as("n_docs"), sum(col("dl")).as("sdl"))
-      .withColumn("avgdl", col("sdl").cast("double") / col("n_docs"))
-      .drop("sdl")
-    val qterms = toks(queries).select(col("id").as("query_id"), col("token")).distinct()
+
+  /** Shared scoring tail for the recompute and the served paths — same
+    * code, so served scores equal recomputed scores structurally.
+    * `tf`=(id, token, tf), `dl`=(id, dl), `dfT`=(token, df),
+    * `consts`=(n_docs double, avgdl double), `qterms`=(query_id, token).
+    */
+  private def score(tf: DataFrame, dl: DataFrame, dfT: DataFrame,
+      consts: DataFrame, qterms: DataFrame, k: Int, k1: Double,
+      b: Double): DataFrame = {
     // df is vocabulary-sized — too big to broadcast at scale. Restrict it to
     // the query vocabulary first (semi-join against the tiny broadcast query
     // term set); THAT is broadcastable by construction.
-    val qdf = df_.join(broadcast(qterms.select(col("token")).distinct()), "token")
+    val qdf = dfT.join(broadcast(qterms.select(col("token")).distinct()), "token")
     val idf: Column = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm: Column = col("tf") * (lit(k1) + 1.0) /
@@ -70,5 +63,58 @@ object Retrieval {
         .orderBy(col("score").desc, col("id"))).cast("int"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("doc_id"), col("score"))
+  }
+
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1 && k1 > 0 && b >= 0 && b <= 1)
+    // one row per (doc, token) with its tf — the only shuffle over the corpus
+    val tf = toks(docs, idCol, textCol).groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // corpus constants ride along as a one-row broadcast, never a collect;
+    // avgdl as exact-integer sum ÷ count (not avg()) so every engine's
+    // accumulation order produces the bit-identical double
+    val consts = dl
+      .agg(count(lit(1)).cast("double").as("n_docs"), sum(col("dl")).as("sdl"))
+      .withColumn("avgdl", col("sdl").cast("double") / col("n_docs"))
+      .drop("sdl")
+    val qterms = toks(queries, idCol, textCol)
+      .select(col("id").as("query_id"), col("token")).distinct()
+    score(tf, dl, dfT, consts, qterms, k, k1, b)
+  }
+
+  /** BM25 served from the persisted inverted-index store
+    * ([[Indexing.indexBuild]]/[[Indexing.indexAppend]]): tf comes from the
+    * stored postings SHARD-PRUNED to the query vocabulary's shards (probed
+    * shard values are driver-side by construction, bounded by nShards —
+    * the IVF cell pattern), df folds the stored stat segments, and the
+    * corpus constants fold the per-generation (n_docs, sum_dl) rows — the
+    * corpus text is never re-tokenized. df/dl/avgdl are exact for every
+    * query token because a token's rows live entirely in its own shard.
+    * Scores equal [[bm25TopK]] over the ingested corpus (RetrievalSpec).
+    */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+      idCol: String, textCol: String, indexDir: String, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1 && k1 > 0 && b >= 0 && b <= 1)
+    val qterms = toks(queries, idCol, textCol)
+      .select(col("id").as("query_id"), col("token")).distinct()
+    val nShards = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
+    val shards = qterms.select(Indexing.shardOf(col("token"), nShards).as("s"))
+      .distinct().collect().map(_.getInt(0))
+    def pruned(path: String) = spark.read.parquet(path)
+      .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
+    val tf = pruned(s"$indexDir/postings").select(col("id"), col("token"), col("tf"))
+    val dfT = pruned(s"$indexDir/stats")
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
+    val dl = spark.read.parquet(s"$indexDir/doclen")
+    val consts = spark.read.parquet(s"$indexDir/consts")
+      .agg(sum(col("n_docs")).cast("double").as("n_docs"),
+        sum(col("sum_dl")).as("sdl"))
+      .withColumn("avgdl", col("sdl").cast("double") / col("n_docs"))
+      .drop("sdl")
+    score(tf, dl, dfT, consts, qterms, k, k1, b)
   }
 }

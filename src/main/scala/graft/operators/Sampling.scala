@@ -77,15 +77,21 @@ object Sampling {
     * partitioning-independent, engine-replayable; the prefix sum is one
     * window per stratum — strata scan in parallel, no global order.
     * Output: input columns + `n_tok` (the weight used) + `start_tok`
-    * (tokens consumed before this row).
+    * (tokens consumed before this row). A null weight counts as 0 — the
+    * row rides free rather than poisoning the running sum (a null in the
+    * prefix sum would silently drop every later row in the stratum). The
+    * input must not already have `n_tok`/`start_tok` columns.
     */
   def tokenBudgetTake(df: DataFrame, stratumCol: String, keyCol: String,
       weight: org.apache.spark.sql.Column, budget: Long): DataFrame = {
     require(budget >= 1, "need budget >= 1")
+    val clash = df.columns.toSet.intersect(Set("n_tok", "start_tok"))
+    require(clash.isEmpty,
+      s"tokenBudgetTake appends ${clash.mkString(", ")} — rename the input column(s)")
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tok", weight.cast("long"))
+    df.withColumn("n_tok", coalesce(weight.cast("long"), lit(0L)))
       .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
       .filter(col("start_tok") < budget)
   }

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Indexing, Retrieval}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted-store lifecycle queries (round 6): the inverted index and
+  * BM25 retrieval SERVED from an on-disk index built in two generations
+  * (build + incremental append, [[graft.operators.Indexing.indexBuild]] /
+  * [[graft.operators.Indexing.indexAppend]]) — oracle-checked against the
+  * SAME SQL as their recompute twins (q103 / q113). That is exactly the
+  * lifecycle law stated as a query: serving a segmented store must be
+  * indistinguishable from recomputing over the full corpus.
+  *
+  * The store is built once per corpus directory and memoized for the JVM's
+  * lifetime (a resident service's shape — the index is a persisted
+  * artifact; queries measure SERVING, not rebuild).
+  */
+object StoreQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val built = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def index(s: SparkSession, d: String): String =
+    built.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_store").toString + "/idx"
+      val docs = Tables.documents(s, d)
+      Indexing.indexBuild(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        dir, nShards = 8)
+      Indexing.indexAppend(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", dir)
+      dir
+    })
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // q103's surface served from the two-generation store: df/ttf fold the
+    // stat segments, the posting head is rank-bounded over stored postings.
+    // The oracle recomputes over the full corpus — segment-merge exactness.
+    ("q119_index_lifecycle", (s: SparkSession, d: String) => {
+      Indexing.indexStats(s, index(s, d), minDf = 50L, postingCap = 10)
+    }, Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+                  FROM documents),
+      agg AS (SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_tf,
+                     array_to_string(list_sort(list(DISTINCT doc_id))[1:10], ',')
+                       AS postings_head
+              FROM tk GROUP BY token)
+      SELECT token, doc_freq, total_tf, postings_head
+      FROM agg WHERE doc_freq >= 50""")),
+
+    // q113's BM25 ranking served from the same store: tf from shard-pruned
+    // postings, df/avgdl/n_docs from folded segments — the corpus text is
+    // never re-tokenized at query time.
+    ("q120_bm25_served", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.bm25FromIndex(s, docs.filter(col("doc_id") < 3),
+        "doc_id", "text", index(s, d), k = 10)
+    }, Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+                  FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      co AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+             FROM dl),
+      q AS (SELECT DISTINCT doc_id AS query_id, token FROM tk WHERE doc_id < 3),
+      sc AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum(ln(1.0 + (co.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / co.avgdl))), 4)
+                 AS score
+        FROM tf JOIN q USING (token) JOIN df USING (token)
+        JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN co
+        WHERE tf.doc_id <> q.query_id
+        GROUP BY q.query_id, tf.doc_id),
+      rk AS (SELECT query_id, doc_id, score,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id) AS rank
+             FROM sc)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+      FROM rk WHERE rank <= 10""")),
+  )
+
+  val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+  val oracles: Map[String, String] = entries.collect { case (n, _, Some(sql)) =>
+    n -> sql.stripMargin.trim.replace("round(", "round(1e-8 + ")
+  }.toMap
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming corpus dedup: the reference's stream-triggered batch
+  * orchestration (kafka_hdfs_consumer.py:334-351 — consume a file, kick a
+  * batch job over it) upgraded to the corpus layer. Every micro-batch of
+  * documents is cleaned against the PERSISTED dedup state with
+  * [[graft.operators.Dedup.dedupIncremental]] — the old corpus is never
+  * re-paired with itself, only semi-join-pruned point lookups touch it —
+  * then the survivors land in the corpus store and their band signatures
+  * APPEND to the band state. State grows append-only across batches; the
+  * morning's crawl costs the morning's crawl, not the corpus.
+  *
+  * Exactly-once materialization: each micro-batch writes its survivors
+  * (and signatures) under a `batch=<id>` directory with overwrite, so a
+  * replayed micro-batch (foreachBatch is at-least-once under failure)
+  * rewrites identical content instead of duplicating it — the file
+  * source's batch composition is deterministic under the stream
+  * checkpoint, and the dedup itself is deterministic by construction.
+  */
+object DedupStream {
+
+  /** Drain the parquet documents under `srcDir` through incremental dedup
+    * into `stateDir` (`corpus/` survivors + `bands/` signature state),
+    * `maxFilesPerTrigger` files per micro-batch, AvailableNow. Re-running
+    * with the same checkpoint is a no-op (nothing new to ingest).
+    */
+  def dedupIngestAvailableNow(spark: SparkSession, srcDir: String,
+      stateDir: String, idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3, threshold: Double = 0.7, k: Int = 32,
+      bands: Int = 16, maxFilesPerTrigger: Int = 1): Unit = {
+    val schema = spark.read.parquet(srcDir).schema
+    val corpusDir = s"$stateDir/corpus"
+    val bandsDir = s"$stateDir/bands"
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bootstrap = !fs.exists(new org.apache.hadoop.fs.Path(bandsDir))
+        val survivors =
+          (if (bootstrap)
+            Dedup.dedupCorpus(batch, idCol, textCol, shingleN, threshold, k, bands)
+          else
+            Dedup.dedupIncremental(batch,
+              spark.read.parquet(corpusDir), spark.read.parquet(bandsDir),
+              idCol, textCol, shingleN, threshold, k, bands))
+            // materialized once: the corpus write and the signature write
+            // below must not each re-run the MinHash + candidate join
+            .localCheckpoint()
+        survivors.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+        Dedup.bandSignatures(survivors, idCol, textCol, shingleN, k, bands)
+          .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
+        survivors.unpersist()
+        ()
+      }
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The deduped corpus accumulated so far (batch provenance dropped). */
+  def corpus(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/corpus").drop("batch")
+}

@@ -55,7 +55,26 @@ object ScaleProbe {
     // (constant per shard by construction), so growth here measures the
     // per-round shuffle volume, not an iteration blow-up
     ("dup_clusters", () =>
-      graft.operators.Components.dupClusters(docs, "doc_id", "text").count()))
+      graft.operators.Components.dupClusters(docs, "doc_id", "text").count()),
+    // fixed query set against a growing corpus: output stays queries×k,
+    // so this measures pure corpus-side stat/candidate cost (q113 shape)
+    ("bm25", () =>
+      graft.operators.Retrieval.bm25TopK(docs,
+        docs.filter(col("doc_id") < 3), "doc_id", "text", k = 10).count()),
+    // CDC run-collapse over entities that GROW with the corpus (5 events
+    // per entity) — per-entity windows must parallelize, never serialize
+    ("scd2", () =>
+      graft.operators.History.scd2(
+        docs.select(expr("doc_id DIV 5").as("entity"),
+          col("doc_id").as("event_id"),
+          substring(col("text"), 1, 8).as("attr"),
+          timestamp_millis(col("doc_id") * 60000L).as("ts")),
+        "entity", "attr", "ts", "event_id").count()),
+    // cross-split gram overlap: both sides grow with the corpus (q116)
+    ("novelty", () =>
+      graft.operators.Decontaminate.crossSplitNovelty(
+        docs.filter(col("doc_id") % 11 === 0),
+        docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text", n = 3).count()))
 
   /** Times every op at every scale in `ks`; `iters` timed runs per (op,
     * k), min reported (single runs on a shared host inflate under ambient

@@ -63,12 +63,37 @@ class ComponentsSpec extends AnyFunSuite {
   }
 
   test("fails fast instead of returning an under-merged labelling") {
+    // maxIter <= starAfter disables the star escape: strict fail-fast mode
     val vs = (0L until 20L).toSeq
     val es = (0L until 19L).map(i => (i, i + 1))
     val e = intercept[IllegalStateException] {
-      Components.connectedComponents(vs.toDF("id"), es.toDF("src", "dst"), 2)
+      Components.connectedComponents(vs.toDF("id"), es.toDF("src", "dst"), 2, 8)
     }
     assert(e.getMessage.contains("no fixpoint"))
+  }
+
+  test("large-star/small-star escape converges on a 10k-vertex path graph") {
+    // diameter 10k: plain propagation would need 10k rounds; the star
+    // phase must close it in O(log n) rounds within the maxIter budget
+    val n = 10000L
+    val vs = spark.range(n).toDF("id")
+    val es = spark.range(n - 1).select(col("id").as("src"), (col("id") + 1L).as("dst"))
+    val got = Components.connectedComponents(vs, es, maxIter = 30, starAfter = 2)
+    assert(got.filter(col("cluster_id") =!= 0L).isEmpty)
+    assert(got.count() == n)
+  }
+
+  test("star escape labelling equals plain propagation on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 300
+    val vs = (0L until n).toSeq
+    val es = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val plain = cc(vs, es, maxIter = 20)
+    // starAfter=1 forces the escape after a single propagation round
+    val viaStars = Components.connectedComponents(
+      vs.toDF("id"), es.toDF("src", "dst"), maxIter = 20, starAfter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars == plain)
   }
 
   test("fingerprintEdges: star edges point at group-min; short docs emit none") {

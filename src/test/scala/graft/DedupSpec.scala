@@ -178,6 +178,10 @@ class DedupSpec extends AnyFunSuite {
     Dedup.bandSignatures(old, "doc_id", "text", shingleN = 3, k = 32, bands = 16)
       .write.parquet(dir)
     val oldBands = spark.read.parquet(dir)
+    // metadata-survival pin: absent metadata is tolerated as hand-built
+    // state, so detection alone would not catch a silent loss on write
+    assert(oldBands.schema.find(_.name == "band_hash").get.metadata
+      .contains("graft.bands"), "scheme metadata lost in parquet round-trip")
     val batch = Seq(
       (10L, "the quick brown fox jumps over the lazy dog again and again today"),
       (11L, "brand new material on adaptive query execution and skew handling"),

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Indexing
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the inverted index and its persisted lifecycle: the posting
+  * head stays bounded under maximal document frequency (the 100 TB
+  * stopword case), build + append equals a batch rebuild, appends are
+  * fail-fast on re-ingestion, and lookups prune to the probed shards.
+  */
+class IndexingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(n: Int) = (0 until n).map { i =>
+    // "common" appears in EVERY doc; "tok<i>" is unique to doc i;
+    // "dup" appears twice per doc to exercise tf > df
+    (i.toLong, s"common dup dup tok$i")
+  }.toDF("doc_id", "text")
+
+  test("a token present in every doc still yields a postingCap-length head") {
+    val got = Indexing.invertedIndex(corpus(40), "doc_id", "text",
+      minDf = 1L, postingCap = 10)
+    val common = got.filter($"token" === "common").collect().head
+    assert(common.getAs[Long]("doc_freq") === 40L)
+    assert(common.getAs[Long]("total_tf") === 40L)
+    assert(common.getAs[String]("postings_head") === (0 until 10).mkString(","))
+    val dup = got.filter($"token" === "dup").collect().head
+    assert(dup.getAs[Long]("doc_freq") === 40L)
+    assert(dup.getAs[Long]("total_tf") === 80L)
+  }
+
+  test("persisted index: build + append equals a batch rebuild; lookup spans generations") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString + "/idx"
+    Indexing.indexBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      dir, nShards = 8)
+    Indexing.indexAppend(docs.filter($"doc_id" % 2 === 1), "doc_id", "text", dir)
+
+    val served = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq
+    val rebuilt = Indexing.invertedIndex(docs, "doc_id", "text",
+      minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq
+    assert(served === rebuilt)
+
+    // a universal token's postings must surface ids from both generations
+    val firstTok = rebuilt.head.getAs[String]("token")
+    val lk = Indexing.indexLookup(spark, dir, Seq(firstTok))
+      .select($"id").as[Long].collect()
+    assert(lk.nonEmpty)
+  }
+
+  test("indexAppend fails fast when a doc id is already ingested") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_dup").toString + "/idx"
+    Indexing.indexBuild(corpus(10), "doc_id", "text", dir, nShards = 4)
+    val e = intercept[IllegalArgumentException] {
+      Indexing.indexAppend(corpus(3), "doc_id", "text", dir)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("indexLookup prunes the posting scan to the probed shards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_prune").toString + "/idx"
+    Indexing.indexBuild(corpus(50), "doc_id", "text", dir, nShards = 8)
+    val lk = Indexing.indexLookup(spark, dir, Seq("common"))
+    assert(lk.collect().length === 50) // execute THIS plan so scan metrics populate
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+      }
+    val postScan = scans(lk.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(postScan.nonEmpty, "no file scan over the posting store found")
+    val scanned = postScan
+      .map(_.metrics.get("numPartitions").map(_.value).getOrElse(0L)).sum
+    assert(scanned === 1L,
+      s"one probed token must read exactly one shard partition, read $scanned")
+  }
+}

@@ -229,6 +229,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("q103 posting head is rank-bounded before any collect — no unbounded buffer") {
+    // the head must be fed by a WindowGroupLimit (per-group state capped at
+    // postingCap on both sides of its shuffle); a collect_set over raw ids
+    // is the stopword-OOM shape at 100 TB
+    val p = plan("q103_inverted_index")
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+    assert(!p.contains("collect_set"), p.take(4000))
+  }
+
   test("q104 hot-passage join is an equi-join on the passage hash") {
     val p = plan("q104_passage_dedup")
     assert(!p.contains("CartesianProduct"), p.take(4000))

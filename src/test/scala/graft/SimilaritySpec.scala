@@ -80,6 +80,11 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.bucketSignatures(old, "vec_id", "embedding",
       tables = 16, bitsPerTable = 8, dim = dim).write.parquet(dir2)
     val oldBuckets = spark.read.parquet(dir2)
+    // metadata-survival pin: the scheme stamp must come back from parquet.
+    // Absent metadata is tolerated as hand-built state, so the detection
+    // assertions below would NOT catch a silent metadata loss on write.
+    assert(oldBuckets.schema.find(_.name == "bucket").get.metadata
+      .contains("graft.tables"), "scheme metadata lost in parquet round-trip")
     // 10 = parallel to old 0 (cos 1); 11 fresh; 12 = parallel to 11
     val batch = Seq(
       (10L, vec(a, 2.0)), (11L, vec(c, 1.0)), (12L, vec(c, 3.0)),

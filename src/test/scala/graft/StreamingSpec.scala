@@ -1,11 +1,57 @@
 package graft
 
-import graft.streaming.EventStream
+import graft.streaming.{DedupStream, EventStream}
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+
+  test("streaming incremental dedup drops the planted cross-batch dup exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft_dstream_src").toString
+    val state = Files.createTempDirectory("graft_dstream").toString + "/state"
+    // single flat FILES (not parquet dirs) so the file source sees one file
+    // per micro-batch, in mod-time order
+    def writeOne(df: org.apache.spark.sql.DataFrame, dest: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_dstream_w").toString + "/o"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Path.of(dest))
+      new java.io.File(dest).setLastModified(mtime)
+    }
+    // batch file 1: doc 0 + within-batch near-dup 1 (one word changed) + fresh 2
+    writeOne(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (2L, "a completely different document about distributed prefix sums ok yes"))
+      .toDF("doc_id", "text"), s"$src/f1.parquet", 1000000L)
+    // batch file 2: doc 10 = EXACT copy of doc 0 (the planted cross-batch
+    // dup) + fresh 12
+    writeOne(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (12L, "yet another unrelated subject entirely new tokens for this corpus"))
+      .toDF("doc_id", "text"), s"$src/f2.parquet", 2000000L)
+
+    DedupStream.dedupIngestAvailableNow(spark, src, state, threshold = 0.5)
+    val got = DedupStream.corpus(spark, state)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(0L, 2L, 12L),
+      "1 near-dups 0 within batch; 10 exact-dups 0 across batches")
+
+    // state grew append-only: one signature generation per micro-batch
+    val gens = new java.io.File(s"$state/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(gens === Set("batch=0", "batch=1"))
+
+    // replay with the same checkpoint: nothing new -> corpus unchanged
+    DedupStream.dedupIngestAvailableNow(spark, src, state, threshold = 0.5)
+    val replay = DedupStream.corpus(spark, state)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay === got)
+  }
 
   test("streaming hourly rollup == batch hourly rollup (exactly-once)") {
     val streamed = EventStream.hourlyRollupAvailableNow(spark, TestSpark.sf0001)
