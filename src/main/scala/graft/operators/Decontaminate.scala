@@ -75,6 +75,38 @@ object Decontaminate {
           lit(1.0) - col("n_seen").cast("double") / col("n_grams"), 4))
   }
 
+  /** Cross-source n-gram containment matrix: for every ordered source
+    * pair (a, b) sharing at least one gram, the fraction of a's DISTINCT
+    * n-grams that also occur in b — "how much of source a is textually
+    * covered by source b", the pairwise overlap table a dataset card
+    * reports before mixing sources (mirror-site and syndicated-content
+    * detection).
+    *
+    * Scale shape: each source collapses to DISTINCT (source, gram) rows
+    * first (partial-aggregated), so the gram join's per-key fanout is
+    * bounded by the SOURCE COUNT squared — never by gram frequency — and
+    * the output is |sources|² rows. One gram-keyed shuffle, one pair
+    * aggregation.
+    */
+  def crossSourceContainment(docs: DataFrame, stratumCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val g = docs
+      .select(col(stratumCol).as("stratum"),
+        explode(array_distinct(shingles(col(textCol), n))).as("g"))
+      .distinct()
+    val sizes = g.groupBy(col("stratum")).agg(count(lit(1)).as("n_grams_a"))
+    val shared = g.select(col("stratum").as("source_a"), col("g"))
+      .join(g.select(col("stratum").as("source_b"), col("g")), Seq("g"))
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("stratum", "source_a"), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("n_grams_a"), col("n_shared"),
+        graft.functions.ColumnFunctions.pround(
+          col("n_shared").cast("double") / col("n_grams_a"), 4).as("containment"))
+  }
+
   /** The corpus minus every document overlapping `bench` above
     * `maxFrac` of its distinct n-grams (0.0 = drop on any shared
     * n-gram). Anti-join on the flagged id set — one broadcast-able key

@@ -99,7 +99,7 @@ object History {
     b.write.mode("append").partitionBy("__bucket").parquet(s"$path/events")
     // read-back includes the batch just appended; pruned to affected buckets
     val evs = spark.read.parquet(s"$path/events")
-      .filter(col("__bucket").isin(affected.map(Integer.valueOf): _*))
+      .filter(col("__bucket").isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
     scd2(evs, keyCol, attrCol, tsCol, tieCol)
       .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

@@ -174,7 +174,7 @@ object Indexing {
     val shards = t.select(shardOf(col("token"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0))
     spark.read.parquet(s"$indexDir/postings")
-      .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
+      .filter(col("shard").isin(shards.map(Integer.valueOf).toIndexedSeq: _*))
       .join(broadcast(t), Seq("token"))
       .select(col("token"), col("id"), col("tf"))
   }

@@ -84,4 +84,46 @@ object Packing {
         floor(col("start") / budget).as("seq_id"),
         (col("start") % budget).as("offset_in_seq"))
   }
+
+  /** Curriculum batching: rank every row GLOBALLY by (`orderKey` asc,
+    * id asc) and cut the order into training batches of `batchSize` —
+    * e.g. orderKey = token count gives the classic short-to-long length
+    * curriculum. The global rank uses the same two-phase distributed
+    * prefix sum as [[packSequences]] (range-partition on the key, count
+    * per partition, driver-sized offsets broadcast back) — never a
+    * single-partition global sort, so a billion rows rank in parallel.
+    * The (id → global_pos) mapping is the mathematical rank, so it is
+    * invariant to partition count (law in PackingSpec) and replayable by
+    * any engine's row_number.
+    *
+    * Output: (idCol, order_key, global_pos, batch_id, pos_in_batch).
+    */
+  def curriculumBatches(docs: DataFrame, idCol: String, orderKey: Column,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0)
+    val spark = docs.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val ordered = docs
+      .select(col(idCol), orderKey.cast("long").as("order_key"))
+      .repartitionByRange(nPart, col("order_key"), col(idCol))
+      .withColumn("pid", spark_partition_id())
+      // same single-materialization requirement as packSequences: pid is
+      // nondeterministic, both phases must see one copy
+      .localCheckpoint(false)
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("order_key"), col(idCol))
+    val local = ordered.withColumn("local_rn",
+      row_number().over(wLocal).cast("long"))
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ordered.groupBy(col("pid"))
+      .agg(count(lit(1)).as("ptotal"))
+      .withColumn("poffset", coalesce(sum(col("ptotal")).over(wOff), lit(0L)))
+      .select(col("pid"), col("poffset"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("global_pos", col("local_rn") + col("poffset") - 1)
+      .select(col(idCol), col("order_key"), col("global_pos"),
+        expr(s"global_pos DIV $batchSize").as("batch_id"),
+        (col("global_pos") % batchSize).as("pos_in_batch"))
+  }
 }

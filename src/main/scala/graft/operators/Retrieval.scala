@@ -105,7 +105,7 @@ object Retrieval {
     val shards = qterms.select(Indexing.shardOf(col("token"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0))
     def pruned(path: String) = spark.read.parquet(path)
-      .filter(col("shard").isin(shards.map(Integer.valueOf): _*))
+      .filter(col("shard").isin(shards.map(Integer.valueOf).toIndexedSeq: _*))
     val tf = pruned(s"$indexDir/postings").select(col("id"), col("token"), col("tf"))
     val dfT = pruned(s"$indexDir/stats")
       .groupBy(col("token")).agg(sum(col("df")).as("df"))
@@ -116,5 +116,53 @@ object Retrieval {
       .withColumn("avgdl", col("sdl").cast("double") / col("n_docs"))
       .drop("sdl")
     score(tf, dl, dfT, consts, qterms, k, k1, b)
+  }
+
+  /** Two-stage hybrid retrieval: BM25 generates `candK` lexical
+    * candidates per query, then an embedding-cosine rerank blends
+    * `wLex · bm25/max_bm25(query) + wSem · cos(query_vec, cand_vec)` and
+    * keeps the top `k` — the standard lexical-recall + semantic-precision
+    * stack (RAG retrieval, kNN data selection). Candidates missing an
+    * embedding score cosine 0 (lexical-only), never drop.
+    *
+    * Scale shape: stage 2 runs over queries×candK rows only; embeddings
+    * are fetched by id semi-join (a point lookup — the corpus embedding
+    * table is never scanned into the rerank), per-query max and top-k are
+    * windows over the candidate set.
+    *
+    * Output: (query_id, rank, doc_id, bm25, cos_sim, hybrid).
+    */
+  def hybridRerank(docs: DataFrame, queries: DataFrame, embeddings: DataFrame,
+      idCol: String, textCol: String, vecIdCol: String, vecCol: String,
+      k: Int = 5, candK: Int = 20, wLex: Double = 0.5, wSem: Double = 0.5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1 && candK >= k)
+    import graft.functions.VectorFunctions.{asDouble, dot, l2Norm}
+    val pr = graft.functions.ColumnFunctions.pround _
+    val cands = bm25TopK(docs, queries, idCol, textCol, candK, k1, b)
+      .select(col("query_id"), col("doc_id"), col("score").as("bm25"))
+    val emb = embeddings.select(col(vecIdCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val wanted = cands.select(col("doc_id").as("id"))
+      .union(cands.select(col("query_id").as("id"))).distinct()
+    val embP = emb.join(wanted, Seq("id"), "left_semi")
+    val withCos = cands
+      .join(embP.select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("query_id"), "left_outer")
+      .join(embP.select(col("id").as("doc_id"), col("v").as("dv"),
+        col("nrm").as("dn")), Seq("doc_id"), "left_outer")
+      .withColumn("cos_sim",
+        coalesce(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), lit(0.0)))
+    val wMax = Window.partitionBy(col("query_id"))
+    withCos
+      .withColumn("hybrid", pr(
+        lit(wLex) * col("bm25") / max(col("bm25")).over(wMax) +
+          lit(wSem) * col("cos_sim"), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("hybrid").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("bm25"),
+        pr(col("cos_sim"), 6).as("cos_sim"), col("hybrid"))
   }
 }

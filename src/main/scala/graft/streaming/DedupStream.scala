@@ -27,43 +27,66 @@ object DedupStream {
   /** Drain the parquet documents under `srcDir` through incremental dedup
     * into `stateDir` (`corpus/` survivors + `bands/` signature state),
     * `maxFilesPerTrigger` files per micro-batch, AvailableNow. Re-running
-    * with the same checkpoint is a no-op (nothing new to ingest).
+    * with the same checkpoint is a no-op (nothing new to ingest). The
+    * checkpoint and the state share `stateDir` as one lifecycle unit —
+    * batch ids namespace the state generations.
     */
   def dedupIngestAvailableNow(spark: SparkSession, srcDir: String,
       stateDir: String, idCol: String = "doc_id", textCol: String = "text",
       shingleN: Int = 3, threshold: Double = 0.7, k: Int = 32,
       bands: Int = 16, maxFilesPerTrigger: Int = 1): Unit = {
     val schema = spark.read.parquet(srcDir).schema
-    val corpusDir = s"$stateDir/corpus"
-    val bandsDir = s"$stateDir/bands"
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val bootstrap = !fs.exists(new org.apache.hadoop.fs.Path(bandsDir))
-        val survivors =
-          (if (bootstrap)
-            Dedup.dedupCorpus(batch, idCol, textCol, shingleN, threshold, k, bands)
-          else
-            Dedup.dedupIncremental(batch,
-              spark.read.parquet(corpusDir), spark.read.parquet(bandsDir),
-              idCol, textCol, shingleN, threshold, k, bands))
-            // materialized once: the corpus write and the signature write
-            // below must not each re-run the MinHash + candidate join
-            .localCheckpoint()
-        survivors.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
-        Dedup.bandSignatures(survivors, idCol, textCol, shingleN, k, bands)
-          .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
-        survivors.unpersist()
-        ()
+        ingestBatch(spark, batch, batchId, stateDir, idCol, textCol,
+          shingleN, threshold, k, bands)
       }
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** One micro-batch of the ingest, REPLAY-SAFE: the state read excludes
+    * generation `batchId` and later, so a batch whose writes landed before
+    * a crash re-cleans against exactly the state it saw the first time —
+    * without the exclusion a replayed batch would meet its OWN signatures
+    * in the store and drop every document as a self-duplicate. Exposed
+    * package-private so the spec can exercise the replay path directly.
+    */
+  private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, stateDir: String, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double, k: Int, bands: Int): Unit = {
+    val corpusDir = s"$stateDir/corpus"
+    val bandsDir = s"$stateDir/bands"
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(bandsDir))) None
+      else {
+        val ob = spark.read.parquet(bandsDir).filter(col("batch") < batchId)
+        if (ob.isEmpty) None
+        else Some((spark.read.parquet(corpusDir).filter(col("batch") < batchId), ob))
+      }
+    val survivors =
+      (prior match {
+        case None =>
+          Dedup.dedupCorpus(batch, idCol, textCol, shingleN, threshold, k, bands)
+        case Some((oldDocs, oldBands)) =>
+          Dedup.dedupIncremental(batch, oldDocs, oldBands,
+            idCol, textCol, shingleN, threshold, k, bands)
+      })
+        // materialized once: the corpus write and the signature write
+        // below must not each re-run the MinHash + candidate join
+        .localCheckpoint()
+    survivors.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+    Dedup.bandSignatures(survivors, idCol, textCol, shingleN, k, bands)
+      .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
+    survivors.unpersist()
+    ()
   }
 
   /** The deduped corpus accumulated so far (batch provenance dropped). */

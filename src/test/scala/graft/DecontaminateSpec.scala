@@ -40,6 +40,26 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(lenient === Set(11L, 12L))
   }
 
+  test("crossSourceContainment: mirrored sources hit 1.0, disjoint pairs are absent") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten eleven"
+    val docs = Seq(
+      ("s1", a), ("s2", a),          // s2 mirrors s1 exactly
+      ("s2", b),                      // ...plus extra content of its own
+      ("s3", "totally disjoint words nothing shared with any other source here"),
+    ).toDF("source", "text")
+    val got = Decontaminate.crossSourceContainment(docs, "source", "text", n = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Double]("containment")))).toMap
+    // every 4-gram of s1 appears in s2 -> containment 1.0
+    assert(got(("s1", "s2"))._2 === 1.0)
+    // s2 has b's grams too, so only part of it is covered by s1
+    assert(got(("s2", "s1"))._2 < 1.0 && got(("s2", "s1"))._1 === got(("s1", "s2"))._1)
+    // s3 shares nothing: absent from the matrix entirely
+    assert(!got.keySet.exists(p => p._1 == "s3" || p._2 == "s3"))
+  }
+
   test("corpus side never shuffles before the hit count: bench is broadcast") {
     val rep = Decontaminate.contaminationReport(corpus, bench, "doc_id", "text", n = 4)
     val plan = rep.queryExecution.optimizedPlan.toString

@@ -41,6 +41,31 @@ class PackingSpec extends AnyFunSuite {
     assert(run(7) === run(32), "7- and 32-partition plans must agree")
   }
 
+  test("curriculumBatches: global rank matches the naive window; partition-independent") {
+    import org.apache.spark.sql.expressions.Window
+    def run(parts: Int) = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try Packing.curriculumBatches(docs, "doc_id", nTok, batchSize = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = run(1)
+    assert(a === run(13), "1- and 13-partition plans must agree")
+    // naive single-window reference
+    val naive = docs
+      .select(col("doc_id"), nTok.cast("long").as("k"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("k"), col("doc_id"))).cast("long") - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(a.map(t => (t._1, t._2, t._3)) === naive)
+    // batch arithmetic
+    assert(a.forall(t => t._4 === t._3 / 7 && t._5 === t._3 % 7))
+  }
+
   test("matches the naive global-window formulation exactly") {
     import org.apache.spark.sql.expressions.Window
     val naive = docs

@@ -260,6 +260,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(4000))
   }
 
+  test("q121 hybrid rerank: candidate joins are hash joins, embedding fetch never products") {
+    val p = plan("q121_hybrid_rerank")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+  }
+
+  test("q122 curriculum: the corpus-sized window is partitioned by pid, never global") {
+    val df = SparkEntry.queries("q122_curriculum")(spark, TestSpark.sf0001)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("windowspecdefinition(pid"), opt.take(4000))
+  }
+
+  test("q124 containment pairs sources through a gram equi-join — no products") {
+    // (q123's plan truncates at its per-round checkpoints; its join shape
+    // is law-tested in LinkAnalysisSpec instead)
+    val p = plan("q124_containment")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("q114/q115 windows stay partitioned by stratum/entity — no single-partition sort") {
     for (name <- Seq("q114_zipf_slope", "q115_scd2")) {
       val p = plan(name)

@@ -28,4 +28,30 @@ class RetrievalSpec extends AnyFunSuite {
       .orderBy("query_id", "rank").collect().toSeq
     assert(served === recomputed)
   }
+
+  test("hybridRerank with zero semantic weight reproduces the BM25 order") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val queries = docs.filter($"doc_id" < 3)
+    val hybrid = Retrieval.hybridRerank(docs, queries, emb, "doc_id", "text",
+      "vec_id", "embedding", k = 5, candK = 10, wLex = 1.0, wSem = 0.0)
+      .select($"query_id", $"rank", $"doc_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val lexical = Retrieval.bm25TopK(docs, queries, "doc_id", "text", k = 5)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(hybrid === lexical)
+  }
+
+  test("hybridRerank blends in the semantic signal and keeps k rows per query") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val res = Retrieval.hybridRerank(docs, docs.filter($"doc_id" < 3), emb,
+      "doc_id", "text", "vec_id", "embedding", k = 5, candK = 10)
+      .collect()
+    assert(res.length === 15, "3 queries × top-5")
+    assert(res.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0 + 1e-9))
+    assert(res.forall(r => r.getAs[Double]("hybrid") <= 0.5 + 0.5 + 1e-9))
+  }
 }

@@ -53,6 +53,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(replay === got)
   }
 
+  test("dedup ingest micro-batch replay is idempotent (crash after state write)") {
+    import spark.implicits._
+    // foreachBatch is at-least-once: a batch can re-run AFTER its state
+    // writes landed. The replay must re-clean against the PRIOR
+    // generations only — meeting its own signatures would drop every doc
+    // as a self-duplicate and empty the generation.
+    val state = Files.createTempDirectory("graft_dstream_replay").toString + "/state"
+    val b0 = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "a completely different document about distributed prefix sums ok yes"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (12L, "yet another unrelated subject entirely new tokens for this corpus"))
+      .toDF("doc_id", "text")
+    def ingest(df: org.apache.spark.sql.DataFrame, id: Long) =
+      graft.streaming.DedupStream.ingestBatch(spark, df, id, state,
+        "doc_id", "text", 3, 0.5, 32, 16)
+    ingest(b0, 0L)
+    ingest(b0, 0L) // replay of batch 0 with its own state already on disk
+    ingest(b1, 1L)
+    ingest(b1, 1L) // replay of batch 1 likewise
+    val got = DedupStream.corpus(spark, state)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(0L, 2L, 12L), s"replay corrupted the state: $got")
+  }
+
   test("streaming hourly rollup == batch hourly rollup (exactly-once)") {
     val streamed = EventStream.hourlyRollupAvailableNow(spark, TestSpark.sf0001)
       .collect().map(_.toSeq).toSet
