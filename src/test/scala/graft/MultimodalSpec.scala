@@ -90,4 +90,99 @@ class MultimodalSpec extends AnyFunSuite {
     val expected = meta.collect().map(m => (m.n_frames + 4) / 5).sum
     assert(frames.count() === expected)
   }
+
+  // ---- real PNG pixel decode (JDK zlib) ----
+
+  /** Complete in-test PNG encoder: forward-applies the chosen per-row
+    * filters (the inverse of what the decoder must undo), deflates, and
+    * writes signature + IHDR/IDAT/IEND with real CRCs. */
+  private def encodePng(w: Int, h: Int, channels: Int, pixels: Array[Byte],
+      filters: Seq[Int]): Array[Byte] = {
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+    }
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      val f = filters(y % filters.length)
+      raw(y * (stride + 1)) = f.toByte
+      for (x <- 0 until stride) {
+        val cur = pixels(y * stride + x) & 0xff
+        val left = if (x >= channels) pixels(y * stride + x - channels) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= channels) pixels((y - 1) * stride + x - channels) & 0xff else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            cur - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        raw(y * (stride + 1) + 1 + x) = (enc & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = deflater.deflate(buf); deflater.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("decodePngPixels round-trips RGB pixels through every filter type") {
+    val w = 5; val h = 5; val ch = 3
+    val pixels = Array.tabulate(w * h * ch)(i => ((i * 37 + 11) % 256).toByte)
+    // one row per filter type 0..4 — every unfilter branch exercised
+    val png = encodePng(w, h, ch, pixels, filters = Seq(0, 1, 2, 3, 4))
+    val got = BinaryOps.decodePngPixels(png)
+    assert(got.isDefined, "decoder rejected a valid PNG")
+    val (gw, gh, gch, px) = got.get
+    assert((gw, gh, gch) === ((w, h, ch)))
+    assert(px.toSeq === pixels.toSeq, "pixel bytes must round-trip exactly")
+  }
+
+  test("decodePngPixels handles greyscale and RGBA; rejects junk and 16-bit") {
+    val grey = Array.tabulate(16)(i => (i * 16).toByte)
+    val g = BinaryOps.decodePngPixels(encodePng(4, 4, 1, grey, Seq(0, 4)))
+    assert(g.exists(_._4.toSeq == grey.toSeq))
+    val rgba = Array.tabulate(2 * 2 * 4)(i => (255 - i * 10).toByte)
+    val r = BinaryOps.decodePngPixels(encodePng(2, 2, 4, rgba, Seq(1, 2)))
+    assert(r.exists(_._4.toSeq == rgba.toSeq))
+    assert(BinaryOps.decodePngPixels("not a png at all".getBytes).isEmpty)
+    // 16-bit depth: flip the bit-depth byte of a valid image
+    val png = encodePng(2, 2, 3, Array.fill(12)(1.toByte), Seq(0))
+    png(24) = 16.toByte
+    assert(BinaryOps.decodePngPixels(png).isEmpty)
+  }
+
+  test("featurizePixels: exact channel means for decoded PNGs, stub for text") {
+    // 2×2 RGB with known per-channel values
+    val pixels = Array(
+      10, 20, 30, 50, 60, 70,
+      90, 100, 110, 130, 140, 150).map(_.toByte)
+    val png = encodePng(2, 2, 3, pixels, Seq(0, 1))
+    val v = BinaryOps.featurizePixels(png, dim = 8)
+    assert(math.abs(v(0) - (10 + 50 + 90 + 130) / 4.0 / 255.0) < 1e-12)
+    assert(math.abs(v(1) - (20 + 60 + 100 + 140) / 4.0 / 255.0) < 1e-12)
+    assert(math.abs(v(2) - (30 + 70 + 110 + 150) / 4.0 / 255.0) < 1e-12)
+    assert(v(3) === 2 / 4096.0 && v(4) === 2 / 4096.0, "normalized dims follow means")
+    // non-PNG payloads keep the deterministic stub path
+    val text = "just some text".getBytes
+    assert(BinaryOps.featurizePixels(text, 8).toSeq ===
+      BinaryOps.stubFeaturize(text, 8).toSeq)
+  }
 }
