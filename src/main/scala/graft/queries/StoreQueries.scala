@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Indexing, Retrieval}
+import graft.operators.{History, Indexing, Retrieval}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,22 @@ object StoreQueries {
       Indexing.indexBuild(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         dir, nShards = 8)
       Indexing.indexAppend(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", dir)
+      dir
+    })
+
+  private val builtScd2 = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** SCD2 store built in two generations split by EVENT parity — the
+    * batches interleave in time per user, so the apply exercises the
+    * late-event merge path, not just appends. */
+  private def scd2Store(s: SparkSession, d: String): String =
+    builtScd2.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_scd2_q").toString + "/store"
+      val ev = Tables.events(s, d)
+      History.scd2Build(ev.filter(col("event_id") % 2 === 0),
+        "user_id", "event_type", "ts", "event_id", dir, nBuckets = 16)
+      History.scd2Apply(s, dir, ev.filter(col("event_id") % 2 =!= 0),
+        "user_id", "event_type", "ts", "event_id")
       dir
     })
 
@@ -83,6 +99,41 @@ object StoreQueries {
              FROM sc)
       SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
       FROM rk WHERE rank <= 10""")),
+
+    // q115's SCD2 surface served from the two-generation store (build on
+    // even event ids, apply the odd ones — per-user the batches
+    // interleave in time, so the merge replays late events). The oracle
+    // recomputes over ALL events: bucket-pruned incremental merge must be
+    // indistinguishable from a full rebuild.
+    ("q127_scd2_lifecycle", (s: SparkSession, d: String) => {
+      History.scd2Read(s, scd2Store(s, d))
+        .select(col("user_id"), col("version"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("n_events"), col("is_current"))
+    }, Some("""
+      WITH o AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      v AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS version
+            FROM o),
+      r AS (SELECT user_id, version, max(event_type) AS event_type,
+                   min(ts) AS vf, count(*) AS n_events
+            FROM v GROUP BY user_id, version),
+      f AS (SELECT user_id, version, event_type, vf, n_events,
+                   lead(vf) OVER (PARTITION BY user_id ORDER BY version) AS vt
+            FROM r)
+      SELECT user_id, version, event_type,
+             strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+             n_events, (vt IS NULL) AS is_current
+      FROM f""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
