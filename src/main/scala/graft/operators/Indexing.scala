@@ -160,6 +160,27 @@ object Indexing {
       .select(col("token"), col("doc_freq"), col("total_tf"), col("postings_head"))
   }
 
+  /** Compact the per-generation stat/const segments into one generation —
+    * the Lucene-style merge a long-lived index runs after many appends.
+    * Readers fold segments by sum, so correctness never degrades without
+    * compaction; this just bounds the segment count. Postings are
+    * untouched (their rows are disjoint across generations, not
+    * overlapping segments). The eager localCheckpoint severs lineage so
+    * the overwrite can consume its own input — the [[graft.io.Upsert]]
+    * staged-commit pattern.
+    */
+  def indexCompact(spark: SparkSession, indexDir: String): Unit = {
+    val stats = spark.read.parquet(s"$indexDir/stats")
+      .groupBy(col("shard"), col("token"))
+      .agg(sum(col("df")).as("df"), sum(col("ttf")).as("ttf"))
+      .localCheckpoint(true)
+    stats.write.mode("overwrite").partitionBy("shard").parquet(s"$indexDir/stats")
+    val consts = spark.read.parquet(s"$indexDir/consts")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .localCheckpoint(true)
+    consts.write.mode("overwrite").parquet(s"$indexDir/consts")
+  }
+
   /** Point lookup of a (small) token set's postings. The probed shard
     * values are computed driver-side — bounded by nShards by construction
     * — so the static IN on the partition column prunes unconditionally,

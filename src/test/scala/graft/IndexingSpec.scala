@@ -52,6 +52,25 @@ class IndexingSpec extends AnyFunSuite {
     assert(lk.nonEmpty)
   }
 
+  test("indexCompact folds stat segments without changing the served surface") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_cmp").toString + "/idx"
+    Indexing.indexBuild(docs.filter($"doc_id" % 3 === 0), "doc_id", "text", dir, nShards = 4)
+    Indexing.indexAppend(docs.filter($"doc_id" % 3 === 1), "doc_id", "text", dir)
+    Indexing.indexAppend(docs.filter($"doc_id" % 3 === 2), "doc_id", "text", dir)
+    val before = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq
+    Indexing.indexCompact(spark, dir)
+    val after = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq
+    assert(after === before, "compaction must not change the served stats")
+    // segments really merged: one row per (shard, token) now
+    val dup = spark.read.parquet(s"$dir/stats")
+      .groupBy("shard", "token").count().filter($"count" > 1)
+    assert(dup.isEmpty, "stats must hold a single segment row per token")
+    assert(spark.read.parquet(s"$dir/consts").count() === 1L)
+  }
+
   test("indexAppend fails fast when a doc id is already ingested") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_dup").toString + "/idx"
     Indexing.indexBuild(corpus(10), "doc_id", "text", dir, nShards = 4)
