@@ -176,7 +176,13 @@ object BinaryOps {
     }
 
     val stride = w * channels
-    val raw = new Array[Byte]((stride + 1) * h)
+    val needed = (stride + 1L) * h
+    // zlib's theoretical max expansion is ~1032:1 — a header claiming far
+    // more pixels than the IDAT bytes could ever inflate to is hostile or
+    // truncated; reject BEFORE allocating hundreds of MB per record (the
+    // dimension cap above alone still admits ~0.5 GB from a 60-byte file)
+    if (needed > idat.size().toLong * 1032L + 64L) return None
+    val raw = new Array[Byte](needed.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)

@@ -93,8 +93,12 @@ object Components {
       // escape path: the progress edges (label → id, label < id by the
       // monotone-decrease invariant, so already canonical) compress every
       // hop propagation already traversed; connectivity is preserved
-      // because a vertex's label is always an id inside its own component
-      val seed = und.union(
+      // because a vertex's label is always an id inside its own component.
+      // The base edges come from the CHECKPOINTED `both` (one direction),
+      // never from `und` — seeding from `und` would re-execute the
+      // possibly-expensive upstream candidate-pair plan exactly when the
+      // job is already on its slow path
+      val seed = both.filter(col("src") < col("dst")).union(
         labels.filter(col("label") =!= col("id"))
           .select(col("label").as("src"), col("id").as("dst")))
         .distinct()

@@ -91,11 +91,27 @@ object History {
   def scd2Apply(spark: SparkSession, path: String, batch: DataFrame,
       keyCol: String, attrCol: String, tsCol: String, tieCol: String): Unit = {
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
-    // align batch columns to the stored event schema (partition col last)
+    // align batch columns to the stored event schema (partition col last);
+    // materialized ONCE — the bucket collect, the redelivery check and the
+    // append below must all see the same evaluation of a possibly
+    // nondeterministic batch plan (events appended into a bucket the
+    // collect never saw would leave that bucket's history silently stale)
     val evCols = spark.read.parquet(s"$path/events").columns.filter(_ != "__bucket")
     val b = batch.select(evCols.map(col).toIndexedSeq: _*)
       .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
+      .localCheckpoint(true)
     val affected = b.select(col("__bucket")).distinct().collect().map(_.getInt(0))
+    val pruned = spark.read.parquet(s"$path/events")
+      .filter(col("__bucket").isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
+    // at-least-once CDC redelivery guard: an already-ingested (key, tie)
+    // event would double n_events and reorder run versions — fail fast
+    // (bucket-pruned semi-join, the indexAppend contract) instead of
+    // silently corrupting history; the caller dedups upstream or rebuilds
+    val dupe = pruned.join(
+      b.select(col(keyCol), col(tieCol)), Seq(keyCol, tieCol), "left_semi")
+    require(dupe.isEmpty,
+      "scd2Apply: batch contains (key, tie) events already in the store — " +
+        "redelivered CDC batches must be deduplicated before apply")
     b.write.mode("append").partitionBy("__bucket").parquet(s"$path/events")
     // read-back includes the batch just appended; pruned to affected buckets
     val evs = spark.read.parquet(s"$path/events")
@@ -104,6 +120,8 @@ object History {
       .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket").parquet(s"$path/history")
+    b.unpersist()
+    ()
   }
 
   /** Read the stored SCD2 history (every bucket), store column dropped. */

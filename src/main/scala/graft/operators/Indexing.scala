@@ -165,20 +165,39 @@ object Indexing {
     * Readers fold segments by sum, so correctness never degrades without
     * compaction; this just bounds the segment count. Postings are
     * untouched (their rows are disjoint across generations, not
-    * overlapping segments). The eager localCheckpoint severs lineage so
-    * the overwrite can consume its own input — the [[graft.io.Upsert]]
-    * staged-commit pattern.
+    * overlapping segments).
+    *
+    * Crash safety: the merged tables are FULLY WRITTEN to a staging
+    * directory first, then swapped in with two filesystem metadata ops
+    * (delete + rename) — a crash mid-write leaves the live store intact,
+    * and a crash between delete and rename leaves the complete staging
+    * directory on disk to recover from. A transactional table format
+    * supplies the fully atomic commit in production (the `io.Upsert`
+    * caveat); an in-place overwrite would instead destroy the only copy
+    * of the segments on a mid-write crash.
     */
   def indexCompact(spark: SparkSession, indexDir: String): Unit = {
-    val stats = spark.read.parquet(s"$indexDir/stats")
-      .groupBy(col("shard"), col("token"))
-      .agg(sum(col("df")).as("df"), sum(col("ttf")).as("ttf"))
-      .localCheckpoint(true)
-    stats.write.mode("overwrite").partitionBy("shard").parquet(s"$indexDir/stats")
-    val consts = spark.read.parquet(s"$indexDir/consts")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .localCheckpoint(true)
-    consts.write.mode("overwrite").parquet(s"$indexDir/consts")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(sub: String)(write: String => Unit): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/${sub}__compact_tmp")
+      fs.delete(tmp, true)
+      write(tmp.toString)
+      fs.delete(live, true)
+      require(fs.rename(tmp, live), s"indexCompact: rename of $tmp failed")
+    }
+    swap("stats") { out =>
+      spark.read.parquet(s"$indexDir/stats")
+        .groupBy(col("shard"), col("token"))
+        .agg(sum(col("df")).as("df"), sum(col("ttf")).as("ttf"))
+        .write.partitionBy("shard").parquet(out)
+    }
+    swap("consts") { out =>
+      spark.read.parquet(s"$indexDir/consts")
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+        .write.parquet(out)
+    }
   }
 
   /** Point lookup of a (small) token set's postings. The probed shard

@@ -99,8 +99,13 @@ object Retrieval {
       idCol: String, textCol: String, indexDir: String, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1 && k1 > 0 && b >= 0 && b <= 1)
+    // materialized once: the shard probe below and the scoring join must
+    // see the SAME query evaluation — a nondeterministic `queries` plan
+    // would otherwise probe shards for one token set and score another,
+    // silently zeroing the unprobed terms
     val qterms = toks(queries, idCol, textCol)
       .select(col("id").as("query_id"), col("token")).distinct()
+      .localCheckpoint(true)
     val nShards = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
     val shards = qterms.select(Indexing.shardOf(col("token"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0))
@@ -139,8 +144,12 @@ object Retrieval {
     require(k >= 1 && candK >= k)
     import graft.functions.VectorFunctions.{asDouble, dot, l2Norm}
     val pr = graft.functions.ColumnFunctions.pround _
+    // materialized once (queries×candK rows): the embedding-fetch key set
+    // and the rerank both consume this, and it pins one evaluation of the
+    // (possibly nondeterministic) queries plan instead of three
     val cands = bm25TopK(docs, queries, idCol, textCol, candK, k1, b)
       .select(col("query_id"), col("doc_id"), col("score").as("bm25"))
+      .localCheckpoint(true)
     val emb = embeddings.select(col(vecIdCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
@@ -152,8 +161,14 @@ object Retrieval {
         col("nrm").as("qn")), Seq("query_id"), "left_outer")
       .join(embP.select(col("id").as("doc_id"), col("v").as("dv"),
         col("nrm").as("dn")), Seq("doc_id"), "left_outer")
+      // 0 for BOTH a missing embedding (null after the outer join) and a
+      // zero-norm vector: 0/0 is NaN, coalesce would pass it through, and
+      // NaN sorts as the LARGEST double in the desc rank — a zero vector
+      // would claim rank 1
       .withColumn("cos_sim",
-        coalesce(dot(col("qv"), col("dv")) / (col("qn") * col("dn")), lit(0.0)))
+        when(col("qv").isNull || col("dv").isNull
+            || col("qn") * col("dn") === 0, lit(0.0))
+          .otherwise(dot(col("qv"), col("dv")) / (col("qn") * col("dn"))))
     val wMax = Window.partitionBy(col("query_id"))
     withCos
       .withColumn("hybrid", pr(

@@ -262,8 +262,12 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeansModel
     val model = KMeansModel.load(s"$indexDir/model")
     val cells = spark.read.parquet(s"$indexDir/cells")
+    // materialized once: the probed-cell collect and the scoring join must
+    // see the SAME evaluation of a possibly nondeterministic queries plan
+    // — otherwise a query row present only at scoring time could probe a
+    // cell the static filter below already pruned away
     val q = probeSide(model.clusterCenters.map(_.toArray), queries, idCol,
-      vecCol, nProbe)
+      vecCol, nProbe).localCheckpoint(true)
     // The probed-cell set is bounded by nCells (driver-sized BY
     // CONSTRUCTION — it cannot exceed the centroid count), so a static IN
     // filter on the partition column makes pruning unconditional: the scan

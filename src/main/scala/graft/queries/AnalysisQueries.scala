@@ -53,7 +53,11 @@ object AnalysisQueries {
       cand AS (SELECT query_id, doc_id, score AS bm25 FROM rk WHERE rank <= 10),
       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       cosd AS (SELECT c.query_id, c.doc_id, c.bm25,
-                      COALESCE(list_cosine_similarity(eq.v, ed.v), 0) AS cos_raw
+                      CASE WHEN eq.v IS NULL OR ed.v IS NULL
+                             OR list_dot_product(eq.v, eq.v)
+                                * list_dot_product(ed.v, ed.v) = 0
+                           THEN 0
+                           ELSE list_cosine_similarity(eq.v, ed.v) END AS cos_raw
                FROM cand c
                LEFT JOIN emb eq ON eq.vec_id = c.query_id
                LEFT JOIN emb ed ON ed.vec_id = c.doc_id),

@@ -270,8 +270,11 @@ object CorpusQueries {
                     cxy / (vx + 1.0 / n) AS slope FROM st)
       SELECT n, round(slope, 4) AS slope,
              round(ay - slope * ax, 4) AS intercept,
-             round(sqrt(vy - 2.0 * slope * cxy + slope * slope * vx), 4) AS rmse,
-             round(1.0 - (vy - 2.0 * slope * cxy + slope * slope * vx) / vy, 6) AS r2
+             round(sqrt(greatest(vy - 2.0 * slope * cxy + slope * slope * vx,
+                                 0.0)), 4) AS rmse,
+             CASE WHEN vy = 0 THEN NULL
+                  ELSE round(1.0 - greatest(vy - 2.0 * slope * cxy
+                               + slope * slope * vx, 0.0) / vy, 6) END AS r2
       FROM co""")),
 
     // Per-vector int8 scalar quantization (the storage format IVF/SQ ANN

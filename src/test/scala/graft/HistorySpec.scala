@@ -43,6 +43,23 @@ class HistorySpec extends AnyFunSuite {
     assert(got.count(_.head == 1L) === 4)
   }
 
+  test("re-applying a delivered batch fails fast instead of corrupting history") {
+    val b1 = ev((1L, 1L, "a", 1000L), (2L, 1L, "x", 1000L))
+    val b2 = ev((1L, 2L, "b", 2000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_redlv").toString + "/store"
+    History.scd2Build(b1, "user_id", "event_type", "ts", "event_id", dir, nBuckets = 4)
+    History.scd2Apply(spark, dir, b2, "user_id", "event_type", "ts", "event_id")
+    // at-least-once redelivery of b2: double-counting n_events must be
+    // refused, and the store must stay exactly as after the first apply
+    val e = intercept[IllegalArgumentException] {
+      History.scd2Apply(spark, dir, b2, "user_id", "event_type", "ts", "event_id")
+    }
+    assert(e.getMessage.contains("redelivered"))
+    val got = canon(History.scd2Read(spark, dir))
+    assert(got === canon(History.scd2(b1.unionByName(b2),
+      "user_id", "event_type", "ts", "event_id")))
+  }
+
   test("apply rewrites only the affected buckets' history files") {
     val b1 = ev((1L to 8L).map(u => (u, 1L, "a", 1000L * u)): _*)
     val dir = java.nio.file.Files.createTempDirectory("graft_scd2_prune").toString + "/store"

@@ -167,6 +167,12 @@ class MultimodalSpec extends AnyFunSuite {
     val png = encodePng(2, 2, 3, Array.fill(12)(1.toByte), Seq(0))
     png(24) = 16.toByte
     assert(BinaryOps.decodePngPixels(png).isEmpty)
+    // hostile header: a tiny file claiming 8192×8192 must be rejected
+    // BEFORE the pixel buffers are allocated (IDAT-plausibility bound)
+    val hostile = encodePng(2, 2, 3, Array.fill(12)(1.toByte), Seq(0))
+    val bb = java.nio.ByteBuffer.wrap(hostile)
+    bb.putInt(16, 8192); bb.putInt(20, 8192)
+    assert(BinaryOps.decodePngPixels(hostile).isEmpty)
   }
 
   test("featurizePixels: exact channel means for decoded PNGs, stub for text") {

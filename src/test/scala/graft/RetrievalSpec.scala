@@ -44,6 +44,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(hybrid === lexical)
   }
 
+  test("hybridRerank scores a zero-norm embedding as cosine 0, never a NaN rank") {
+    import org.apache.spark.sql.functions.col
+    // three docs sharing vocabulary so BM25 pairs them all; doc 1 carries
+    // an all-zero embedding — 0/0 cosine is NaN, and NaN sorts LARGEST in
+    // a desc rank, so an unguarded blend would put the zero vector first
+    val docs = Seq(
+      (0L, "shared words alpha beta gamma delta"),
+      (1L, "shared words alpha beta gamma epsilon"),
+      (2L, "shared words alpha beta gamma zeta")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 2f, 3f)),
+      (1L, Array(0f, 0f, 0f)),
+      (2L, Array(3f, 2f, 1f))).toDF("vec_id", "embedding")
+    val res = Retrieval.hybridRerank(docs, docs.filter($"doc_id" === 0), emb,
+      "doc_id", "text", "vec_id", "embedding", k = 2, candK = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("cos_sim"), r.getAs[Double]("hybrid")))).toMap
+    assert(!res.values.exists(v => v._1.isNaN || v._2.isNaN))
+    assert(res(1L)._1 === 0.0, "zero-norm embedding must score cosine 0")
+    assert(res(2L)._1 > 0.0)
+  }
+
   test("hybridRerank blends in the semantic signal and keeps k rows per query") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
