@@ -120,6 +120,38 @@ object Components {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** INCREMENTAL connected components: absorb a new batch into an
+    * existing labelling without re-pairing the old corpus with itself.
+    * `oldLabels` is a previous (id, cluster_id) result; `newEdges` is
+    * every edge with at least one endpoint in the new batch (the caller
+    * derives these from its candidate-pair state — e.g. fingerprint
+    * lookups against a persisted hub table — never by rescanning old
+    * text). The old labelling collapses to ONE edge per old vertex
+    * (cluster_id → id), so the combined graph has depth-1 old paths plus
+    * the new edges: round count stays small even when a new edge bridges
+    * two giant old components.
+    *
+    * Equals batch CC over (old edges ∪ new edges) whenever `oldLabels`
+    * was a correct labelling of the old edge set — old connectivity is
+    * exactly preserved by the label edges (law in ComponentsSpec; q128
+    * hash-checks the composition end to end against the full-corpus
+    * recursive-CTE oracle).
+    */
+  def connectedComponentsIncremental(oldLabels: DataFrame,
+      newVertices: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 20, starAfter: Int = 8): DataFrame = {
+    val old = oldLabels.select(col("id").cast("long").as("id"),
+      col("cluster_id").cast("long").as("cluster_id"))
+    val vertices = old.select(col("id"))
+      .union(newVertices.select(col("id").cast("long").as("id")))
+      .distinct()
+    val labelEdges = old.filter(col("id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("src"), col("id").as("dst"))
+    connectedComponents(vertices, labelEdges.union(
+      newEdges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))), maxIter, starAfter)
+  }
+
   /** Alternating large-star/small-star rounds (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC 2014): large-star links
     * every neighbour v > u to m(u) = min(Γ(u) ∪ {u}); small-star links

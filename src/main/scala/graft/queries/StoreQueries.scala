@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{History, Indexing, Retrieval}
+import graft.operators.{Components, History, Indexing, Retrieval}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -134,6 +134,48 @@ object StoreQueries {
              strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
              n_events, (vt IS NULL) AS is_current
       FROM f""")),
+
+    // q101's dup-cluster surface computed INCREMENTALLY: cluster the even
+    // docs first, then absorb the odd half through
+    // connectedComponentsIncremental (old labelling collapses to depth-1
+    // label edges; only edges touching the new batch are fed in). The
+    // oracle is the full-corpus recursive-CTE clustering — incremental
+    // must be indistinguishable from batch.
+    ("q128_cc_incremental", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val olds = docs.filter(col("doc_id") % 2 === 0)
+      val oldCC = Components.connectedComponents(
+        olds.select(col("doc_id").as("id")),
+        Components.fingerprintEdges(olds, "doc_id", "text"))
+      val newEdges = Components.fingerprintEdges(docs, "doc_id", "text")
+        .filter(col("src") % 2 =!= 0 || col("dst") % 2 =!= 0)
+      Components.connectedComponentsIncremental(oldCC,
+        docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id").as("id")),
+        newEdges)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          count(lit(1)).over(Window.partitionBy(col("cluster_id")))
+            .as("cluster_size"))
+    }, Some("""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      e1 AS (SELECT doc_id AS src,
+                    min(doc_id) OVER (PARTITION BY md5(array_to_string(w[1:8], ' '))) AS dst
+             FROM t WHERE len(w) >= 8),
+      e2 AS (SELECT doc_id AS src,
+                    min(doc_id) OVER (PARTITION BY md5(array_to_string(w[5:12], ' '))) AS dst
+             FROM t WHERE len(w) >= 12),
+      ed AS (SELECT src, dst FROM e1 WHERE src <> dst
+             UNION SELECT src, dst FROM e2 WHERE src <> dst),
+      und AS (SELECT src, dst FROM ed UNION SELECT dst AS src, src AS dst FROM ed),
+      r(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.dst, r.lbl FROM r JOIN und u ON u.src = r.id),
+      cc AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id)
+      SELECT id AS doc_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cc""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

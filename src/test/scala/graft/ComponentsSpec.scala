@@ -96,6 +96,24 @@ class ComponentsSpec extends AnyFunSuite {
     assert(viaStars == plain)
   }
 
+  test("incremental CC equals batch CC on a random graph split") {
+    val rnd = new scala.util.Random(11)
+    val n = 240
+    val vs = (0L until n).toSeq
+    val es = Seq.fill(200)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // old = even vertices with their internal edges; new = odd vertices
+    // with every edge touching an odd endpoint (the caller's contract)
+    val oldEs = es.filter { case (a, b) => a % 2 == 0 && b % 2 == 0 }
+    val newEs = es.filter { case (a, b) => a % 2 != 0 || b % 2 != 0 }
+    val oldCC = Components.connectedComponents(
+      vs.filter(_ % 2 == 0).toDF("id"), oldEs.toDF("src", "dst"))
+    val inc = Components.connectedComponentsIncremental(oldCC,
+      vs.filter(_ % 2 != 0).toDF("id"), newEs.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(inc === cc(vs, es), "incremental labelling must equal batch")
+  }
+
   test("fingerprintEdges: star edges point at group-min; short docs emit none") {
     val docs = Seq(
       (10L, "a b c d e f g h TAIL1 x y z p q r s t"), // prefix grp A, mid grp M1
