@@ -232,6 +232,72 @@ object AnalysisQueries {
              first_value(doc_id) OVER w AS shortest_doc
       FROM t
       WINDOW w AS (PARTITION BY source ORDER BY n_tok, doc_id)""")),
+    // Contamination SPAN localization: for each doc sharing 8-grams with
+    // the benchmark set (q95's convention), WHERE the overlap sits —
+    // first/last hit position and the covered span fraction. The fix for
+    // a contaminated doc is often to cut the span, not drop the doc.
+    // Same broadcast shape as q95; positions ride the explode for free.
+    ("q129_contamination_span", (s: SparkSession, d: String) => {
+      import graft.functions.TextFunctions.shingles
+      val docs = Tables.documents(s, d)
+      // ONE shingle evaluation, one explode, one aggregation: n_grams
+      // falls out of max(pos)+1, hit positions out of conditional
+      // min/max — a separate size() branch would re-evaluate the gram
+      // array per row (measured 3× slower)
+      val grams = docs.select(col("doc_id"),
+        posexplode(shingles(col("text"), 8)).as(Seq("pos", "g")))
+      val bg = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(array_distinct(shingles(col("text"), 8))).as("g"))
+        .distinct()
+        .withColumn("hit", lit(1L))
+      val hitPos = when(col("hit") === 1L, col("pos"))
+      grams.join(broadcast(bg), Seq("g"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg((max(col("pos")) + 1).cast("long").as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          (min(hitPos) + 1).cast("long").as("first_hit"),
+          (max(hitPos) + 1).cast("long").as("last_hit"))
+        .filter(col("n_hits") > 0)
+        .withColumn("span_frac", graft.functions.ColumnFunctions.pround(
+          (col("last_hit") - col("first_hit") + 1).cast("double") / col("n_grams"), 4))
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) <= 8 THEN [array_to_string(w, ' ')]
+                    ELSE [array_to_string(w[i+1:i+8], ' ')
+                          for i in generate_series(0, len(w)-8)]
+               END AS gs
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)),
+      g AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS g,
+                   CAST(unnest(generate_series(1, len(gs))) AS BIGINT) AS i
+            FROM sh),
+      bg AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % 97 = 0)
+      SELECT g.doc_id, max(g.n_grams) AS n_grams, count(*) AS n_hits,
+             min(g.i) AS first_hit, max(g.i) AS last_hit,
+             round((max(g.i) - min(g.i) + 1) * 1.0 / max(g.n_grams), 4) AS span_frac
+      FROM g JOIN bg USING (g) GROUP BY g.doc_id""")),
+
+    // Per-source quality gate: each source's own p10 token-count cutoff
+    // (exact interpolated percentile, engine-parity per q71) and which
+    // docs fall below it — per-source thresholds are the curation norm
+    // because length distributions differ wildly across sources.
+    ("q130_quality_gate", (s: SparkSession, d: String) => {
+      val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tok"))
+      val cut = t.groupBy(col("source"))
+        .agg(expr("percentile(n_tok, 0.1)").as("p10"))
+      t.join(broadcast(cut), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          graft.functions.ColumnFunctions.pround(col("p10"), 4).as("p10"),
+          (col("n_tok") < col("p10")).as("below_gate"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, source,
+                        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+                 FROM documents),
+      c AS (SELECT source, quantile_cont(n_tok, 0.1) AS p10 FROM t GROUP BY source)
+      SELECT t.doc_id, t.source, t.n_tok, round(c.p10, 4) AS p10,
+             (t.n_tok < c.p10) AS below_gate
+      FROM t JOIN c USING (source)""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
