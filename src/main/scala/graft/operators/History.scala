@@ -100,28 +100,40 @@ object History {
     val b = batch.select(evCols.map(col).toIndexedSeq: _*)
       .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
       .localCheckpoint(true)
-    val affected = b.select(col("__bucket")).distinct().collect().map(_.getInt(0))
-    val pruned = spark.read.parquet(s"$path/events")
-      .filter(col("__bucket").isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
-    // at-least-once CDC redelivery guard: an already-ingested (key, tie)
-    // event would double n_events and reorder run versions — fail fast
-    // (bucket-pruned semi-join, the indexAppend contract) instead of
-    // silently corrupting history; the caller dedups upstream or rebuilds
-    val dupe = pruned.join(
-      b.select(col(keyCol), col(tieCol)), Seq(keyCol, tieCol), "left_semi")
-    require(dupe.isEmpty,
-      "scd2Apply: batch contains (key, tie) events already in the store — " +
-        "redelivered CDC batches must be deduplicated before apply")
-    b.write.mode("append").partitionBy("__bucket").parquet(s"$path/events")
-    // read-back includes the batch just appended; pruned to affected buckets
-    val evs = spark.read.parquet(s"$path/events")
-      .filter(col("__bucket").isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
-    scd2(evs, keyCol, attrCol, tsCol, tieCol)
-      .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__bucket").parquet(s"$path/history")
-    b.unpersist()
-    ()
+    try {
+      val affected = b.select(col("__bucket")).distinct().collect().map(_.getInt(0))
+      val pruned = spark.read.parquet(s"$path/events")
+        .filter(col("__bucket").isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
+      // at-least-once CDC redelivery guard: an already-ingested (key, tie)
+      // event would double n_events and reorder run versions — fail fast
+      // (bucket-pruned semi-join, the indexAppend contract) instead of
+      // silently corrupting history; the caller dedups upstream or
+      // rebuilds. The identity must be usable (non-null) and unique
+      // WITHIN the batch too: a producer retry folded into one batch is
+      // the same double-count, and a null tie would slip through the
+      // null-unsafe equi-join below.
+      require(b.filter(col(keyCol).isNull || col(tieCol).isNull).isEmpty,
+        "scd2Apply: batch has events with a null key or tie — the (key, " +
+          "tie) identity must be total for the redelivery guard to hold")
+      require(b.groupBy(col(keyCol), col(tieCol)).count()
+        .filter(col("count") > 1).isEmpty,
+        "scd2Apply: batch contains the same (key, tie) event more than " +
+          "once — deduplicate the batch before apply")
+      val dupe = pruned.join(
+        b.select(col(keyCol), col(tieCol)), Seq(keyCol, tieCol), "left_semi")
+      require(dupe.isEmpty,
+        "scd2Apply: batch contains (key, tie) events already in the store — " +
+          "redelivered CDC batches must be deduplicated before apply")
+      b.write.mode("append").partitionBy("__bucket").parquet(s"$path/events")
+      // read-back includes the batch just appended; pruned to affected buckets
+      val evs = spark.read.parquet(s"$path/events")
+        .filter(col("__bucket").isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
+      scd2(evs, keyCol, attrCol, tsCol, tieCol)
+        .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket").parquet(s"$path/history")
+    } finally b.unpersist() // also on the guard-failure path — a DLQ-routing
+    ()                      // caller must not accumulate checkpoint blocks
   }
 
   /** Read the stored SCD2 history (every bucket), store column dropped. */

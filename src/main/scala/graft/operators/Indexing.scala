@@ -182,6 +182,12 @@ object Indexing {
     def swap(sub: String)(write: String => Unit): Unit = {
       val live = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
       val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/${sub}__compact_tmp")
+      // crash recovery FIRST: if a previous run died between delete(live)
+      // and rename, the staging dir holds the ONLY copy — promote it
+      // before the cleanup below would erase it
+      if (!fs.exists(live) && fs.exists(tmp))
+        require(fs.rename(tmp, live),
+          s"indexCompact: recovery rename of $tmp failed")
       fs.delete(tmp, true)
       write(tmp.toString)
       fs.delete(live, true)

@@ -99,13 +99,14 @@ object Retrieval {
       idCol: String, textCol: String, indexDir: String, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1 && k1 > 0 && b >= 0 && b <= 1)
-    // materialized once: the shard probe below and the scoring join must
-    // see the SAME query evaluation — a nondeterministic `queries` plan
-    // would otherwise probe shards for one token set and score another,
-    // silently zeroing the unprobed terms
-    val qterms = toks(queries, idCol, textCol)
-      .select(col("id").as("query_id"), col("token")).distinct()
-      .localCheckpoint(true)
+    // pinned as a driver-side local relation: the shard probe below and
+    // the scoring join must see the SAME query evaluation — a
+    // nondeterministic `queries` plan would otherwise probe shards for
+    // one token set and score another, silently zeroing unprobed terms —
+    // and unlike a checkpoint nothing stays pinned on executors
+    val qterms = graft.functions.Frames.pinLocal(
+      toks(queries, idCol, textCol)
+        .select(col("id").as("query_id"), col("token")).distinct())
     val nShards = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
     val shards = qterms.select(Indexing.shardOf(col("token"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0))
@@ -144,12 +145,14 @@ object Retrieval {
     require(k >= 1 && candK >= k)
     import graft.functions.VectorFunctions.{asDouble, dot, l2Norm}
     val pr = graft.functions.ColumnFunctions.pround _
-    // materialized once (queries×candK rows): the embedding-fetch key set
-    // and the rerank both consume this, and it pins one evaluation of the
-    // (possibly nondeterministic) queries plan instead of three
-    val cands = bm25TopK(docs, queries, idCol, textCol, candK, k1, b)
-      .select(col("query_id"), col("doc_id"), col("score").as("bm25"))
-      .localCheckpoint(true)
+    // pinned driver-side (queries×candK rows, broadcast-sized by
+    // construction): the embedding-fetch key set and the rerank both
+    // consume this, and it pins one evaluation of the (possibly
+    // nondeterministic) queries plan instead of three — with no executor
+    // checkpoint blocks left behind
+    val cands = graft.functions.Frames.pinLocal(
+      bm25TopK(docs, queries, idCol, textCol, candK, k1, b)
+        .select(col("query_id"), col("doc_id"), col("score").as("bm25")))
     val emb = embeddings.select(col(vecIdCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))

@@ -262,12 +262,14 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeansModel
     val model = KMeansModel.load(s"$indexDir/model")
     val cells = spark.read.parquet(s"$indexDir/cells")
-    // materialized once: the probed-cell collect and the scoring join must
-    // see the SAME evaluation of a possibly nondeterministic queries plan
-    // — otherwise a query row present only at scoring time could probe a
-    // cell the static filter below already pruned away
-    val q = probeSide(model.clusterCenters.map(_.toArray), queries, idCol,
-      vecCol, nProbe).localCheckpoint(true)
+    // pinned as a driver-side local relation: the probed-cell collect and
+    // the scoring join must see the SAME evaluation of a possibly
+    // nondeterministic queries plan — otherwise a query row present only
+    // at scoring time could probe a cell the static filter below already
+    // pruned away. (Driver-sized by construction: this side broadcasts.)
+    val q = graft.functions.Frames.pinLocal(
+      probeSide(model.clusterCenters.map(_.toArray), queries, idCol,
+        vecCol, nProbe))
     // The probed-cell set is bounded by nCells (driver-sized BY
     // CONSTRUCTION — it cannot exceed the centroid count), so a static IN
     // filter on the partition column makes pruning unconditional: the scan

@@ -58,6 +58,14 @@ class HistorySpec extends AnyFunSuite {
     val got = canon(History.scd2Read(spark, dir))
     assert(got === canon(History.scd2(b1.unionByName(b2),
       "user_id", "event_type", "ts", "event_id")))
+    // the same double-count arriving WITHIN one batch must also be refused
+    val e2 = intercept[IllegalArgumentException] {
+      History.scd2Apply(spark, dir,
+        ev((3L, 9L, "z", 5000L), (3L, 9L, "z", 5000L)),
+        "user_id", "event_type", "ts", "event_id")
+    }
+    assert(e2.getMessage.contains("more than once"))
+    assert(canon(History.scd2Read(spark, dir)) === got, "store must be untouched")
   }
 
   test("apply rewrites only the affected buckets' history files") {

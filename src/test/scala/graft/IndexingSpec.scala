@@ -69,6 +69,17 @@ class IndexingSpec extends AnyFunSuite {
       .groupBy("shard", "token").count().filter($"count" > 1)
     assert(dup.isEmpty, "stats must hold a single segment row per token")
     assert(spark.read.parquet(s"$dir/consts").count() === 1L)
+
+    // crash-recovery path: simulate dying between delete(live) and rename
+    // — live gone, staging dir holds the only copy; re-running compaction
+    // must PROMOTE the staging copy, never erase it
+    val live = new java.io.File(s"$dir/stats")
+    val tmp = new java.io.File(s"$dir/stats__compact_tmp")
+    assert(live.renameTo(tmp))
+    Indexing.indexCompact(spark, dir)
+    val recovered = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq
+    assert(recovered === before, "recovery must restore the compacted stats")
   }
 
   test("indexAppend fails fast when a doc id is already ingested") {
