@@ -260,6 +260,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(4000))
   }
 
+  test("q119/q120 store serving: rank-bounded heads, broadcast scoring, no products") {
+    val p119 = plan("q119_index_lifecycle")
+    assert(p119.contains("WindowGroupLimit"), p119.take(4000))
+    assert(!p119.contains("collect_set"), p119.take(4000))
+    val p120 = plan("q120_bm25_served")
+    assert(p120.contains("BroadcastHashJoin"), p120.take(4000))
+    assert(p120.contains("WindowGroupLimit"), p120.take(4000))
+    assert(!p120.contains("CartesianProduct"), p120.take(4000))
+  }
+
+  test("q125/q129/q130 join small derived sides by broadcast — no products") {
+    for (name <- Seq("q125_oov_rate", "q129_contamination_span", "q130_quality_gate")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(4000)}")
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(4000)}")
+    }
+  }
+
+  test("q126 rank functions stay partitioned by source — no single-partition sort") {
+    val p = plan("q126_rank_functions")
+    assert(!p.contains("SinglePartition"), p.take(4000))
+    assert(p.contains("Window"), p.take(4000))
+  }
+
   test("q121 hybrid rerank: candidate joins are hash joins, embedding fetch never products") {
     val p = plan("q121_hybrid_rerank")
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
