@@ -89,29 +89,73 @@ object History {
     * late events that interleave or precede stored ones.
     */
   def scd2Apply(spark: SparkSession, path: String, batch: DataFrame,
-      keyCol: String, attrCol: String, tsCol: String, tieCol: String): Unit = {
+      keyCol: String, attrCol: String, tsCol: String, tieCol: String): Unit =
+    withAlignedBatch(spark, path, batch, keyCol, tieCol) {
+      (b, affected, nBuckets) =>
+        // at-least-once CDC redelivery guard: an already-ingested
+        // (key, tie) event would double n_events and reorder run versions
+        // — fail fast (bucket-pruned semi-join, the indexAppend contract)
+        // instead of silently corrupting history
+        require(storedOverlap(spark, path, b, affected, keyCol, tieCol)
+          .isEmpty,
+          "scd2Apply: batch contains (key, tie) events already in the " +
+            "store — redelivered CDC batches must be deduplicated before " +
+            "apply (or use scd2ApplyOrReplay for checkpointed streams)")
+        b.write.mode("append").partitionBy("__bucket").parquet(s"$path/events")
+        rebuildBuckets(spark, path, affected, nBuckets, keyCol, attrCol,
+          tsCol, tieCol)
+    }
+
+  /** Replay-safe apply for STREAM-triggered ingestion
+    * ([[graft.streaming.CdcStream]]): foreachBatch delivery is
+    * at-least-once, and a replayed micro-batch is byte-identical under the
+    * stream checkpoint — so "every batch event already stored" means the
+    * previous attempt's append committed and at most the (idempotent)
+    * history rebuild is missing; re-run just that. A batch with NO stored
+    * events takes the normal apply path with all its guards. A PARTIAL
+    * overlap cannot arise from checkpointed replay (batch composition is
+    * deterministic), so it fails fast as upstream corruption.
+    */
+  def scd2ApplyOrReplay(spark: SparkSession, path: String, batch: DataFrame,
+      keyCol: String, attrCol: String, tsCol: String, tieCol: String): Unit =
+    withAlignedBatch(spark, path, batch, keyCol, tieCol) {
+      (b, affected, nBuckets) =>
+        val nStored = storedOverlap(spark, path, b, affected, keyCol, tieCol)
+          .count()
+        if (nStored == 0) {
+          b.write.mode("append").partitionBy("__bucket").parquet(s"$path/events")
+          rebuildBuckets(spark, path, affected, nBuckets, keyCol, attrCol,
+            tsCol, tieCol)
+        } else if (nStored == b.count()) {
+          // pure replay: append already landed — only the history rebuild
+          // may have been lost between the two writes
+          rebuildBuckets(spark, path, affected, nBuckets, keyCol, attrCol,
+            tsCol, tieCol)
+        } else {
+          throw new IllegalStateException(
+            s"scd2ApplyOrReplay: $nStored of ${b.count()} batch events are " +
+              "already stored — a checkpointed replay is all-or-nothing, " +
+              "so a partial overlap means upstream corruption")
+        }
+    }
+
+  /** Align the batch to the stored event schema, stamp its bucket, pin it
+    * (one evaluation for the bucket collect, the guards and the writes),
+    * run the identity guards, and hand (batch, affectedBuckets, nBuckets)
+    * to `body`; the checkpoint is released on every path.
+    */
+  private def withAlignedBatch(spark: SparkSession, path: String,
+      batch: DataFrame, keyCol: String, tieCol: String)(
+      body: (DataFrame, Array[Int], Int) => Unit): Unit = {
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
-    // align batch columns to the stored event schema (partition col last);
-    // materialized ONCE — the bucket collect, the redelivery check and the
-    // append below must all see the same evaluation of a possibly
-    // nondeterministic batch plan (events appended into a bucket the
-    // collect never saw would leave that bucket's history silently stale)
     val evCols = spark.read.parquet(s"$path/events").columns.filter(_ != "__bucket")
     val b = batch.select(evCols.map(col).toIndexedSeq: _*)
       .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
       .localCheckpoint(true)
     try {
-      val affected = b.select(col("__bucket")).distinct().collect().map(_.getInt(0))
-      val pruned = spark.read.parquet(s"$path/events")
-        .filter(col("__bucket").isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
-      // at-least-once CDC redelivery guard: an already-ingested (key, tie)
-      // event would double n_events and reorder run versions — fail fast
-      // (bucket-pruned semi-join, the indexAppend contract) instead of
-      // silently corrupting history; the caller dedups upstream or
-      // rebuilds. The identity must be usable (non-null) and unique
-      // WITHIN the batch too: a producer retry folded into one batch is
-      // the same double-count, and a null tie would slip through the
-      // null-unsafe equi-join below.
+      // the (key, tie) identity must be total and unique WITHIN the batch:
+      // a producer retry folded into one batch is a silent double-count,
+      // and a null tie slips through the null-unsafe overlap join
       require(b.filter(col(keyCol).isNull || col(tieCol).isNull).isEmpty,
         "scd2Apply: batch has events with a null key or tie — the (key, " +
           "tie) identity must be total for the redelivery guard to hold")
@@ -119,21 +163,34 @@ object History {
         .filter(col("count") > 1).isEmpty,
         "scd2Apply: batch contains the same (key, tie) event more than " +
           "once — deduplicate the batch before apply")
-      val dupe = pruned.join(
-        b.select(col(keyCol), col(tieCol)), Seq(keyCol, tieCol), "left_semi")
-      require(dupe.isEmpty,
-        "scd2Apply: batch contains (key, tie) events already in the store — " +
-          "redelivered CDC batches must be deduplicated before apply")
-      b.write.mode("append").partitionBy("__bucket").parquet(s"$path/events")
-      // read-back includes the batch just appended; pruned to affected buckets
-      val evs = spark.read.parquet(s"$path/events")
-        .filter(col("__bucket").isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
-      scd2(evs, keyCol, attrCol, tsCol, tieCol)
-        .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
-        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__bucket").parquet(s"$path/history")
-    } finally b.unpersist() // also on the guard-failure path — a DLQ-routing
-    ()                      // caller must not accumulate checkpoint blocks
+      val affected = b.select(col("__bucket")).distinct().collect().map(_.getInt(0))
+      body(b, affected, nBuckets)
+    } finally b.unpersist() // also on failure paths — a DLQ-routing caller
+    ()                      // must not accumulate checkpoint blocks
+  }
+
+  /** Stored events matching the batch's (key, tie) identities —
+    * bucket-pruned, so the scan touches only the affected directories. */
+  private def storedOverlap(spark: SparkSession, path: String, b: DataFrame,
+      affected: Array[Int], keyCol: String, tieCol: String): DataFrame =
+    spark.read.parquet(s"$path/events")
+      .filter(col("__bucket").isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
+      .join(b.select(col(keyCol), col(tieCol)), Seq(keyCol, tieCol), "left_semi")
+
+  /** Recompute the SCD2 history for `buckets` from the stored event log
+    * (statically pruned scan) and dynamic-overwrite just those
+    * directories. Idempotent: safe to re-run after a crash that appended
+    * events but died before the history committed.
+    */
+  private[graft] def rebuildBuckets(spark: SparkSession, path: String,
+      buckets: Array[Int], nBuckets: Int, keyCol: String, attrCol: String,
+      tsCol: String, tieCol: String): Unit = {
+    val evs = spark.read.parquet(s"$path/events")
+      .filter(col("__bucket").isin(buckets.map(Integer.valueOf).toIndexedSeq: _*))
+    scd2(evs, keyCol, attrCol, tsCol, tieCol)
+      .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket").parquet(s"$path/history")
   }
 
   /** Read the stored SCD2 history (every bucket), store column dropped. */

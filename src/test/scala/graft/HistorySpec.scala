@@ -68,6 +68,27 @@ class HistorySpec extends AnyFunSuite {
     assert(canon(History.scd2Read(spark, dir)) === got, "store must be untouched")
   }
 
+  test("scd2ApplyOrReplay: replayed batch converges, partial overlap fails fast") {
+    val b1 = ev((1L, 1L, "a", 1000L), (2L, 1L, "x", 1000L))
+    val b2 = ev((1L, 2L, "b", 2000L), (4L, 1L, "q", 500L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_replay").toString + "/store"
+    History.scd2Build(b1, "user_id", "event_type", "ts", "event_id", dir, nBuckets = 4)
+    History.scd2ApplyOrReplay(spark, dir, b2, "user_id", "event_type", "ts", "event_id")
+    val after = canon(History.scd2Read(spark, dir))
+    // at-least-once replay of the SAME batch: no exception, store unchanged
+    History.scd2ApplyOrReplay(spark, dir, b2, "user_id", "event_type", "ts", "event_id")
+    assert(canon(History.scd2Read(spark, dir)) === after)
+    assert(after === canon(History.scd2(b1.unionByName(b2),
+      "user_id", "event_type", "ts", "event_id")))
+    // half-replayed half-new batch: checkpointed replay is all-or-nothing
+    val mixed = ev((1L, 2L, "b", 2000L), (9L, 1L, "n", 100L))
+    val e = intercept[IllegalStateException] {
+      History.scd2ApplyOrReplay(spark, dir, mixed,
+        "user_id", "event_type", "ts", "event_id")
+    }
+    assert(e.getMessage.contains("partial overlap"))
+  }
+
   test("apply rewrites only the affected buckets' history files") {
     val b1 = ev((1L to 8L).map(u => (u, 1L, "a", 1000L * u)): _*)
     val dir = java.nio.file.Files.createTempDirectory("graft_scd2_prune").toString + "/store"

@@ -80,6 +80,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set(0L, 2L, 12L), s"replay corrupted the state: $got")
   }
 
+  test("streaming CDC ingest maintains the SCD2 store exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("graft_cdc_src").toString
+    val store = Files.createTempDirectory("graft_cdc").toString + "/store"
+    def evDf(rows: (Long, Long, String, Long)*) =
+      rows.toSeq.toDF("user_id", "event_id", "event_type", "ms")
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    def writeOne(df: org.apache.spark.sql.DataFrame, dest: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_cdc_w").toString + "/o"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Path.of(dest))
+      new java.io.File(dest).setLastModified(mtime)
+    }
+    val b0 = evDf((1L, 1L, "a", 1000L), (2L, 1L, "x", 1000L))
+    val b1 = evDf((1L, 2L, "b", 500L), (3L, 1L, "p", 2000L)) // late event for user 1
+    val b2 = evDf((2L, 2L, "y", 3000L))
+    graft.operators.History.scd2Build(b0, "user_id", "event_type", "ts",
+      "event_id", store, nBuckets = 4)
+    writeOne(b1, s"$src/f1.parquet", 1000000L)
+    writeOne(b2, s"$src/f2.parquet", 2000000L)
+    graft.streaming.CdcStream.scd2IngestAvailableNow(spark, src, store,
+      "user_id", "event_type", "ts", "event_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("version"), col("event_type"),
+        unix_millis(col("valid_from")), unix_millis(col("valid_to")),
+        col("n_events"), col("is_current")).collect().map(_.toSeq).toSet
+    val got = canon(graft.operators.History.scd2Read(spark, store))
+    val want = canon(graft.operators.History.scd2(
+      b0.unionByName(b1).unionByName(b2),
+      "user_id", "event_type", "ts", "event_id"))
+    assert(got === want, "streamed store must equal the batch rebuild")
+    // replay with the same checkpoint: nothing new, store unchanged
+    graft.streaming.CdcStream.scd2IngestAvailableNow(spark, src, store,
+      "user_id", "event_type", "ts", "event_id")
+    assert(canon(graft.operators.History.scd2Read(spark, store)) === got)
+  }
+
   test("streaming hourly rollup == batch hourly rollup (exactly-once)") {
     val streamed = EventStream.hourlyRollupAvailableNow(spark, TestSpark.sf0001)
       .collect().map(_.toSeq).toSet
