@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,119 +70,253 @@ object Indexing {
       .agg(array_join(sort_array(collect_list(col("id"))), ",").as("postings_head"))
 
   /** Token → shard for the persisted store's layout. */
-  private[operators] def shardOf(token: org.apache.spark.sql.Column, nShards: Int) =
+  private[operators] def shardOf(token: Column, nShards: Int) =
     pmod(xxhash64(token), lit(nShards.toLong)).cast("int")
 
-  /** Build a PERSISTED inverted index under `indexDir` — the index the
-    * serving paths ([[indexStats]], [[indexLookup]],
-    * [[Retrieval.bm25FromIndex]]) read so no caller ever re-tokenizes the
-    * corpus. Layout (the reference's watermark loader is the analogous
-    * append-only contract — load_mapreduce_output.py:36-119):
-    *
-    *  - `postings/` (token, id, tf) `partitionBy(shard)` where
-    *    shard = xxhash64(token) mod nShards — a token's postings live in
-    *    exactly one shard directory, so lookups prune to it;
-    *  - `stats/`  per-generation (shard, token, df, ttf) segment rows,
-    *    merged by sum at read (the Lucene-segment shape: appends never
-    *    rewrite old files, readers fold segments);
-    *  - `doclen/` (id, dl); `consts/` per-generation (n_docs, sum_dl);
-    *  - `meta/`   (n_shards) — stamped so appends keep the layout.
+  // ---------------- persisted inverted-index store ----------------
+  //
+  // Layout (every surface holds one `gen=<g>` directory PER INGESTED
+  // GENERATION — the Lucene segment shape: appends never rewrite old
+  // files, readers fold generations, compaction merges them):
+  //
+  //   meta/                     one row (n_shards, head_cap)
+  //   postings/gen=<g>/shard=<s>/   (token, id, tf, dl) — dl (the doc's
+  //       total token count) is stored INLINE so BM25 serving never joins
+  //       a corpus-sized doc-length table at query time
+  //   stats/gen=<g>/shard=<s>/      (token, df, ttf) segment rows, folded
+  //       by sum at read
+  //   heads/gen=<g>/shard=<s>/      (token, id) — this generation's
+  //       rank-bounded posting head (first `head_cap` ids per token).
+  //       Top-k by a fixed total order is associative, so the global head
+  //       is the re-ranked union of per-generation heads: stats serving
+  //       reads `head_cap` rows per (gen, token), NEVER the full postings
+  //   doclen/gen=<g>/               (id, dl) — the ingested-doc registry
+  //       backing the append-only guard and the corpus constants
+  //   consts/gen=<g>/               (n_docs, sum_dl), folded by sum
+  //
+  // Generation names: "g<k>" for batch build/append (auto-numbered),
+  // caller-chosen (e.g. "b<batchId>", [[graft.streaming.IndexStream]])
+  // for stream appends, "c0" for the compacted generation. Every
+  // generation write is an OVERWRITE of its own gen directory, so
+  // re-running a generation (at-least-once stream redelivery, a crashed
+  // append re-driven with the same gen) converges to the same bytes.
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readMeta(spark: SparkSession, indexDir: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$indexDir/meta")
+      .select(col("n_shards"), col("head_cap")).head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  private val surfaces = Seq("postings", "stats", "heads", "doclen", "consts")
+
+  private def genDirs(spark: SparkSession, indexDir: String,
+      surface: String): Seq[String] = {
+    val fs = fsOf(spark, indexDir)
+    val p = new Path(s"$indexDir/$surface")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("gen=")).map(_.stripPrefix("gen="))
+  }
+
+  /** Next free batch generation name — scans ALL surfaces so a crashed
+    * append that committed only some of its five writes can never have
+    * its half-written generation silently reused. */
+  private def nextGen(spark: SparkSession, indexDir: String): String = {
+    val used = surfaces.flatMap(genDirs(spark, indexDir, _)).toSet
+    val nums = used.collect {
+      case s if s.length > 1 && s.head == 'g' && s.tail.forall(_.isDigit) =>
+        s.tail.toInt
+    }
+    "g" + (if (nums.isEmpty) 0 else nums.max + 1)
+  }
+
+  /** Batch → checkpointed (token, id, tf, dl, shard) rows: the one
+    * tokenize+groupBy evaluation all five generation writes derive from. */
+  private def prepared(batch: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    val pr = postingRows(batch, idCol, textCol)
+    val dl = pr.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    pr.join(dl, "id")
+      .withColumn("shard", shardOf(col("token"), nShards))
+      .localCheckpoint()
+  }
+
+  /** Write one generation of every surface (each an overwrite of its own
+    * gen directory — see the layout note on idempotent re-runs). */
+  private def writeGeneration(p: DataFrame, indexDir: String, gen: String,
+      headCap: Int): Unit = {
+    p.select(col("token"), col("id"), col("tf"), col("dl"), col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$indexDir/postings/gen=$gen")
+    p.groupBy(col("shard"), col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$indexDir/stats/gen=$gen")
+    headRows(p, headCap)
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$indexDir/heads/gen=$gen")
+    val dl = p.groupBy(col("id")).agg(max(col("dl")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$indexDir/doclen/gen=$gen")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$indexDir/consts/gen=$gen")
+  }
+
+  /** Rank-bounded (shard, token, id) head rows — `cap` ids per token in
+    * ascending-id order, planned as a WindowGroupLimit. */
+  private def headRows(rows: DataFrame, cap: Int): DataFrame =
+    rows
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("token")).orderBy(col("id"))))
+      .filter(col("__rn") <= cap)
+      .select(col("shard"), col("token"), col("id"))
+
+  /** Build a fresh PERSISTED inverted index under `indexDir` (any previous
+    * store there is removed) — the index the serving paths ([[indexStats]],
+    * [[indexLookup]], [[Retrieval.bm25FromIndex]]) read so no caller ever
+    * re-tokenizes the corpus. `headCap` fixes the stored posting-head
+    * bound: [[indexStats]] can serve any `postingCap <= headCap`.
+    * (The reference's watermark loader is the analogous append-only
+    * contract — load_mapreduce_output.py:36-119.)
     */
   def indexBuild(docs: DataFrame, idCol: String, textCol: String,
-      indexDir: String, nShards: Int = 16): Unit = {
-    require(nShards >= 1)
+      indexDir: String, nShards: Int = 16, headCap: Int = 10): Unit = {
+    require(nShards >= 1 && headCap >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
-    postingRows(docs, idCol, textCol)
-      .withColumn("shard", shardOf(col("token"), nShards))
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$indexDir/postings")
-    // derive the rest from the store: the tokenize+groupBy ran exactly once
-    val stored = spark.read.parquet(s"$indexDir/postings")
-    stored.groupBy(col("shard"), col("token"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$indexDir/stats")
-    val dl = stored.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-    dl.write.mode("overwrite").parquet(s"$indexDir/doclen")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$indexDir/consts")
-    Seq(nShards).toDF("n_shards").write.mode("overwrite").parquet(s"$indexDir/meta")
+    fsOf(spark, indexDir).delete(new Path(indexDir), true)
+    val p = prepared(docs, idCol, textCol, nShards)
+    writeGeneration(p, indexDir, "g0", headCap)
+    p.unpersist()
+    Seq((nShards, headCap)).toDF("n_shards", "head_cap")
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
   /** Absorb a NEW document batch into the persisted index without
-    * rescanning the old corpus: the batch is tokenized once and its
-    * posting/stat/doclen/const rows APPENDED — existing files are never
-    * rewritten, and readers merge segments by sum. Append-only contract:
-    * a doc id enters the index exactly once (re-ingesting would silently
-    * double df/tf), enforced by a semi-join point lookup against the
-    * stored doclens.
+    * rescanning the old corpus: the batch is tokenized once and written as
+    * its own generation — existing files are never rewritten, and readers
+    * fold generations. Append-only contract: a doc id enters the index
+    * exactly once (re-ingesting would silently double df/tf), enforced by
+    * a point lookup against the stored doclens. For at-least-once stream
+    * delivery use [[indexAppendOrReplay]] instead — a redelivered batch
+    * would trip this guard.
     */
   def indexAppend(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String): Unit = {
     val spark = batch.sparkSession
-    val nShards = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
-    val dupe = spark.read.parquet(s"$indexDir/doclen")
+    val (nShards, headCap) = readMeta(spark, indexDir)
+    val dupe = spark.read.parquet(s"$indexDir/doclen").select(col("id"))
       .join(batch.select(col(idCol).cast("long").as("id")), Seq("id"), "left_semi")
     require(dupe.isEmpty,
       "indexAppend: batch contains doc ids already in the index — " +
         "the append-only contract forbids re-ingesting a document")
-    // materialized once (batch-sized): four writes below must not each
-    // re-run the tokenize+groupBy
-    val p = postingRows(batch, idCol, textCol)
-      .withColumn("shard", shardOf(col("token"), nShards))
-      .localCheckpoint()
-    p.write.mode("append").partitionBy("shard").parquet(s"$indexDir/postings")
-    p.groupBy(col("shard"), col("token"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
-      .write.mode("append").partitionBy("shard").parquet(s"$indexDir/stats")
-    val dl = p.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-    dl.write.mode("append").parquet(s"$indexDir/doclen")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .write.mode("append").parquet(s"$indexDir/consts")
+    val gen = nextGen(spark, indexDir)
+    val p = prepared(batch, idCol, textCol, nShards)
+    writeGeneration(p, indexDir, gen, headCap)
     p.unpersist()
+    ()
   }
 
-  /** Serve the [[invertedIndex]] surface from the persisted store:
-    * df/ttf fold the per-generation stat segments by sum (never re-reading
-    * text); the posting head is rank-bounded over the stored posting rows
-    * exactly as the batch build. Equals [[invertedIndex]] over the union
-    * of all ingested batches (law in IndexingSpec).
+  /** Replay-safe append for STREAM-triggered ingestion
+    * ([[graft.streaming.IndexStream]]): foreachBatch delivery is
+    * at-least-once and a replayed micro-batch is byte-identical under the
+    * stream checkpoint, so the batch writes its five surfaces under the
+    * caller-stable generation `gen` with OVERWRITE — a replay (even after
+    * a crash that committed only some of the five writes) rewrites the
+    * same directories and converges. The append-only guard checks the
+    * batch's doc ids against every OTHER generation's doclen: an overlap
+    * there is genuine re-ingestion (a different batch carried the doc) and
+    * fails fast.
+    *
+    * `gen` must be stable per source batch, unique across batches, and
+    * must not collide with the auto-numbered batch generations ("g<k>") or
+    * the compacted generation ("c0") — use "b<batchId>".
+    */
+  def indexAppendOrReplay(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, gen: String): Unit = {
+    require(gen.nonEmpty && gen != "c0" &&
+      !(gen.head == 'g' && gen.tail.forall(_.isDigit)),
+      s"indexAppendOrReplay: generation name '$gen' collides with the " +
+        "batch/compaction namespace — use a distinct prefix, e.g. b<batchId>")
+    val spark = batch.sparkSession
+    val (nShards, headCap) = readMeta(spark, indexDir)
+    val others = spark.read.parquet(s"$indexDir/doclen")
+      .filter(col("gen") =!= gen).select(col("id"))
+      .join(batch.select(col(idCol).cast("long").as("id")), Seq("id"), "left_semi")
+    require(others.isEmpty,
+      "indexAppendOrReplay: batch contains doc ids already ingested by a " +
+        "DIFFERENT generation — genuine re-ingestion, not a replay")
+    val p = prepared(batch, idCol, textCol, nShards)
+    writeGeneration(p, indexDir, gen, headCap)
+    p.unpersist()
+    ()
+  }
+
+  /** Serve the [[invertedIndex]] surface from the persisted store: df/ttf
+    * fold the per-generation stat segments by sum, and the posting head is
+    * the re-ranked union of the per-generation STORED heads — serving
+    * reads `head_cap` rows per (generation, token), never the postings
+    * store (top-k under the fixed ascending-id order is associative, so
+    * folding heads is exact; law in IndexingSpec). The corpus text is
+    * never re-read. Equals [[invertedIndex]] over the union of all
+    * ingested batches for any `postingCap <= head_cap`.
     */
   def indexStats(spark: SparkSession, indexDir: String, minDf: Long,
       postingCap: Int = 10): DataFrame = {
     require(minDf >= 1 && postingCap >= 1)
+    val (_, headCap) = readMeta(spark, indexDir)
+    require(postingCap <= headCap,
+      s"indexStats: postingCap $postingCap exceeds the stored head cap " +
+        s"$headCap — rebuild the store with a larger headCap to serve it")
     val stats = spark.read.parquet(s"$indexDir/stats")
       .groupBy(col("token"))
       .agg(sum(col("df")).as("doc_freq"), sum(col("ttf")).as("total_tf"))
       .filter(col("doc_freq") >= minDf)
     val head = postingHead(
-      spark.read.parquet(s"$indexDir/postings").select("token", "id", "tf"),
-      postingCap)
+      spark.read.parquet(s"$indexDir/heads").select("token", "id"), postingCap)
     stats.join(head, "token")
       .select(col("token"), col("doc_freq"), col("total_tf"), col("postings_head"))
   }
 
-  /** Compact the per-generation stat/const segments into one generation —
-    * the Lucene-style merge a long-lived index runs after many appends.
-    * Readers fold segments by sum, so correctness never degrades without
-    * compaction; this just bounds the segment count. Postings are
-    * untouched (their rows are disjoint across generations, not
-    * overlapping segments).
+  /** Compact the store's generations into one ("c0") per surface — the
+    * Lucene-style merge a long-lived index runs after many appends.
+    * Readers fold generations by sum / head re-rank, so correctness never
+    * degrades without compaction; this bounds the generation (and file)
+    * count, which otherwise grows linearly with append count. Stat/const
+    * segments merge by sum, heads re-rank to `head_cap`, posting and
+    * doclen rows pass through unchanged (disjoint across generations).
+    * Generations named in `keepGens` are preserved untouched — a caller
+    * maintaining the store from a stream MUST keep every generation whose
+    * batch is not yet known committed by the stream checkpoint, so a
+    * replay's overwrite targets still exist (see [[indexAppendOrReplay]]).
     *
-    * Crash safety: the merged tables are FULLY WRITTEN to a staging
-    * directory first, then swapped in with two filesystem metadata ops
-    * (delete + rename) — a crash mid-write leaves the live store intact,
-    * and a crash between delete and rename leaves the complete staging
-    * directory on disk to recover from. A transactional table format
-    * supplies the fully atomic commit in production (the `io.Upsert`
-    * caveat); an in-place overwrite would instead destroy the only copy
-    * of the segments on a mid-write crash.
+    * Crash safety: each surface's merged table is FULLY WRITTEN to a
+    * staging directory first, then swapped in with two filesystem metadata
+    * ops (delete + rename) — a crash mid-write leaves the live store
+    * intact, and a crash between delete and rename leaves the complete
+    * staging directory on disk, which the next run PROMOTES before doing
+    * anything else. A crash between surfaces leaves some compacted and
+    * some not — harmless, since readers fold either way; re-running
+    * completes the merge. A transactional table format supplies the fully
+    * atomic commit in production (the `io.Upsert` caveat).
+    *
+    * Concurrency contract: SINGLE WRITER, and no concurrent readers of the
+    * swapped directories. An [[indexAppend]] racing the window between a
+    * surface's read and its delete would be silently erased (its segment
+    * rows read before it landed are not in the staged merge), permanently
+    * undercounting df/ttf — serialize compaction with appends (the
+    * maintenance-window discipline; a lock file or table-format commit
+    * protocol supplies it in production).
     */
-  def indexCompact(spark: SparkSession, indexDir: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  def indexCompact(spark: SparkSession, indexDir: String,
+      keepGens: Set[String] = Set.empty): Unit = {
+    val fs = fsOf(spark, indexDir)
+    val (_, headCap) = readMeta(spark, indexDir)
     def swap(sub: String)(write: String => Unit): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
-      val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/${sub}__compact_tmp")
+      val live = new Path(s"$indexDir/$sub")
+      val tmp = new Path(s"$indexDir/${sub}__compact_tmp")
       // crash recovery FIRST: if a previous run died between delete(live)
       // and rename, the staging dir holds the ONLY copy — promote it
       // before the cleanup below would erase it
@@ -193,16 +328,37 @@ object Indexing {
       fs.delete(live, true)
       require(fs.rename(tmp, live), s"indexCompact: rename of $tmp failed")
     }
+    // fold every generation not in keepGens into "c0"; kept generations
+    // pass through byte-equivalent (rewritten, same rows, same gen value)
+    def parts(df: DataFrame)(fold: DataFrame => DataFrame): DataFrame = {
+      val keepCond =
+        if (keepGens.isEmpty) lit(false)
+        else col("gen").isInCollection(keepGens.toSeq)
+      fold(df.filter(!keepCond).drop("gen")).withColumn("gen", lit("c0"))
+        .unionByName(df.filter(keepCond))
+    }
+    swap("postings") { out =>
+      parts(spark.read.parquet(s"$indexDir/postings"))(identity)
+        .write.partitionBy("gen", "shard").parquet(out)
+    }
     swap("stats") { out =>
-      spark.read.parquet(s"$indexDir/stats")
-        .groupBy(col("shard"), col("token"))
-        .agg(sum(col("df")).as("df"), sum(col("ttf")).as("ttf"))
-        .write.partitionBy("shard").parquet(out)
+      parts(spark.read.parquet(s"$indexDir/stats")) {
+        _.groupBy(col("shard"), col("token"))
+          .agg(sum(col("df")).as("df"), sum(col("ttf")).as("ttf"))
+      }.write.partitionBy("gen", "shard").parquet(out)
+    }
+    swap("heads") { out =>
+      parts(spark.read.parquet(s"$indexDir/heads"))(headRows(_, headCap))
+        .write.partitionBy("gen", "shard").parquet(out)
+    }
+    swap("doclen") { out =>
+      parts(spark.read.parquet(s"$indexDir/doclen"))(identity)
+        .write.partitionBy("gen").parquet(out)
     }
     swap("consts") { out =>
-      spark.read.parquet(s"$indexDir/consts")
-        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-        .write.parquet(out)
+      parts(spark.read.parquet(s"$indexDir/consts")) {
+        _.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      }.write.partitionBy("gen").parquet(out)
     }
   }
 
@@ -215,7 +371,7 @@ object Indexing {
   def indexLookup(spark: SparkSession, indexDir: String,
       tokens: Seq[String]): DataFrame = {
     import spark.implicits._
-    val nShards = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
+    val (nShards, _) = readMeta(spark, indexDir)
     val t = tokens.toDF("token")
     val shards = t.select(shardOf(col("token"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0))
@@ -249,7 +405,7 @@ object Indexing {
       .filter(col("rank") <= topN)
       .select(col("stratum"), log(col("rank").cast("double")).as("x"),
         log(col("c").cast("double")).as("y"))
-    val r = graft.functions.ColumnFunctions.pround(_: org.apache.spark.sql.Column, 6)
+    val r = graft.functions.ColumnFunctions.pround(_: Column, 6)
     ranked.groupBy(col("stratum"))
       .agg(count(lit(1)).as("n_top"),
         covar_pop(col("y"), col("x")).as("cxy"),

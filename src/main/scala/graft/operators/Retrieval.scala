@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,12 +36,13 @@ object Retrieval {
 
   /** Shared scoring tail for the recompute and the served paths — same
     * code, so served scores equal recomputed scores structurally.
-    * `tf`=(id, token, tf), `dl`=(id, dl), `dfT`=(token, df),
+    * `tf`=(id, token, tf, dl) — dl rides WITH the term rows (the served
+    * path stores it inline in the postings, so scoring never joins a
+    * corpus-sized doc-length table), `dfT`=(token, df),
     * `consts`=(n_docs double, avgdl double), `qterms`=(query_id, token).
     */
-  private def score(tf: DataFrame, dl: DataFrame, dfT: DataFrame,
-      consts: DataFrame, qterms: DataFrame, k: Int, k1: Double,
-      b: Double): DataFrame = {
+  private def score(tf: DataFrame, dfT: DataFrame, consts: DataFrame,
+      qterms: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     // df is vocabulary-sized — too big to broadcast at scale. Restrict it to
     // the query vocabulary first (semi-join against the tiny broadcast query
     // term set); THAT is broadcastable by construction.
@@ -54,7 +55,6 @@ object Retrieval {
       .join(broadcast(qterms), "token")
       .filter(col("id") =!= col("query_id"))
       .join(broadcast(qdf), "token")
-      .join(dl, "id")
       .crossJoin(broadcast(consts))
       .groupBy(col("query_id"), col("id"))
       .agg(graft.functions.ColumnFunctions.pround(sum(idf * tfNorm), 4).as("score"))
@@ -82,20 +82,23 @@ object Retrieval {
       .drop("sdl")
     val qterms = toks(queries, idCol, textCol)
       .select(col("id").as("query_id"), col("token")).distinct()
-    score(tf, dl, dfT, consts, qterms, k, k1, b)
+    score(tf.join(dl, "id"), dfT, consts, qterms, k, k1, b)
   }
 
   /** BM25 served from the persisted inverted-index store
-    * ([[Indexing.indexBuild]]/[[Indexing.indexAppend]]): tf comes from the
-    * stored postings SHARD-PRUNED to the query vocabulary's shards (probed
-    * shard values are driver-side by construction, bounded by nShards —
-    * the IVF cell pattern), df folds the stored stat segments, and the
-    * corpus constants fold the per-generation (n_docs, sum_dl) rows — the
-    * corpus text is never re-tokenized. df/dl/avgdl are exact for every
-    * query token because a token's rows live entirely in its own shard.
-    * Scores equal [[bm25TopK]] over the ingested corpus (RetrievalSpec).
+    * ([[Indexing.indexBuild]]/[[Indexing.indexAppend]]): tf AND dl come
+    * from the stored postings (dl is inline, so no corpus-sized doc-length
+    * join at query time) SHARD-PRUNED to the query vocabulary's shards
+    * (probed shard values are driver-side by construction, bounded by
+    * nShards — the IVF cell pattern), df folds the stored stat segments,
+    * and the corpus constants fold the per-generation (n_docs, sum_dl)
+    * rows — the corpus text is never re-tokenized and nothing outside the
+    * probed shards is read beyond the one-row-per-generation consts.
+    * df/dl/avgdl are exact for every query token because a token's rows
+    * live entirely in its own shard. Scores equal [[bm25TopK]] over the
+    * ingested corpus (RetrievalSpec).
     */
-  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+  def bm25FromIndex(spark: SparkSession, queries: DataFrame,
       idCol: String, textCol: String, indexDir: String, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1 && k1 > 0 && b >= 0 && b <= 1)
@@ -107,21 +110,25 @@ object Retrieval {
     val qterms = graft.functions.Frames.pinLocal(
       toks(queries, idCol, textCol)
         .select(col("id").as("query_id"), col("token")).distinct())
-    val nShards = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
+    val (nShards, _) = {
+      val r = spark.read.parquet(s"$indexDir/meta")
+        .select(col("n_shards"), col("head_cap")).head()
+      (r.getInt(0), r.getInt(1))
+    }
     val shards = qterms.select(Indexing.shardOf(col("token"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0))
     def pruned(path: String) = spark.read.parquet(path)
       .filter(col("shard").isin(shards.map(Integer.valueOf).toIndexedSeq: _*))
-    val tf = pruned(s"$indexDir/postings").select(col("id"), col("token"), col("tf"))
+    val tf = pruned(s"$indexDir/postings")
+      .select(col("id"), col("token"), col("tf"), col("dl"))
     val dfT = pruned(s"$indexDir/stats")
       .groupBy(col("token")).agg(sum(col("df")).as("df"))
-    val dl = spark.read.parquet(s"$indexDir/doclen")
     val consts = spark.read.parquet(s"$indexDir/consts")
       .agg(sum(col("n_docs")).cast("double").as("n_docs"),
         sum(col("sum_dl")).as("sdl"))
       .withColumn("avgdl", col("sdl").cast("double") / col("n_docs"))
       .drop("sdl")
-    score(tf, dl, dfT, consts, qterms, k, k1, b)
+    score(tf, dfT, consts, qterms, k, k1, b)
   }
 
   /** Two-stage hybrid retrieval: BM25 generates `candK` lexical
@@ -143,8 +150,6 @@ object Retrieval {
       k: Int = 5, candK: Int = 20, wLex: Double = 0.5, wSem: Double = 0.5,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1 && candK >= k)
-    import graft.functions.VectorFunctions.{asDouble, dot, l2Norm}
-    val pr = graft.functions.ColumnFunctions.pround _
     // pinned driver-side (queries×candK rows, broadcast-sized by
     // construction): the embedding-fetch key set and the rerank both
     // consume this, and it pins one evaluation of the (possibly
@@ -153,6 +158,36 @@ object Retrieval {
     val cands = graft.functions.Frames.pinLocal(
       bm25TopK(docs, queries, idCol, textCol, candK, k1, b)
         .select(col("query_id"), col("doc_id"), col("score").as("bm25")))
+    rerankTail(cands, embeddings, vecIdCol, vecCol, k, wLex, wSem)
+  }
+
+  /** [[hybridRerank]] with stage 1 SERVED from the persisted inverted
+    * index ([[bm25FromIndex]]) instead of recomputed — the resident
+    * retrieval service's shape: the corpus is tokenized zero times per
+    * query; candidate generation reads only the probed shards, and the
+    * rerank fetches only the candidates' embeddings. Results equal
+    * [[hybridRerank]] over the ingested corpus (RetrievalSpec law).
+    */
+  def hybridRerankFromIndex(spark: SparkSession, queries: DataFrame,
+      embeddings: DataFrame, idCol: String, textCol: String,
+      vecIdCol: String, vecCol: String, indexDir: String,
+      k: Int = 5, candK: Int = 20, wLex: Double = 0.5, wSem: Double = 0.5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1 && candK >= k)
+    val cands = graft.functions.Frames.pinLocal(
+      bm25FromIndex(spark, queries, idCol, textCol, indexDir, candK, k1, b)
+        .select(col("query_id"), col("doc_id"), col("score").as("bm25")))
+    rerankTail(cands, embeddings, vecIdCol, vecCol, k, wLex, wSem)
+  }
+
+  /** Stage 2 of the hybrid stack, shared by the recompute and served
+    * paths: cosine blend + top-k over the (already driver-pinned)
+    * candidate set. */
+  private def rerankTail(cands: DataFrame, embeddings: DataFrame,
+      vecIdCol: String, vecCol: String, k: Int, wLex: Double,
+      wSem: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{asDouble, dot, l2Norm}
+    val pr = graft.functions.ColumnFunctions.pround _
     val emb = embeddings.select(col(vecIdCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))

@@ -100,6 +100,63 @@ object StoreQueries {
       SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score
       FROM rk WHERE rank <= 10""")),
 
+    // q121's two-stage hybrid retrieval with stage 1 SERVED from the same
+    // two-generation store: candidates come from bm25FromIndex (shard-
+    // pruned postings with inline dl), the rerank fetches only the
+    // candidates' embeddings. Same oracle SQL as q121 — serving must be
+    // indistinguishable from recomputing.
+    ("q131_hybrid_served", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.hybridRerankFromIndex(s, docs.filter(col("doc_id") < 3),
+        Tables.table(s, d, "embeddings"), "doc_id", "text", "vec_id",
+        "embedding", index(s, d), k = 5, candK = 10)
+    }, Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+                  FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      co AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+             FROM dl),
+      q AS (SELECT DISTINCT doc_id AS query_id, token FROM tk WHERE doc_id < 3),
+      sc AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum(ln(1.0 + (co.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / co.avgdl))), 4)
+                 AS score
+        FROM tf JOIN q USING (token) JOIN df USING (token)
+        JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN co
+        WHERE tf.doc_id <> q.query_id
+        GROUP BY q.query_id, tf.doc_id),
+      rk AS (SELECT query_id, doc_id, score,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id) AS rank
+             FROM sc),
+      cand AS (SELECT query_id, doc_id, score AS bm25 FROM rk WHERE rank <= 10),
+      emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cosd AS (SELECT c.query_id, c.doc_id, c.bm25,
+                      CASE WHEN eq.v IS NULL OR ed.v IS NULL
+                             OR list_dot_product(eq.v, eq.v)
+                                * list_dot_product(ed.v, ed.v) = 0
+                           THEN 0
+                           ELSE list_cosine_similarity(eq.v, ed.v) END AS cos_raw
+               FROM cand c
+               LEFT JOIN emb eq ON eq.vec_id = c.query_id
+               LEFT JOIN emb ed ON ed.vec_id = c.doc_id),
+      hy AS (SELECT query_id, doc_id, bm25, cos_raw,
+                    round(0.5 * bm25 / max(bm25) OVER (PARTITION BY query_id)
+                          + 0.5 * cos_raw, 6) AS hybrid
+             FROM cosd),
+      hr AS (SELECT query_id, doc_id, bm25, cos_raw, hybrid,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY hybrid DESC, doc_id) AS rnk
+             FROM hy)
+      SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, bm25,
+             round(cos_raw, 6) AS cos_sim, hybrid
+      FROM hr WHERE rnk <= 5""")),
+
     // q115's SCD2 surface served from the two-generation store (build on
     // even event ids, apply the odd ones — per-user the batches
     // interleave in time, so the merge replays late events). The oracle

@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Laws for the inverted index and its persisted lifecycle: the posting
   * head stays bounded under maximal document frequency (the 100 TB
   * stopword case), build + append equals a batch rebuild, appends are
-  * fail-fast on re-ingestion, and lookups prune to the probed shards.
+  * fail-fast on re-ingestion, stats serve from the folded per-generation
+  * heads (never the postings store), compaction folds every surface to a
+  * single generation without changing the served surface, and lookups
+  * prune to the probed shards.
   */
 class IndexingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -18,6 +21,20 @@ class IndexingSpec extends AnyFunSuite {
     // "dup" appears twice per doc to exercise tf > df
     (i.toLong, s"common dup dup tok$i")
   }.toDF("doc_id", "text")
+
+  private def genDirs(dir: String, surface: String): Seq[String] = {
+    val d = new java.io.File(s"$dir/$surface")
+    if (!d.exists()) Nil
+    else d.listFiles().toSeq.map(_.getName).filter(_.startsWith("gen="))
+  }
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
 
   test("a token present in every doc still yields a postingCap-length head") {
     val got = Indexing.invertedIndex(corpus(40), "doc_id", "text",
@@ -38,12 +55,18 @@ class IndexingSpec extends AnyFunSuite {
       dir, nShards = 8)
     Indexing.indexAppend(docs.filter($"doc_id" % 2 === 1), "doc_id", "text", dir)
 
-    val served = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
-      .orderBy("token").collect().toSeq
+    val stats = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+    val served = stats.orderBy("token").collect().toSeq
     val rebuilt = Indexing.invertedIndex(docs, "doc_id", "text",
       minDf = 5L, postingCap = 10)
       .orderBy("token").collect().toSeq
     assert(served === rebuilt)
+
+    // the stats serve path folds the STORED heads — it must never scan
+    // the postings store (serving cost is O(heads + stats), not O(index))
+    val postScans = scans(stats.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(postScans.isEmpty, "indexStats must not scan the postings store")
 
     // a universal token's postings must surface ids from both generations
     val firstTok = rebuilt.head.getAs[String]("token")
@@ -52,19 +75,31 @@ class IndexingSpec extends AnyFunSuite {
     assert(lk.nonEmpty)
   }
 
-  test("indexCompact folds stat segments without changing the served surface") {
+  test("indexCompact folds every surface to one generation without changing the served surface") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_cmp").toString + "/idx"
     Indexing.indexBuild(docs.filter($"doc_id" % 3 === 0), "doc_id", "text", dir, nShards = 4)
     Indexing.indexAppend(docs.filter($"doc_id" % 3 === 1), "doc_id", "text", dir)
     Indexing.indexAppend(docs.filter($"doc_id" % 3 === 2), "doc_id", "text", dir)
+    for (s <- Seq("postings", "stats", "heads", "doclen", "consts"))
+      assert(genDirs(dir, s).size === 3, s"$s: expected 3 generations pre-compaction")
     val before = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
       .orderBy("token").collect().toSeq
+    val beforeBm25 = graft.operators.Retrieval.bm25FromIndex(spark,
+      docs.filter($"doc_id" < 3), "doc_id", "text", dir, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
     Indexing.indexCompact(spark, dir)
     val after = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
       .orderBy("token").collect().toSeq
     assert(after === before, "compaction must not change the served stats")
-    // segments really merged: one row per (shard, token) now
+    val afterBm25 = graft.operators.Retrieval.bm25FromIndex(spark,
+      docs.filter($"doc_id" < 3), "doc_id", "text", dir, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(afterBm25 === beforeBm25, "compaction must not change served BM25")
+    // generations really folded: ONE gen dir per surface, one stat row per
+    // (shard, token), one consts row — file counts stop growing with appends
+    for (s <- Seq("postings", "stats", "heads", "doclen", "consts"))
+      assert(genDirs(dir, s) === Seq("gen=c0"), s"$s: expected single compacted generation")
     val dup = spark.read.parquet(s"$dir/stats")
       .groupBy("shard", "token").count().filter($"count" > 1)
     assert(dup.isEmpty, "stats must hold a single segment row per token")
@@ -82,6 +117,29 @@ class IndexingSpec extends AnyFunSuite {
     assert(recovered === before, "recovery must restore the compacted stats")
   }
 
+  test("indexCompact preserves keepGens untouched for in-flight stream generations") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_keep").toString + "/idx"
+    Indexing.indexBuild(docs.filter($"doc_id" % 3 === 0), "doc_id", "text", dir, nShards = 4)
+    Indexing.indexAppend(docs.filter($"doc_id" % 3 === 1), "doc_id", "text", dir)
+    Indexing.indexAppendOrReplay(docs.filter($"doc_id" % 3 === 2), "doc_id", "text",
+      dir, gen = "b7")
+    val before = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq
+    Indexing.indexCompact(spark, dir, keepGens = Set("b7"))
+    assert(genDirs(dir, "postings").sorted === Seq("gen=b7", "gen=c0"))
+    val after = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq
+    assert(after === before)
+    // the kept generation is still a valid replay target: re-running the
+    // stream batch after compaction must converge, not double-ingest
+    Indexing.indexAppendOrReplay(docs.filter($"doc_id" % 3 === 2), "doc_id", "text",
+      dir, gen = "b7")
+    val replayed = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq
+    assert(replayed === before)
+  }
+
   test("indexAppend fails fast when a doc id is already ingested") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_dup").toString + "/idx"
     Indexing.indexBuild(corpus(10), "doc_id", "text", dir, nShards = 4)
@@ -91,24 +149,71 @@ class IndexingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("indexAppendOrReplay: replay converges, cross-generation overlap fails fast") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_rep").toString + "/idx"
+    Indexing.indexBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      dir, nShards = 4)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    Indexing.indexAppendOrReplay(batch, "doc_id", "text", dir, gen = "b0")
+    val first = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq
+
+    // full replay (at-least-once redelivery): byte-identical outcome
+    Indexing.indexAppendOrReplay(batch, "doc_id", "text", dir, gen = "b0")
+    val replayed = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq
+    assert(replayed === first, "replaying a generation must not change the store")
+
+    // crash-replay: the previous attempt committed only SOME of the five
+    // surface writes — delete one surface's gen dir and replay; the
+    // overwrite-per-generation contract must repair it
+    val stats = new java.io.File(s"$dir/stats/gen=b0")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(stats)
+    Indexing.indexAppendOrReplay(batch, "doc_id", "text", dir, gen = "b0")
+    val repaired = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq
+    assert(repaired === first, "replay after a partial crash must repair the store")
+
+    // the same docs arriving under a DIFFERENT generation is genuine
+    // re-ingestion — fail fast, never double-count
+    val e = intercept[IllegalArgumentException] {
+      Indexing.indexAppendOrReplay(batch, "doc_id", "text", dir, gen = "b1")
+    }
+    assert(e.getMessage.contains("DIFFERENT generation"))
+    // and the auto-numbered batch namespace is fenced off
+    val e2 = intercept[IllegalArgumentException] {
+      Indexing.indexAppendOrReplay(batch, "doc_id", "text", dir, gen = "g3")
+    }
+    assert(e2.getMessage.contains("namespace"))
+  }
+
+  test("indexStats rejects a postingCap above the stored head cap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_cap").toString + "/idx"
+    Indexing.indexBuild(corpus(20), "doc_id", "text", dir, nShards = 4, headCap = 5)
+    val e = intercept[IllegalArgumentException] {
+      Indexing.indexStats(spark, dir, minDf = 1L, postingCap = 10)
+    }
+    assert(e.getMessage.contains("head cap"))
+    val ok = Indexing.indexStats(spark, dir, minDf = 1L, postingCap = 5)
+      .filter($"token" === "common").collect().head
+    assert(ok.getAs[String]("postings_head") === (0 until 5).mkString(","))
+  }
+
   test("indexLookup prunes the posting scan to the probed shards") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_prune").toString + "/idx"
     Indexing.indexBuild(corpus(50), "doc_id", "text", dir, nShards = 8)
     val lk = Indexing.indexLookup(spark, dir, Seq("common"))
     assert(lk.collect().length === 50) // execute THIS plan so scan metrics populate
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
-      p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-        case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
-      }
     val postScan = scans(lk.queryExecution.executedPlan)
       .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
     assert(postScan.nonEmpty, "no file scan over the posting store found")
     val scanned = postScan
       .map(_.metrics.get("numPartitions").map(_.value).getOrElse(0L)).sum
     assert(scanned === 1L,
-      s"one probed token must read exactly one shard partition, read $scanned")
+      s"one probed token must read exactly one (gen, shard) partition, read $scanned")
   }
 }

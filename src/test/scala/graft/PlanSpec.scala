@@ -291,6 +291,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(4000))
   }
 
+  test("q131 served hybrid rerank: hash joins only, grouped top-k, no products") {
+    val p = plan("q131_hybrid_served")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+  }
+
   test("q122 curriculum: the corpus-sized window is partitioned by pid, never global") {
     val df = SparkEntry.queries("q122_curriculum")(spark, TestSpark.sf0001)
     val opt = df.queryExecution.optimizedPlan.toString

@@ -29,6 +29,23 @@ class RetrievalSpec extends AnyFunSuite {
     assert(served === recomputed)
   }
 
+  test("hybridRerankFromIndex equals hybridRerank across a two-generation store") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyb").toString + "/idx"
+    Indexing.indexBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      dir, nShards = 8)
+    Indexing.indexAppend(docs.filter($"doc_id" % 2 === 1), "doc_id", "text", dir)
+    val queries = docs.filter($"doc_id" < 3)
+    val served = Retrieval.hybridRerankFromIndex(spark, queries, emb,
+      "doc_id", "text", "vec_id", "embedding", dir, k = 5, candK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val recomputed = Retrieval.hybridRerank(docs, queries, emb,
+      "doc_id", "text", "vec_id", "embedding", k = 5, candK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served === recomputed)
+  }
+
   test("hybridRerank with zero semantic weight reproduces the BM25 order") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, TestSpark.sf0001)

@@ -120,6 +120,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(graft.operators.History.scd2Read(spark, store)) === got)
   }
 
+  test("streaming index ingest maintains the inverted-index store exactly-once") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_istream_src").toString
+    val dir = Files.createTempDirectory("graft_istream").toString + "/idx"
+    def writeOne(df: org.apache.spark.sql.DataFrame, dest: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_istream_w").toString + "/o"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Path.of(dest))
+      new java.io.File(dest).setLastModified(mtime)
+    }
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val seed = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+    val b1 = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 1)
+    val b2 = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 2)
+    graft.operators.Indexing.indexBuild(seed, "doc_id", "text", dir, nShards = 4)
+    writeOne(b1, s"$src/f1.parquet", 1000000L)
+    writeOne(b2, s"$src/f2.parquet", 2000000L)
+    graft.streaming.IndexStream.indexIngestAvailableNow(spark, src, dir)
+    val got = graft.operators.Indexing.indexStats(spark, dir, minDf = 5L)
+      .orderBy("token").collect().toSeq
+    val want = graft.operators.Indexing.invertedIndex(docs, "doc_id", "text",
+      minDf = 5L).orderBy("token").collect().toSeq
+    assert(got === want, "streamed index must equal the batch rebuild")
+    // the stream generations landed under their batch ids
+    val gens = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(gens === Set("gen=g0", "gen=b0", "gen=b1"))
+    // replay with the same checkpoint: nothing new, store unchanged
+    graft.streaming.IndexStream.indexIngestAvailableNow(spark, src, dir)
+    val replay = graft.operators.Indexing.indexStats(spark, dir, minDf = 5L)
+      .orderBy("token").collect().toSeq
+    assert(replay === got)
+  }
+
   test("streaming hourly rollup == batch hourly rollup (exactly-once)") {
     val streamed = EventStream.hourlyRollupAvailableNow(spark, TestSpark.sf0001)
       .collect().map(_.toSeq).toSet
