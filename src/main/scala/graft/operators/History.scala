@@ -196,4 +196,36 @@ object History {
   /** Read the stored SCD2 history (every bucket), store column dropped. */
   def scd2Read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/history").drop("__bucket")
+
+  /** Compact the bucketed EVENT LOG to one file set per bucket: every
+    * apply appends its batch's files, so after N batches each affected
+    * bucket holds N small files and the rebuild's pruned scan pays N opens
+    * — this folds them without changing a row (the log is immutable
+    * history; only its file layout shrinks). The history table needs no
+    * equivalent: rebuilds dynamic-overwrite whole bucket directories, so
+    * its file count never grows with apply count.
+    *
+    * Crash safety: the folded log is FULLY WRITTEN to a staging directory,
+    * then swapped in with delete + rename; a crash between them leaves the
+    * staging dir as the only copy and the next run PROMOTES it first (the
+    * [[graft.operators.Indexing.indexCompact]] pattern). Single writer:
+    * never run concurrently with an apply — a batch appended between the
+    * log read and the swap would be erased while its history survived,
+    * silently un-recording events from future rebuilds.
+    */
+  def scd2Compact(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/events")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/events__compact_tmp")
+    if (!fs.exists(live) && fs.exists(tmp))
+      require(fs.rename(tmp, live), s"scd2Compact: recovery rename of $tmp failed")
+    fs.delete(tmp, true)
+    // one shuffle partition per bucket value → one file per bucket dir
+    spark.read.parquet(s"$path/events")
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").parquet(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"scd2Compact: rename of $tmp failed")
+  }
 }

@@ -92,4 +92,71 @@ object DedupStream {
   /** The deduped corpus accumulated so far (batch provenance dropped). */
   def corpus(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/corpus").drop("batch")
+
+  /** Fold the corpus/band generations STRICTLY BELOW `uptoBatch` into a
+    * single `batch=<uptoBatch-1>` directory per surface — after N
+    * micro-batches the state otherwise holds N directories whose listing
+    * and open cost grows linearly with ingest history. Content is
+    * unchanged (generation rows are disjoint), and the replay contract is
+    * preserved by construction: a replayed batch b >= uptoBatch still
+    * excludes its own generation (`batch < b` includes the compacted
+    * directory, whose id is < uptoBatch <= b) and still owns its
+    * `batch=b` overwrite target untouched. `uptoBatch` must therefore be
+    * at most the stream's committed watermark — a batch id at or below it
+    * can no longer be redelivered under the checkpoint.
+    *
+    * Crash safety (the staged-swap pattern of `Indexing.indexCompact`,
+    * with a commit marker because the live directory keeps its later
+    * generations): the folded generation is fully written to a staging
+    * directory and committed with a `_COMPLETE` marker BEFORE any live
+    * directory is deleted; a crash mid-write discards the unmarked
+    * staging, a crash mid-promote finds the marked staging and finishes
+    * the swap. Single writer: never run concurrently with an active
+    * ingest of the folded generations.
+    */
+  def compactState(spark: SparkSession, stateDir: String, uptoBatch: Long): Unit = {
+    require(uptoBatch >= 1, "need uptoBatch >= 1")
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (surface <- Seq("corpus", "bands"))
+      compactSurface(spark, fs, s"$stateDir/$surface", uptoBatch)
+  }
+
+  private def batchIds(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+  }
+
+  private def compactSurface(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, upto: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tmp = new org.apache.hadoop.fs.Path(s"${dir}__compact_tmp")
+    val marker = new org.apache.hadoop.fs.Path(tmp, "_COMPLETE")
+    // an unmarked staging dir is a crashed mid-write — discard and redo
+    if (fs.exists(tmp) && !fs.exists(marker)) fs.delete(tmp, true)
+    if (!fs.exists(tmp)) {
+      if (batchIds(fs, dir).count(_ < upto) <= 1) return // nothing to fold
+      spark.read.parquet(dir).filter(col("batch") < upto).drop("batch")
+        .write.parquet(new org.apache.hadoop.fs.Path(tmp,
+          s"batch=${upto - 1}").toString)
+      fs.create(marker).close() // commit point: staging is complete
+    }
+    // promote (first run or recovery): the staged generation's own name
+    // says which live generations it replaces — the current `upto` is
+    // deliberately ignored here so recovering an older run stays correct
+    fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("batch="))
+      .foreach { staged =>
+        val target = staged.getName.stripPrefix("batch=").toLong
+        batchIds(fs, dir).filter(_ <= target).foreach(b =>
+          fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch=$b"), true))
+        require(fs.rename(staged,
+          new org.apache.hadoop.fs.Path(dir, staged.getName)),
+          s"compactState: rename of $staged failed")
+      }
+    fs.delete(tmp, true)
+    ()
+  }
 }

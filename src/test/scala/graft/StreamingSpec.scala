@@ -80,6 +80,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set(0L, 2L, 12L), s"replay corrupted the state: $got")
   }
 
+  test("compactState folds dedup generations below the watermark; replay stays idempotent") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft_dstream_cmp").toString + "/state"
+    def ingest(df: org.apache.spark.sql.DataFrame, id: Long) =
+      DedupStream.ingestBatch(spark, df, id, state, "doc_id", "text", 3, 0.5, 32, 16)
+    ingest(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "a completely different document about distributed prefix sums ok yes"))
+      .toDF("doc_id", "text"), 0L)
+    ingest(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (12L, "yet another unrelated subject entirely new tokens for this corpus"))
+      .toDF("doc_id", "text"), 1L)
+    val b2 = Seq(
+      (20L, "fresh third batch material with an original topic of its own kind"),
+      (22L, "a completely different document about distributed prefix sums ok yes"))
+      .toDF("doc_id", "text")
+    ingest(b2, 2L)
+    def ids = DedupStream.corpus(spark, state)
+      .select("doc_id").as[Long].collect().toSet
+    val before = ids
+    assert(before === Set(0L, 2L, 12L, 20L))
+
+    // fold generations 0 and 1 (committed watermark = 2)
+    DedupStream.compactState(spark, state, uptoBatch = 2L)
+    def gens(surface: String) = new java.io.File(s"$state/$surface").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(gens("corpus") === Set("batch=1", "batch=2"))
+    assert(gens("bands") === Set("batch=1", "batch=2"))
+    assert(ids === before, "compaction must not change the corpus")
+
+    // batch 2 is still replayable: own-generation exclusion sees the
+    // compacted batch=1 dir (< 2) and its overwrite target is untouched
+    ingest(b2, 2L)
+    assert(ids === before, "replay after compaction corrupted the state")
+
+    // and the stream keeps ingesting normally on top of the compacted state
+    ingest(Seq((30L, "post compaction growth keeps flowing through the band index fine"))
+      .toDF("doc_id", "text"), 3L)
+    assert(ids === before + 30L)
+
+    // crash-recovery: simulate dying between the staged commit and the
+    // promote — the marked staging dir holds the folded generation
+    val live = new java.io.File(s"$state/bands/batch=1")
+    val tmpRoot = new java.io.File(s"$state/bands__compact_tmp")
+    assert(tmpRoot.mkdirs())
+    assert(live.renameTo(new java.io.File(tmpRoot, "batch=1")))
+    assert(new java.io.File(tmpRoot, "_COMPLETE").createNewFile())
+    DedupStream.compactState(spark, state, uptoBatch = 2L)
+    assert(gens("bands") === Set("batch=1", "batch=2", "batch=3"),
+      "recovery must promote the marked staging generation")
+    assert(ids === before + 30L)
+  }
+
   test("streaming CDC ingest maintains the SCD2 store exactly-once") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
