@@ -209,6 +209,26 @@ object Components {
     cur
   }
 
+  /** One (w, id, fp) row per document per configured token window it is
+    * long enough for: fp = md5 over the 1-based inclusive `from`..`to`
+    * token slice, `w` the window's index — fingerprints are grouped per
+    * (w, fp), so a coincidental md5 match ACROSS windows never joins
+    * documents (identical semantics to fingerprinting each window
+    * separately). The raw material of [[fingerprintEdges]] and the
+    * persisted hub table ([[ClusterStore]]).
+    */
+  private[operators] def fingerprintRows(docs: DataFrame, idCol: String,
+      textCol: String, windows: Seq[(Int, Int)]): DataFrame = {
+    require(windows.nonEmpty && windows.forall { case (a, b) => a >= 1 && b >= a })
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      split(col(textCol), "\\s+").as("w"))
+    windows.zipWithIndex.map { case ((from, to), wi) =>
+      toks.filter(size(col("w")) >= to)
+        .select(lit(wi).as("w"), col("id"),
+          md5(array_join(slice(col("w"), from, to - from + 1), " ")).as("fp"))
+    }.reduce(_ union _)
+  }
+
   /** Star edges from content-window fingerprints: md5 over each configured
     * token window (1-based inclusive `from`..`to`); every doc gets one edge
     * to the MIN doc id of its fingerprint group — linear in the corpus
@@ -220,18 +240,11 @@ object Components {
     */
   def fingerprintEdges(docs: DataFrame, idCol: String, textCol: String,
       windows: Seq[(Int, Int)] = Seq((1, 8), (5, 12))): DataFrame = {
-    require(windows.nonEmpty && windows.forall { case (a, b) => a >= 1 && b >= a })
-    val toks = docs.select(col(idCol).cast("long").as("id"),
-      split(col(textCol), "\\s+").as("w"))
-    windows.map { case (from, to) =>
-      val fp = toks.filter(size(col("w")) >= to)
-        .select(col("id"),
-          md5(array_join(slice(col("w"), from, to - from + 1), " ")).as("fp"))
-      val hubs = fp.groupBy("fp").agg(min("id").as("dst"))
-      fp.join(hubs, "fp")
-        .select(col("id").as("src"), col("dst"))
-        .filter(col("src") =!= col("dst"))
-    }.reduce(_ union _)
+    val fp = fingerprintRows(docs, idCol, textCol, windows)
+    val hubs = fp.groupBy("w", "fp").agg(min("id").as("dst"))
+    fp.join(hubs, Seq("w", "fp"))
+      .select(col("id").as("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
   }
 
   /** Per-document dup-cluster assignment over fingerprint star edges:

@@ -107,6 +107,24 @@ object Decontaminate {
           col("n_shared").cast("double") / col("n_grams_a"), 4).as("containment"))
   }
 
+  /** A bench-side frame for a gram-overlap join, broadcast ONLY when its
+    * row count stays under `maxBroadcast`. The probe is LIMIT-bounded
+    * (`limit(cap + 1).count()` — LocalLimit short-circuits each
+    * partition), so deciding costs at most cap+1 rows, never a full
+    * aggregate; above the cap the frame is returned unhinted and the
+    * overlap join degrades to a shuffle instead of OOMing the driver.
+    * This pins the documented "eval sets are tiny" assumption of
+    * [[contaminationReport]] for callers whose "benchmark" is actually
+    * derived from the corpus (the q129 shape): the broadcast stays the
+    * default fast path, the corpus-proportional case stays correct.
+    * The probe costs one extra evaluation of `bench`'s plan — fine for
+    * the scan+project derivations used here; pin upstream first if the
+    * derivation ever becomes expensive.
+    */
+  def sizeBoundedBench(bench: DataFrame, maxBroadcast: Int = 1 << 20): DataFrame =
+    if (bench.limit(maxBroadcast + 1).count() > maxBroadcast) bench
+    else broadcast(bench)
+
   /** The corpus minus every document overlapping `bench` above
     * `maxFrac` of its distinct n-grams (0.0 = drop on any shared
     * n-gram). Anti-join on the flagged id set — one broadcast-able key

@@ -28,6 +28,16 @@ object LinkAnalysis {
     * dangling share). Output: (id, pagerank) rounded to 6 for
     * cross-engine replay — every arithmetic step is plain SQL, so a fixed
     * unrolling replays in DuckDB (the q123 oracle).
+    *
+    * PRECONDITION: every edge endpoint must appear in `vertices`.
+    * Contributions flowing to a dst id absent from `vertices` vanish in
+    * the left-outer join (rank mass silently leaks and the ranks no
+    * longer sum to 1), and an absent src never emits at all. Callers
+    * deriving edges from the vertex set ([[Components.fingerprintEdges]]
+    * over the same corpus — the q123 shape) satisfy this by construction;
+    * anyone else should union the edge endpoints into `vertices` first.
+    * Not `require`d: the check would cost an extra corpus-wide anti-join
+    * per call on a hot, already-iterative path.
     */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {

@@ -251,7 +251,10 @@ object AnalysisQueries {
         .distinct()
         .withColumn("hit", lit(1L))
       val hitPos = when(col("hit") === 1L, col("pos"))
-      grams.join(broadcast(bg), Seq("g"), "left_outer")
+      // the bench side is DERIVED from the corpus (doc_id % 97), so its
+      // size is corpus-proportional in the worst case: broadcast only
+      // under the cap, degrade to a shuffle join above it
+      grams.join(Decontaminate.sizeBoundedBench(bg), Seq("g"), "left_outer")
         .groupBy(col("doc_id"))
         .agg((max(col("pos")) + 1).cast("long").as("n_grams"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hits"),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Components, History, Indexing, Retrieval}
+import graft.operators.{ClusterStore, Components, History, Indexing, Retrieval}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,6 +46,21 @@ object StoreQueries {
         "user_id", "event_type", "ts", "event_id", dir, nBuckets = 16)
       History.scd2Apply(s, dir, ev.filter(col("event_id") % 2 =!= 0),
         "user_id", "event_type", "ts", "event_id")
+      dir
+    })
+
+  private val builtCc = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Dup-cluster store built in two generations (even docs, then the odd
+    * batch absorbed via the persisted hub table). */
+  private def ccStore(s: SparkSession, d: String): String =
+    builtCc.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cc_q").toString + "/store"
+      val docs = Tables.documents(s, d)
+      ClusterStore.ccBuild(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir, nBuckets = 16)
+      ClusterStore.ccApply(s, dir, docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text")
       dir
     })
 
@@ -210,6 +225,36 @@ object StoreQueries {
       Components.connectedComponentsIncremental(oldCC,
         docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id").as("id")),
         newEdges)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          count(lit(1)).over(Window.partitionBy(col("cluster_id")))
+            .as("cluster_size"))
+    }, Some("""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      e1 AS (SELECT doc_id AS src,
+                    min(doc_id) OVER (PARTITION BY md5(array_to_string(w[1:8], ' '))) AS dst
+             FROM t WHERE len(w) >= 8),
+      e2 AS (SELECT doc_id AS src,
+                    min(doc_id) OVER (PARTITION BY md5(array_to_string(w[5:12], ' '))) AS dst
+             FROM t WHERE len(w) >= 12),
+      ed AS (SELECT src, dst FROM e1 WHERE src <> dst
+             UNION SELECT src, dst FROM e2 WHERE src <> dst),
+      und AS (SELECT src, dst FROM ed UNION SELECT dst AS src, src AS dst FROM ed),
+      r(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.dst, r.lbl FROM r JOIN und u ON u.src = r.id),
+      cc AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id)
+      SELECT id AS doc_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cc""")),
+    // q128's incremental clustering SERVED from the persisted store:
+    // labels + hub table on disk, the odd batch's edges derived by point
+    // lookup against the stored hubs (the old corpus is never re-read).
+    // Same full-corpus recursive-CTE oracle as q128.
+    ("q132_cc_store", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      ClusterStore.ccRead(s, ccStore(s, d))
         .select(col("id").as("doc_id"), col("cluster_id"),
           count(lit(1)).over(Window.partitionBy(col("cluster_id")))
             .as("cluster_size"))

@@ -66,4 +66,35 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(plan.contains("ResolvedHint") || rep.queryExecution.sparkPlan.toString
       .contains("BroadcastHashJoin"), plan)
   }
+
+  test("sizeBoundedBench: over-cap bench degrades to a shuffle join with identical results") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.shingles
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), 8))).as("g"))
+    def bg = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(array_distinct(shingles(col("text"), 8))).as("g"))
+      .distinct().withColumn("hit", lit(1L))
+    def hits(bench: org.apache.spark.sql.DataFrame) =
+      grams.join(bench, Seq("g"), "left_outer")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .filter(col("n_hits") > 0)
+    // disable Spark's size-based auto-broadcast so the ONLY possible
+    // broadcast comes from the helper's explicit hint
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val small = hits(Decontaminate.sizeBoundedBench(bg))
+      assert(small.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"), "under the cap the bench must broadcast")
+      val large = hits(Decontaminate.sizeBoundedBench(bg, maxBroadcast = 1))
+      assert(!large.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"), "over the cap the join must shuffle")
+      assert(large.orderBy("doc_id").collect().toSeq ===
+        small.orderBy("doc_id").collect().toSeq,
+        "both paths must count the same hits")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
