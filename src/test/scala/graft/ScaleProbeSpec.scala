@@ -19,9 +19,12 @@ class ScaleProbeSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_scaleprobe").toString
     val probes = ScaleProbe.run(spark, base, Seq(2, 32), tmp, iters = 2)
     val byOp = probes.groupBy(_.op)
-    assert(byOp.size === 9, "every probed op must report both scales")
-    // bm25 ranks a FIXED query set: its output is queries×k by design
-    val fixedOutput = Set("bm25")
+    assert(byOp.size === 12, "every probed op must report both scales")
+    // bm25 ranks a FIXED query set (output queries×k by design); the three
+    // store-serving probes run fixed queries / fixed-size batches against
+    // a GROWING store — their output and, per the store sizing contract,
+    // their cost must stay batch-shaped
+    val fixedOutput = Set("bm25", "bm25_from_index", "index_append", "scd2_apply")
     for ((op, ps) <- byOp) {
       val lo = ps.minBy(_.k)
       val hi = ps.maxBy(_.k)
