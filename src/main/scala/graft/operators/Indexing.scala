@@ -428,7 +428,14 @@ object Indexing {
     val tf = toks.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, "token").crossJoin(broadcast(n))
+    tfIdfTail(tf, df, n, k)
+  }
+
+  /** Shared scoring tail for the recompute and served TF-IDF paths:
+    * `tf`=(id, token, tf), `dfT`=(token, df), `n`=one (n_docs) row. */
+  private def tfIdfTail(tf: DataFrame, dfT: DataFrame, n: DataFrame,
+      k: Int): DataFrame = {
+    val scored = tf.join(dfT, "token").crossJoin(broadcast(n))
       .withColumn("score",
         graft.functions.ColumnFunctions.pround(
           col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
@@ -437,5 +444,24 @@ object Indexing {
         .orderBy(col("score").desc, col("token"))))
       .filter(col("__rn") <= k)
       .select(col("id"), col("token"), col("tf"), col("df"), col("score"))
+  }
+
+  /** [[tfIdfTopTerms]] SERVED from the persisted store: tf from the stored
+    * postings, df folding the stat segments, N folding the consts — the
+    * corpus text is never re-tokenized (this is a full-surface derivation,
+    * so every shard is read; the win is skipping tokenization, the
+    * dominant cost). Equals [[tfIdfTopTerms]] over the union of ingested
+    * batches (IndexingSpec law; q133 oracle).
+    */
+  def tfIdfFromIndex(spark: SparkSession, indexDir: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1)
+    val tf = spark.read.parquet(s"$indexDir/postings")
+      .select(col("id"), col("token"), col("tf"))
+    val dfT = spark.read.parquet(s"$indexDir/stats")
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
+    val n = spark.read.parquet(s"$indexDir/consts")
+      .agg(sum(col("n_docs")).as("n_docs"))
+    tfIdfTail(tf, dfT, n, k)
   }
 }

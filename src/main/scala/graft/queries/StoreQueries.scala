@@ -248,6 +248,25 @@ object StoreQueries {
       SELECT id AS doc_id, cluster_id,
              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       FROM cc""")),
+    // q105's TF-IDF top-terms surface SERVED from the two-generation
+    // store: tf from stored postings, df/N from folded segments — the
+    // corpus is never re-tokenized. Same oracle SQL as q105.
+    ("q133_tfidf_served", (s: SparkSession, d: String) => {
+      Indexing.tfIdfFromIndex(s, index(s, d), k = 3)
+        .withColumnRenamed("id", "doc_id")
+    }, Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+                  FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY doc_id, token),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+             FROM tf JOIN df USING (token) CROSS JOIN n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, token) AS rn FROM sc)
+      SELECT doc_id, token, tf, df, score FROM r WHERE rn <= 3""")),
+
     // q128's incremental clustering SERVED from the persisted store:
     // labels + hub table on disk, the odd batch's edges derived by point
     // lookup against the stored hubs (the old corpus is never re-read).

@@ -73,6 +73,13 @@ class IndexingSpec extends AnyFunSuite {
     val lk = Indexing.indexLookup(spark, dir, Seq(firstTok))
       .select($"id").as[Long].collect()
     assert(lk.nonEmpty)
+
+    // TF-IDF served from the same store equals the recompute
+    val tfidfServed = Indexing.tfIdfFromIndex(spark, dir, k = 3)
+      .orderBy("id", "token").collect().toSeq
+    val tfidfRebuilt = Indexing.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
+      .orderBy("id", "token").collect().toSeq
+    assert(tfidfServed === tfidfRebuilt)
   }
 
   test("indexCompact folds every surface to one generation without changing the served surface") {
