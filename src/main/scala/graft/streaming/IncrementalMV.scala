@@ -25,6 +25,17 @@ object IncrementalMV {
     */
   def mergeBatch(spark: SparkSession, path: String, batch: DataFrame,
       keyCols: Seq[String]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
+    // crash recovery FIRST: a previous merge that died between delete(dst)
+    // and rename left tmp as the ONLY copy of the aggregate state —
+    // promote it before reading, or the state silently resets to this
+    // batch alone (the foreachBatch replay then merges on the recovered
+    // state and converges)
+    if (!fs.exists(dst) && fs.exists(tmp))
+      require(fs.rename(tmp, dst), s"mergeBatch: recovery rename of $tmp failed")
     val existing =
       try spark.read.parquet(path)
       catch { case _: Exception => spark.emptyDataFrame }
@@ -34,13 +45,9 @@ object IncrementalMV {
         .groupBy(keyCols.map(col): _*)
         .agg(sum(col("sum_value")).as("sum_value"), sum(col("cnt")).as("cnt"))
     // write-then-swap: never read and overwrite the same files in one job
-    val tmp = path + "_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
+    merged.write.mode("overwrite").parquet(tmp.toString)
     fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    require(fs.rename(tmp, dst), s"mergeBatch: rename of $tmp failed")
   }
 
   /** Maintain the keyed sum/count MV from a stream of events, draining all

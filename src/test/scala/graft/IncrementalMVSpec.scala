@@ -50,4 +50,20 @@ class IncrementalMVSpec extends AnyFunSuite {
     assert(got(("b", "h1")) === ((5.0, 1L, 5.0)))
     assert(got(("c", "h2")) === ((1.0, 1L, 1.0)))
   }
+
+  test("mergeBatch recovers state stranded between delete and rename") {
+    val store = Files.createTempDirectory("graft_mv3").toString + "/mv"
+    val d1 = Seq(("a", "h1", 10.0, 2L)).toDF("event_type", "hour", "sum_value", "cnt")
+    IncrementalMV.mergeBatch(spark, store, d1, Seq("event_type", "hour"))
+    // simulate the crash window: the swap deleted the store but never
+    // renamed the staged merge in — tmp holds the ONLY copy of the state
+    assert(new java.io.File(store).renameTo(new java.io.File(store + "_tmp")))
+    val d2 = Seq(("a", "h1", 7.0, 3L)).toDF("event_type", "hour", "sum_value", "cnt")
+    IncrementalMV.mergeBatch(spark, store, d2, Seq("event_type", "hour"))
+    val got = IncrementalMV.readView(spark, store)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("sum_value"), r.getAs[Long]("cnt"))).toMap
+    assert(got(("a", "h1")) === ((17.0, 5L)),
+      "the stranded state must be promoted, not silently reset")
+  }
 }
