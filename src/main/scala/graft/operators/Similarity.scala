@@ -156,30 +156,41 @@ object Similarity {
   def ivfTopKPortable(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val centroids = c
-      .withColumn("h", md5(col("id").cast("string")))
-      .orderBy(col("h"), col("id"))
-      .limit(nCells)
-      .select(col("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    // nearest-centroid assignment as a narrow projection over a literal
-    // centroid array (ties broken by cell index — same rule as probeSide)
-    val cells = c
-      .withColumn("cellDists", array(centroids.zipWithIndex.map { case (ctr, i) =>
-        struct(l2Sq(col("v"), lit(ctr)).as("d"), lit(i).as("cell"))
-      }: _*))
-      .withColumn("cell", element_at(array_sort(col("cellDists")), 1).getField("cell"))
-      .drop("cellDists")
-      .withColumn("nrm", l2Norm(col("v")))
-    probeCells(cells, centroids, queries, idCol, vecCol, k, nProbe)
+    val centroids = portableCentroids(c, nCells)
+    probeCells(assignCells(c, centroids), centroids, queries, idCol, vecCol,
+      k, nProbe)
   }
+
+  /** The portable coarse quantizer: the `nCells` vectors of `c` (an
+    * (id, v) frame) first in md5(id) order — a deterministic,
+    * engine-replayable draw; a driver-sized top-nCells collect. Ordered by
+    * cell index (= draw rank). */
+  private[operators] def portableCentroids(c: DataFrame,
+      nCells: Int): Array[Array[Double]] = c
+    .withColumn("h", md5(col("id").cast("string")))
+    .orderBy(col("h"), col("id"))
+    .limit(nCells)
+    .select(col("v")).collect()
+    .map(_.getSeq[Double](0).toArray)
+
+  /** Nearest-centroid assignment as a narrow projection over a literal
+    * centroid array (ties broken by cell index — same rule as probeSide):
+    * (id, v) → (id, v, cell, nrm). */
+  private[operators] def assignCells(c: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = c
+    .withColumn("cellDists", array(centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(l2Sq(col("v"), lit(ctr)).as("d"), lit(i).as("cell"))
+    }: _*))
+    .withColumn("cell", element_at(array_sort(col("cellDists")), 1).getField("cell"))
+    .drop("cellDists")
+    .withColumn("nrm", l2Norm(col("v")))
 
   /** The IVF probe stage shared by the one-shot [[ivfTopK]] and the
     * persisted-index [[ivfSearch]]: each query scans only its nProbe
     * nearest centroid cells (centroids are tiny — shipped as a literal
     * array), candidates meet in an equi-join on the cell id.
     */
-  private def probeSide(centroids: Array[Array[Double]], queries: DataFrame,
+  private[operators] def probeSide(centroids: Array[Array[Double]], queries: DataFrame,
       idCol: String, vecCol: String, nProbe: Int): DataFrame =
     queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qnrm", l2Norm(col("qv")))
@@ -190,7 +201,7 @@ object Similarity {
       .withColumn("cell", explode(col("probe.cell")))
       .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
 
-  private def scoreProbe(cells: DataFrame, q: DataFrame, k: Int): DataFrame =
+  private[operators] def scoreProbe(cells: DataFrame, q: DataFrame, k: Int): DataFrame =
     cells.join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))

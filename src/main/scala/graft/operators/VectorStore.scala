@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN store on the PORTABLE coarse quantizer
+  * ([[Similarity.ivfTopKPortable]]'s md5-order centroid draw) — the vector
+  * sibling of the inverted-index store: the quantizer is frozen at build
+  * time, every ingested batch lands as its own generation, readers fold
+  * generations, compaction merges them, and serving reads ONLY the probed
+  * cells' directories. The k-means store ([[Similarity.ivfBuild]]) keeps
+  * the engine-native quantizer under recall laws; THIS store's entire
+  * serve path is hash-checkable against a SQL oracle (q134), because the
+  * centroid draw, assignment, probe selection, and top-k are all
+  * deterministic engine-portable arithmetic.
+  *
+  * Layout (the index-store shape — appends never rewrite old files):
+  *
+  *   centroids/                 (cell, v) — nCells rows, the frozen
+  *       quantizer; doubles as the store's meta (nCells = row count)
+  *   cells/gen=<g>/cell=<c>/    (id, v, nrm) — cell assignments; rows are
+  *       disjoint across generations, so folding is a plain union and
+  *       compaction is a pass-through rewrite that bounds the file count
+  *
+  * Generation names: "g<k>" for batch appends (auto-numbered), caller
+  * chosen "b<batchId>" for stream appends ([[graft.streaming.VectorStream]]),
+  * "c0" for the compacted generation. Every generation write OVERWRITES
+  * its own gen directory, so re-driving a generation converges.
+  *
+  * 100 TB shape: a query batch reads nProbe cells per query — the probed
+  * cell set is bounded by nCells BY CONSTRUCTION, so a static IN on the
+  * partition column prunes unconditionally; appends cost one batch
+  * assignment against a literal centroid array (never a corpus rescan);
+  * the append-only guard is a column-pruned id scan (parquet reads one
+  * slim column, not the vectors).
+  */
+object VectorStore {
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Stored quantizer, ordered by cell index (= md5 draw rank). */
+  private def loadCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cell")).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  private def genDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(s"$dir/cells")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("gen=")).map(_.stripPrefix("gen="))
+  }
+
+  private def nextGen(spark: SparkSession, dir: String): String = {
+    val nums = genDirs(spark, dir).collect {
+      case s if s.length > 1 && s.head == 'g' && s.tail.forall(_.isDigit) =>
+        s.tail.toInt
+    }
+    "g" + (if (nums.isEmpty) 0 else nums.max + 1)
+  }
+
+  /** Assign a batch to the stored cells and overwrite generation `gen`. */
+  private def writeGeneration(batch: DataFrame, idCol: String, vecCol: String,
+      dir: String, centroids: Array[Array[Double]], gen: String): Unit =
+    Similarity.assignCells(
+        batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+        centroids)
+      .select(col("id"), col("v"), col("nrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/cells/gen=$gen")
+
+  /** Build a fresh persisted ANN store under `dir` (any previous store
+    * there is removed): draw the portable quantizer from THIS corpus
+    * (md5-order, [[Similarity.portableCentroids]] — frozen for the store's
+    * lifetime; periodic re-draws when drift degrades recall are a fresh
+    * build), persist it, and write the corpus's assignments as generation
+    * "g0". `corpus` must have at least `nCells` rows to draw from.
+    */
+  def annBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nCells: Int = 16): Unit = {
+    require(nCells >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    fsOf(spark, dir).delete(new Path(dir), true)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val centroids = Similarity.portableCentroids(c, nCells)
+    require(centroids.length == nCells,
+      s"annBuild: corpus has only ${centroids.length} rows to draw " +
+        s"$nCells centroids from")
+    centroids.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "v")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    writeGeneration(corpus, idCol, vecCol, dir, centroids, "g0")
+  }
+
+  /** Absorb a NEW vector batch without rescanning the old corpus: assign
+    * against the frozen quantizer and write one generation. Append-only
+    * contract: a vector id enters the store exactly once (re-ingesting
+    * would surface it twice in search results), enforced by a
+    * column-pruned id lookup. For at-least-once stream delivery use
+    * [[annAppendOrReplay]] — a redelivered batch would trip this guard.
+    */
+  def annAppend(spark: SparkSession, batch: DataFrame, idCol: String,
+      vecCol: String, dir: String): Unit = {
+    val dupe = spark.read.parquet(s"$dir/cells").select(col("id"))
+      .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    require(dupe.isEmpty,
+      "annAppend: batch contains vector ids already in the store — " +
+        "the append-only contract forbids re-ingesting a vector")
+    writeGeneration(batch, idCol, vecCol, dir,
+      loadCentroids(spark, dir), nextGen(spark, dir))
+  }
+
+  /** Replay-safe append for STREAM-triggered ingestion
+    * ([[graft.streaming.VectorStream]]): the batch writes its generation
+    * under the caller-stable name `gen` with OVERWRITE, so an
+    * at-least-once redelivery rewrites the same directory and converges;
+    * ids already ingested by a DIFFERENT generation are genuine
+    * re-ingestion and fail fast. `gen` must not collide with the batch
+    * ("g<k>") or compaction ("c0") namespaces — use "b<batchId>".
+    */
+  def annAppendOrReplay(spark: SparkSession, batch: DataFrame, idCol: String,
+      vecCol: String, dir: String, gen: String): Unit = {
+    require(gen.nonEmpty && gen != "c0" &&
+      !(gen.head == 'g' && gen.tail.forall(_.isDigit)),
+      s"annAppendOrReplay: generation name '$gen' collides with the " +
+        "batch/compaction namespace — use a distinct prefix, e.g. b<batchId>")
+    val others = spark.read.parquet(s"$dir/cells")
+      .filter(col("gen") =!= gen).select(col("id"))
+      .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    require(others.isEmpty,
+      "annAppendOrReplay: batch contains vector ids already ingested by a " +
+        "DIFFERENT generation — genuine re-ingestion, not a replay")
+    writeGeneration(batch, idCol, vecCol, dir,
+      loadCentroids(spark, dir), gen)
+  }
+
+  /** Serve top-k queries from the store: probe each query's nProbe nearest
+    * stored centroids, scan ONLY the probed cells (static IN on the
+    * partition column — the probed set is driver-sized by construction,
+    * bounded by nCells), score by cosine with the stored norms. Same
+    * output shape as [[Similarity.bruteForceTopK]]; equals
+    * [[Similarity.ivfTopKPortable]] when the store was built from the
+    * whole corpus in one generation (VectorStoreSpec law; q134 oracle for
+    * the multi-generation store).
+    */
+  def annSearch(spark: SparkSession, queries: DataFrame, idCol: String,
+      vecCol: String, dir: String, k: Int, nProbe: Int = 4): DataFrame = {
+    require(k >= 1 && nProbe >= 1)
+    val cells = spark.read.parquet(s"$dir/cells")
+    // pinned local relation: the probed-cell collect and the scoring join
+    // must see the SAME evaluation of the queries plan (the ivfSearch
+    // rationale; driver-sized by construction — this side broadcasts)
+    val q = graft.functions.Frames.pinLocal(
+      Similarity.probeSide(loadCentroids(spark, dir), queries, idCol,
+        vecCol, nProbe))
+    val probed = q.select(col("cell")).distinct().collect()
+      .map(_.getAs[Number](0).intValue())
+    Similarity.scoreProbe(
+      cells.filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*)),
+      q, k)
+  }
+
+  /** Compact the store's generations into one ("c0"): assignment rows are
+    * disjoint across generations, so the merge is a pass-through rewrite —
+    * correctness never depends on it; it bounds the generation (and file)
+    * count, which otherwise grows linearly with append count. Generations
+    * in `keepGens` pass through untouched (a stream maintainer MUST keep
+    * every generation not yet committed by its checkpoint, so a replay's
+    * overwrite target still exists — see [[annAppendOrReplay]]).
+    *
+    * Same staged-swap + recovery pattern and SINGLE-WRITER contract as
+    * [[Indexing.indexCompact]]: the merged table is fully written to a
+    * staging dir, swapped in with delete + rename; a crash between them
+    * leaves the staging dir as the only copy, which the next run promotes
+    * first. An append racing the read→delete window would be silently
+    * erased — serialize compaction with appends.
+    */
+  def annCompact(spark: SparkSession, dir: String,
+      keepGens: Set[String] = Set.empty): Unit = {
+    val fs = fsOf(spark, dir)
+    val live = new Path(s"$dir/cells")
+    val tmp = new Path(s"$dir/cells__compact_tmp")
+    if (!fs.exists(live) && fs.exists(tmp))
+      require(fs.rename(tmp, live),
+        s"annCompact: recovery rename of $tmp failed")
+    fs.delete(tmp, true)
+    val all = spark.read.parquet(live.toString)
+    val keepCond =
+      if (keepGens.isEmpty) lit(false)
+      else col("gen").isInCollection(keepGens.toSeq)
+    all.filter(!keepCond).drop("gen").withColumn("gen", lit("c0"))
+      .unionByName(all.filter(keepCond))
+      .write.partitionBy("gen", "cell").parquet(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"annCompact: rename of $tmp failed")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{ClusterStore, Components, History, Indexing, Retrieval}
+import graft.operators.{ClusterStore, Components, History, Indexing, Retrieval, VectorStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -61,6 +61,22 @@ object StoreQueries {
         "doc_id", "text", dir, nBuckets = 16)
       ClusterStore.ccApply(s, dir, docs.filter(col("doc_id") % 2 =!= 0),
         "doc_id", "text")
+      dir
+    })
+
+  private val builtAnn = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** ANN store built in two generations: the portable quantizer is drawn
+    * from (and frozen at) the even-id build batch, the odd half lands as
+    * an incremental append against those centroids. */
+  private def annStore(s: SparkSession, d: String): String =
+    builtAnn.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_q").toString + "/store"
+      val emb = Tables.embeddings(s, d)
+      VectorStore.annBuild(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", dir, nCells = 16)
+      VectorStore.annAppend(s, emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", dir)
       dir
     })
 
@@ -297,6 +313,48 @@ object StoreQueries {
       SELECT id AS doc_id, cluster_id,
              count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       FROM cc""")),
+
+    // q111's portable-IVF search SERVED from the persisted two-generation
+    // vector store: the quantizer was drawn from the even-id build batch
+    // and frozen; the odd half was appended against it; serving reads only
+    // the probed cells. The oracle replays the whole path — centroid draw
+    // (restricted to the build batch, exactly the store's frozen-quantizer
+    // semantics), full-corpus assignment, probe selection, top-k.
+    ("q134_ann_served", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      VectorStore.annSearch(s, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", annStore(s, d), k = 10, nProbe = 4)
+    }, Some("""
+      WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ord AS (SELECT vec_id, v,
+                     row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn
+              FROM c WHERE vec_id % 2 = 0),
+      ctr AS (SELECT rn AS cell, v AS cv FROM ord WHERE rn < 16),
+      asg AS (SELECT vec_id, v, cell FROM (
+                SELECT c.vec_id, c.v, ctr.cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_distance(c.v, ctr.cv), ctr.cell) AS r
+                FROM c CROSS JOIN ctr)
+              WHERE r = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+      probe AS (SELECT query_id, qv, cell FROM (
+                  SELECT q.query_id, q.qv, ctr.cell,
+                         row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_distance(q.qv, ctr.cv), ctr.cell) AS r
+                  FROM q CROSS JOIN ctr)
+                WHERE r <= 4),
+      scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(a.v, p.qv) AS cos
+        FROM probe p JOIN asg a ON a.cell = p.cell
+        WHERE a.vec_id != p.query_id),
+      rk AS (SELECT query_id, neighbor_id, cos,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id) AS rank
+             FROM scored)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+             round(cos, 6) AS cos_sim
+      FROM rk WHERE rank <= 10""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

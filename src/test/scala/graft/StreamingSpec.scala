@@ -210,6 +210,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(replay === got)
   }
 
+  test("streaming vector ingest maintains the ANN store exactly-once") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft_vstream_src").toString
+    val dir = Files.createTempDirectory("graft_vstream").toString + "/store"
+    def writeOne(df: org.apache.spark.sql.DataFrame, dest: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_vstream_w").toString + "/o"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Path.of(dest))
+      new java.io.File(dest).setLastModified(mtime)
+    }
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val seed = emb.filter(col("vec_id") % 3 === 0)
+    graft.operators.VectorStore.annBuild(seed, "vec_id", "embedding", dir,
+      nCells = 16)
+    writeOne(emb.filter(col("vec_id") % 3 === 1), s"$src/f1.parquet", 1000000L)
+    writeOne(emb.filter(col("vec_id") % 3 === 2), s"$src/f2.parquet", 2000000L)
+    graft.streaming.VectorStream.annIngestAvailableNow(spark, src, dir)
+    def results() = graft.operators.VectorStore.annSearch(spark,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", dir,
+      k = 10, nProbe = 4).orderBy("query_id", "rank")
+      .collect().map(_.toString).toSeq
+    val got = results()
+    // same quantizer batch, whole corpus in one batch append: must agree
+    val ref = Files.createTempDirectory("graft_vstream_ref").toString + "/store"
+    graft.operators.VectorStore.annBuild(seed, "vec_id", "embedding", ref,
+      nCells = 16)
+    graft.operators.VectorStore.annAppend(spark, emb.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", ref)
+    val want = graft.operators.VectorStore.annSearch(spark,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", ref,
+      k = 10, nProbe = 4).orderBy("query_id", "rank")
+      .collect().map(_.toString).toSeq
+    assert(got === want, "streamed ANN store must equal the batch-built store")
+    val gens = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(gens === Set("gen=g0", "gen=b0", "gen=b1"))
+    // replay with the same checkpoint: nothing new, store unchanged
+    graft.streaming.VectorStream.annIngestAvailableNow(spark, src, dir)
+    assert(results() === got)
+  }
+
   test("streaming hourly rollup == batch hourly rollup (exactly-once)") {
     val streamed = EventStream.hourlyRollupAvailableNow(spark, TestSpark.sf0001)
       .collect().map(_.toSeq).toSet

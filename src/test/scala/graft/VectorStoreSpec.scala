@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators.{Similarity, VectorStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the persisted portable-quantizer ANN store: a one-generation
+  * whole-corpus store serves exactly [[Similarity.ivfTopKPortable]], a
+  * build + append equals one generation per batch folded at read,
+  * compaction folds to a single generation without changing results,
+  * replayed stream appends converge, re-ingestion fails fast, and the
+  * serve scan prunes to the probed cells.
+  */
+class VectorStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = Tables.embeddings(spark, TestSpark.sf0001)
+  private def queries = emb.filter($"vec_id" < 5)
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_ann").toString + "/store"
+
+  private def search(dir: String): Seq[String] =
+    VectorStore.annSearch(spark, queries, "vec_id", "embedding", dir,
+      k = 10, nProbe = 4)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+
+  private def genDirs(dir: String): Seq[String] = {
+    val d = new java.io.File(s"$dir/cells")
+    if (!d.exists()) Nil
+    else d.listFiles().toSeq.map(_.getName).filter(_.startsWith("gen="))
+  }
+
+  test("one-generation whole-corpus store serves exactly ivfTopKPortable") {
+    val dir = tmp()
+    VectorStore.annBuild(emb, "vec_id", "embedding", dir, nCells = 16)
+    val served = search(dir)
+    val recomputed = Similarity.ivfTopKPortable(emb, queries, "vec_id",
+      "embedding", k = 10, nCells = 16, nProbe = 4)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(served === recomputed)
+  }
+
+  test("build + appends fold at read; compaction changes files, not results") {
+    val a = tmp(); val b = tmp()
+    // store a: quantizer from the even half, odd half in one append
+    VectorStore.annBuild(emb.filter($"vec_id" % 2 === 0), "vec_id",
+      "embedding", a, nCells = 16)
+    VectorStore.annAppend(spark, emb.filter($"vec_id" % 2 =!= 0),
+      "vec_id", "embedding", a)
+    // store b: same quantizer batch, odd half split across TWO appends
+    VectorStore.annBuild(emb.filter($"vec_id" % 2 === 0), "vec_id",
+      "embedding", b, nCells = 16)
+    VectorStore.annAppend(spark, emb.filter($"vec_id" % 4 === 1),
+      "vec_id", "embedding", b)
+    VectorStore.annAppend(spark, emb.filter($"vec_id" % 4 === 3),
+      "vec_id", "embedding", b)
+    val before = search(a)
+    assert(before === search(b))
+    assert(genDirs(b).size === 3)
+
+    VectorStore.annCompact(spark, b)
+    assert(genDirs(b) === Seq("gen=c0"))
+    assert(search(b) === before)
+
+    // keepGens: the kept generation survives the fold untouched
+    VectorStore.annCompact(spark, a, keepGens = Set("g1"))
+    assert(genDirs(a).toSet === Set("gen=c0", "gen=g1"))
+    assert(search(a) === before)
+  }
+
+  test("append-only guard: re-ingesting an id fails fast on both paths") {
+    val dir = tmp()
+    VectorStore.annBuild(emb.filter($"vec_id" < 50), "vec_id", "embedding",
+      dir, nCells = 8)
+    val e1 = intercept[IllegalArgumentException] {
+      VectorStore.annAppend(spark, emb.filter($"vec_id" < 10), "vec_id",
+        "embedding", dir)
+    }
+    assert(e1.getMessage.contains("append-only"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorStore.annAppendOrReplay(spark, emb.filter($"vec_id" < 10),
+        "vec_id", "embedding", dir, gen = "b7")
+    }
+    assert(e2.getMessage.contains("DIFFERENT generation"))
+  }
+
+  test("stream append replays converge; namespace collisions rejected") {
+    val dir = tmp()
+    VectorStore.annBuild(emb.filter($"vec_id" % 2 === 0), "vec_id",
+      "embedding", dir, nCells = 16)
+    val batch = emb.filter($"vec_id" % 2 =!= 0)
+    VectorStore.annAppendOrReplay(spark, batch, "vec_id", "embedding", dir, "b0")
+    val once = search(dir)
+    // at-least-once redelivery of the same generation: byte-converged
+    VectorStore.annAppendOrReplay(spark, batch, "vec_id", "embedding", dir, "b0")
+    assert(search(dir) === once)
+    assert(genDirs(dir).toSet === Set("gen=g0", "gen=b0"))
+    intercept[IllegalArgumentException] {
+      VectorStore.annAppendOrReplay(spark, batch, "vec_id", "embedding",
+        dir, gen = "g3")
+    }
+    intercept[IllegalArgumentException] {
+      VectorStore.annAppendOrReplay(spark, batch, "vec_id", "embedding",
+        dir, gen = "c0")
+    }
+  }
+
+  test("compaction crash between delete and rename recovers on the next run") {
+    val dir = tmp()
+    VectorStore.annBuild(emb.filter($"vec_id" % 2 === 0), "vec_id",
+      "embedding", dir, nCells = 16)
+    VectorStore.annAppend(spark, emb.filter($"vec_id" % 2 =!= 0),
+      "vec_id", "embedding", dir)
+    val before = search(dir)
+    VectorStore.annCompact(spark, dir)
+    // simulate the crash window: live deleted, staged dir stranded
+    val live = new java.io.File(s"$dir/cells")
+    val tmpDir = new java.io.File(s"$dir/cells__compact_tmp")
+    assert(live.renameTo(tmpDir))
+    VectorStore.annCompact(spark, dir)
+    assert(genDirs(dir) === Seq("gen=c0"))
+    assert(search(dir) === before)
+  }
+
+  test("serve scan reads only the probed cells' directories") {
+    val dir = tmp()
+    VectorStore.annBuild(emb, "vec_id", "embedding", dir, nCells = 16)
+    val sr = VectorStore.annSearch(spark, queries, "vec_id", "embedding",
+      dir, k = 10, nProbe = 2)
+    sr.collect() // execute THIS plan so scan metrics populate
+    val cellScans = scans(sr.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/cells")))
+    assert(cellScans.nonEmpty, "no file scan over the cell store found")
+    val scanned = cellScans
+      .map(_.metrics.get("numPartitions").map(_.value).getOrElse(0L)).sum
+    // 5 queries × 2 probes bounds the probed set at 10 of the 16 cells
+    assert(scanned > 0L && scanned <= 10L,
+      s"probed scan must touch at most 10 cell partitions, read $scanned")
+  }
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+}
