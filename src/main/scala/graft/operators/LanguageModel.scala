@@ -66,30 +66,41 @@ object LanguageModel {
     */
   def bigramLogProbAgainst(trainDocs: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, k: Double = 1.0): DataFrame = {
-    def bg(df: DataFrame) = df
-      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("w"))
-      .filter(size(col("w")) >= 2)
-      .withColumn("bg", zip_with(
-        slice(col("w"), lit(1), size(col("w")) - 1),
-        slice(col("w"), lit(2), size(col("w")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2"))))
-      .select(col("id"), explode(col("bg")).as("bg"))
-      .select(col("id"), col("bg.w1"), col("bg.w2"))
-    val train = bg(trainDocs)
+    val train = bigramRows(trainDocs, idCol, textCol)
     val c12 = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = trainDocs
       .select(explode(split(col(textCol), "\\s+")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    bg(docs)
-      .join(c12, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
-      .crossJoin(vocab)
-      .withColumn("lp", log(
-        (coalesce(col("c12"), lit(0L)) + lit(k))
-          / (coalesce(col("c1"), lit(0L)) + lit(k) * col("v"))))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        graft.functions.ColumnFunctions.pround(avg(col("lp")), 6).as("avg_logprob"))
+    scoreTail(bigramRows(docs, idCol, textCol), c12, c1, vocab, k)
   }
+
+  /** One (id, w1, w2) row per bigram occurrence: the token array zipped
+    * with its own shift. Documents with fewer than 2 tokens yield none. */
+  private[operators] def bigramRows(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = df
+    .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("w"))
+    .filter(size(col("w")) >= 2)
+    .withColumn("bg", zip_with(
+      slice(col("w"), lit(1), size(col("w")) - 1),
+      slice(col("w"), lit(2), size(col("w")) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2"))))
+    .select(col("id"), explode(col("bg")).as("bg"))
+    .select(col("id"), col("bg.w1"), col("bg.w2"))
+
+  /** Shared scoring tail for the train-then-score and persisted-store
+    * paths: `docBigrams`=(id, w1, w2) occurrences, `c12`=(w1, w2, c12),
+    * `c1`=(w1, c1), `vocab`=one (v) row. Left joins + coalesce give
+    * unseen bigrams the true smoothing floor k/(k·V). */
+  private[operators] def scoreTail(docBigrams: DataFrame, c12: DataFrame,
+      c1: DataFrame, vocab: DataFrame, k: Double): DataFrame = docBigrams
+    .join(c12, Seq("w1", "w2"), "left")
+    .join(c1, Seq("w1"), "left")
+    .crossJoin(vocab) // 1-row scalar: broadcast, not a real product
+    .withColumn("lp", log(
+      (coalesce(col("c12"), lit(0L)) + lit(k))
+        / (coalesce(col("c1"), lit(0L)) + lit(k) * col("v"))))
+    .groupBy(col("id"))
+    .agg(count(lit(1)).as("n_bigrams"),
+      graft.functions.ColumnFunctions.pround(avg(col("lp")), 6).as("avg_logprob"))
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{ClusterStore, Components, History, Indexing, Retrieval, VectorStore}
+import graft.operators.{ClusterStore, Components, History, Indexing, LmStore, Retrieval, VectorStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,22 @@ object StoreQueries {
         "vec_id", "embedding", dir, nCells = 16)
       VectorStore.annAppend(s, emb.filter(col("vec_id") % 2 =!= 0),
         "vec_id", "embedding", dir)
+      dir
+    })
+
+  private val builtLm = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Bigram-LM store built in two generations (even docs, then the odd
+    * half appended — counts fold by sum, so the register equals one
+    * trained on the whole corpus). */
+  private def lmStore(s: SparkSession, d: String): String =
+    builtLm.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lm_q").toString + "/store"
+      val docs = Tables.documents(s, d)
+      LmStore.lmBuild(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        dir, nShards = 8)
+      LmStore.lmAppend(s, docs.filter(col("doc_id") % 2 =!= 0), "doc_id",
+        "text", dir)
       dir
     })
 
@@ -355,6 +371,30 @@ object StoreQueries {
       SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
              round(cos, 6) AS cos_sim
       FROM rk WHERE rank <= 10""")),
+
+    // q98's bigram-LM scoring SERVED from the persisted count store:
+    // bigram/context counts fold two generations by sum, V folds the
+    // token sets by distinct, the training corpus is never re-read at
+    // scoring time. Scoring the ingested corpus against its own register
+    // is exactly q98's self-scoring semantics — same oracle SQL.
+    ("q135_lm_served", (s: SparkSession, d: String) => {
+      LmStore.lmScore(s, Tables.documents(s, d), "doc_id", "text",
+        lmStore(s, d))
+        .withColumnRenamed("id", "doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+             FROM t WHERE len(w) >= 2),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM t))
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+             round(avg(ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v))), 6) AS avg_logprob
+      FROM bg
+      JOIN c12 USING (w1, w2)
+      JOIN c1 USING (w1)
+      CROSS JOIN v
+      GROUP BY bg.doc_id""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
