@@ -26,10 +26,19 @@ import org.apache.spark.sql.functions._
   *       by sum; sharded by the SAME key (w1) as bigrams so a scoring
   *       batch prunes both tables with one probed-shard set
   *   tokens/gen=<g>/            (w) — this generation's distinct tokens;
-  *       V folds by distinct-count over the union (exact: distinct is
-  *       idempotent under union)
+  *       the ground truth V folds from (distinct over the union is exact)
   *   docreg/gen=<g>/            (id) — ingested-doc registry backing the
   *       append-only guard (re-ingesting a doc would double its counts)
+  *   vtot/gen=<g>/              one (v, mark) row — the TOTAL distinct
+  *       token count over the whole tokens surface as of this
+  *       generation's write, stamped with the registry size as a
+  *       monotone marker (docs are append-only, so the row with the
+  *       largest mark is the latest state). Scoring reads THIS — one row
+  *       per generation — never a vocab-sized distinct: V's O(vocab)
+  *       aggregation is charged to the write that changed it, not to
+  *       every scoring call (the folded-posting-heads discipline of the
+  *       index store, applied to a non-summable statistic via a
+  *       latest-wins marker instead of a sum)
   *
   * Generation names: "g<k>" for batch build/append (auto-numbered),
   * caller-chosen "b<batchId>" for stream appends
@@ -53,7 +62,7 @@ object LmStore {
   private def readMeta(spark: SparkSession, dir: String): Int =
     spark.read.parquet(s"$dir/meta").select(col("n_shards")).head().getInt(0)
 
-  private val surfaces = Seq("bigrams", "unigrams", "tokens", "docreg")
+  private val surfaces = Seq("bigrams", "unigrams", "tokens", "docreg", "vtot")
 
   private def genDirs(spark: SparkSession, dir: String,
       surface: String): Seq[String] = {
@@ -65,7 +74,7 @@ object LmStore {
   }
 
   /** Next free batch generation — scans ALL surfaces so a crashed append
-    * that committed only some of its four writes is never reused. */
+    * that committed only some of its five writes is never reused. */
   private def nextGen(spark: SparkSession, dir: String): String = {
     val used = surfaces.flatMap(genDirs(spark, dir, _)).toSet
     val nums = used.collect {
@@ -80,7 +89,7 @@ object LmStore {
       textCol: String, dir: String, gen: String, nShards: Int): Unit = {
     val bg = LanguageModel.bigramRows(batch, idCol, textCol)
       .withColumn("shard", shardOf(col("w1"), nShards))
-      .localCheckpoint() // one tokenize+zip evaluation for all four writes
+      .localCheckpoint() // one tokenize+zip evaluation for the two count writes
     bg.groupBy(col("shard"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
       .write.mode("overwrite").partitionBy("shard")
@@ -93,8 +102,19 @@ object LmStore {
     batch.select(col(idCol).as("id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/docreg/gen=$gen")
     bg.unpersist()
-    ()
+    // the write that changed V pays for recounting it (over the folded
+    // tokens surface INCLUDING this generation); a replay recomputes over
+    // the then-current state, so its row is never stale-but-max. A crash
+    // here leaves vtot one write behind — the same partial-generation
+    // caveat as the sibling stores: re-driving the generation completes it
+    spark(batch).read.parquet(s"$dir/tokens")
+      .agg(countDistinct(col("w")).as("v"))
+      .crossJoin(spark(batch).read.parquet(s"$dir/docreg")
+        .agg(count(lit(1)).as("mark")))
+      .write.mode("overwrite").parquet(s"$dir/vtot/gen=$gen")
   }
+
+  private def spark(df: DataFrame) = df.sparkSession
 
   /** Build a fresh persisted LM store under `dir` from the training
     * corpus (any previous store there is removed). */
@@ -129,9 +149,9 @@ object LmStore {
   }
 
   /** Replay-safe append for STREAM-triggered ingestion
-    * ([[graft.streaming.LmStream]]): the batch's four surface writes all
+    * ([[graft.streaming.LmStream]]): the batch's five surface writes all
     * target `gen=<gen>` with OVERWRITE, so an at-least-once redelivery —
-    * even after a crash that committed only some of the four — rewrites
+    * even after a crash that committed only some of the five — rewrites
     * the same directories and converges; doc ids already ingested by a
     * DIFFERENT generation are genuine re-ingestion and fail fast. `gen`
     * must not collide with the batch ("g<k>") or compaction ("c0")
@@ -154,7 +174,8 @@ object LmStore {
 
   /** Score a document set against the stored register WITHOUT re-reading
     * the training corpus: bigram/context counts fold the generations by
-    * sum, V folds the token sets by distinct, unseen bigrams get the true
+    * sum, V reads the one-row-per-generation vtot stats (latest-wins marker
+    * fold — never a vocab-sized distinct), unseen bigrams get the true
     * smoothing floor k/(k·V) ([[LanguageModel.bigramLogProbAgainst]]'s
     * semantics — and therefore [[LanguageModel.bigramLogProb]]'s when
     * `docs` IS the ingested corpus; q135's oracle). The count scans are
@@ -166,11 +187,16 @@ object LmStore {
   def lmScore(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, dir: String, k: Double = 1.0): DataFrame = {
     val nShards = readMeta(spark, dir)
-    // pinned local relation is wrong here (docs can be corpus-sized); the
-    // probed-shard set is collected from a distinct-shard aggregate —
-    // bounded by nShards by construction, never by the batch
+    // one checkpointed evaluation serves the probe collect AND the scoring
+    // join: a bigram whose shard went unprobed would left-join to null and
+    // silently score as unseen, so the two sides must see the same rows.
+    // pinLocal is wrong here (docs can be corpus-sized — this must stay an
+    // executor-side frame); the checkpoint blocks are reclaimed by the
+    // ContextCleaner when the returned frame is collected and dropped.
+    // The probed-shard set itself is a distinct-shard aggregate — bounded
+    // by nShards BY CONSTRUCTION, never by the batch
     val bg = LanguageModel.bigramRows(docs, idCol, textCol)
-      .localCheckpoint() // one evaluation for probe + scoring
+      .localCheckpoint()
     val probed = bg.select(shardOf(col("w1"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0))
     def pruned(surface: String) = spark.read.parquet(s"$dir/$surface")
@@ -179,14 +205,16 @@ object LmStore {
       .agg(sum(col("c")).as("c12"))
     val c1 = pruned("unigrams").groupBy(col("w1"))
       .agg(sum(col("c")).as("c1"))
-    val vocab = spark.read.parquet(s"$dir/tokens")
-      .agg(countDistinct(col("w")).as("v"))
-    val out = LanguageModel.scoreTail(bg, c12, c1, vocab, k)
-    out.localCheckpoint(eager = true) // release bg's blocks deterministically
+    // latest-wins fold of the one-row-per-generation vocab stats: one
+    // tiny scan, never a vocab-sized distinct at scoring time
+    val vocab = spark.read.parquet(s"$dir/vtot")
+      .orderBy(col("mark").desc, col("v").desc).limit(1).select(col("v"))
+    LanguageModel.scoreTail(bg, c12, c1, vocab, k)
   }
 
   /** Compact the store's generations into one ("c0"): bigram/context
-    * counts merge by sum, token sets by distinct, the doc registry passes
+    * counts merge by sum, token sets by distinct, vtot keeps its max-marker
+    * row, the doc registry passes
     * through (disjoint across generations). Correctness never depends on
     * compaction (readers fold); it bounds the generation and file count.
     * Generations in `keepGens` pass through untouched (a stream
@@ -237,6 +265,12 @@ object LmStore {
     swap("docreg") { out =>
       parts(spark.read.parquet(s"$dir/docreg"))(identity)
         .write.partitionBy("gen").parquet(out)
+    }
+    swap("vtot") { out =>
+      // latest-wins statistic: the fold keeps the max-marker row
+      parts(spark.read.parquet(s"$dir/vtot")) {
+        _.orderBy(col("mark").desc, col("v").desc).limit(1)
+      }.write.partitionBy("gen").parquet(out)
     }
   }
 }

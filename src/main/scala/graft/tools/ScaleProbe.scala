@@ -76,6 +76,16 @@ object ScaleProbe {
         docs.filter(col("doc_id") % 11 === 0),
         docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text", n = 3).count()))
 
+  /** K vocabulary-disjoint embedding shards: ids offset collision-free,
+    * replicas scaled by (1 + i/100) — a deterministic perturbation that
+    * moves L2 cell assignment without needing randomness. */
+  def scaledEmbeddings(emb: DataFrame, k: Int): DataFrame =
+    (0 until k).map { i =>
+      emb.select((col("vec_id") * k + i).as("vec_id"),
+        transform(col("embedding"),
+          x => x * (lit(1.0) + lit(i.toDouble) / lit(100.0))).as("embedding"))
+    }.reduce(_ unionByName _)
+
   /** Fixed event-stream derivation shared by the scd2 probes: 5 events
     * per entity, so entities grow with the corpus. */
   private def eventsOf(docs: DataFrame): DataFrame =
@@ -93,14 +103,20 @@ object ScaleProbe {
     * the stored corpus — appends cost the batch, serving reads probed
     * shards and affected buckets only.
     */
-  def servingOps(spark: SparkSession, docs: DataFrame, tmpDir: String,
-      k: Int): Seq[(String, () => Long)] = {
+  def servingOps(spark: SparkSession, docs: DataFrame, emb: DataFrame,
+      tmpDir: String, k: Int): Seq[(String, () => Long)] = {
     val idxDir = s"$tmpDir/idx_x$k"
     graft.operators.Indexing.indexBuild(docs, "doc_id", "text", idxDir,
       nShards = 4 * k)
     val scdDir = s"$tmpDir/scd2_x$k"
     graft.operators.History.scd2Build(eventsOf(docs), "entity", "attr",
       "ts", "event_id", scdDir, nBuckets = 8 * k)
+    val annDir = s"$tmpDir/ann_x$k"
+    graft.operators.VectorStore.annBuild(emb, "vec_id", "embedding", annDir,
+      nCells = 16 * k)
+    val lmDir = s"$tmpDir/lm_x$k"
+    graft.operators.LmStore.lmBuild(docs, "doc_id", "text", lmDir,
+      nShards = 4 * k)
     // the c0-shard copies of base docs 0,1,2 — fixed at every scale
     val queries = docs.filter(col("doc_id").isin(0L, k.toLong, 2L * k))
     var seq = 0L // fresh ids per timed call (iters > 1 re-invokes the thunk)
@@ -123,6 +139,30 @@ object ScaleProbe {
         graft.operators.History.scd2Apply(spark, scdDir, batch,
           "entity", "attr", "ts", "event_id")
         batch.count()
+      }),
+      // fixed query set against a growing cell store: nCells scales with
+      // k (the sizing contract), so the probed nProbe cells hold constant
+      // data and serving cost stays query-shaped
+      ("ann_search", () =>
+        graft.operators.VectorStore.annSearch(spark,
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding", annDir,
+          k = 10, nProbe = 4).count()),
+      // fixed scored batch against a growing register: count scans prune
+      // to the batch's vocab shards (constant data per shard by the same
+      // contract); V reads the one-row-per-generation vtot stats
+      ("lm_score", () =>
+        graft.operators.LmStore.lmScore(spark,
+          docs.filter(col("doc_id") < 50), "doc_id", "text", lmDir).count()),
+      // fixed-size batch appended to the growing register: count passes
+      // cost the batch; the vtot recount is the one documented
+      // vocab-proportional term (slim single-column scan)
+      ("lm_append", () => {
+        seq += 1
+        val batch = docs.filter(col("doc_id") < 50)
+          .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),
+            col("text"))
+        graft.operators.LmStore.lmAppend(spark, batch, "doc_id", "text", lmDir)
+        batch.count()
       }))
   }
 
@@ -132,13 +172,16 @@ object ScaleProbe {
     * generation cost is outside the op timings and every op reads the
     * same files.
     */
-  def run(spark: SparkSession, base: DataFrame, ks: Seq[Int], tmpDir: String,
-      iters: Int = 1): Seq[Probe] =
+  def run(spark: SparkSession, base: DataFrame, baseEmb: DataFrame,
+      ks: Seq[Int], tmpDir: String, iters: Int = 1): Seq[Probe] =
     ks.flatMap { k =>
       val path = s"$tmpDir/docs_x$k"
       scaledCorpus(base, k).write.mode("overwrite").parquet(path)
       val docs = spark.read.parquet(path)
-      (ops(docs) ++ servingOps(spark, docs, tmpDir, k)).map { case (name, op) =>
+      val epath = s"$tmpDir/emb_x$k"
+      scaledEmbeddings(baseEmb, k).write.mode("overwrite").parquet(epath)
+      val emb = spark.read.parquet(epath)
+      (ops(docs) ++ servingOps(spark, docs, emb, tmpDir, k)).map { case (name, op) =>
         var rows = 0L
         val secs = (1 to iters).map { _ =>
           val t0 = System.nanoTime()
@@ -182,8 +225,9 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val base = graft.Tables.documents(spark, sfDir)
+    val baseEmb = graft.Tables.embeddings(spark, sfDir)
     val ks = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).toSeq
-    val probes = run(spark, base, ks, "/tmp/graft_scale", iters = 2)
+    val probes = run(spark, base, baseEmb, ks, "/tmp/graft_scale", iters = 2)
     val lines = probes.map(jsonLine) ++ summaryLines(probes)
     lines.foreach(println)
     outFile.foreach { f =>

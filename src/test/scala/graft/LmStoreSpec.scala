@@ -61,7 +61,7 @@ class LmStoreSpec extends AnyFunSuite {
       "text", dir)
     val before = canon(LmStore.lmScore(spark, docs, "doc_id", "text", dir))
     LmStore.lmCompact(spark, dir)
-    for (s <- Seq("bigrams", "unigrams", "tokens", "docreg"))
+    for (s <- Seq("bigrams", "unigrams", "tokens", "docreg", "vtot"))
       assert(genDirs(dir, s) === Seq("gen=c0"), s"surface $s not folded")
     assert(canon(LmStore.lmScore(spark, docs, "doc_id", "text", dir)) === before)
 
@@ -87,6 +87,22 @@ class LmStoreSpec extends AnyFunSuite {
     LmStore.lmAppendOrReplay(spark, docs.filter($"doc_id" % 2 =!= 0),
       "doc_id", "text", dir, gen = "b5")
     assert(canon(LmStore.lmScore(spark, docs, "doc_id", "text", dir)) === before)
+  }
+
+  test("vtot serves the write-time vocab count, latest write wins") {
+    val dir = tmp()
+    LmStore.lmBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", dir,
+      nShards = 8)
+    LmStore.lmAppend(spark, docs.filter($"doc_id" % 2 =!= 0), "doc_id",
+      "text", dir)
+    val served = spark.read.parquet(s"$dir/vtot")
+      .orderBy(col("mark").desc, col("v").desc).limit(1)
+      .head().getAs[Long]("v")
+    val truth = docs.select(explode(split($"text", "\\s+")).as("w"))
+      .agg(countDistinct($"w")).head().getLong(0)
+    assert(served === truth)
+    // one row per generation — scoring's V read is O(generations)
+    assert(spark.read.parquet(s"$dir/vtot").count() === 2L)
   }
 
   test("append-only guard and namespace collisions fail fast") {

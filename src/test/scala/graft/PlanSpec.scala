@@ -298,6 +298,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(4000))
   }
 
+  test("q134 served ANN: probe side broadcasts, grouped top-k, no products") {
+    val p = plan("q134_ann_served")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+  }
+
+  test("q135 served LM scoring joins count tables by key, never a real product") {
+    // same contract as q98: the only nested-loop join allowed is the
+    // 1-row vocab scalar (now served from the vtot stats surface)
+    val p = plan("q135_lm_served")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p.take(4000))
+  }
+
   test("q122 curriculum: the corpus-sized window is partitioned by pid, never global") {
     val df = SparkEntry.queries("q122_curriculum")(spark, TestSpark.sf0001)
     val opt = df.queryExecution.optimizedPlan.toString

@@ -16,15 +16,17 @@ class ScaleProbeSpec extends AnyFunSuite {
 
   test("corpus operators scale sub-linearly from 2x to 32x shards") {
     val base = Tables.documents(spark, TestSpark.sf0001)
+    val baseEmb = Tables.embeddings(spark, TestSpark.sf0001)
     val tmp = java.nio.file.Files.createTempDirectory("graft_scaleprobe").toString
-    val probes = ScaleProbe.run(spark, base, Seq(2, 32), tmp, iters = 2)
+    val probes = ScaleProbe.run(spark, base, baseEmb, Seq(2, 32), tmp, iters = 2)
     val byOp = probes.groupBy(_.op)
-    assert(byOp.size === 12, "every probed op must report both scales")
-    // bm25 ranks a FIXED query set (output queries×k by design); the three
+    assert(byOp.size === 15, "every probed op must report both scales")
+    // bm25 ranks a FIXED query set (output queries×k by design); the
     // store-serving probes run fixed queries / fixed-size batches against
     // a GROWING store — their output and, per the store sizing contract,
     // their cost must stay batch-shaped
-    val fixedOutput = Set("bm25", "bm25_from_index", "index_append", "scd2_apply")
+    val fixedOutput = Set("bm25", "bm25_from_index", "index_append",
+      "scd2_apply", "ann_search", "lm_score", "lm_append")
     for ((op, ps) <- byOp) {
       val lo = ps.minBy(_.k)
       val hi = ps.maxBy(_.k)
