@@ -79,6 +79,10 @@ object Indexing {
   // GENERATION — the Lucene segment shape: appends never rewrite old
   // files, readers fold generations, compaction merges them):
   //
+  //   _MANIFEST                 the committed generation list — the
+  //       store's single commit point ([[Generations]]): a generation's
+  //       five surface writes become visible ATOMICALLY when its name is
+  //       flipped in, and compaction retargets readers the same way
   //   meta/                     one row (n_shards, head_cap)
   //   postings/gen=<g>/shard=<s>/   (token, id, tf, dl) — dl (the doc's
   //       total token count) is stored INLINE so BM25 serving never joins
@@ -96,10 +100,11 @@ object Indexing {
   //
   // Generation names: "g<k>" for batch build/append (auto-numbered),
   // caller-chosen (e.g. "b<batchId>", [[graft.streaming.IndexStream]])
-  // for stream appends, "c0" for the compacted generation. Every
+  // for stream appends, "c<n>" for compacted generations. Every
   // generation write is an OVERWRITE of its own gen directory, so
   // re-running a generation (at-least-once stream redelivery, a crashed
-  // append re-driven with the same gen) converges to the same bytes.
+  // append re-driven with the same gen) converges to the same bytes —
+  // and stays INVISIBLE until the manifest references it.
 
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -112,26 +117,9 @@ object Indexing {
 
   private val surfaces = Seq("postings", "stats", "heads", "doclen", "consts")
 
-  private def genDirs(spark: SparkSession, indexDir: String,
-      surface: String): Seq[String] = {
-    val fs = fsOf(spark, indexDir)
-    val p = new Path(s"$indexDir/$surface")
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("gen=")).map(_.stripPrefix("gen="))
-  }
-
-  /** Next free batch generation name — scans ALL surfaces so a crashed
-    * append that committed only some of its five writes can never have
-    * its half-written generation silently reused. */
-  private def nextGen(spark: SparkSession, indexDir: String): String = {
-    val used = surfaces.flatMap(genDirs(spark, indexDir, _)).toSet
-    val nums = used.collect {
-      case s if s.length > 1 && s.head == 'g' && s.tail.forall(_.isDigit) =>
-        s.tail.toInt
-    }
-    "g" + (if (nums.isEmpty) 0 else nums.max + 1)
-  }
+  private def surface(spark: SparkSession, indexDir: String, sub: String,
+      gens: Seq[String]): DataFrame =
+    Generations.readSurface(spark, indexDir, sub, gens)
 
   /** Batch → checkpointed (token, id, tf, dl, shard) rows: the one
     * tokenize+groupBy evaluation all five generation writes derive from. */
@@ -192,6 +180,9 @@ object Indexing {
     p.unpersist()
     Seq((nShards, headCap)).toDF("n_shards", "head_cap")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
+    // the manifest flip COMMITS the build — a crash anywhere above leaves
+    // an unreadable (never-committed) directory, not a half-built store
+    Generations.commit(spark, indexDir, Seq("g0"))
   }
 
   /** Absorb a NEW document batch into the persisted index without
@@ -207,16 +198,19 @@ object Indexing {
       indexDir: String): Unit = {
     val spark = batch.sparkSession
     val (nShards, headCap) = readMeta(spark, indexDir)
-    val dupe = spark.read.parquet(s"$indexDir/doclen").select(col("id"))
+    val dupe = surface(spark, indexDir, "doclen",
+        Generations.live(spark, indexDir)).select(col("id"))
       .join(batch.select(col(idCol).cast("long").as("id")), Seq("id"), "left_semi")
     require(dupe.isEmpty,
       "indexAppend: batch contains doc ids already in the index — " +
         "the append-only contract forbids re-ingesting a document")
-    val gen = nextGen(spark, indexDir)
+    // name from the DISK listing (orphans of crashed appends block reuse);
+    // visibility from the manifest flip below — all five surfaces at once
+    val gen = Generations.nextName(spark, indexDir, surfaces, 'g')
     val p = prepared(batch, idCol, textCol, nShards)
     writeGeneration(p, indexDir, gen, headCap)
     p.unpersist()
-    ()
+    Generations.add(spark, indexDir, gen)
   }
 
   /** Replay-safe append for STREAM-triggered ingestion
@@ -236,13 +230,13 @@ object Indexing {
     */
   def indexAppendOrReplay(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, gen: String): Unit = {
-    require(gen.nonEmpty && gen != "c0" &&
-      !(gen.head == 'g' && gen.tail.forall(_.isDigit)),
+    require(gen.nonEmpty && !namespaceClash(gen),
       s"indexAppendOrReplay: generation name '$gen' collides with the " +
         "batch/compaction namespace — use a distinct prefix, e.g. b<batchId>")
     val spark = batch.sparkSession
     val (nShards, headCap) = readMeta(spark, indexDir)
-    val others = spark.read.parquet(s"$indexDir/doclen")
+    val others = surface(spark, indexDir, "doclen",
+        Generations.live(spark, indexDir))
       .filter(col("gen") =!= gen).select(col("id"))
       .join(batch.select(col(idCol).cast("long").as("id")), Seq("id"), "left_semi")
     require(others.isEmpty,
@@ -251,8 +245,13 @@ object Indexing {
     val p = prepared(batch, idCol, textCol, nShards)
     writeGeneration(p, indexDir, gen, headCap)
     p.unpersist()
-    ()
+    Generations.add(spark, indexDir, gen)
   }
+
+  /** "g<k>" and "c<n>" are reserved for batch appends and compaction. */
+  private def namespaceClash(gen: String): Boolean =
+    gen.length > 1 && (gen.head == 'g' || gen.head == 'c') &&
+      gen.tail.forall(_.isDigit)
 
   /** Serve the [[invertedIndex]] surface from the persisted store: df/ttf
     * fold the per-generation stat segments by sum, and the posting head is
@@ -270,96 +269,71 @@ object Indexing {
     require(postingCap <= headCap,
       s"indexStats: postingCap $postingCap exceeds the stored head cap " +
         s"$headCap — rebuild the store with a larger headCap to serve it")
-    val stats = spark.read.parquet(s"$indexDir/stats")
+    // one manifest resolution → both surfaces read the same snapshot
+    val gens = Generations.live(spark, indexDir)
+    val stats = surface(spark, indexDir, "stats", gens)
       .groupBy(col("token"))
       .agg(sum(col("df")).as("doc_freq"), sum(col("ttf")).as("total_tf"))
       .filter(col("doc_freq") >= minDf)
     val head = postingHead(
-      spark.read.parquet(s"$indexDir/heads").select("token", "id"), postingCap)
+      surface(spark, indexDir, "heads", gens).select("token", "id"), postingCap)
     stats.join(head, "token")
       .select(col("token"), col("doc_freq"), col("total_tf"), col("postings_head"))
   }
 
-  /** Compact the store's generations into one ("c0") per surface — the
-    * Lucene-style merge a long-lived index runs after many appends.
-    * Readers fold generations by sum / head re-rank, so correctness never
-    * degrades without compaction; this bounds the generation (and file)
-    * count, which otherwise grows linearly with append count. Stat/const
+  /** Compact the store's committed generations into one — the Lucene-style
+    * merge a long-lived index runs after many appends. Readers fold
+    * generations by sum / head re-rank, so correctness never degrades
+    * without compaction; this bounds the generation (and file) count,
+    * which otherwise grows linearly with append count. Stat/const
     * segments merge by sum, heads re-rank to `head_cap`, posting and
     * doclen rows pass through unchanged (disjoint across generations).
-    * Generations named in `keepGens` are preserved untouched — a caller
+    * Generations named in `keepGens` stay referenced untouched — a caller
     * maintaining the store from a stream MUST keep every generation whose
     * batch is not yet known committed by the stream checkpoint, so a
     * replay's overwrite targets still exist (see [[indexAppendOrReplay]]).
     *
-    * Crash safety: each surface's merged table is FULLY WRITTEN to a
-    * staging directory first, then swapped in with two filesystem metadata
-    * ops (delete + rename) — a crash mid-write leaves the live store
-    * intact, and a crash between delete and rename leaves the complete
-    * staging directory on disk, which the next run PROMOTES before doing
-    * anything else. A crash between surfaces leaves some compacted and
-    * some not — harmless, since readers fold either way; re-running
-    * completes the merge. A transactional table format supplies the fully
-    * atomic commit in production (the `io.Upsert` caveat).
-    *
-    * Concurrency contract: SINGLE WRITER, and no concurrent readers of the
-    * swapped directories. An [[indexAppend]] racing the window between a
-    * surface's read and its delete would be silently erased (its segment
-    * rows read before it landed are not in the staged merge), permanently
-    * undercounting df/ttf — serialize compaction with appends (the
-    * maintenance-window discipline; a lock file or table-format commit
-    * protocol supplies it in production).
+    * Crash and concurrent-reader safety come from the manifest protocol
+    * ([[Generations]]): the folded generation is written as a NEW
+    * `gen=c<n>` directory set and the manifest flip is the only commit —
+    * a crash anywhere before it leaves the live store untouched (the
+    * partial `c<n>` is swept as an orphan next time), and the folded
+    * directories stay on disk until the NEXT compaction's sweep, so a
+    * reader that resolved the old manifest keeps a complete view for a
+    * full maintenance cycle. WRITERS stay single-writer: an append must
+    * not run concurrently (its manifest read-modify-write would race the
+    * flip; a lock or table-format commit protocol supplies this in
+    * production).
     */
   def indexCompact(spark: SparkSession, indexDir: String,
       keepGens: Set[String] = Set.empty): Unit = {
-    val fs = fsOf(spark, indexDir)
     val (_, headCap) = readMeta(spark, indexDir)
-    def swap(sub: String)(write: String => Unit): Unit = {
-      val live = new Path(s"$indexDir/$sub")
-      val tmp = new Path(s"$indexDir/${sub}__compact_tmp")
-      // crash recovery FIRST: if a previous run died between delete(live)
-      // and rename, the staging dir holds the ONLY copy — promote it
-      // before the cleanup below would erase it
-      if (!fs.exists(live) && fs.exists(tmp))
-        require(fs.rename(tmp, live),
-          s"indexCompact: recovery rename of $tmp failed")
-      fs.delete(tmp, true)
-      write(tmp.toString)
-      fs.delete(live, true)
-      require(fs.rename(tmp, live), s"indexCompact: rename of $tmp failed")
+    // sweep generations folded by the PREVIOUS compaction (their reader
+    // grace has lapsed) and orphans of crashed writes — but never a
+    // protected stream generation awaiting its replay
+    Generations.sweepUnreferenced(spark, indexDir, surfaces, keepGens)
+    val liveGens = Generations.live(spark, indexDir)
+    val foldGens = liveGens.filterNot(keepGens)
+    // nothing to fold: no foldable gens, or a lone already-compacted one
+    if (foldGens.isEmpty ||
+      (foldGens.sizeIs == 1 && foldGens.head.startsWith("c"))) return
+    val cGen = Generations.nextName(spark, indexDir, surfaces, 'c')
+    def fold(sub: String, parts: Seq[String])(f: DataFrame => DataFrame): Unit =
+      f(surface(spark, indexDir, sub, foldGens).drop("gen"))
+        .write.mode("overwrite")
+        .partitionBy(parts: _*).parquet(s"$indexDir/$sub/gen=$cGen")
+    fold("postings", Seq("shard"))(identity)
+    fold("stats", Seq("shard")) {
+      _.groupBy(col("shard"), col("token"))
+        .agg(sum(col("df")).as("df"), sum(col("ttf")).as("ttf"))
     }
-    // fold every generation not in keepGens into "c0"; kept generations
-    // pass through byte-equivalent (rewritten, same rows, same gen value)
-    def parts(df: DataFrame)(fold: DataFrame => DataFrame): DataFrame = {
-      val keepCond =
-        if (keepGens.isEmpty) lit(false)
-        else col("gen").isInCollection(keepGens.toSeq)
-      fold(df.filter(!keepCond).drop("gen")).withColumn("gen", lit("c0"))
-        .unionByName(df.filter(keepCond))
+    fold("heads", Seq("shard"))(headRows(_, headCap))
+    fold("doclen", Nil)(identity)
+    fold("consts", Nil) {
+      _.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     }
-    swap("postings") { out =>
-      parts(spark.read.parquet(s"$indexDir/postings"))(identity)
-        .write.partitionBy("gen", "shard").parquet(out)
-    }
-    swap("stats") { out =>
-      parts(spark.read.parquet(s"$indexDir/stats")) {
-        _.groupBy(col("shard"), col("token"))
-          .agg(sum(col("df")).as("df"), sum(col("ttf")).as("ttf"))
-      }.write.partitionBy("gen", "shard").parquet(out)
-    }
-    swap("heads") { out =>
-      parts(spark.read.parquet(s"$indexDir/heads"))(headRows(_, headCap))
-        .write.partitionBy("gen", "shard").parquet(out)
-    }
-    swap("doclen") { out =>
-      parts(spark.read.parquet(s"$indexDir/doclen"))(identity)
-        .write.partitionBy("gen").parquet(out)
-    }
-    swap("consts") { out =>
-      parts(spark.read.parquet(s"$indexDir/consts")) {
-        _.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      }.write.partitionBy("gen").parquet(out)
-    }
+    Generations.commit(spark, indexDir,
+      cGen +: liveGens.filter(keepGens)) // the flip — compaction commits here
   }
 
   /** Point lookup of a (small) token set's postings. The probed shard
@@ -375,7 +349,7 @@ object Indexing {
     val t = tokens.toDF("token")
     val shards = t.select(shardOf(col("token"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0))
-    spark.read.parquet(s"$indexDir/postings")
+    surface(spark, indexDir, "postings", Generations.live(spark, indexDir))
       .filter(col("shard").isin(shards.map(Integer.valueOf).toIndexedSeq: _*))
       .join(broadcast(t), Seq("token"))
       .select(col("token"), col("id"), col("tf"))
@@ -456,11 +430,12 @@ object Indexing {
   def tfIdfFromIndex(spark: SparkSession, indexDir: String,
       k: Int = 3): DataFrame = {
     require(k >= 1)
-    val tf = spark.read.parquet(s"$indexDir/postings")
+    val gens = Generations.live(spark, indexDir)
+    val tf = surface(spark, indexDir, "postings", gens)
       .select(col("id"), col("token"), col("tf"))
-    val dfT = spark.read.parquet(s"$indexDir/stats")
+    val dfT = surface(spark, indexDir, "stats", gens)
       .groupBy(col("token")).agg(sum(col("df")).as("df"))
-    val n = spark.read.parquet(s"$indexDir/consts")
+    val n = surface(spark, indexDir, "consts", gens)
       .agg(sum(col("n_docs")).as("n_docs"))
     tfIdfTail(tf, dfT, n, k)
   }

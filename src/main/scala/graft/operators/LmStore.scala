@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   *
   * Layout (the index-store shape — one `gen=<g>` directory per ingested
   * batch, appends never rewrite old files, readers fold, compaction
-  * merges):
+  * merges; the `_MANIFEST` generation list is the single commit point,
+  * [[Generations]]):
   *
   *   meta/                      one row (n_shards)
   *   bigrams/gen=<g>/shard=<s>/   (w1, w2, c) — fold by sum
@@ -42,9 +43,10 @@ import org.apache.spark.sql.functions._
   *
   * Generation names: "g<k>" for batch build/append (auto-numbered),
   * caller-chosen "b<batchId>" for stream appends
-  * ([[graft.streaming.LmStream]]), "c0" for the compacted generation.
+  * ([[graft.streaming.LmStream]]), "c<n>" for compacted generations.
   * Every generation write OVERWRITES its own gen directory, so
-  * re-driving a generation converges.
+  * re-driving a generation converges — and stays invisible until the
+  * manifest references it.
   *
   * 100 TB shape: appends cost one count pass over the batch; scoring
   * prunes the count scans to the shards of the scored batch's own vocab
@@ -64,29 +66,17 @@ object LmStore {
 
   private val surfaces = Seq("bigrams", "unigrams", "tokens", "docreg", "vtot")
 
-  private def genDirs(spark: SparkSession, dir: String,
-      surface: String): Seq[String] = {
-    val fs = fsOf(spark, dir)
-    val p = new Path(s"$dir/$surface")
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("gen=")).map(_.stripPrefix("gen="))
-  }
+  private def surface(spark: SparkSession, dir: String, sub: String,
+      gens: Seq[String]): DataFrame =
+    Generations.readSurface(spark, dir, sub, gens)
 
-  /** Next free batch generation — scans ALL surfaces so a crashed append
-    * that committed only some of its five writes is never reused. */
-  private def nextGen(spark: SparkSession, dir: String): String = {
-    val used = surfaces.flatMap(genDirs(spark, dir, _)).toSet
-    val nums = used.collect {
-      case s if s.length > 1 && s.head == 'g' && s.tail.forall(_.isDigit) =>
-        s.tail.toInt
-    }
-    "g" + (if (nums.isEmpty) 0 else nums.max + 1)
-  }
-
-  /** Count the batch once and write one generation of every surface. */
+  /** Count the batch once and write one generation of every surface.
+    * `gens` is the full generation list the finished write will comprise
+    * (the committed manifest plus `gen` itself) — the vtot recount folds
+    * the tokens/docreg surfaces over exactly that list. */
   private def writeGeneration(batch: DataFrame, idCol: String,
-      textCol: String, dir: String, gen: String, nShards: Int): Unit = {
+      textCol: String, dir: String, gen: String, nShards: Int,
+      gens: Seq[String]): Unit = {
     val bg = LanguageModel.bigramRows(batch, idCol, textCol)
       .withColumn("shard", shardOf(col("w1"), nShards))
       .localCheckpoint() // one tokenize+zip evaluation for the two count writes
@@ -102,19 +92,17 @@ object LmStore {
     batch.select(col(idCol).as("id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/docreg/gen=$gen")
     bg.unpersist()
-    // the write that changed V pays for recounting it (over the folded
-    // tokens surface INCLUDING this generation); a replay recomputes over
-    // the then-current state, so its row is never stale-but-max. A crash
-    // here leaves vtot one write behind — the same partial-generation
-    // caveat as the sibling stores: re-driving the generation completes it
-    spark(batch).read.parquet(s"$dir/tokens")
+    // the write that changed V pays for recounting it (over the tokens
+    // surface INCLUDING this generation); a replay recomputes over the
+    // then-current state, so its row is never stale-but-max
+    val s = batch.sparkSession
+    surface(s, dir, "tokens", gens)
       .agg(countDistinct(col("w")).as("v"))
-      .crossJoin(spark(batch).read.parquet(s"$dir/docreg")
+      .crossJoin(surface(s, dir, "docreg", gens)
         .agg(count(lit(1)).as("mark")))
+      .select(col("v"), col("mark"))
       .write.mode("overwrite").parquet(s"$dir/vtot/gen=$gen")
   }
-
-  private def spark(df: DataFrame) = df.sparkSession
 
   /** Build a fresh persisted LM store under `dir` from the training
     * corpus (any previous store there is removed). */
@@ -124,9 +112,11 @@ object LmStore {
     val spark = trainDocs.sparkSession
     import spark.implicits._
     fsOf(spark, dir).delete(new Path(dir), true)
-    writeGeneration(trainDocs, idCol, textCol, dir, "g0", nShards)
+    writeGeneration(trainDocs, idCol, textCol, dir, "g0", nShards, Seq("g0"))
     Seq(nShards).toDF("n_shards")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    // the manifest flip commits the build ([[Generations]])
+    Generations.commit(spark, dir, Seq("g0"))
   }
 
   /** Absorb a NEW training batch for the cost of counting the batch: its
@@ -139,13 +129,16 @@ object LmStore {
     */
   def lmAppend(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, dir: String): Unit = {
-    val dupe = spark.read.parquet(s"$dir/docreg").select(col("id"))
+    val committed = Generations.live(spark, dir)
+    val dupe = surface(spark, dir, "docreg", committed).select(col("id"))
       .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
     require(dupe.isEmpty,
       "lmAppend: batch contains doc ids already in the register — " +
         "the append-only contract forbids re-ingesting a document")
-    writeGeneration(batch, idCol, textCol, dir,
-      nextGen(spark, dir), readMeta(spark, dir))
+    val gen = Generations.nextName(spark, dir, surfaces, 'g')
+    writeGeneration(batch, idCol, textCol, dir, gen, readMeta(spark, dir),
+      committed :+ gen)
+    Generations.add(spark, dir, gen)
   }
 
   /** Replay-safe append for STREAM-triggered ingestion
@@ -159,17 +152,21 @@ object LmStore {
     */
   def lmAppendOrReplay(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, dir: String, gen: String): Unit = {
-    require(gen.nonEmpty && gen != "c0" &&
-      !(gen.head == 'g' && gen.tail.forall(_.isDigit)),
+    require(gen.nonEmpty &&
+      !(gen.length > 1 && (gen.head == 'g' || gen.head == 'c') &&
+        gen.tail.forall(_.isDigit)),
       s"lmAppendOrReplay: generation name '$gen' collides with the " +
         "batch/compaction namespace — use a distinct prefix, e.g. b<batchId>")
-    val others = spark.read.parquet(s"$dir/docreg")
+    val committed = Generations.live(spark, dir)
+    val others = surface(spark, dir, "docreg", committed)
       .filter(col("gen") =!= gen).select(col("id"))
       .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
     require(others.isEmpty,
       "lmAppendOrReplay: batch contains doc ids already ingested by a " +
         "DIFFERENT generation — genuine re-ingestion, not a replay")
-    writeGeneration(batch, idCol, textCol, dir, gen, readMeta(spark, dir))
+    writeGeneration(batch, idCol, textCol, dir, gen, readMeta(spark, dir),
+      (committed :+ gen).distinct)
+    Generations.add(spark, dir, gen)
   }
 
   /** Score a document set against the stored register WITHOUT re-reading
@@ -199,7 +196,9 @@ object LmStore {
       .localCheckpoint()
     val probed = bg.select(shardOf(col("w1"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0))
-    def pruned(surface: String) = spark.read.parquet(s"$dir/$surface")
+    // one manifest resolution — all three surfaces score the same snapshot
+    val gens = Generations.live(spark, dir)
+    def pruned(sub: String) = surface(spark, dir, sub, gens)
       .filter(col("shard").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
     val c12 = pruned("bigrams").groupBy(col("w1"), col("w2"))
       .agg(sum(col("c")).as("c12"))
@@ -207,70 +206,47 @@ object LmStore {
       .agg(sum(col("c")).as("c1"))
     // latest-wins fold of the one-row-per-generation vocab stats: one
     // tiny scan, never a vocab-sized distinct at scoring time
-    val vocab = spark.read.parquet(s"$dir/vtot")
+    val vocab = surface(spark, dir, "vtot", gens)
       .orderBy(col("mark").desc, col("v").desc).limit(1).select(col("v"))
     LanguageModel.scoreTail(bg, c12, c1, vocab, k)
   }
 
-  /** Compact the store's generations into one ("c0"): bigram/context
-    * counts merge by sum, token sets by distinct, vtot keeps its max-marker
-    * row, the doc registry passes
-    * through (disjoint across generations). Correctness never depends on
-    * compaction (readers fold); it bounds the generation and file count.
-    * Generations in `keepGens` pass through untouched (a stream
-    * maintainer MUST keep every generation its checkpoint has not
-    * committed — see [[lmAppendOrReplay]]).
+  /** Compact the store's committed generations into one: bigram/context
+    * counts merge by sum, token sets by distinct, vtot keeps its
+    * max-marker row, the doc registry passes through (disjoint across
+    * generations). Correctness never depends on compaction (readers
+    * fold); it bounds the generation and file count. Generations in
+    * `keepGens` stay referenced untouched (a stream maintainer MUST keep
+    * every generation its checkpoint has not committed — see
+    * [[lmAppendOrReplay]]).
     *
-    * Same staged-swap + recovery pattern and SINGLE-WRITER contract as
-    * [[Indexing.indexCompact]]: fully write the merge to a staging dir,
-    * swap with delete + rename, promote a stranded staging dir first on
-    * the next run; serialize compaction with appends.
+    * Crash and concurrent-reader safety per the [[Generations]] manifest
+    * protocol — fold to a new `gen=c<n>`, flip the manifest, sweep the
+    * folded directories one cycle later; single WRITER still required.
     */
   def lmCompact(spark: SparkSession, dir: String,
       keepGens: Set[String] = Set.empty): Unit = {
-    val fs = fsOf(spark, dir)
-    def swap(sub: String)(write: String => Unit): Unit = {
-      val live = new Path(s"$dir/$sub")
-      val tmp = new Path(s"$dir/${sub}__compact_tmp")
-      if (!fs.exists(live) && fs.exists(tmp))
-        require(fs.rename(tmp, live),
-          s"lmCompact: recovery rename of $tmp failed")
-      fs.delete(tmp, true)
-      write(tmp.toString)
-      fs.delete(live, true)
-      require(fs.rename(tmp, live), s"lmCompact: rename of $tmp failed")
+    Generations.sweepUnreferenced(spark, dir, surfaces, keepGens)
+    val liveGens = Generations.live(spark, dir)
+    val foldGens = liveGens.filterNot(keepGens)
+    // nothing to fold: no foldable gens, or a lone already-compacted one
+    if (foldGens.isEmpty ||
+      (foldGens.sizeIs == 1 && foldGens.head.startsWith("c"))) return
+    val cGen = Generations.nextName(spark, dir, surfaces, 'c')
+    def fold(sub: String, parts: Seq[String])(f: DataFrame => DataFrame): Unit =
+      f(surface(spark, dir, sub, foldGens).drop("gen"))
+        .write.mode("overwrite")
+        .partitionBy(parts: _*).parquet(s"$dir/$sub/gen=$cGen")
+    fold("bigrams", Seq("shard")) {
+      _.groupBy(col("shard"), col("w1"), col("w2")).agg(sum(col("c")).as("c"))
     }
-    def parts(df: DataFrame)(fold: DataFrame => DataFrame): DataFrame = {
-      val keepCond =
-        if (keepGens.isEmpty) lit(false)
-        else col("gen").isInCollection(keepGens.toSeq)
-      fold(df.filter(!keepCond).drop("gen")).withColumn("gen", lit("c0"))
-        .unionByName(df.filter(keepCond))
+    fold("unigrams", Seq("shard")) {
+      _.groupBy(col("shard"), col("w1")).agg(sum(col("c")).as("c"))
     }
-    swap("bigrams") { out =>
-      parts(spark.read.parquet(s"$dir/bigrams")) {
-        _.groupBy(col("shard"), col("w1"), col("w2"))
-          .agg(sum(col("c")).as("c"))
-      }.write.partitionBy("gen", "shard").parquet(out)
-    }
-    swap("unigrams") { out =>
-      parts(spark.read.parquet(s"$dir/unigrams")) {
-        _.groupBy(col("shard"), col("w1")).agg(sum(col("c")).as("c"))
-      }.write.partitionBy("gen", "shard").parquet(out)
-    }
-    swap("tokens") { out =>
-      parts(spark.read.parquet(s"$dir/tokens"))(_.distinct())
-        .write.partitionBy("gen").parquet(out)
-    }
-    swap("docreg") { out =>
-      parts(spark.read.parquet(s"$dir/docreg"))(identity)
-        .write.partitionBy("gen").parquet(out)
-    }
-    swap("vtot") { out =>
-      // latest-wins statistic: the fold keeps the max-marker row
-      parts(spark.read.parquet(s"$dir/vtot")) {
-        _.orderBy(col("mark").desc, col("v").desc).limit(1)
-      }.write.partitionBy("gen").parquet(out)
-    }
+    fold("tokens", Nil)(_.distinct())
+    fold("docreg", Nil)(identity)
+    // latest-wins statistic: the fold keeps the max-marker row
+    fold("vtot", Nil)(_.orderBy(col("mark").desc, col("v").desc).limit(1))
+    Generations.commit(spark, dir, cGen +: liveGens.filter(keepGens))
   }
 }

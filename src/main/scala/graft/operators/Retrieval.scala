@@ -117,13 +117,15 @@ object Retrieval {
     }
     val shards = qterms.select(Indexing.shardOf(col("token"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0))
-    def pruned(path: String) = spark.read.parquet(path)
+    // one manifest resolution — all three surfaces score the same snapshot
+    val gens = Generations.live(spark, indexDir)
+    def pruned(sub: String) = Generations.readSurface(spark, indexDir, sub, gens)
       .filter(col("shard").isin(shards.map(Integer.valueOf).toIndexedSeq: _*))
-    val tf = pruned(s"$indexDir/postings")
+    val tf = pruned("postings")
       .select(col("id"), col("token"), col("tf"), col("dl"))
-    val dfT = pruned(s"$indexDir/stats")
+    val dfT = pruned("stats")
       .groupBy(col("token")).agg(sum(col("df")).as("df"))
-    val consts = spark.read.parquet(s"$indexDir/consts")
+    val consts = Generations.readSurface(spark, indexDir, "consts", gens)
       .agg(sum(col("n_docs")).cast("double").as("n_docs"),
         sum(col("sum_dl")).as("sdl"))
       .withColumn("avgdl", col("sdl").cast("double") / col("n_docs"))

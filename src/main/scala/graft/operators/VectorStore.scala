@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   *
   * Layout (the index-store shape — appends never rewrite old files):
   *
+  *   _MANIFEST                  the committed generation list — the
+  *       store's single commit point ([[Generations]])
   *   centroids/                 (cell, v) — nCells rows, the frozen
   *       quantizer; doubles as the store's meta (nCells = row count)
   *   cells/gen=<g>/cell=<c>/    (id, v, nrm) — cell assignments; rows are
@@ -26,8 +28,9 @@ import org.apache.spark.sql.functions._
   *
   * Generation names: "g<k>" for batch appends (auto-numbered), caller
   * chosen "b<batchId>" for stream appends ([[graft.streaming.VectorStream]]),
-  * "c0" for the compacted generation. Every generation write OVERWRITES
-  * its own gen directory, so re-driving a generation converges.
+  * "c<n>" for compacted generations. Every generation write OVERWRITES
+  * its own gen directory, so re-driving a generation converges — and
+  * stays invisible until the manifest references it.
   *
   * 100 TB shape: a query batch reads nProbe cells per query — the probed
   * cell set is bounded by nCells BY CONSTRUCTION, so a static IN on the
@@ -47,21 +50,9 @@ object VectorStore {
       .orderBy(col("cell")).select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
 
-  private def genDirs(spark: SparkSession, dir: String): Seq[String] = {
-    val fs = fsOf(spark, dir)
-    val p = new Path(s"$dir/cells")
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("gen=")).map(_.stripPrefix("gen="))
-  }
-
-  private def nextGen(spark: SparkSession, dir: String): String = {
-    val nums = genDirs(spark, dir).collect {
-      case s if s.length > 1 && s.head == 'g' && s.tail.forall(_.isDigit) =>
-        s.tail.toInt
-    }
-    "g" + (if (nums.isEmpty) 0 else nums.max + 1)
-  }
+  private def cells(spark: SparkSession, dir: String,
+      gens: Seq[String]): DataFrame =
+    Generations.readSurface(spark, dir, "cells", gens)
 
   /** Assign a batch to the stored cells and overwrite generation `gen`. */
   private def writeGeneration(batch: DataFrame, idCol: String, vecCol: String,
@@ -95,6 +86,8 @@ object VectorStore {
       .toDF("cell", "v")
       .write.mode("overwrite").parquet(s"$dir/centroids")
     writeGeneration(corpus, idCol, vecCol, dir, centroids, "g0")
+    // the manifest flip commits the build ([[Generations]])
+    Generations.commit(spark, dir, Seq("g0"))
   }
 
   /** Absorb a NEW vector batch without rescanning the old corpus: assign
@@ -106,13 +99,14 @@ object VectorStore {
     */
   def annAppend(spark: SparkSession, batch: DataFrame, idCol: String,
       vecCol: String, dir: String): Unit = {
-    val dupe = spark.read.parquet(s"$dir/cells").select(col("id"))
+    val dupe = cells(spark, dir, Generations.live(spark, dir)).select(col("id"))
       .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
     require(dupe.isEmpty,
       "annAppend: batch contains vector ids already in the store — " +
         "the append-only contract forbids re-ingesting a vector")
-    writeGeneration(batch, idCol, vecCol, dir,
-      loadCentroids(spark, dir), nextGen(spark, dir))
+    val gen = Generations.nextName(spark, dir, Seq("cells"), 'g')
+    writeGeneration(batch, idCol, vecCol, dir, loadCentroids(spark, dir), gen)
+    Generations.add(spark, dir, gen)
   }
 
   /** Replay-safe append for STREAM-triggered ingestion
@@ -125,18 +119,19 @@ object VectorStore {
     */
   def annAppendOrReplay(spark: SparkSession, batch: DataFrame, idCol: String,
       vecCol: String, dir: String, gen: String): Unit = {
-    require(gen.nonEmpty && gen != "c0" &&
-      !(gen.head == 'g' && gen.tail.forall(_.isDigit)),
+    require(gen.nonEmpty &&
+      !(gen.length > 1 && (gen.head == 'g' || gen.head == 'c') &&
+        gen.tail.forall(_.isDigit)),
       s"annAppendOrReplay: generation name '$gen' collides with the " +
         "batch/compaction namespace — use a distinct prefix, e.g. b<batchId>")
-    val others = spark.read.parquet(s"$dir/cells")
+    val others = cells(spark, dir, Generations.live(spark, dir))
       .filter(col("gen") =!= gen).select(col("id"))
       .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
     require(others.isEmpty,
       "annAppendOrReplay: batch contains vector ids already ingested by a " +
         "DIFFERENT generation — genuine re-ingestion, not a replay")
-    writeGeneration(batch, idCol, vecCol, dir,
-      loadCentroids(spark, dir), gen)
+    writeGeneration(batch, idCol, vecCol, dir, loadCentroids(spark, dir), gen)
+    Generations.add(spark, dir, gen)
   }
 
   /** Serve top-k queries from the store: probe each query's nProbe nearest
@@ -151,7 +146,7 @@ object VectorStore {
   def annSearch(spark: SparkSession, queries: DataFrame, idCol: String,
       vecCol: String, dir: String, k: Int, nProbe: Int = 4): DataFrame = {
     require(k >= 1 && nProbe >= 1)
-    val cells = spark.read.parquet(s"$dir/cells")
+    val stored = cells(spark, dir, Generations.live(spark, dir))
     // pinned local relation: the probed-cell collect and the scoring join
     // must see the SAME evaluation of the queries plan (the ivfSearch
     // rationale; driver-sized by construction — this side broadcasts)
@@ -161,42 +156,35 @@ object VectorStore {
     val probed = q.select(col("cell")).distinct().collect()
       .map(_.getAs[Number](0).intValue())
     Similarity.scoreProbe(
-      cells.filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*)),
+      stored.filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*)),
       q, k)
   }
 
-  /** Compact the store's generations into one ("c0"): assignment rows are
-    * disjoint across generations, so the merge is a pass-through rewrite —
-    * correctness never depends on it; it bounds the generation (and file)
-    * count, which otherwise grows linearly with append count. Generations
-    * in `keepGens` pass through untouched (a stream maintainer MUST keep
-    * every generation not yet committed by its checkpoint, so a replay's
-    * overwrite target still exists — see [[annAppendOrReplay]]).
+  /** Compact the store's committed generations into one: assignment rows
+    * are disjoint across generations, so the merge is a pass-through
+    * rewrite — correctness never depends on it; it bounds the generation
+    * (and file) count, which otherwise grows linearly with append count.
+    * Generations in `keepGens` stay referenced untouched (a stream
+    * maintainer MUST keep every generation not yet committed by its
+    * checkpoint, so a replay's overwrite target still exists — see
+    * [[annAppendOrReplay]]).
     *
-    * Same staged-swap + recovery pattern and SINGLE-WRITER contract as
-    * [[Indexing.indexCompact]]: the merged table is fully written to a
-    * staging dir, swapped in with delete + rename; a crash between them
-    * leaves the staging dir as the only copy, which the next run promotes
-    * first. An append racing the read→delete window would be silently
-    * erased — serialize compaction with appends.
+    * Crash and concurrent-reader safety per the [[Generations]] manifest
+    * protocol — fold to a new `gen=c<n>`, flip the manifest, sweep the
+    * folded directories one cycle later; single WRITER still required.
     */
   def annCompact(spark: SparkSession, dir: String,
       keepGens: Set[String] = Set.empty): Unit = {
-    val fs = fsOf(spark, dir)
-    val live = new Path(s"$dir/cells")
-    val tmp = new Path(s"$dir/cells__compact_tmp")
-    if (!fs.exists(live) && fs.exists(tmp))
-      require(fs.rename(tmp, live),
-        s"annCompact: recovery rename of $tmp failed")
-    fs.delete(tmp, true)
-    val all = spark.read.parquet(live.toString)
-    val keepCond =
-      if (keepGens.isEmpty) lit(false)
-      else col("gen").isInCollection(keepGens.toSeq)
-    all.filter(!keepCond).drop("gen").withColumn("gen", lit("c0"))
-      .unionByName(all.filter(keepCond))
-      .write.partitionBy("gen", "cell").parquet(tmp.toString)
-    fs.delete(live, true)
-    require(fs.rename(tmp, live), s"annCompact: rename of $tmp failed")
+    Generations.sweepUnreferenced(spark, dir, Seq("cells"), keepGens)
+    val liveGens = Generations.live(spark, dir)
+    val foldGens = liveGens.filterNot(keepGens)
+    // nothing to fold: no foldable gens, or a lone already-compacted one
+    if (foldGens.isEmpty ||
+      (foldGens.sizeIs == 1 && foldGens.head.startsWith("c"))) return
+    val cGen = Generations.nextName(spark, dir, Seq("cells"), 'c')
+    cells(spark, dir, foldGens).drop("gen")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/cells/gen=$cGen")
+    Generations.commit(spark, dir, cGen +: liveGens.filter(keepGens))
   }
 }

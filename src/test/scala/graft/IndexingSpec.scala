@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Indexing
+import graft.operators.{Generations, Indexing}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -82,7 +82,7 @@ class IndexingSpec extends AnyFunSuite {
     assert(tfidfServed === tfidfRebuilt)
   }
 
-  test("indexCompact folds every surface to one generation without changing the served surface") {
+  test("indexCompact folds the manifest to one generation without changing the served surface") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_cmp").toString + "/idx"
     Indexing.indexBuild(docs.filter($"doc_id" % 3 === 0), "doc_id", "text", dir, nShards = 4)
@@ -95,7 +95,14 @@ class IndexingSpec extends AnyFunSuite {
     val beforeBm25 = graft.operators.Retrieval.bm25FromIndex(spark,
       docs.filter($"doc_id" < 3), "doc_id", "text", dir, k = 10)
       .orderBy("query_id", "rank").collect().toSeq
+
+    // concurrent-reader grace: this plan resolved the PRE-compaction
+    // manifest; it must still collect correctly AFTER the compaction flips
+    // (the folded directories survive until the next sweep)
+    val resolvedBefore = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+
     Indexing.indexCompact(spark, dir)
+    assert(Generations.live(spark, dir) === Seq("c0"))
     val after = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
       .orderBy("token").collect().toSeq
     assert(after === before, "compaction must not change the served stats")
@@ -103,25 +110,33 @@ class IndexingSpec extends AnyFunSuite {
       docs.filter($"doc_id" < 3), "doc_id", "text", dir, k = 10)
       .orderBy("query_id", "rank").collect().toSeq
     assert(afterBm25 === beforeBm25, "compaction must not change served BM25")
-    // generations really folded: ONE gen dir per surface, one stat row per
-    // (shard, token), one consts row — file counts stop growing with appends
+    assert(resolvedBefore.orderBy("token").collect().toSeq === before,
+      "a reader holding the old manifest must survive the compaction")
+    // the folded generations are still on disk (reader grace) …
     for (s <- Seq("postings", "stats", "heads", "doclen", "consts"))
-      assert(genDirs(dir, s) === Seq("gen=c0"), s"$s: expected single compacted generation")
+      assert(genDirs(dir, s).size === 4, s"$s: folded gens must survive one cycle")
+
+    // … and the NEXT maintenance cycle sweeps them: one gen dir per
+    // surface, one stat row per (shard, token), one consts row — file
+    // counts stop growing with appends. (foldGens.size == 1 → the second
+    // compact only sweeps; it writes nothing new.)
+    Indexing.indexCompact(spark, dir)
+    for (s <- Seq("postings", "stats", "heads", "doclen", "consts"))
+      assert(genDirs(dir, s) === Seq("gen=c0"), s"$s: expected single swept generation")
     val dup = spark.read.parquet(s"$dir/stats")
       .groupBy("shard", "token").count().filter($"count" > 1)
     assert(dup.isEmpty, "stats must hold a single segment row per token")
     assert(spark.read.parquet(s"$dir/consts").count() === 1L)
 
-    // crash-recovery path: simulate dying between delete(live) and rename
-    // — live gone, staging dir holds the only copy; re-running compaction
-    // must PROMOTE the staging copy, never erase it
-    val live = new java.io.File(s"$dir/stats")
-    val tmp = new java.io.File(s"$dir/stats__compact_tmp")
-    assert(live.renameTo(tmp))
+    // crash mid-fold: a partial, never-committed c-generation on disk is
+    // an orphan — the next compaction sweeps it and serving is unchanged
+    val stray = new java.io.File(s"$dir/stats/gen=c1")
+    assert(stray.mkdirs())
     Indexing.indexCompact(spark, dir)
+    assert(!stray.exists(), "an uncommitted partial fold must be swept")
     val recovered = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
       .orderBy("token").collect().toSeq
-    assert(recovered === before, "recovery must restore the compacted stats")
+    assert(recovered === before, "sweeping orphans must not change the store")
   }
 
   test("indexCompact preserves keepGens untouched for in-flight stream generations") {
@@ -134,7 +149,7 @@ class IndexingSpec extends AnyFunSuite {
     val before = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
       .orderBy("token").collect().toSeq
     Indexing.indexCompact(spark, dir, keepGens = Set("b7"))
-    assert(genDirs(dir, "postings").sorted === Seq("gen=b7", "gen=c0"))
+    assert(Generations.live(spark, dir).sorted === Seq("b7", "c0"))
     val after = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
       .orderBy("token").collect().toSeq
     assert(after === before)

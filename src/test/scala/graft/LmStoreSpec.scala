@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{LanguageModel, LmStore}
+import graft.operators.{Generations, LanguageModel, LmStore}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -60,16 +60,25 @@ class LmStoreSpec extends AnyFunSuite {
     LmStore.lmAppend(spark, docs.filter($"doc_id" % 3 === 2), "doc_id",
       "text", dir)
     val before = canon(LmStore.lmScore(spark, docs, "doc_id", "text", dir))
+    // concurrent-reader grace: a plan resolved against the pre-compaction
+    // manifest must still collect correctly after the flip
+    val resolvedBefore = LmStore.lmScore(spark, docs, "doc_id", "text", dir)
     LmStore.lmCompact(spark, dir)
+    assert(Generations.live(spark, dir) === Seq("c0"))
     for (s <- Seq("bigrams", "unigrams", "tokens", "docreg", "vtot"))
-      assert(genDirs(dir, s) === Seq("gen=c0"), s"surface $s not folded")
+      assert(genDirs(dir, s).size === 4, s"$s: folded gens must survive one cycle")
     assert(canon(LmStore.lmScore(spark, docs, "doc_id", "text", dir)) === before)
+    assert(canon(resolvedBefore) === before,
+      "a reader holding the old manifest must survive the compaction")
 
-    // crash window: live deleted, staged dir stranded → next run promotes
-    val live = new java.io.File(s"$dir/bigrams")
-    val stranded = new java.io.File(s"$dir/bigrams__compact_tmp")
-    assert(live.renameTo(stranded))
+    // the NEXT maintenance cycle sweeps the lapsed generations; a stray
+    // partial fold (crashed compaction) is swept with them
+    val stray = new java.io.File(s"$dir/bigrams/gen=c1")
+    assert(stray.mkdirs())
     LmStore.lmCompact(spark, dir)
+    assert(!stray.exists(), "an uncommitted partial fold must be swept")
+    for (s <- Seq("bigrams", "unigrams", "tokens", "docreg", "vtot"))
+      assert(genDirs(dir, s) === Seq("gen=c0"), s"surface $s not swept")
     assert(canon(LmStore.lmScore(spark, docs, "doc_id", "text", dir)) === before)
   }
 
@@ -81,7 +90,7 @@ class LmStoreSpec extends AnyFunSuite {
       "doc_id", "text", dir, gen = "b5")
     val before = canon(LmStore.lmScore(spark, docs, "doc_id", "text", dir))
     LmStore.lmCompact(spark, dir, keepGens = Set("b5"))
-    assert(genDirs(dir, "bigrams").toSet === Set("gen=c0", "gen=b5"))
+    assert(Generations.live(spark, dir).toSet === Set("c0", "b5"))
     assert(canon(LmStore.lmScore(spark, docs, "doc_id", "text", dir)) === before)
     // the kept generation's overwrite target still exists: replay converges
     LmStore.lmAppendOrReplay(spark, docs.filter($"doc_id" % 2 =!= 0),

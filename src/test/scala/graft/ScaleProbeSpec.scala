@@ -18,7 +18,10 @@ class ScaleProbeSpec extends AnyFunSuite {
     val base = Tables.documents(spark, TestSpark.sf0001)
     val baseEmb = Tables.embeddings(spark, TestSpark.sf0001)
     val tmp = java.nio.file.Files.createTempDirectory("graft_scaleprobe").toString
-    val probes = ScaleProbe.run(spark, base, baseEmb, Seq(2, 32), tmp, iters = 2)
+    // min-of-3 timings: one noisy iteration (GC pause, ambient load after
+    // 40 earlier suites in this JVM) must not masquerade as a plan
+    // regression — the law is about plan SHAPE, measured through wall time
+    val probes = ScaleProbe.run(spark, base, baseEmb, Seq(2, 32), tmp, iters = 3)
     val byOp = probes.groupBy(_.op)
     assert(byOp.size === 15, "every probed op must report both scales")
     // bm25 ranks a FIXED query set (output queries×k by design); the
@@ -33,7 +36,7 @@ class ScaleProbeSpec extends AnyFunSuite {
       if (!fixedOutput(op))
         assert(hi.rows > lo.rows, s"$op: scaled corpus must produce more rows")
       // floor the denominator: near-instant ops divide scheduling noise
-      val ratio = hi.sec / math.max(lo.sec, 0.15)
+      val ratio = hi.sec / math.max(lo.sec, 0.2)
       assert(ratio < 16.0,
         f"$op: sec(32x)=${hi.sec}%.2f / sec(2x)=${lo.sec}%.2f = $ratio%.1f — not sub-linear")
     }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Similarity, VectorStore}
+import graft.operators.{Generations, Similarity, VectorStore}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -61,13 +61,25 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(before === search(b))
     assert(genDirs(b).size === 3)
 
+    // concurrent-reader grace: a plan resolved against the pre-compaction
+    // manifest must still collect correctly after the flip
+    val resolvedBefore = VectorStore.annSearch(spark, queries, "vec_id",
+      "embedding", b, k = 10, nProbe = 4)
+    VectorStore.annCompact(spark, b)
+    assert(Generations.live(spark, b) === Seq("c0"))
+    assert(genDirs(b).size === 4, "folded gens must survive one cycle")
+    assert(search(b) === before)
+    assert(resolvedBefore.orderBy("query_id", "rank").collect()
+      .map(_.toString).toSeq === before,
+      "a reader holding the old manifest must survive the compaction")
+    // the NEXT maintenance cycle sweeps the lapsed generations
     VectorStore.annCompact(spark, b)
     assert(genDirs(b) === Seq("gen=c0"))
     assert(search(b) === before)
 
     // keepGens: the kept generation survives the fold untouched
     VectorStore.annCompact(spark, a, keepGens = Set("g1"))
-    assert(genDirs(a).toSet === Set("gen=c0", "gen=g1"))
+    assert(Generations.live(spark, a).toSet === Set("c0", "g1"))
     assert(search(a) === before)
   }
 
@@ -108,7 +120,7 @@ class VectorStoreSpec extends AnyFunSuite {
     }
   }
 
-  test("compaction crash between delete and rename recovers on the next run") {
+  test("a crashed fold's orphan generation is swept, never served") {
     val dir = tmp()
     VectorStore.annBuild(emb.filter($"vec_id" % 2 === 0), "vec_id",
       "embedding", dir, nCells = 16)
@@ -116,11 +128,14 @@ class VectorStoreSpec extends AnyFunSuite {
       "vec_id", "embedding", dir)
     val before = search(dir)
     VectorStore.annCompact(spark, dir)
-    // simulate the crash window: live deleted, staged dir stranded
-    val live = new java.io.File(s"$dir/cells")
-    val tmpDir = new java.io.File(s"$dir/cells__compact_tmp")
-    assert(live.renameTo(tmpDir))
+    // simulate a compaction that died mid-fold: a partial, never-committed
+    // c-generation on disk — unreferenced, so serving ignores it and the
+    // next maintenance cycle deletes it
+    val stray = new java.io.File(s"$dir/cells/gen=c1")
+    assert(stray.mkdirs())
+    assert(search(dir) === before)
     VectorStore.annCompact(spark, dir)
+    assert(!stray.exists(), "an uncommitted partial fold must be swept")
     assert(genDirs(dir) === Seq("gen=c0"))
     assert(search(dir) === before)
   }
