@@ -14,6 +14,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata timestamps are tz-naive parquet timestamp[us]; read them as
+      // LTZ instants in the UTC session (not NTZ — watermarks and unix_*()
+      // require TIMESTAMP, and the DuckDB oracle does naive-as-UTC math)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // per-JVM warehouse: managed-table tests never collide with leftovers
