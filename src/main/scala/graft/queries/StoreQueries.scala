@@ -96,7 +96,7 @@ object StoreQueries {
       dir
     })
 
-  val entries: Seq[(String, Q, Option[String])] = Seq(
+  private val base: Seq[(String, Q, Option[String])] = Seq(
 
     // q103's surface served from the two-generation store: df/ttf fold the
     // stat segments, the posting head is rank-bounded over stored postings.
@@ -396,6 +396,55 @@ object StoreQueries {
       CROSS JOIN v
       GROUP BY bg.doc_id""")),
   )
+
+  private def sqlOf(name: String): Option[String] = base.find(_._1 == name).flatMap(_._3)
+
+  /** Compaction served through the oracle gate: each query compacts the
+    * SHARED memoized store (the runner executes queries sequentially, so
+    * the stores' single-writer contract holds) and re-serves its twin's
+    * surface against the twin's full-corpus oracle SQL. Compaction is
+    * output-identical by construction (segments fold by sum / head
+    * re-rank / latest-wins marker), so these stay green in ANY execution
+    * order relative to their two-generation twins — that order-freedom IS
+    * the claim under test. Compacting twice is a no-op (a lone `c<n>`
+    * generation early-returns), so repeated timed iterations measure pure
+    * post-compaction serving.
+    */
+  private val compacted: Seq[(String, Q, Option[String])] = Seq(
+
+    ("q136_index_compacted", (s: SparkSession, d: String) => {
+      val dir = index(s, d)
+      Indexing.indexCompact(s, dir)
+      Indexing.indexStats(s, dir, minDf = 50L, postingCap = 10)
+    }, sqlOf("q119_index_lifecycle")),
+
+    ("q137_scd2_compacted", (s: SparkSession, d: String) => {
+      val dir = scd2Store(s, d)
+      History.scd2Compact(s, dir)
+      History.scd2Read(s, dir)
+        .select(col("user_id"), col("version"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("n_events"), col("is_current"))
+    }, sqlOf("q127_scd2_lifecycle")),
+
+    ("q138_ann_compacted", (s: SparkSession, d: String) => {
+      val dir = annStore(s, d)
+      VectorStore.annCompact(s, dir)
+      val emb = Tables.embeddings(s, d)
+      VectorStore.annSearch(s, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", dir, k = 10, nProbe = 4)
+    }, sqlOf("q134_ann_served")),
+
+    ("q139_lm_compacted", (s: SparkSession, d: String) => {
+      val dir = lmStore(s, d)
+      LmStore.lmCompact(s, dir)
+      LmStore.lmScore(s, Tables.documents(s, d), "doc_id", "text", dir)
+        .withColumnRenamed("id", "doc_id")
+    }, sqlOf("q135_lm_served")),
+  )
+
+  val entries: Seq[(String, Q, Option[String])] = base ++ compacted
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
   val oracles: Map[String, String] = entries.collect { case (n, _, Some(sql)) =>
