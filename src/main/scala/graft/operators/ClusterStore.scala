@@ -153,4 +153,29 @@ object ClusterStore {
   /** The stored labelling (id, cluster_id), bucket column dropped. */
   def ccRead(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/labels").drop("__bucket")
+
+  /** Fold the hub table's per-apply append file sets into one write — the
+    * store's only surface whose file count grows with apply count (labels
+    * rewrite whole buckets through dynamic partition overwrite, so they
+    * never accumulate). Hash-repartitioned on (w, fp) so the output file
+    * count is bounded by `spark.sql.shuffle.partitions`, not by history.
+    * Same staged-swap + crash-recovery contract as [[History.scd2Compact]]:
+    * a stranded `__compact_tmp` with no live dir is promoted before
+    * anything else, and the writer is single — an apply must not run
+    * concurrently with compaction.
+    */
+  def ccCompact(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$path/hubs")
+    val tmp = new Path(s"$path/hubs__compact_tmp")
+    if (!fs.exists(live) && fs.exists(tmp))
+      require(fs.rename(tmp, live), s"ccCompact: recovery rename of $tmp failed")
+    fs.delete(tmp, true)
+    spark.read.parquet(live.toString)
+      .repartition(col("w"), col("fp"))
+      .write.parquet(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"ccCompact: rename of $tmp failed")
+  }
 }

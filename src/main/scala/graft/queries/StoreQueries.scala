@@ -436,6 +436,16 @@ object StoreQueries {
         "vec_id", "embedding", dir, k = 10, nProbe = 4)
     }, sqlOf("q134_ann_served")),
 
+    ("q140_cc_compacted", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val dir = ccStore(s, d)
+      ClusterStore.ccCompact(s, dir)
+      ClusterStore.ccRead(s, dir)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          count(lit(1)).over(Window.partitionBy(col("cluster_id")))
+            .as("cluster_size"))
+    }, sqlOf("q132_cc_store")),
+
     ("q139_lm_compacted", (s: SparkSession, d: String) => {
       val dir = lmStore(s, d)
       LmStore.lmCompact(s, dir)

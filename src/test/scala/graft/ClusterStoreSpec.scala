@@ -87,6 +87,38 @@ class ClusterStoreSpec extends AnyFunSuite {
     assert(got.map(_._2) === Set(2L), "all three docs must share one cluster")
   }
 
+  test("ccCompact folds hub file sets; serving and later applies unchanged") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccstore_c").toString + "/store"
+    ClusterStore.ccBuild(docs.filter($"doc_id" % 3 === 0), "doc_id", "text", dir)
+    ClusterStore.ccApply(spark, dir, docs.filter($"doc_id" % 3 === 1),
+      "doc_id", "text")
+    def hubFiles(): Int =
+      new java.io.File(s"$dir/hubs").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    val filesBefore = hubFiles()
+    val before = labelsOf(ClusterStore.ccRead(spark, dir))
+    val hubsBefore = spark.read.parquet(s"$dir/hubs")
+      .as[(Int, String, Long)].collect().toSet
+    ClusterStore.ccCompact(spark, dir)
+    assert(labelsOf(ClusterStore.ccRead(spark, dir)) === before,
+      "compaction must not change the served labelling")
+    assert(spark.read.parquet(s"$dir/hubs")
+      .as[(Int, String, Long)].collect().toSet === hubsBefore,
+      "compaction must not change hub contents")
+    assert(hubFiles() <= filesBefore,
+      "compaction must not grow the hub file count")
+    // a second compaction of an already-folded store is harmless
+    ClusterStore.ccCompact(spark, dir)
+    // the folded hub table still drives an apply: equals a full rebuild
+    ClusterStore.ccApply(spark, dir, docs.filter($"doc_id" % 3 === 2),
+      "doc_id", "text")
+    val rebuilt = labelsOf(Components.connectedComponents(
+      docs.select($"doc_id".as("id")),
+      Components.fingerprintEdges(docs, "doc_id", "text")))
+    assert(labelsOf(ClusterStore.ccRead(spark, dir)) === rebuilt)
+  }
+
   test("ccApply fails fast on redelivered ids and mismatched schemes") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
