@@ -150,6 +150,42 @@ object ClusterStore {
     ()
   }
 
+  /** Replay-safe apply for STREAM-triggered ingestion
+    * ([[graft.streaming.CcStream]]): foreachBatch delivery is
+    * at-least-once, and a replayed micro-batch is byte-identical under
+    * the stream checkpoint. Dispatch on how many batch ids the stored
+    * labelling already holds:
+    *
+    *  - NONE labelled: the normal [[ccApply]] path with all its guards.
+    *    This also covers a crash between the hub append and the label
+    *    rewrite — the batch's own hubs resolve as "known", its novel-hub
+    *    append is empty, and the rewrite converges (the [[ccApply]]
+    *    contract).
+    *  - ALL labelled: hubs land before labels, so a fully-labelled batch
+    *    means the previous attempt committed everything — pure replay,
+    *    nothing to do.
+    *  - PARTIAL overlap cannot arise from checkpointed replay (batch
+    *    composition is deterministic and the label rewrite commits as one
+    *    job), so it fails fast as upstream corruption — the
+    *    [[History.scd2ApplyOrReplay]] contract.
+    */
+  def ccApplyOrReplay(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      windows: Seq[(Int, Int)] = Seq((1, 8), (5, 12))): Unit = {
+    val ids = batch.select(col(idCol).cast("long").as("id")).localCheckpoint()
+    try {
+      val n = ids.count()
+      val labelled = spark.read.parquet(s"$path/labels").select(col("id"))
+        .join(ids, Seq("id"), "left_semi").count()
+      if (labelled == 0L) ccApply(spark, path, batch, idCol, textCol, windows)
+      else if (labelled != n) throw new IllegalStateException(
+        s"ccApplyOrReplay: $labelled of $n batch ids are already " +
+          "labelled — a checkpointed replay is all-or-nothing, so a " +
+          "partial overlap means upstream corruption")
+      // labelled == n: completed previous attempt — converged, no-op
+    } finally { ids.unpersist(); () }
+  }
+
   /** The stored labelling (id, cluster_id), bucket column dropped. */
   def ccRead(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/labels").drop("__bucket")

@@ -119,6 +119,32 @@ class ClusterStoreSpec extends AnyFunSuite {
     assert(labelsOf(ClusterStore.ccRead(spark, dir)) === rebuilt)
   }
 
+  test("ccApplyOrReplay: fresh applies, full replays no-op, partial fails") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccstore_r").toString + "/store"
+    ClusterStore.ccBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", dir)
+    val batch = docs.filter($"doc_id" % 2 =!= 0)
+    // fresh batch: the normal apply path
+    ClusterStore.ccApplyOrReplay(spark, dir, batch, "doc_id", "text")
+    val after = labelsOf(ClusterStore.ccRead(spark, dir))
+    val rebuilt = labelsOf(Components.connectedComponents(
+      docs.select($"doc_id".as("id")),
+      Components.fingerprintEdges(docs, "doc_id", "text")))
+    assert(after === rebuilt)
+    // byte-identical redelivery of the completed batch: converged no-op
+    // (plain ccApply would fail fast here)
+    ClusterStore.ccApplyOrReplay(spark, dir, batch, "doc_id", "text")
+    assert(labelsOf(ClusterStore.ccRead(spark, dir)) === after)
+    // partial overlap is upstream corruption, never a checkpointed replay
+    val mixed = batch.select($"doc_id", $"text").limit(1).unionByName(
+      Seq((999999L, "a doc id the store has never seen before right here"))
+        .toDF("doc_id", "text"))
+    val e = intercept[IllegalStateException] {
+      ClusterStore.ccApplyOrReplay(spark, dir, mixed, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("partial overlap"))
+  }
+
   test("ccApply fails fast on redelivered ids and mismatched schemes") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))

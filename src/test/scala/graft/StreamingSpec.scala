@@ -174,6 +174,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(graft.operators.History.scd2Read(spark, store)) === got)
   }
 
+  test("streaming cluster ingest maintains the dup-cluster store exactly-once") {
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("graft_ccstream_src").toString
+    val store = Files.createTempDirectory("graft_ccstream").toString + "/store"
+    def writeOne(df: org.apache.spark.sql.DataFrame, dest: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_ccstream_w").toString + "/o"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Path.of(dest))
+      new java.io.File(dest).setLastModified(mtime)
+    }
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    graft.operators.ClusterStore.ccBuild(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", store)
+    writeOne(docs.filter(col("doc_id") % 3 === 1), s"$src/f1.parquet", 1000000L)
+    writeOne(docs.filter(col("doc_id") % 3 === 2), s"$src/f2.parquet", 2000000L)
+    graft.streaming.CcStream.ccIngestAvailableNow(spark, src, store)
+    def canon() = graft.operators.ClusterStore.ccRead(spark, store)
+      .select("id", "cluster_id").collect().map(_.toSeq).toSet
+    val got = canon()
+    val want = graft.operators.Components.connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      graft.operators.Components.fingerprintEdges(docs, "doc_id", "text"))
+      .select("id", "cluster_id").collect().map(_.toSeq).toSet
+    assert(got === want, "streamed store must equal the batch clustering")
+    // replay with the same checkpoint: nothing new, store unchanged
+    graft.streaming.CcStream.ccIngestAvailableNow(spark, src, store)
+    assert(canon() === got)
+  }
+
   test("streaming index ingest maintains the inverted-index store exactly-once") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_istream_src").toString
