@@ -117,6 +117,9 @@ object ScaleProbe {
     val lmDir = s"$tmpDir/lm_x$k"
     graft.operators.LmStore.lmBuild(docs, "doc_id", "text", lmDir,
       nShards = 4 * k)
+    val ccDir = s"$tmpDir/cc_x$k"
+    graft.operators.ClusterStore.ccBuild(docs, "doc_id", "text", ccDir,
+      nBuckets = 8 * k)
     // the c0-shard copies of base docs 0,1,2 — fixed at every scale
     val queries = docs.filter(col("doc_id").isin(0L, k.toLong, 2L * k))
     var seq = 0L // fresh ids per timed call (iters > 1 re-invokes the thunk)
@@ -162,6 +165,21 @@ object ScaleProbe {
           .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),
             col("text"))
         graft.operators.LmStore.lmAppend(spark, batch, "doc_id", "text", lmDir)
+        batch.count()
+      }),
+      // fixed-size batch absorbed into the growing cluster store: edge
+      // derivation is a hub-table lookup (batch text matches stored docs,
+      // so hubs stay stable), the label rewrite touches affected buckets
+      // only. The documented scan-shaped term is the depth-1 label
+      // collapse — O(stored labels) 16-byte rows per apply, the
+      // ClusterStore scaladoc's declared cost, measured here
+      ("cc_apply", () => {
+        seq += 1
+        val batch = docs.filter(col("doc_id") < 50)
+          .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),
+            col("text"))
+        graft.operators.ClusterStore.ccApply(spark, ccDir, batch,
+          "doc_id", "text")
         batch.count()
       }))
   }
