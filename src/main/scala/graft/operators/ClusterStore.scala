@@ -3,42 +3,126 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 
-/** Persisted duplicate-cluster store: the productionized caller promised
-  * by [[Components.connectedComponentsIncremental]] — a labelling (doc →
-  * cluster) plus the fingerprint HUB table that lets a new batch derive
-  * its candidate edges by point lookup against persisted state, never by
-  * rescanning (or re-tokenizing) the old corpus.
+/** Persisted duplicate-cluster store: a labelling (doc → cluster) plus the
+  * fingerprint HUB table that lets a new batch derive its candidate edges
+  * by point lookup against persisted state, never by rescanning (or
+  * re-tokenizing) the old corpus.
+  *
+  * Committed through the [[Generations]] manifest (the index/ANN/LM store
+  * protocol): every surface write lands as a `gen=<g>` directory and the
+  * manifest flip commits ALL of a batch's surfaces atomically — readers
+  * resolve the manifest once, so a crashed multi-surface apply is
+  * invisible rather than half-visible, and compaction never deletes what
+  * a concurrent reader's resolved manifest references.
   *
   * Layout under `path`:
-  *  - `hubs/`   (w, fp, dst): one representative doc id per (window,
-  *    fingerprint) ever seen. A hub need not be the group's min id —
-  *    any member preserves connectivity, so appends never rewrite it.
-  *  - `labels/` (id, cluster_id) `partitionBy(__bucket)` on a hash of the
-  *    id — the unit of incremental rewrite, the [[History]] bucket shape.
-  *  - `meta/`   (n_buckets, windows) — the fingerprint scheme is stamped
-  *    so an apply with mismatched windows fails fast instead of silently
+  *  - `hubs/gen=<g>/__shard=<s>/` (w, fp, dst): one representative doc id
+  *    per (window, fingerprint) ever seen, sharded by a hash of the
+  *    fingerprint — a batch's hub lookup prunes to the shards of its own
+  *    fingerprints. A hub need not be the group's min id — any member
+  *    preserves connectivity, so appends never rewrite it.
+  *  - `labels/gen=<g>/__bucket=<b>/` (id, cluster_id), bucketed by a hash
+  *    of the id: each generation holds ONE batch's labels, stored with
+  *    the cluster label that was current when the batch was absorbed.
+  *    Old generations are never rewritten by an apply.
+  *  - `remap/gen=<g>/` (old_label, new_label): the store's cluster-merge
+  *    ledger, kept DEPTH-1 — a stored label that later merged into a
+  *    bigger component maps directly to the current label. Rewritten in
+  *    full by each apply (it is merge-count-sized, not corpus-sized);
+  *    readers resolve `coalesce(remap[stored], stored)`. This is what
+  *    makes [[ccApply]] batch-bound: absorbing a batch never reads — let
+  *    alone rewrites — the labels of clusters the batch does not touch,
+  *    even when the batch merges two giant old components (their members
+  *    keep their stored labels; one remap row redirects them).
+  *  - `meta/` (n_buckets, windows): the fingerprint scheme is stamped so
+  *    an apply with mismatched windows fails fast instead of silently
   *    fragmenting clusters.
   *
-  * Scale shape of [[ccApply]]: the batch's fingerprints meet the hub
-  * table through one fp-keyed equi-join (the hub table is fingerprint
-  * metadata — O(corpus) rows but a fraction of corpus bytes; a sorted or
-  * bucketed table format turns this into a true point lookup in
-  * production), old connectivity enters as depth-1 label edges
-  * (16-byte rows), and the label rewrite touches only the buckets whose
-  * labels changed — dynamic partition overwrite, untouched buckets stay
-  * byte-identical. Nothing ever re-pairs the old corpus with itself.
+  * Scale shape of [[ccApply]] — every read bounded by the batch: the dupe
+  * guard reads only the batch ids' label buckets; the hub lookup reads
+  * only the batch fingerprints' shards; old connectivity enters as the
+  * batch edges' ENDPOINT labels (endpoint-bucket-pruned point lookups)
+  * resolved through the remap; the iterative CC runs over a subgraph of
+  * batch vertices + endpoint stars; the writes are one new generation
+  * (batch-sized) plus the remap (merge-ledger-sized). Nothing re-pairs,
+  * re-reads, or re-labels the untouched corpus (law in ClusterStoreSpec:
+  * an apply succeeds even when every untouched label bucket's files are
+  * corrupted on disk).
+  *
+  * Invariant the remap algebra rests on: a served label is always the MIN
+  * doc id of its component (CC labels with component minima; batch
+  * generations store served labels). Hence a merged component's min is
+  * always visible inside the apply's subgraph — it is one of the resolved
+  * endpoint labels or a batch id — and a stale remap key can never equal
+  * any current label, so one composition pass per apply keeps the ledger
+  * depth-1 (see [[ccApply]]).
   */
 object ClusterStore {
+
+  private val surfaces = Seq("hubs", "labels", "remap")
 
   private def bucketOf(id: Column, n: Int) =
     pmod(xxhash64(id.cast("string")), lit(n.toLong)).cast("int")
 
+  private def shardOf(fp: Column, n: Int) =
+    pmod(xxhash64(fp), lit(n.toLong)).cast("int")
+
   private def windowsTag(windows: Seq[(Int, Int)]): String =
     windows.map { case (a, b) => s"$a-$b" }.mkString(",")
 
+  private val hubSchema = new StructType()
+    .add("w", IntegerType).add("fp", StringType).add("dst", LongType)
+    .add("gen", StringType).add("__shard", IntegerType)
+  private val labelSchema = new StructType()
+    .add("id", LongType).add("cluster_id", LongType)
+    .add("gen", StringType).add("__bucket", IntegerType)
+  private val remapSchema = new StructType()
+    .add("old_label", LongType).add("new_label", LongType)
+    .add("gen", StringType)
+
+  private def readMeta(spark: SparkSession, path: String): (Int, String) = {
+    val m = spark.read.parquet(s"$path/meta")
+      .select(col("n_buckets"), col("windows")).head()
+    (m.getInt(0), m.getString(1))
+  }
+
+  /** The hub surface pruned to the given fingerprint shards. */
+  private def hubsPruned(spark: SparkSession, path: String,
+      gens: Seq[String], shards: Array[Int]): DataFrame =
+    Generations.readSurfaceAs(spark, path, "hubs", gens, hubSchema)
+      .filter(col("__shard").isin(shards.map(Integer.valueOf).toIndexedSeq: _*))
+      .select(col("w"), col("fp"), col("dst"))
+
+  /** The label surface pruned to the given id buckets. */
+  private def labelsPruned(spark: SparkSession, path: String,
+      gens: Seq[String], buckets: Array[Int]): DataFrame =
+    Generations.readSurfaceAs(spark, path, "labels", gens, labelSchema)
+      .filter(col("__bucket").isin(buckets.map(Integer.valueOf).toIndexedSeq: _*))
+      .select(col("id"), col("cluster_id"))
+
+  /** The current merge ledger: the LAST committed generation's remap (each
+    * apply rewrites the full ledger, so only the newest copy is live). */
+  private def readRemap(spark: SparkSession, path: String,
+      gens: Seq[String]): DataFrame =
+    Generations.readSurfaceAs(spark, path, "remap", Seq(gens.last), remapSchema)
+      .select(col("old_label"), col("new_label"))
+
+  private def writeGeneration(path: String, gen: String, hubs: DataFrame,
+      labels: DataFrame, remap: DataFrame, nBuckets: Int): Unit = {
+    hubs.withColumn("__shard", shardOf(col("fp"), nBuckets))
+      .write.mode("overwrite").partitionBy("__shard")
+      .parquet(s"$path/hubs/gen=$gen")
+    labels.withColumn("__bucket", bucketOf(col("id"), nBuckets))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$path/labels/gen=$gen")
+    // merge-ledger-sized; one file keeps the read a single open
+    remap.coalesce(1).write.mode("overwrite").parquet(s"$path/remap/gen=$gen")
+  }
+
   /** Initialize the store from a corpus: fingerprint, pick hubs, run
-    * batch connected components, persist labels + hubs + scheme. */
+    * batch connected components, commit one generation. */
   def ccBuild(docs: DataFrame, idCol: String, textCol: String, path: String,
       windows: Seq[(Int, Int)] = Seq((1, 8), (5, 12)), nBuckets: Int = 16): Unit = {
     require(nBuckets >= 1)
@@ -52,52 +136,64 @@ object ClusterStore {
       .localCheckpoint()
     val hubs = fps.groupBy(col("w"), col("fp")).agg(min(col("id")).as("dst"))
       .localCheckpoint()
-    hubs.write.mode("overwrite").parquet(s"$path/hubs")
     val edges = fps.join(hubs, Seq("w", "fp"))
       .select(col("id").as("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-    Components.connectedComponents(
+    val labels = Components.connectedComponents(
       docs.select(col(idCol).cast("long").as("id")), edges)
-      .withColumn("__bucket", bucketOf(col("id"), nBuckets))
-      .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/labels")
+    writeGeneration(path, "g0", hubs, labels,
+      Seq.empty[(Long, Long)].toDF("old_label", "new_label"), nBuckets)
     fps.unpersist()
     hubs.unpersist()
     Seq((nBuckets, windowsTag(windows))).toDF("n_buckets", "windows")
       .write.mode("overwrite").parquet(s"$path/meta")
+    // the manifest flip commits the build ([[Generations]])
+    Generations.commit(spark, path, Seq("g0"))
   }
 
   /** Absorb a NEW document batch: derive its candidate edges from the
-    * persisted hub table (known fingerprints link to their stored hub;
-    * novel fingerprints elect a hub within the batch), run
-    * [[Components.connectedComponentsIncremental]] against the stored
-    * labelling, rewrite only the buckets whose labels changed, and append
-    * the novel hubs. Law (ClusterStoreSpec): build(b1) + apply(b2) equals
-    * a batch build over b1 ∪ b2.
+    * stored hub shards its fingerprints probe (known fingerprints link to
+    * their stored hub; novel fingerprints elect a hub within the batch),
+    * resolve the edges' old endpoints to their CURRENT cluster labels
+    * (endpoint-bucket-pruned lookup + remap), run connected components
+    * over the batch-sized subgraph, then commit one generation: the
+    * batch's labels, its novel hubs, and the re-composed merge ledger —
+    * flipped into visibility by one manifest write. Law
+    * (ClusterStoreSpec): build(b1) + apply(b2) equals a batch build over
+    * b1 ∪ b2; untouched clusters' label files are neither read nor
+    * written.
     *
     * Redelivery is fail-fast (a batch doc id already labelled aborts the
-    * apply): hub appends land BEFORE the label rewrite, so a crash
-    * between them re-applies cleanly — the batch's own hubs resolve as
-    * "known" and its novel-hub append is empty — but a crash mid-label-
-    * write needs the batch deduplicated upstream before re-driving, the
-    * [[History.scd2Apply]] contract.
+    * apply); the manifest makes a crashed apply invisible, so re-driving
+    * it converges through this same path — at-least-once delivery needs
+    * [[ccApplyOrReplay]] only to recognize the batch-already-committed
+    * no-op.
     */
   def ccApply(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String,
       windows: Seq[(Int, Int)] = Seq((1, 8), (5, 12))): Unit = {
-    val meta = spark.read.parquet(s"$path/meta")
-      .select(col("n_buckets"), col("windows")).head()
-    val nBuckets = meta.getInt(0)
-    require(meta.getString(1) == windowsTag(windows),
+    val (nBuckets, storedTag) = readMeta(spark, path)
+    require(storedTag == windowsTag(windows),
       s"ccApply: fingerprint windows ${windowsTag(windows)} do not match " +
-        s"the store's scheme ${meta.getString(1)} — a mismatched apply " +
+        s"the store's scheme $storedTag — a mismatched apply " +
         "would silently fragment clusters")
+    val committed = Generations.live(spark, path)
     // pinned once: the guard, the fingerprint joins and the CC vertex set
     // must all see the SAME batch evaluation
     val b = batch.select(col(idCol).cast("long").as("id"),
       col(textCol).as("__text")).localCheckpoint()
     try {
       val batchIds = b.select(col("id"))
-      val dupe = spark.read.parquet(s"$path/labels").select(col("id"))
+      val n = b.count()
+      if (n == 0L) return
+      require(batchIds.distinct().count() == n,
+        s"ccApply: batch holds duplicate doc ids — deduplicate the batch " +
+          "before apply (a duplicate row would store two labels for one doc)")
+      // dupe guard, pruned to the batch ids' own buckets — untouched
+      // buckets are never opened
+      val batchBuckets = batchIds.select(bucketOf(col("id"), nBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0))
+      val dupe = labelsPruned(spark, path, committed, batchBuckets)
         .join(batchIds, Seq("id"), "left_semi")
       require(dupe.isEmpty,
         "ccApply: batch contains doc ids already labelled — deduplicate " +
@@ -105,17 +201,22 @@ object ClusterStore {
       val fps = Components.fingerprintRows(b, "id", "__text", windows)
         .localCheckpoint()
       try {
-        applyBody(spark, path, fps, batchIds, nBuckets)
+        applyBody(spark, path, fps, batchIds, nBuckets, committed)
       } finally fps.unpersist()
     } finally b.unpersist()
     ()
   }
 
-  /** The edge derivation + label rewrite of [[ccApply]] (split out so the
-    * checkpoint releases wrap it on every path). */
+  /** The edge derivation + subgraph CC + generation commit of [[ccApply]]
+    * (split out so the checkpoint releases wrap it on every path). */
   private def applyBody(spark: SparkSession, path: String, fps: DataFrame,
-      batchIds: DataFrame, nBuckets: Int): Unit = {
-    val stored = spark.read.parquet(s"$path/hubs")
+      batchIds: DataFrame, nBuckets: Int, committed: Seq[String]): Unit = {
+    val gen = Generations.nextName(spark, path, surfaces, 'g')
+    // hub lookup pruned to the batch fingerprints' shards (bounded by
+    // nBuckets by construction — a driver-side int set, never data)
+    val probedShards = fps.select(shardOf(col("fp"), nBuckets).as("s"))
+      .distinct().collect().map(_.getInt(0))
+    val stored = hubsPruned(spark, path, committed, probedShards)
     val known = fps.join(stored, Seq("w", "fp"))
       .select(col("id").as("src"), col("dst"))
     val novel = fps.join(stored, Seq("w", "fp"), "left_anti")
@@ -125,27 +226,60 @@ object ClusterStore {
       .union(novel.join(newHubs, Seq("w", "fp"))
         .select(col("id").as("src"), col("dst")))
       .filter(col("src") =!= col("dst"))
-    newHubs.write.mode("append").parquet(s"$path/hubs")
-    val oldLabels = spark.read.parquet(s"$path/labels")
-      .select(col("id"), col("cluster_id"))
-    val labels = Components.connectedComponentsIncremental(
-      oldLabels, batchIds, edges)
-      .withColumn("__bucket", bucketOf(col("id"), nBuckets))
-      .localCheckpoint() // one evaluation: changed-bucket probe + write
+      .localCheckpoint() // one evaluation: endpoint probe + CC seed
     try {
-      val affected = labels
-        .join(oldLabels.withColumnRenamed("cluster_id", "__old"),
-          Seq("id"), "left_outer")
-        .filter(col("__old").isNull || col("__old") =!= col("cluster_id"))
-        .select(col("__bucket")).distinct().collect().map(_.getInt(0))
-      if (affected.nonEmpty)
-        labels
-          .filter(col("__bucket")
-            .isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__bucket").parquet(s"$path/labels")
-    } finally labels.unpersist()
+      // OLD endpoints of the batch's edges, resolved to current labels:
+      // bucket-pruned label lookup, then the depth-1 merge ledger
+      val endpoints = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .join(batchIds, Seq("id"), "left_anti")
+        .localCheckpoint()
+      val epBuckets = endpoints.select(bucketOf(col("id"), nBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0))
+      val remap = readRemap(spark, path, committed)
+      val epStored =
+        if (epBuckets.isEmpty)
+          endpoints.withColumn("cluster_id", col("id"))
+        else endpoints
+          .join(labelsPruned(spark, path, committed, epBuckets),
+            Seq("id"), "left_outer")
+      val epLab = epStored
+        .join(remap, epStored("cluster_id") === remap("old_label"), "left_outer")
+        .select(col("id"),
+          coalesce(col("new_label"), epStored("cluster_id"), col("id")).as("root"))
+        .localCheckpoint()
+      // subgraph: batch vertices + endpoints + their cluster roots; old
+      // connectivity enters as one depth-1 star edge per endpoint
+      val vertices = batchIds
+        .union(endpoints)
+        .union(epLab.select(col("root").as("id")))
+        .distinct()
+      val rootEdges = epLab.filter(col("root") =!= col("id"))
+        .select(col("root").as("src"), col("id").as("dst"))
+      val sub = Components.connectedComponents(vertices, edges.union(rootEdges))
+        .localCheckpoint()
+      try {
+        val batchLabels = sub.join(batchIds, Seq("id"), "left_semi")
+        // merge ledger delta: every old cluster root whose component got a
+        // new (smaller) min. Targets are component minima, so no delta
+        // target is a delta key — composing ONE pass keeps depth 1
+        val delta = epLab.select(col("root").as("d_old")).distinct()
+          .join(sub.withColumnRenamed("id", "d_old"), Seq("d_old"))
+          .filter(col("cluster_id") =!= col("d_old"))
+          .select(col("d_old"), col("cluster_id").as("d_new"))
+        val newRemap = remap
+          .join(delta, remap("new_label") === delta("d_old"), "left_outer")
+          .select(remap("old_label"),
+            coalesce(col("d_new"), remap("new_label")).as("new_label"))
+          .unionByName(delta.select(col("d_old").as("old_label"),
+            col("d_new").as("new_label")))
+        writeGeneration(path, gen, newHubs, batchLabels, newRemap, nBuckets)
+        // single filesystem op commits hubs + labels + remap together
+        Generations.add(spark, path, gen)
+      } finally sub.unpersist()
+      epLab.unpersist()
+      endpoints.unpersist()
+    } finally edges.unpersist()
     newHubs.unpersist()
     ()
   }
@@ -153,65 +287,79 @@ object ClusterStore {
   /** Replay-safe apply for STREAM-triggered ingestion
     * ([[graft.streaming.CcStream]]): foreachBatch delivery is
     * at-least-once, and a replayed micro-batch is byte-identical under
-    * the stream checkpoint. Dispatch on how many batch ids the stored
-    * labelling already holds:
-    *
-    *  - NONE labelled: the normal [[ccApply]] path with all its guards.
-    *    This also covers a crash between the hub append and the label
-    *    rewrite — the batch's own hubs resolve as "known", its novel-hub
-    *    append is empty, and the rewrite converges (the [[ccApply]]
-    *    contract).
-    *  - ALL labelled: hubs land before labels, so a fully-labelled batch
-    *    means the previous attempt committed everything — pure replay,
-    *    nothing to do.
-    *  - PARTIAL overlap cannot arise from checkpointed replay (batch
-    *    composition is deterministic and the label rewrite commits as one
-    *    job), so it fails fast as upstream corruption — the
-    *    [[History.scd2ApplyOrReplay]] contract.
+    * the stream checkpoint. The manifest flip commits an apply
+    * atomically, so a batch is either fully committed (ALL its ids
+    * labelled — pure replay, nothing to do) or invisible (NONE labelled —
+    * the normal [[ccApply]] path; a crashed attempt's orphan directories
+    * are never referenced and sweep at the next compaction). A PARTIAL
+    * overlap cannot arise from checkpointed replay, so it fails fast as
+    * upstream corruption. Batches carrying duplicate ids fail fast with
+    * their own message (they would otherwise masquerade as partial
+    * replays).
     */
   def ccApplyOrReplay(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String,
       windows: Seq[(Int, Int)] = Seq((1, 8), (5, 12))): Unit = {
-    val ids = batch.select(col(idCol).cast("long").as("id")).localCheckpoint()
+    val (nBuckets, _) = readMeta(spark, path)
+    val raw = batch.select(col(idCol).cast("long").as("id")).localCheckpoint()
     try {
-      val n = ids.count()
-      val labelled = spark.read.parquet(s"$path/labels").select(col("id"))
+      val n = raw.count()
+      if (n == 0L) return
+      val ids = raw.distinct()
+      val nd = ids.count()
+      require(nd == n,
+        s"ccApplyOrReplay: batch holds duplicate doc ids ($n rows, $nd " +
+          "distinct) — deduplicate the batch upstream")
+      val buckets = ids.select(bucketOf(col("id"), nBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0))
+      val labelled = labelsPruned(spark, path,
+        Generations.live(spark, path), buckets)
         .join(ids, Seq("id"), "left_semi").count()
       if (labelled == 0L) ccApply(spark, path, batch, idCol, textCol, windows)
-      else if (labelled != n) throw new IllegalStateException(
-        s"ccApplyOrReplay: $labelled of $n batch ids are already " +
+      else if (labelled != nd) throw new IllegalStateException(
+        s"ccApplyOrReplay: $labelled of $nd batch ids are already " +
           "labelled — a checkpointed replay is all-or-nothing, so a " +
           "partial overlap means upstream corruption")
-      // labelled == n: completed previous attempt — converged, no-op
-    } finally { ids.unpersist(); () }
+      // labelled == nd: committed previous attempt — converged, no-op
+    } finally { raw.unpersist(); () }
   }
 
-  /** The stored labelling (id, cluster_id), bucket column dropped. */
-  def ccRead(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/labels").drop("__bucket")
+  /** The stored labelling (id, cluster_id), merge ledger resolved. */
+  def ccRead(spark: SparkSession, path: String): DataFrame = {
+    val committed = Generations.live(spark, path)
+    val labels = Generations.readSurfaceAs(spark, path, "labels", committed,
+      labelSchema).select(col("id"), col("cluster_id"))
+    val remap = readRemap(spark, path, committed)
+    labels.join(remap, labels("cluster_id") === remap("old_label"), "left_outer")
+      .select(col("id"),
+        coalesce(col("new_label"), labels("cluster_id")).as("cluster_id"))
+  }
 
-  /** Fold the hub table's per-apply append file sets into one write — the
-    * store's only surface whose file count grows with apply count (labels
-    * rewrite whole buckets through dynamic partition overwrite, so they
-    * never accumulate). Hash-repartitioned on (w, fp) so the output file
-    * count is bounded by `spark.sql.shuffle.partitions`, not by history.
-    * Same staged-swap + crash-recovery contract as [[History.scd2Compact]]:
-    * a stranded `__compact_tmp` with no live dir is promoted before
-    * anything else, and the writer is single — an apply must not run
-    * concurrently with compaction.
+  /** Fold the committed generations into one: hubs merge (disjoint across
+    * generations — appends add only novel fingerprints), labels fold with
+    * the merge ledger RESOLVED (so the folded remap is empty and serving
+    * reads pay no join until the next merge), and the manifest flips to
+    * the single folded generation. Crash and concurrent-reader safety per
+    * the [[Generations]] protocol — the folded directories survive one
+    * maintenance cycle for readers that resolved the old manifest; a
+    * crashed compaction's orphan is referenced by nothing. Already-folded
+    * stores (a lone `c<n>` generation) return immediately, so repeated
+    * compaction is a measured no-op. Single WRITER still required (never
+    * concurrent with an apply).
     */
   def ccCompact(spark: SparkSession, path: String): Unit = {
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new Path(s"$path/hubs")
-    val tmp = new Path(s"$path/hubs__compact_tmp")
-    if (!fs.exists(live) && fs.exists(tmp))
-      require(fs.rename(tmp, live), s"ccCompact: recovery rename of $tmp failed")
-    fs.delete(tmp, true)
-    spark.read.parquet(live.toString)
-      .repartition(col("w"), col("fp"))
-      .write.parquet(tmp.toString)
-    fs.delete(live, true)
-    require(fs.rename(tmp, live), s"ccCompact: rename of $tmp failed")
+    Generations.sweepUnreferenced(spark, path, surfaces)
+    val committed = Generations.live(spark, path)
+    if (committed.sizeIs == 1 && committed.head.startsWith("c")) return
+    val (nBuckets, _) = readMeta(spark, path)
+    val cGen = Generations.nextName(spark, path, surfaces, 'c')
+    import spark.implicits._
+    val hubs = Generations.readSurfaceAs(spark, path, "hubs", committed,
+      hubSchema).select(col("w"), col("fp"), col("dst"))
+      // one shuffle partition per shard value → one file per shard dir
+      .repartition(shardOf(col("fp"), nBuckets))
+    writeGeneration(path, cGen, hubs, ccRead(spark, path),
+      Seq.empty[(Long, Long)].toDF("old_label", "new_label"), nBuckets)
+    Generations.commit(spark, path, Seq(cGen))
   }
 }

@@ -126,30 +126,58 @@ object Components {
     * every edge with at least one endpoint in the new batch (the caller
     * derives these from its candidate-pair state — e.g. fingerprint
     * lookups against a persisted hub table — never by rescanning old
-    * text). The old labelling collapses to ONE edge per old vertex
-    * (cluster_id → id), so the combined graph has depth-1 old paths plus
-    * the new edges: round count stays small even when a new edge bridges
-    * two giant old components.
+    * text).
     *
-    * Equals batch CC over (old edges ∪ new edges) whenever `oldLabels`
-    * was a correct labelling of the old edge set — old connectivity is
-    * exactly preserved by the label edges (law in ComponentsSpec; q128
-    * hash-checks the composition end to end against the full-corpus
-    * recursive-CTE oracle).
+    * AFFECTED-SUBGRAPH shape: only the clusters actually touched by the
+    * batch's edges enter the iterative phase. Touched clusters are found
+    * by one semi-join of the old labelling on the new edges' endpoints;
+    * their members join the subgraph as depth-1 label edges
+    * (cluster_id → id), every UNTOUCHED cluster's labels pass through
+    * verbatim via one anti-join — two linear scans of the old labelling,
+    * but the per-round joins of the CC loop run over a graph whose size
+    * tracks the batch (touched clusters + new vertices), not the corpus.
+    * A new edge bridging two giant old components still converges in few
+    * rounds because each component is a depth-1 star.
+    *
+    * Correctness: an untouched cluster has no edge to the batch (none of
+    * its members is an endpoint), so its component — and its min-id label
+    * — is unchanged by the union graph. A touched cluster enters with its
+    * FULL member set and its label edges, so subgraph CC computes the
+    * same component minima batch CC would (a cluster's stored label is
+    * its min member id, hence the merged component's min is visible
+    * inside the subgraph). Equals batch CC over (old edges ∪ new edges)
+    * whenever `oldLabels` was a correct min-label labelling of the old
+    * edge set (law in ComponentsSpec; q128 hash-checks the composition
+    * end to end against the full-corpus recursive-CTE oracle).
     */
   def connectedComponentsIncremental(oldLabels: DataFrame,
       newVertices: DataFrame, newEdges: DataFrame,
       maxIter: Int = 20, starAfter: Int = 8): DataFrame = {
     val old = oldLabels.select(col("id").cast("long").as("id"),
       col("cluster_id").cast("long").as("cluster_id"))
-    val vertices = old.select(col("id"))
+    // checkpointed (not explicitly unpersisted — the returned frame is
+    // lazy and still reads these blocks; the ContextCleaner reclaims them
+    // once the caller drops the result): the possibly-expensive candidate
+    // edge plan is evaluated once for the endpoint probe and the CC seed
+    val newE = newEdges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    val endpoints = newE.select(col("src").as("id"))
+      .union(newE.select(col("dst").as("id"))).distinct()
+    val touched = old.join(endpoints, Seq("id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val members = old.join(touched, Seq("cluster_id"), "left_semi")
+      .localCheckpoint()
+    val vertices = members.select(col("id"))
+      .union(endpoints)
       .union(newVertices.select(col("id").cast("long").as("id")))
       .distinct()
-    val labelEdges = old.filter(col("id") =!= col("cluster_id"))
+    val labelEdges = members.filter(col("id") =!= col("cluster_id"))
       .select(col("cluster_id").as("src"), col("id").as("dst"))
-    connectedComponents(vertices, labelEdges.union(
-      newEdges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))), maxIter, starAfter)
+    val sub = connectedComponents(vertices, labelEdges.union(newE),
+      maxIter, starAfter)
+    val untouched = old.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+    untouched.unionByName(sub.select(col("id"), col("cluster_id")))
   }
 
   /** Alternating large-star/small-star rounds (Kiveris et al., "Connected

@@ -92,6 +92,18 @@ object Generations {
       .parquet(gens.map(g => s"$storeDir/$surface/gen=$g"): _*)
   }
 
+  /** [[readSurface]] with an EXPLICIT schema (partition columns included —
+    * Spark fills them from the directory names): no footer-based schema
+    * inference, so the read survives generations whose partitioned write
+    * produced no data file (an empty batch surface) and skips the
+    * per-generation footer open at resolution time. */
+  def readSurfaceAs(spark: SparkSession, storeDir: String, surface: String,
+      gens: Seq[String], schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(gens.nonEmpty, s"readSurfaceAs($surface): no generations")
+    spark.read.option("basePath", s"$storeDir/$surface").schema(schema)
+      .parquet(gens.map(g => s"$storeDir/$surface/gen=$g"): _*)
+  }
+
   /** On-disk generation names of a surface — committed, orphaned by a
     * crashed write, or folded-but-not-yet-swept alike. */
   def onDisk(spark: SparkSession, storeDir: String, surface: String): Seq[String] = {

@@ -56,37 +56,54 @@ object History {
   private def bucketOf(key: org.apache.spark.sql.Column, n: Int) =
     pmod(xxhash64(key.cast("string")), lit(n.toLong)).cast("int")
 
+  private val surfaces = Seq("events")
+
+  /** The committed event log — one `gen=<g>` directory per applied batch,
+    * resolved through the [[Generations]] manifest so a crashed append's
+    * orphan directory is invisible to every rebuild and guard. */
+  private def readEvents(spark: SparkSession, path: String): DataFrame =
+    Generations.readSurface(spark, path, "events",
+      Generations.live(spark, path))
+
   /** Initialize a persisted SCD2 store under `path`: the raw event log at
-    * `path/events` and the collapsed history at `path/history`, both
-    * `partitionBy` a hash bucket of the entity key (`nBuckets` dirs — the
-    * unit of incremental rewrite; size it so a bucket's history fits an
-    * executor comfortably, e.g. 1024+ at 100 TB). Keeping the event log is
-    * what makes the merge EXACT under late data: an out-of-order event can
-    * split or re-chain old runs arbitrarily, which no collapsed
-    * representation can replay.
+    * `path/events` (one generation directory per applied batch, committed
+    * through the [[Generations]] manifest) and the collapsed history at
+    * `path/history`, both `partitionBy` a hash bucket of the entity key
+    * (`nBuckets` dirs — the unit of incremental rewrite; size it so a
+    * bucket's history fits an executor comfortably, e.g. 1024+ at
+    * 100 TB). Keeping the event log is what makes the merge EXACT under
+    * late data: an out-of-order event can split or re-chain old runs
+    * arbitrarily, which no collapsed representation can replay.
     */
   def scd2Build(events: DataFrame, keyCol: String, attrCol: String,
       tsCol: String, tieCol: String, path: String, nBuckets: Int = 16): Unit = {
     require(nBuckets >= 1)
     val spark = events.sparkSession
     import spark.implicits._
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
     events.withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
-      .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/events")
-    scd2(spark.read.parquet(s"$path/events"), keyCol, attrCol, tsCol, tieCol)
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$path/events/gen=g0")
+    Seq(nBuckets).toDF("n_buckets").write.mode("overwrite").parquet(s"$path/meta")
+    Generations.commit(spark, path, Seq("g0"))
+    scd2(readEvents(spark, path), keyCol, attrCol, tsCol, tieCol)
       .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
       .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/history")
-    Seq(nBuckets).toDF("n_buckets").write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Apply a new CDC event batch to the persisted store WITHOUT a full
-    * rebuild: append the batch to the event log (new files only), then
-    * recompute history for the AFFECTED BUCKETS alone and
-    * dynamic-partition-overwrite just those directories — untouched
-    * entities' files stay byte-identical (the [[graft.io.Upsert]]
-    * contract). Affected bucket values are driver-side by construction
-    * (bounded by nBuckets), so the event-log scan is statically pruned.
-    * Law (HistorySpec): apply(build(b1), b2) == scd2(b1 ∪ b2), including
-    * late events that interleave or precede stored ones.
+    * rebuild: the batch lands as one event-log GENERATION (committed by
+    * the manifest flip — a crashed write's orphan directory is invisible
+    * and sweeps at the next compaction), then history is recomputed for
+    * the AFFECTED BUCKETS alone and dynamic-partition-overwritten —
+    * untouched entities' files stay byte-identical (the
+    * [[graft.io.Upsert]] contract). Affected bucket values are
+    * driver-side by construction (bounded by nBuckets), so the event-log
+    * scan is statically pruned. Law (HistorySpec):
+    * apply(build(b1), b2) == scd2(b1 ∪ b2), including late events that
+    * interleave or precede stored ones.
     */
   def scd2Apply(spark: SparkSession, path: String, batch: DataFrame,
       keyCol: String, attrCol: String, tsCol: String, tieCol: String): Unit =
@@ -101,10 +118,20 @@ object History {
           "scd2Apply: batch contains (key, tie) events already in the " +
             "store — redelivered CDC batches must be deduplicated before " +
             "apply (or use scd2ApplyOrReplay for checkpointed streams)")
-        b.write.mode("append").partitionBy("__bucket").parquet(s"$path/events")
+        appendGeneration(spark, path, b)
         rebuildBuckets(spark, path, affected, nBuckets, keyCol, attrCol,
           tsCol, tieCol)
     }
+
+  /** Write the batch as a fresh event-log generation and flip the
+    * manifest — the append's single commit point. */
+  private def appendGeneration(spark: SparkSession, path: String,
+      b: DataFrame): Unit = {
+    val gen = Generations.nextName(spark, path, surfaces, 'g')
+    b.write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$path/events/gen=$gen")
+    Generations.add(spark, path, gen)
+  }
 
   /** Replay-safe apply for STREAM-triggered ingestion
     * ([[graft.streaming.CdcStream]]): foreachBatch delivery is
@@ -123,7 +150,7 @@ object History {
         val nStored = storedOverlap(spark, path, b, affected, keyCol, tieCol)
           .count()
         if (nStored == 0) {
-          b.write.mode("append").partitionBy("__bucket").parquet(s"$path/events")
+          appendGeneration(spark, path, b)
           rebuildBuckets(spark, path, affected, nBuckets, keyCol, attrCol,
             tsCol, tieCol)
         } else if (nStored == b.count()) {
@@ -148,7 +175,8 @@ object History {
       batch: DataFrame, keyCol: String, tieCol: String)(
       body: (DataFrame, Array[Int], Int) => Unit): Unit = {
     val nBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val evCols = spark.read.parquet(s"$path/events").columns.filter(_ != "__bucket")
+    val evCols = readEvents(spark, path).columns
+      .filterNot(c => c == "__bucket" || c == "gen")
     val b = batch.select(evCols.map(col).toIndexedSeq: _*)
       .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
       .localCheckpoint(true)
@@ -173,7 +201,7 @@ object History {
     * bucket-pruned, so the scan touches only the affected directories. */
   private def storedOverlap(spark: SparkSession, path: String, b: DataFrame,
       affected: Array[Int], keyCol: String, tieCol: String): DataFrame =
-    spark.read.parquet(s"$path/events")
+    readEvents(spark, path)
       .filter(col("__bucket").isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
       .join(b.select(col(keyCol), col(tieCol)), Seq(keyCol, tieCol), "left_semi")
 
@@ -185,7 +213,7 @@ object History {
   private[graft] def rebuildBuckets(spark: SparkSession, path: String,
       buckets: Array[Int], nBuckets: Int, keyCol: String, attrCol: String,
       tsCol: String, tieCol: String): Unit = {
-    val evs = spark.read.parquet(s"$path/events")
+    val evs = readEvents(spark, path)
       .filter(col("__bucket").isin(buckets.map(Integer.valueOf).toIndexedSeq: _*))
     scd2(evs, keyCol, attrCol, tsCol, tieCol)
       .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
@@ -197,35 +225,32 @@ object History {
   def scd2Read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/history").drop("__bucket")
 
-  /** Compact the bucketed EVENT LOG to one file set per bucket: every
-    * apply appends its batch's files, so after N batches each affected
-    * bucket holds N small files and the rebuild's pruned scan pays N opens
-    * — this folds them without changing a row (the log is immutable
-    * history; only its file layout shrinks). The history table needs no
-    * equivalent: rebuilds dynamic-overwrite whole bucket directories, so
-    * its file count never grows with apply count.
+  /** Compact the event log's generations into one: every apply adds a
+    * generation, so after N batches each rebuild's pruned scan pays N
+    * directory opens per bucket — this folds them without changing a row
+    * (the log is immutable history; only its file layout shrinks). The
+    * history table needs no equivalent: rebuilds dynamic-overwrite whole
+    * bucket directories, so its file count never grows with apply count.
     *
-    * Crash safety: the folded log is FULLY WRITTEN to a staging directory,
-    * then swapped in with delete + rename; a crash between them leaves the
-    * staging dir as the only copy and the next run PROMOTES it first (the
-    * [[graft.operators.Indexing.indexCompact]] pattern). Single writer:
-    * never run concurrently with an apply — a batch appended between the
-    * log read and the swap would be erased while its history survived,
-    * silently un-recording events from future rebuilds.
+    * Crash and concurrent-reader safety per the [[Generations]] manifest
+    * protocol: the folded log lands as a NEW `gen=c<n>` generation, the
+    * manifest flips to it, and the folded directories survive one
+    * maintenance cycle for readers that resolved the old manifest; a
+    * crashed compaction's orphan is referenced by nothing and sweeps at
+    * the next run. An already-folded store (a lone `c<n>` generation)
+    * returns immediately, so repeated timed runs measure pure serving.
+    * Single WRITER still required (never concurrent with an apply).
     */
   def scd2Compact(spark: SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$path/events")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/events__compact_tmp")
-    if (!fs.exists(live) && fs.exists(tmp))
-      require(fs.rename(tmp, live), s"scd2Compact: recovery rename of $tmp failed")
-    fs.delete(tmp, true)
+    Generations.sweepUnreferenced(spark, path, surfaces)
+    val committed = Generations.live(spark, path)
+    if (committed.sizeIs == 1 && committed.head.startsWith("c")) return
+    val cGen = Generations.nextName(spark, path, surfaces, 'c')
     // one shuffle partition per bucket value → one file per bucket dir
-    spark.read.parquet(s"$path/events")
+    Generations.readSurface(spark, path, "events", committed).drop("gen")
       .repartition(col("__bucket"))
-      .write.partitionBy("__bucket").parquet(tmp.toString)
-    fs.delete(live, true)
-    require(fs.rename(tmp, live), s"scd2Compact: rename of $tmp failed")
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$path/events/gen=$cGen")
+    Generations.commit(spark, path, Seq(cGen))
   }
 }

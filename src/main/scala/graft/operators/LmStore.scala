@@ -3,43 +3,46 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 
 /** Persisted bigram language-model store — the count tables of
   * [[LanguageModel]] as an on-disk, incrementally-maintained artifact.
   * This is the store with the cleanest fold algebra of the family: every
-  * statistic is a COUNT, and counts of disjoint document batches add, so
-  * a generation per ingested batch folds by plain sum at read and
-  * compaction is the same sum written down. The production shape the
-  * LanguageModel scaladoc promises ("count tables a pipeline would
-  * persist and reuse across scoring runs") made real: train once, absorb
-  * each new crawl increment for the cost of counting THAT batch, score
-  * any document set against the frozen register without ever re-reading
-  * the training corpus.
+  * statistic is a COUNT over disjoint document batches, so a generation
+  * per ingested batch folds by plain sum at read and compaction is the
+  * same sum written down. The production shape the LanguageModel scaladoc
+  * promises ("count tables a pipeline would persist and reuse across
+  * scoring runs") made real: train once, absorb each new crawl increment
+  * for the cost of counting THAT batch, score any document set against
+  * the frozen register without ever re-reading the training corpus.
   *
   * Layout (the index-store shape — one `gen=<g>` directory per ingested
   * batch, appends never rewrite old files, readers fold, compaction
   * merges; the `_MANIFEST` generation list is the single commit point,
   * [[Generations]]):
   *
-  *   meta/                      one row (n_shards)
+  *   meta/                        one row (n_shards)
   *   bigrams/gen=<g>/shard=<s>/   (w1, w2, c) — fold by sum
   *   unigrams/gen=<g>/shard=<s>/  (w1, c) — bigram-context counts, fold
   *       by sum; sharded by the SAME key (w1) as bigrams so a scoring
   *       batch prunes both tables with one probed-shard set
-  *   tokens/gen=<g>/            (w) — this generation's distinct tokens;
-  *       the ground truth V folds from (distinct over the union is exact)
-  *   docreg/gen=<g>/            (id) — ingested-doc registry backing the
-  *       append-only guard (re-ingesting a doc would double its counts)
-  *   vtot/gen=<g>/              one (v, mark) row — the TOTAL distinct
-  *       token count over the whole tokens surface as of this
-  *       generation's write, stamped with the registry size as a
-  *       monotone marker (docs are append-only, so the row with the
-  *       largest mark is the latest state). Scoring reads THIS — one row
-  *       per generation — never a vocab-sized distinct: V's O(vocab)
-  *       aggregation is charged to the write that changed it, not to
-  *       every scoring call (the folded-posting-heads discipline of the
-  *       index store, applied to a non-summable statistic via a
-  *       latest-wins marker instead of a sum)
+  *   tokens/gen=<g>/shard=<s>/    (w) — this generation's distinct
+  *       tokens, sharded by token hash: the ground truth V folds from,
+  *       and — because shards PARTITION the vocabulary — the surface an
+  *       append's novelty check prunes to its own batch's shards
+  *   docreg/gen=<g>/bucket=<b>/   (id) — ingested-doc registry backing
+  *       the append-only guard (re-ingesting a doc would double its
+  *       counts), bucketed by id hash so the guard reads only the
+  *       batch ids' own buckets
+  *   vstat/gen=<g>/               (shard, v) — the count of this
+  *       generation's NOVEL tokens per shard (tokens absent from every
+  *       PRIOR committed generation). A token is counted exactly once,
+  *       at the generation that introduced it, so total vocabulary size
+  *       V = sum(v) over all generations — a constant-size scan at
+  *       scoring time, and a SUMMABLE statistic that compaction folds
+  *       like any other count. The novelty anti-join at append time is
+  *       pruned to the batch vocabulary's own token shards: the write
+  *       pays a batch-shaped cost, never a full-vocab distinct.
   *
   * Generation names: "g<k>" for batch build/append (auto-numbered),
   * caller-chosen "b<batchId>" for stream appends
@@ -48,10 +51,11 @@ import org.apache.spark.sql.functions._
   * re-driving a generation converges — and stays invisible until the
   * manifest references it.
   *
-  * 100 TB shape: appends cost one count pass over the batch; scoring
-  * prunes the count scans to the shards of the scored batch's own vocab
-  * (probed driver-side, bounded by nShards BY CONSTRUCTION); the shuffle
-  * in every stage is keyed by token text with map-side partial combine.
+  * 100 TB shape: appends cost one count pass over the batch plus a
+  * batch-vocab-pruned membership probe; scoring prunes the count scans
+  * to the shards of the scored batch's own vocab (probed driver-side,
+  * bounded by nShards BY CONSTRUCTION); the shuffle in every stage is
+  * keyed by token text with map-side partial combine.
   */
 object LmStore {
 
@@ -61,22 +65,53 @@ object LmStore {
   private def shardOf(w: Column, nShards: Int) =
     pmod(xxhash64(w), lit(nShards.toLong)).cast("int")
 
+  private def bucketOf(id: Column, nShards: Int) =
+    pmod(xxhash64(id.cast("string")), lit(nShards.toLong)).cast("int")
+
   private def readMeta(spark: SparkSession, dir: String): Int =
     spark.read.parquet(s"$dir/meta").select(col("n_shards")).head().getInt(0)
 
-  private val surfaces = Seq("bigrams", "unigrams", "tokens", "docreg", "vtot")
+  private val surfaces = Seq("bigrams", "unigrams", "tokens", "docreg", "vstat")
+
+  // every surface read carries its schema explicitly: no footer-based
+  // inference, so a pruned read NEVER opens an unprobed shard/bucket even
+  // at planning time (the batch-bound law in LmStoreSpec corrupts the
+  // unprobed directories and the append must still succeed). Doc ids are
+  // stored as strings so the registry schema is caller-type-free.
+  private val bigramsSchema = new StructType()
+    .add("w1", StringType).add("w2", StringType).add("c", LongType)
+    .add("gen", StringType).add("shard", IntegerType)
+  private val unigramsSchema = new StructType()
+    .add("w1", StringType).add("c", LongType)
+    .add("gen", StringType).add("shard", IntegerType)
+  private val tokensSchema = new StructType()
+    .add("w", StringType).add("gen", StringType).add("shard", IntegerType)
+  private val docregSchema = new StructType()
+    .add("id", StringType).add("gen", StringType).add("bucket", IntegerType)
+  private val vstatSchema = new StructType()
+    .add("shard", IntegerType).add("v", LongType).add("gen", StringType)
+  private val schemaOf = Map("bigrams" -> bigramsSchema,
+    "unigrams" -> unigramsSchema, "tokens" -> tokensSchema,
+    "docreg" -> docregSchema, "vstat" -> vstatSchema)
 
   private def surface(spark: SparkSession, dir: String, sub: String,
       gens: Seq[String]): DataFrame =
-    Generations.readSurface(spark, dir, sub, gens)
+    Generations.readSurfaceAs(spark, dir, sub, gens, schemaOf(sub))
+
+  /** The doc registry pruned to the given id buckets. */
+  private def docregPruned(spark: SparkSession, dir: String,
+      gens: Seq[String], buckets: Array[Int]): DataFrame =
+    surface(spark, dir, "docreg", gens)
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf).toIndexedSeq: _*))
 
   /** Count the batch once and write one generation of every surface.
-    * `gens` is the full generation list the finished write will comprise
-    * (the committed manifest plus `gen` itself) — the vtot recount folds
-    * the tokens/docreg surfaces over exactly that list. */
+    * `priorGens` is the committed generation list the novelty check runs
+    * against — it must EXCLUDE `gen` itself (a replayed stream write
+    * would otherwise find its own tokens "known" and undercount V). */
   private def writeGeneration(batch: DataFrame, idCol: String,
       textCol: String, dir: String, gen: String, nShards: Int,
-      gens: Seq[String]): Unit = {
+      priorGens: Seq[String]): Unit = {
+    val s = batch.sparkSession
     val bg = LanguageModel.bigramRows(batch, idCol, textCol)
       .withColumn("shard", shardOf(col("w1"), nShards))
       .localCheckpoint() // one tokenize+zip evaluation for the two count writes
@@ -87,21 +122,35 @@ object LmStore {
     bg.groupBy(col("shard"), col("w1")).agg(count(lit(1)).as("c"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$dir/unigrams/gen=$gen")
-    batch.select(explode(split(col(textCol), "\\s+")).as("w")).distinct()
-      .write.mode("overwrite").parquet(s"$dir/tokens/gen=$gen")
-    batch.select(col(idCol).as("id")).distinct()
-      .write.mode("overwrite").parquet(s"$dir/docreg/gen=$gen")
     bg.unpersist()
-    // the write that changed V pays for recounting it (over the tokens
-    // surface INCLUDING this generation); a replay recomputes over the
-    // then-current state, so its row is never stale-but-max
-    val s = batch.sparkSession
-    surface(s, dir, "tokens", gens)
-      .agg(countDistinct(col("w")).as("v"))
-      .crossJoin(surface(s, dir, "docreg", gens)
-        .agg(count(lit(1)).as("mark")))
-      .select(col("v"), col("mark"))
-      .write.mode("overwrite").parquet(s"$dir/vtot/gen=$gen")
+    val toks = batch.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .distinct()
+      .withColumn("shard", shardOf(col("w"), nShards))
+      .localCheckpoint() // one evaluation: token write + shard probe + novelty
+    toks.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dir/tokens/gen=$gen")
+    batch.select(col(idCol).cast("string").as("id")).distinct()
+      .withColumn("bucket", bucketOf(col("id"), nShards))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/docreg/gen=$gen")
+    // the write pays V's delta — and only the delta: the batch's tokens
+    // probe membership against the shards THEY hash to (driver-side int
+    // set, bounded by nShards by construction), never the whole register
+    val novel =
+      if (priorGens.isEmpty) toks
+      else {
+        val probed = toks.select(col("shard")).distinct().collect()
+          .map(_.getInt(0))
+        val prior = surface(s, dir, "tokens", priorGens)
+          .filter(col("shard").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
+          .select(col("w"))
+        toks.join(prior, Seq("w"), "left_anti")
+      }
+    novel.groupBy(col("shard")).agg(count(lit(1)).as("v"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/vstat/gen=$gen")
+    toks.unpersist()
+    ()
   }
 
   /** Build a fresh persisted LM store under `dir` from the training
@@ -112,7 +161,7 @@ object LmStore {
     val spark = trainDocs.sparkSession
     import spark.implicits._
     fsOf(spark, dir).delete(new Path(dir), true)
-    writeGeneration(trainDocs, idCol, textCol, dir, "g0", nShards, Seq("g0"))
+    writeGeneration(trainDocs, idCol, textCol, dir, "g0", nShards, Nil)
     Seq(nShards).toDF("n_shards")
       .write.mode("overwrite").parquet(s"$dir/meta")
     // the manifest flip commits the build ([[Generations]])
@@ -124,20 +173,28 @@ object LmStore {
     * register equals one trained on the union of all ingested batches.
     * Append-only contract: a doc id enters the register exactly once
     * (re-ingesting would double its counts), enforced against the stored
-    * doc registry. For at-least-once stream delivery use
+    * doc registry — pruned to the batch ids' own buckets, so the guard
+    * reads a batch-shaped slice of the registry no matter how much was
+    * ever ingested. For at-least-once stream delivery use
     * [[lmAppendOrReplay]] — a redelivered batch would trip this guard.
     */
   def lmAppend(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, dir: String): Unit = {
+    val nShards = readMeta(spark, dir)
     val committed = Generations.live(spark, dir)
-    val dupe = surface(spark, dir, "docreg", committed).select(col("id"))
-      .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
-    require(dupe.isEmpty,
-      "lmAppend: batch contains doc ids already in the register — " +
-        "the append-only contract forbids re-ingesting a document")
+    val ids = batch.select(col(idCol).cast("string").as("id")).distinct()
+      .localCheckpoint()
+    try {
+      val buckets = ids.select(bucketOf(col("id"), nShards).as("b"))
+        .distinct().collect().map(_.getInt(0))
+      val dupe = docregPruned(spark, dir, committed, buckets).select(col("id"))
+        .join(ids, Seq("id"), "left_semi")
+      require(dupe.isEmpty,
+        "lmAppend: batch contains doc ids already in the register — " +
+          "the append-only contract forbids re-ingesting a document")
+    } finally ids.unpersist()
     val gen = Generations.nextName(spark, dir, surfaces, 'g')
-    writeGeneration(batch, idCol, textCol, dir, gen, readMeta(spark, dir),
-      committed :+ gen)
+    writeGeneration(batch, idCol, textCol, dir, gen, nShards, committed)
     Generations.add(spark, dir, gen)
   }
 
@@ -146,9 +203,9 @@ object LmStore {
     * target `gen=<gen>` with OVERWRITE, so an at-least-once redelivery —
     * even after a crash that committed only some of the five — rewrites
     * the same directories and converges; doc ids already ingested by a
-    * DIFFERENT generation are genuine re-ingestion and fail fast. `gen`
-    * must not collide with the batch ("g<k>") or compaction ("c0")
-    * namespaces — use "b<batchId>".
+    * DIFFERENT generation are genuine re-ingestion and fail fast (guard
+    * pruned to the batch ids' buckets). `gen` must not collide with the
+    * batch ("g<k>") or compaction ("c0") namespaces — use "b<batchId>".
     */
   def lmAppendOrReplay(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, dir: String, gen: String): Unit = {
@@ -157,22 +214,29 @@ object LmStore {
         gen.tail.forall(_.isDigit)),
       s"lmAppendOrReplay: generation name '$gen' collides with the " +
         "batch/compaction namespace — use a distinct prefix, e.g. b<batchId>")
+    val nShards = readMeta(spark, dir)
     val committed = Generations.live(spark, dir)
-    val others = surface(spark, dir, "docreg", committed)
-      .filter(col("gen") =!= gen).select(col("id"))
-      .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
-    require(others.isEmpty,
-      "lmAppendOrReplay: batch contains doc ids already ingested by a " +
-        "DIFFERENT generation — genuine re-ingestion, not a replay")
-    writeGeneration(batch, idCol, textCol, dir, gen, readMeta(spark, dir),
-      (committed :+ gen).distinct)
+    val ids = batch.select(col(idCol).cast("string").as("id")).distinct()
+      .localCheckpoint()
+    try {
+      val buckets = ids.select(bucketOf(col("id"), nShards).as("b"))
+        .distinct().collect().map(_.getInt(0))
+      val others = docregPruned(spark, dir, committed, buckets)
+        .filter(col("gen") =!= gen).select(col("id"))
+        .join(ids, Seq("id"), "left_semi")
+      require(others.isEmpty,
+        "lmAppendOrReplay: batch contains doc ids already ingested by a " +
+          "DIFFERENT generation — genuine re-ingestion, not a replay")
+    } finally ids.unpersist()
+    writeGeneration(batch, idCol, textCol, dir, gen, nShards,
+      committed.filterNot(_ == gen))
     Generations.add(spark, dir, gen)
   }
 
   /** Score a document set against the stored register WITHOUT re-reading
     * the training corpus: bigram/context counts fold the generations by
-    * sum, V reads the one-row-per-generation vtot stats (latest-wins marker
-    * fold — never a vocab-sized distinct), unseen bigrams get the true
+    * sum, V sums the per-generation novel-token stats (a constant-size
+    * scan — never a vocab-sized distinct), unseen bigrams get the true
     * smoothing floor k/(k·V) ([[LanguageModel.bigramLogProbAgainst]]'s
     * semantics — and therefore [[LanguageModel.bigramLogProb]]'s when
     * `docs` IS the ingested corpus; q135's oracle). The count scans are
@@ -204,20 +268,22 @@ object LmStore {
       .agg(sum(col("c")).as("c12"))
     val c1 = pruned("unigrams").groupBy(col("w1"))
       .agg(sum(col("c")).as("c1"))
-    // latest-wins fold of the one-row-per-generation vocab stats: one
-    // tiny scan, never a vocab-sized distinct at scoring time
-    val vocab = surface(spark, dir, "vtot", gens)
-      .orderBy(col("mark").desc, col("v").desc).limit(1).select(col("v"))
+    // V folds the per-generation novel-token counts by sum: one tiny
+    // scan, never a vocab-sized distinct at scoring time
+    val vocab = surface(spark, dir, "vstat", gens)
+      .agg(coalesce(sum(col("v")), lit(0L)).as("v"))
     LanguageModel.scoreTail(bg, c12, c1, vocab, k)
   }
 
   /** Compact the store's committed generations into one: bigram/context
-    * counts merge by sum, token sets by distinct, vtot keeps its
-    * max-marker row, the doc registry passes through (disjoint across
-    * generations). Correctness never depends on compaction (readers
-    * fold); it bounds the generation and file count. Generations in
-    * `keepGens` stay referenced untouched (a stream maintainer MUST keep
-    * every generation its checkpoint has not committed — see
+    * counts merge by sum, token sets by distinct, the per-shard novelty
+    * stats by sum (each token was counted exactly once, at the
+    * generation that introduced it — the folded sum is that same count),
+    * the doc registry passes through (disjoint across generations).
+    * Correctness never depends on compaction (readers fold); it bounds
+    * the generation and file count. Generations in `keepGens` stay
+    * referenced untouched (a stream maintainer MUST keep every
+    * generation its checkpoint has not committed — see
     * [[lmAppendOrReplay]]).
     *
     * Crash and concurrent-reader safety per the [[Generations]] manifest
@@ -243,10 +309,11 @@ object LmStore {
     fold("unigrams", Seq("shard")) {
       _.groupBy(col("shard"), col("w1")).agg(sum(col("c")).as("c"))
     }
-    fold("tokens", Nil)(_.distinct())
-    fold("docreg", Nil)(identity)
-    // latest-wins statistic: the fold keeps the max-marker row
-    fold("vtot", Nil)(_.orderBy(col("mark").desc, col("v").desc).limit(1))
+    fold("tokens", Seq("shard"))(_.distinct())
+    fold("docreg", Seq("bucket"))(identity)
+    fold("vstat", Nil) {
+      _.groupBy(col("shard")).agg(sum(col("v")).as("v")).coalesce(1)
+    }
     Generations.commit(spark, dir, cGen +: liveGens.filter(keepGens))
   }
 }

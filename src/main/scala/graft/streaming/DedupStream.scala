@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Generations}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -12,17 +12,30 @@ import org.apache.spark.sql.streaming.Trigger
   * [[graft.operators.Dedup.dedupIncremental]] — the old corpus is never
   * re-paired with itself, only semi-join-pruned point lookups touch it —
   * then the survivors land in the corpus store and their band signatures
-  * APPEND to the band state. State grows append-only across batches; the
-  * morning's crawl costs the morning's crawl, not the corpus.
+  * land beside them, one generation per micro-batch. State grows
+  * append-only across batches; the morning's crawl costs the morning's
+  * crawl, not the corpus.
   *
-  * Exactly-once materialization: each micro-batch writes its survivors
-  * (and signatures) under a `batch=<id>` directory with overwrite, so a
+  * Committed through the [[Generations]] manifest (`_MANIFEST` under
+  * `stateDir`): a micro-batch writes `corpus/gen=<id>` and
+  * `bands/gen=<id>` and flips the manifest once, so the survivors and
+  * their signatures become visible TOGETHER — no reader window where a
+  * document exists without its band state. Exactly-once materialization:
+  * each generation write is an overwrite of its own directory, so a
   * replayed micro-batch (foreachBatch is at-least-once under failure)
   * rewrites identical content instead of duplicating it — the file
   * source's batch composition is deterministic under the stream
   * checkpoint, and the dedup itself is deterministic by construction.
+  *
+  * Generation names: the numeric micro-batch id for stream writes,
+  * `c<n>` for compacted generations (which only ever hold batches below
+  * the committed watermark). A replayed batch `b` therefore excludes its
+  * own and any later generation structurally: it reads numeric
+  * generations `< b` plus every `c<n>`.
   */
 object DedupStream {
+
+  private val surfaces = Seq("corpus", "bands")
 
   /** Drain the parquet documents under `srcDir` through incremental dedup
     * into `stateDir` (`corpus/` survivors + `bands/` signature state),
@@ -50,6 +63,20 @@ object DedupStream {
     q.awaitTermination()
   }
 
+  private def hasManifest(spark: SparkSession, stateDir: String): Boolean =
+    new org.apache.hadoop.fs.Path(stateDir, "_MANIFEST")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(stateDir, "_MANIFEST"))
+
+  /** The committed generations a (possibly replayed) batch `b` may read:
+    * numeric generations strictly below `b`, plus compacted folds — which
+    * hold only batches below the committed watermark, itself at most any
+    * replayable id. */
+  private def gensBelow(spark: SparkSession, stateDir: String,
+      b: Long): Seq[String] =
+    Generations.live(spark, stateDir)
+      .filter(g => g.startsWith("c") || g.toLong < b)
+
   /** One micro-batch of the ingest, REPLAY-SAFE: the state read excludes
     * generation `batchId` and later, so a batch whose writes landed before
     * a crash re-cleans against exactly the state it saw the first time —
@@ -60,16 +87,17 @@ object DedupStream {
   private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, stateDir: String, idCol: String, textCol: String,
       shingleN: Int, threshold: Double, k: Int, bands: Int): Unit = {
-    val corpusDir = s"$stateDir/corpus"
-    val bandsDir = s"$stateDir/bands"
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val priorGens =
+      if (!hasManifest(spark, stateDir)) Nil
+      else gensBelow(spark, stateDir, batchId)
     val prior =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(bandsDir))) None
+      if (priorGens.isEmpty) None
       else {
-        val ob = spark.read.parquet(bandsDir).filter(col("batch") < batchId)
+        val ob = Generations.readSurface(spark, stateDir, "bands", priorGens)
+          .drop("gen")
         if (ob.isEmpty) None
-        else Some((spark.read.parquet(corpusDir).filter(col("batch") < batchId), ob))
+        else Some((Generations.readSurface(spark, stateDir, "corpus", priorGens)
+          .drop("gen"), ob))
       }
     val survivors =
       (prior match {
@@ -82,81 +110,55 @@ object DedupStream {
         // materialized once: the corpus write and the signature write
         // below must not each re-run the MinHash + candidate join
         .localCheckpoint()
-    survivors.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+    survivors.write.mode("overwrite")
+      .parquet(s"$stateDir/corpus/gen=$batchId")
     Dedup.bandSignatures(survivors, idCol, textCol, shingleN, k, bands)
-      .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$stateDir/bands/gen=$batchId")
+    // one manifest flip commits survivors + signatures together
+    if (!hasManifest(spark, stateDir))
+      Generations.commit(spark, stateDir, Seq(batchId.toString))
+    else Generations.add(spark, stateDir, batchId.toString)
     survivors.unpersist()
     ()
   }
 
-  /** The deduped corpus accumulated so far (batch provenance dropped). */
+  /** The deduped corpus accumulated so far (generation provenance
+    * dropped; manifest-resolved, so a crashed batch's orphan directories
+    * are invisible). */
   def corpus(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(s"$stateDir/corpus").drop("batch")
+    Generations.readSurface(spark, stateDir, "corpus",
+      Generations.live(spark, stateDir)).drop("gen")
 
-  /** Fold the corpus/band generations STRICTLY BELOW `uptoBatch` into a
-    * single `batch=<uptoBatch-1>` directory per surface — after N
-    * micro-batches the state otherwise holds N directories whose listing
-    * and open cost grows linearly with ingest history. Content is
+  /** Fold the corpus/band generations STRICTLY BELOW `uptoBatch` (plus
+    * any earlier folds) into a single `c<n>` generation per surface —
+    * after N micro-batches the state otherwise holds N directories whose
+    * listing and open cost grows linearly with ingest history. Content is
     * unchanged (generation rows are disjoint), and the replay contract is
     * preserved by construction: a replayed batch b >= uptoBatch still
-    * excludes its own generation (`batch < b` includes the compacted
-    * directory, whose id is < uptoBatch <= b) and still owns its
-    * `batch=b` overwrite target untouched. `uptoBatch` must therefore be
-    * at most the stream's committed watermark — a batch id at or below it
-    * can no longer be redelivered under the checkpoint.
+    * excludes its own generation (it reads numeric generations < b and
+    * the folds, all of which hold only batches < uptoBatch <= b) and
+    * still owns its `gen=b` overwrite target untouched. `uptoBatch` must
+    * therefore be at most the stream's committed watermark — a batch id
+    * at or below it can no longer be redelivered under the checkpoint.
     *
-    * Crash safety (the staged-swap pattern of `Indexing.indexCompact`,
-    * with a commit marker because the live directory keeps its later
-    * generations): the folded generation is fully written to a staging
-    * directory and committed with a `_COMPLETE` marker BEFORE any live
-    * directory is deleted; a crash mid-write discards the unmarked
-    * staging, a crash mid-promote finds the marked staging and finishes
-    * the swap. Single writer: never run concurrently with an active
-    * ingest of the folded generations.
+    * Crash and concurrent-reader safety per the [[Generations]] manifest
+    * protocol: the fold lands as a NEW generation, the manifest flip
+    * commits it, folded directories survive one maintenance cycle for
+    * readers holding the old manifest, and a crashed fold's orphan (or a
+    * crashed batch's uncommitted write — its replay rewrites the
+    * directory from scratch anyway) is swept at the next run. Single
+    * writer: never run concurrently with an active ingest.
     */
   def compactState(spark: SparkSession, stateDir: String, uptoBatch: Long): Unit = {
     require(uptoBatch >= 1, "need uptoBatch >= 1")
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (surface <- Seq("corpus", "bands"))
-      compactSurface(spark, fs, s"$stateDir/$surface", uptoBatch)
-  }
-
-  private def batchIds(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-  }
-
-  private def compactSurface(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, dir: String, upto: Long): Unit = {
-    import org.apache.spark.sql.functions.col
-    val tmp = new org.apache.hadoop.fs.Path(s"${dir}__compact_tmp")
-    val marker = new org.apache.hadoop.fs.Path(tmp, "_COMPLETE")
-    // an unmarked staging dir is a crashed mid-write — discard and redo
-    if (fs.exists(tmp) && !fs.exists(marker)) fs.delete(tmp, true)
-    if (!fs.exists(tmp)) {
-      if (batchIds(fs, dir).count(_ < upto) <= 1) return // nothing to fold
-      spark.read.parquet(dir).filter(col("batch") < upto).drop("batch")
-        .write.parquet(new org.apache.hadoop.fs.Path(tmp,
-          s"batch=${upto - 1}").toString)
-      fs.create(marker).close() // commit point: staging is complete
-    }
-    // promote (first run or recovery): the staged generation's own name
-    // says which live generations it replaces — the current `upto` is
-    // deliberately ignored here so recovering an older run stays correct
-    fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("batch="))
-      .foreach { staged =>
-        val target = staged.getName.stripPrefix("batch=").toLong
-        batchIds(fs, dir).filter(_ <= target).foreach(b =>
-          fs.delete(new org.apache.hadoop.fs.Path(dir, s"batch=$b"), true))
-        require(fs.rename(staged,
-          new org.apache.hadoop.fs.Path(dir, staged.getName)),
-          s"compactState: rename of $staged failed")
-      }
-    fs.delete(tmp, true)
-    ()
+    Generations.sweepUnreferenced(spark, stateDir, surfaces)
+    val live = Generations.live(spark, stateDir)
+    val fold = live.filter(g => g.startsWith("c") || g.toLong < uptoBatch)
+    if (fold.size <= 1) return // nothing to fold
+    val cGen = Generations.nextName(spark, stateDir, surfaces, 'c')
+    for (surface <- surfaces)
+      Generations.readSurface(spark, stateDir, surface, fold).drop("gen")
+        .write.mode("overwrite").parquet(s"$stateDir/$surface/gen=$cGen")
+    Generations.commit(spark, stateDir, cGen +: live.filterNot(fold.contains))
   }
 }

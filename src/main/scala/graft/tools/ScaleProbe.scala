@@ -152,13 +152,14 @@ object ScaleProbe {
           k = 10, nProbe = 4).count()),
       // fixed scored batch against a growing register: count scans prune
       // to the batch's vocab shards (constant data per shard by the same
-      // contract); V reads the one-row-per-generation vtot stats
+      // contract); V sums the per-generation vstat novelty rows
       ("lm_score", () =>
         graft.operators.LmStore.lmScore(spark,
           docs.filter(col("doc_id") < 50), "doc_id", "text", lmDir).count()),
       // fixed-size batch appended to the growing register: count passes
-      // cost the batch; the vtot recount is the one documented
-      // vocab-proportional term (slim single-column scan)
+      // cost the batch; the V delta is a membership probe pruned to the
+      // batch vocabulary's own token shards, and the append-only guard
+      // reads only the batch ids' docreg buckets
       ("lm_append", () => {
         seq += 1
         val batch = docs.filter(col("doc_id") < 50)
@@ -168,11 +169,10 @@ object ScaleProbe {
         batch.count()
       }),
       // fixed-size batch absorbed into the growing cluster store: edge
-      // derivation is a hub-table lookup (batch text matches stored docs,
-      // so hubs stay stable), the label rewrite touches affected buckets
-      // only. The documented scan-shaped term is the depth-1 label
-      // collapse — O(stored labels) 16-byte rows per apply, the
-      // ClusterStore scaladoc's declared cost, measured here
+      // derivation reads only the batch fingerprints' hub shards, old
+      // connectivity enters as endpoint-bucket point lookups resolved
+      // through the merge ledger, and the iterative CC runs over a
+      // batch-sized subgraph — no read scales with the stored corpus
       ("cc_apply", () => {
         seq += 1
         val batch = docs.filter(col("doc_id") < 50)

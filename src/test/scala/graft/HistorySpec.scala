@@ -43,7 +43,8 @@ class HistorySpec extends AnyFunSuite {
     assert(got.count(_.head == 1L) === 4)
   }
 
-  test("scd2Compact folds the event log to one file per bucket without changing anything") {
+  test("scd2Compact folds the event-log generations through the manifest") {
+    import graft.operators.Generations
     val b1 = ev((1L, 1L, "a", 1000L), (2L, 1L, "x", 1000L), (3L, 1L, "p", 2000L))
     val b2 = ev((1L, 2L, "b", 3000L), (2L, 2L, "y", 4000L))
     val b3 = ev((1L, 3L, "a", 5000L), (3L, 2L, "q", 6000L))
@@ -51,22 +52,33 @@ class HistorySpec extends AnyFunSuite {
     History.scd2Build(b1, "user_id", "event_type", "ts", "event_id", dir, nBuckets = 4)
     History.scd2Apply(spark, dir, b2, "user_id", "event_type", "ts", "event_id")
     History.scd2Apply(spark, dir, b3, "user_id", "event_type", "ts", "event_id")
-    def filesPerBucket: Map[String, Int] =
-      new java.io.File(s"$dir/events").listFiles().filter(_.isDirectory)
-        .map(d => d.getName ->
-          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    def genDirs: Seq[String] =
+      new java.io.File(s"$dir/events").listFiles().toSeq
+        .map(_.getName).filter(_.startsWith("gen="))
     val before = canon(History.scd2Read(spark, dir))
-    assert(filesPerBucket.values.exists(_ > 1),
-      "three batches must have left multiple files in some bucket")
+    assert(Generations.live(spark, dir) === Seq("g0", "g1", "g2"))
 
+    // a reader that resolved the pre-compaction manifest must survive the
+    // flip: the folded generations stay on disk for one cycle
+    val resolvedBefore = History.scd2Read(spark, dir)
     History.scd2Compact(spark, dir)
-    assert(filesPerBucket.values.forall(_ === 1),
-      s"compaction must leave one file per bucket: $filesPerBucket")
+    assert(Generations.live(spark, dir) === Seq("c0"))
+    assert(genDirs.size === 4, "folded gens must survive one cycle")
     assert(canon(History.scd2Read(spark, dir)) === before)
+    assert(canon(resolvedBefore) === before)
     // the log still carries every event: a full rebuild from it matches
     val all = b1.unionByName(b2).unionByName(b3)
     assert(canon(History.scd2(all, "user_id", "event_type", "ts", "event_id"))
       === before)
+
+    // an already-folded store early-returns; a stray partial fold (crashed
+    // compaction) is unreferenced and swept by the next run
+    val stray = new java.io.File(s"$dir/events/gen=c1")
+    assert(stray.mkdirs())
+    History.scd2Compact(spark, dir)
+    assert(!stray.exists(), "an uncommitted partial fold must be swept")
+    assert(genDirs === Seq("gen=c0"), "lapsed generations must be swept")
+    assert(Generations.live(spark, dir) === Seq("c0"))
 
     // applies keep working on the compacted log (late event splits a run)
     val b4 = ev((1L, 4L, "c", 3500L), (4L, 1L, "r", 1000L))
@@ -74,20 +86,6 @@ class HistorySpec extends AnyFunSuite {
     assert(canon(History.scd2Read(spark, dir)) ===
       canon(History.scd2(all.unionByName(b4),
         "user_id", "event_type", "ts", "event_id")))
-
-    // crash-recovery: dying between delete(live) and rename leaves the
-    // staging dir as the only copy of the LOG — re-running must promote
-    // it, and a rebuild from the recovered log must still match
-    val after = canon(History.scd2Read(spark, dir))
-    val live = new java.io.File(s"$dir/events")
-    val tmp = new java.io.File(s"$dir/events__compact_tmp")
-    assert(live.renameTo(tmp))
-    History.scd2Compact(spark, dir)
-    assert(filesPerBucket.values.forall(_ === 1))
-    assert(canon(History.scd2(
-      spark.read.parquet(s"$dir/events").drop("__bucket"),
-      "user_id", "event_type", "ts", "event_id")) === after,
-      "recovered log must rebuild the same history")
   }
 
   test("re-applying a delivered batch fails fast instead of corrupting history") {

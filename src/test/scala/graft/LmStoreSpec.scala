@@ -65,7 +65,7 @@ class LmStoreSpec extends AnyFunSuite {
     val resolvedBefore = LmStore.lmScore(spark, docs, "doc_id", "text", dir)
     LmStore.lmCompact(spark, dir)
     assert(Generations.live(spark, dir) === Seq("c0"))
-    for (s <- Seq("bigrams", "unigrams", "tokens", "docreg", "vtot"))
+    for (s <- Seq("bigrams", "unigrams", "tokens", "docreg", "vstat"))
       assert(genDirs(dir, s).size === 4, s"$s: folded gens must survive one cycle")
     assert(canon(LmStore.lmScore(spark, docs, "doc_id", "text", dir)) === before)
     assert(canon(resolvedBefore) === before,
@@ -77,7 +77,7 @@ class LmStoreSpec extends AnyFunSuite {
     assert(stray.mkdirs())
     LmStore.lmCompact(spark, dir)
     assert(!stray.exists(), "an uncommitted partial fold must be swept")
-    for (s <- Seq("bigrams", "unigrams", "tokens", "docreg", "vtot"))
+    for (s <- Seq("bigrams", "unigrams", "tokens", "docreg", "vstat"))
       assert(genDirs(dir, s) === Seq("gen=c0"), s"surface $s not swept")
     assert(canon(LmStore.lmScore(spark, docs, "doc_id", "text", dir)) === before)
   }
@@ -98,20 +98,58 @@ class LmStoreSpec extends AnyFunSuite {
     assert(canon(LmStore.lmScore(spark, docs, "doc_id", "text", dir)) === before)
   }
 
-  test("vtot serves the write-time vocab count, latest write wins") {
+  test("vstat sums per-generation novelty to the true vocab count") {
     val dir = tmp()
     LmStore.lmBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", dir,
       nShards = 8)
     LmStore.lmAppend(spark, docs.filter($"doc_id" % 2 =!= 0), "doc_id",
       "text", dir)
-    val served = spark.read.parquet(s"$dir/vtot")
-      .orderBy(col("mark").desc, col("v").desc).limit(1)
-      .head().getAs[Long]("v")
+    val served = spark.read.parquet(s"$dir/vstat")
+      .agg(sum(col("v"))).head().getLong(0)
     val truth = docs.select(explode(split($"text", "\\s+")).as("w"))
       .agg(countDistinct($"w")).head().getLong(0)
-    assert(served === truth)
-    // one row per generation — scoring's V read is O(generations)
-    assert(spark.read.parquet(s"$dir/vtot").count() === 2L)
+    assert(served === truth,
+      "a token must be counted exactly once, at the generation that " +
+        "introduced it")
+    // at most nShards rows per generation — scoring's V read is
+    // O(generations x shards), never vocab-sized
+    assert(spark.read.parquet(s"$dir/vstat").count() <= 16L)
+  }
+
+  test("append guards and novelty read only the batch's buckets/shards") {
+    val dir = tmp()
+    LmStore.lmBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", dir,
+      nShards = 8)
+    // a one-doc batch: its id hashes to one docreg bucket; its tokens
+    // probe a few token shards
+    val batch = Seq((999999L, "graftnoveltoken alpha")).toDF("doc_id", "text")
+    val idBuckets = batch
+      .select(pmod(xxhash64($"doc_id".cast("string")), lit(8L)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val tokShards = batch
+      .select(explode(split($"text", "\\s+")).as("w"))
+      .select(pmod(xxhash64($"w"), lit(8L)).cast("int").as("s"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // corrupt every docreg bucket and token shard the batch does NOT
+    // touch: if the guard or the novelty check scanned them, the append
+    // would die on unreadable parquet
+    def corrupt(d: java.io.File): Unit =
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.write(f.toPath, "not parquet".getBytes)
+      }
+    for (b <- 0 until 8 if !idBuckets(b)) {
+      val d = new java.io.File(s"$dir/docreg/gen=g0/bucket=$b")
+      if (d.exists()) corrupt(d)
+    }
+    for (s <- 0 until 8 if !tokShards(s)) {
+      val d = new java.io.File(s"$dir/tokens/gen=g0/shard=$s")
+      if (d.exists()) corrupt(d)
+    }
+    LmStore.lmAppend(spark, batch, "doc_id", "text", dir)
+    // the novel token landed in vstat exactly once
+    val v = spark.read.parquet(s"$dir/vstat")
+      .filter(col("gen") === "g1").agg(sum(col("v"))).head()
+    assert(!v.isNullAt(0) && v.getLong(0) >= 1L)
   }
 
   test("append-only guard and namespace collisions fail fast") {

@@ -44,7 +44,7 @@ class StreamingSpec extends AnyFunSuite {
     // state grew append-only: one signature generation per micro-batch
     val gens = new java.io.File(s"$state/bands").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
-    assert(gens === Set("batch=0", "batch=1"))
+    assert(gens === Set("gen=0", "gen=1"))
 
     // replay with the same checkpoint: nothing new -> corpus unchanged
     DedupStream.dedupIngestAvailableNow(spark, src, state, threshold = 0.5)
@@ -103,16 +103,18 @@ class StreamingSpec extends AnyFunSuite {
     val before = ids
     assert(before === Set(0L, 2L, 12L, 20L))
 
-    // fold generations 0 and 1 (committed watermark = 2)
+    // fold generations 0 and 1 (committed watermark = 2): the manifest
+    // flips to [c0, 2]; the folded directories survive one cycle for
+    // readers that resolved the old manifest
     DedupStream.compactState(spark, state, uptoBatch = 2L)
+    assert(graft.operators.Generations.live(spark, state) === Seq("c0", "2"))
     def gens(surface: String) = new java.io.File(s"$state/$surface").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
-    assert(gens("corpus") === Set("batch=1", "batch=2"))
-    assert(gens("bands") === Set("batch=1", "batch=2"))
+    assert(gens("corpus") === Set("gen=0", "gen=1", "gen=2", "gen=c0"))
     assert(ids === before, "compaction must not change the corpus")
 
-    // batch 2 is still replayable: own-generation exclusion sees the
-    // compacted batch=1 dir (< 2) and its overwrite target is untouched
+    // batch 2 is still replayable: own-generation exclusion reads the c0
+    // fold (batches < 2) and its overwrite target is untouched
     ingest(b2, 2L)
     assert(ids === before, "replay after compaction corrupted the state")
 
@@ -121,16 +123,13 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("doc_id", "text"), 3L)
     assert(ids === before + 30L)
 
-    // crash-recovery: simulate dying between the staged commit and the
-    // promote — the marked staging dir holds the folded generation
-    val live = new java.io.File(s"$state/bands/batch=1")
-    val tmpRoot = new java.io.File(s"$state/bands__compact_tmp")
-    assert(tmpRoot.mkdirs())
-    assert(live.renameTo(new java.io.File(tmpRoot, "batch=1")))
-    assert(new java.io.File(tmpRoot, "_COMPLETE").createNewFile())
-    DedupStream.compactState(spark, state, uptoBatch = 2L)
-    assert(gens("bands") === Set("batch=1", "batch=2", "batch=3"),
-      "recovery must promote the marked staging generation")
+    // the next compaction sweeps the lapsed generations (and any orphan of
+    // a crashed fold) and folds c0 + batches < 4 into c1
+    val stray = new java.io.File(s"$state/bands/gen=c9")
+    assert(stray.mkdirs())
+    DedupStream.compactState(spark, state, uptoBatch = 4L)
+    assert(!stray.exists(), "an uncommitted partial fold must be swept")
+    assert(graft.operators.Generations.live(spark, state) === Seq("c1"))
     assert(ids === before + 30L)
   }
 
