@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads modeled as opaque
   * `binary` columns with typed metadata, processed per-partition.
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/audio
-  * libraries exist in this container — see the build brief); everything
-  * around it — schema, typed Dataset, mapPartitions batching, partition
-  * sizing — is the real plumbing a decode UDF would ride on. Swapping
-  * [[stubDecode]] for a JNI/FFI decoder changes no query shape.
+  * The REAL decode paths are JDK-only: PNG pixel decode
+  * ([[decodePngPixels]] — zlib inflate + all five scanline filters),
+  * PNG/JPEG header parse ([[parseImageHeader]]) and WAV/PCM audio decode
+  * ([[parseWav]] / [[featurizeWav]] — RIFF chunk walk, 8/16-bit PCM).
+  * Everything a codec library would genuinely be needed for (JPEG entropy
+  * decode, compressed audio, video) falls back to a clearly-marked
+  * deterministic STUB; everything around it — schema, typed Dataset,
+  * mapPartitions batching, partition sizing — is the real plumbing a
+  * decode UDF rides on. Swapping [[stubDecode]] for a JNI/FFI decoder
+  * changes no query shape.
   *
   * Scale: decode is embarrassingly parallel per-partition;
   * `spark.sql.files.maxPartitionBytes` bounds the bytes decoded per task,
@@ -24,6 +29,19 @@ object BinaryOps {
       width: Int,
       height: Int,
       n_frames: Int)
+
+  /** Scalar audio features from a decoded PCM payload: amplitudes are
+    * normalized by full scale (2^(bits-1)), `n_frames` counts frames (one
+    * sample per channel), `zero_crossings` counts sign flips in channel 0.
+    */
+  case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Int,
+      n_channels: Int,
+      n_frames: Int,
+      mean_amp: Double,
+      rms_amp: Double,
+      zero_crossings: Int)
 
   /** STUB decoder: derives fake media metadata deterministically from the
     * payload byte length. The fallback when the payload is not a container
@@ -234,7 +252,8 @@ object BinaryOps {
     * pixels yield normalized per-channel means plus normalized dimensions
     * (cycled to `dim`); everything else falls to [[stubFeaturize]]. This
     * closes the declared decode stub for PNG with nothing but the JDK's
-    * zlib — audio/video (and JPEG entropy decode) remain the documented
+    * zlib; [[featurizeWav]] closes it for PCM audio. Video (and JPEG
+    * entropy decode, and compressed audio) remain the documented
     * swap-points, since their codecs genuinely need external libraries.
     */
   def featurizePixels(payload: Array[Byte], dim: Int): Array[Double] =
@@ -267,6 +286,170 @@ object BinaryOps {
       i += 1
     }
     acc.map(v => ((v % 1000) + 1000) % 1000 / 1000.0)
+  }
+
+  private def le16(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+  private def le32(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+      ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+
+  /** REAL WAV/PCM audio decode — JDK-only, the PNG-decode discipline
+    * applied to the RIFF container (RIFF spec / WAVE format registry,
+    * mirrored in RFC 2361): `RIFF<size>WAVE`, then chunks are walked
+    * (4-byte id, little-endian 32-bit payload size, data, odd sizes padded
+    * to even) until both `fmt ` (format code 1 = integer PCM, channel
+    * count, sample rate, bits per sample) and `data` (interleaved frames,
+    * 8-bit unsigned / 16-bit signed little-endian) are seen.
+    *
+    * Returns (sampleRate, nChannels, bitsPerSample, interleavedSamples) —
+    * samples SIGNED at either depth (8-bit is stored excess-128 and
+    * re-centered here, per the format registry). None for anything
+    * malformed: missing/short chunks, non-PCM format codes (float,
+    * ADPCM, extensible), depths other than 8/16, or a `data` chunk that is
+    * truncated or not frame-aligned — callers fall back to the stub path,
+    * so a crawl corpus keeps flowing.
+    */
+  def parseWav(p: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
+    if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F'
+        || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E')
+      return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (rate, channels, bits)
+    var data: Option[(Int, Int)] = None // (offset, size)
+    while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = le32(p, off + 4)
+      if (size < 0 || off + 8L + size > p.length) return None // truncated
+      if (p(off) == 'f' && p(off + 1) == 'm' && p(off + 2) == 't'
+          && p(off + 3) == ' ') {
+        if (size < 16) return None
+        val code = le16(p, off + 8)
+        val ch = le16(p, off + 10)
+        val rate = le32(p, off + 12)
+        val bits = le16(p, off + 22)
+        if (code != 1 || ch < 1 || rate <= 0 || (bits != 8 && bits != 16))
+          return None
+        fmt = Some((rate, ch, bits))
+      } else if (p(off) == 'd' && p(off + 1) == 'a' && p(off + 2) == 't'
+          && p(off + 3) == 'a') {
+        data = Some((off + 8, size))
+      }
+      off += 8 + size + (size & 1) // chunks are padded to even length
+    }
+    for {
+      (rate, ch, bits) <- fmt
+      (dOff, dLen) <- data
+      bytesPerSample = bits / 8
+      if dLen % (ch * bytesPerSample) == 0 // frame-aligned or malformed
+    } yield {
+      val n = dLen / bytesPerSample
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) =
+          if (bits == 8) (p(dOff + i) & 0xff) - 128
+          else le16(p, dOff + 2 * i).toShort.toInt
+        i += 1
+      }
+      (rate, ch, bits, out)
+    }
+  }
+
+  /** Serialize interleaved PCM samples as a canonical 44-byte-header WAV —
+    * the inverse of [[parseWav]] (round-trip law in MultimodalSpec).
+    * Samples must already be signed at the target depth; 8-bit is stored
+    * excess-128 per the format.
+    */
+  def buildWav(sampleRate: Int, nChannels: Int, bitsPerSample: Int,
+      samples: Array[Int]): Array[Byte] = {
+    require(nChannels >= 1 && (bitsPerSample == 8 || bitsPerSample == 16)
+      && samples.length % nChannels == 0)
+    val bps = bitsPerSample / 8
+    val dataLen = samples.length * bps
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // integer PCM
+      .putShort(nChannels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * nChannels * bps) // byte rate
+      .putShort((nChannels * bps).toShort) // block align
+      .putShort(bitsPerSample.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) {
+      if (bitsPerSample == 8) out.put(((samples(i) + 128) & 0xff).toByte)
+      else out.putShort(samples(i).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Feature extraction over decoded PCM: full-scale-normalized mean and
+    * RMS amplitude over ALL interleaved samples (exact integer
+    * accumulation, one double division at the end — so the arithmetic is
+    * reproducible in any engine), plus channel-0 zero crossings (adjacent
+    * frames with strictly opposite signs). None when the payload is not a
+    * PCM WAV [[parseWav]] accepts.
+    */
+  def featurizeWav(docId: Long, payload: Array[Byte]): Option[AudioFeatures] =
+    parseWav(payload).map { case (rate, ch, bits, s) =>
+      val fullScale = (1 << (bits - 1)).toDouble
+      var sum = 0L
+      var sumSq = 0L
+      var i = 0
+      while (i < s.length) {
+        sum += s(i)
+        sumSq += s(i).toLong * s(i)
+        i += 1
+      }
+      var zc = 0
+      var f = ch // channel 0 of frame 1
+      while (f < s.length) {
+        if (s(f).toLong * s(f - ch) < 0) zc += 1
+        f += ch
+      }
+      val m = s.length
+      AudioFeatures(docId, rate, ch, m / ch,
+        if (m == 0) 0.0 else sum.toDouble / m / fullScale,
+        if (m == 0) 0.0 else math.sqrt(sumSq.toDouble / m) / fullScale,
+        zc)
+    }
+
+  /** Audio featurization over a (doc_id, payload binary) frame — the same
+    * mapPartitions stage as [[extractMetaBinary]]; payloads that are not
+    * PCM WAVs are dropped (a real pipeline routes them to the image/stub
+    * path instead).
+    */
+  def audioFeaturesBinary(spark: SparkSession,
+      payloads: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => featurizeWav(id, bytes) })
+  }
+
+  /** Deterministic 16-bit PCM WAV fixture per document — the audio
+    * analogue of the text-payload stand-in: channel count, sample rate,
+    * frame count and every sample are pure integer arithmetic on doc_id,
+    * so a SQL oracle can derive the SAME samples without parsing bytes —
+    * while the Spark side genuinely serializes and re-parses the
+    * container, proving [[parseWav]] against the formula (q141).
+    */
+  def syntheticWavCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val nCh = (1 + id % 2).toInt
+        val rate = (8000 * (1 + id % 3)).toInt
+        val m = (100 + id % 200).toInt * nCh
+        val samples = Array.tabulate(m)(j =>
+          ((id * 31 + j * 7919L) % 65536L - 32768L).toInt)
+        (id, buildWav(rate, nCh, 16, samples))
+      })
+      .toDF("doc_id", "payload")
   }
 
   /** Per-payload embedding extraction: the mapPartitions stage a model

@@ -107,6 +107,50 @@ object PipelineQueries {
     }, Some("""
       SELECT doc_id, CAST(unnest(range(0, 1 + strlen(text) % 30, 5)) AS INTEGER) AS frame_idx
       FROM documents""")),
+
+    // REAL audio decode through the oracle gate: each document gets a
+    // deterministic 16-bit PCM WAV (channel count / rate / every sample are
+    // integer arithmetic on doc_id), the Spark side SERIALIZES the RIFF
+    // container and re-PARSES the bytes (BinaryOps.parseWav — chunk walk,
+    // PCM re-centering), the oracle derives the same samples from the
+    // formula alone. A hash match proves the byte-level codec, not just
+    // the feature math.
+    ("q141_audio_features", (s: SparkSession, d: String) => {
+      import graft.functions.ColumnFunctions.pround
+      BinaryOps.audioFeaturesBinary(s,
+          BinaryOps.syntheticWavCorpus(s, Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("n_channels"),
+          col("n_frames"),
+          pround(col("mean_amp"), 6).as("mean_amp"),
+          pround(col("rms_amp"), 6).as("rms_amp"),
+          col("zero_crossings"))
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+               CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+               CAST(100 + doc_id % 200 AS INTEGER) AS n_frames
+        FROM documents),
+      s AS (SELECT doc_id, n_channels,
+                   unnest(range(0, n_frames * n_channels)) AS j
+            FROM p),
+      v AS (SELECT doc_id, n_channels, j,
+                   (doc_id * 31 + j * 7919) % 65536 - 32768 AS samp
+            FROM s),
+      agg AS (SELECT doc_id, sum(samp) AS ssum, sum(samp * samp) AS ssq,
+                     count(*) AS m
+              FROM v GROUP BY doc_id),
+      z AS (SELECT doc_id, count(*) AS zc FROM (
+              SELECT doc_id,
+                     samp * lag(samp) OVER (PARTITION BY doc_id ORDER BY j)
+                       AS prod
+              FROM v WHERE j % n_channels = 0)
+            WHERE prod < 0 GROUP BY doc_id)
+      SELECT p.doc_id, p.sample_rate, p.n_channels, p.n_frames,
+             round(ssum / m / 32768.0, 6) AS mean_amp,
+             round(sqrt(ssq / m) / 32768.0, 6) AS rms_amp,
+             CAST(coalesce(z.zc, 0) AS INTEGER) AS zero_crossings
+      FROM p JOIN agg USING (doc_id) LEFT JOIN z USING (doc_id)""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

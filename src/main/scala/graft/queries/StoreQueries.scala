@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{ClusterStore, Components, History, Indexing, LmStore, Retrieval, VectorStore}
+import graft.operators.{ClusterStore, Components, History, Indexing, LmStore, Retrieval, Similarity, VectorStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -371,6 +371,72 @@ object StoreQueries {
       SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
              round(cos, 6) AS cos_sim
       FROM rk WHERE rank <= 10""")),
+
+    // The number an operator of a 100 TB ANN deployment actually tunes:
+    // RECALL@10 of the persisted cell-pruned store vs exact brute force,
+    // swept across nProbe (1→nCells). At nProbe = nCells the store scans
+    // every cell, so recall must be exactly 1.0 (the sweep's built-in
+    // sanity row); the oracle replays the whole grid — frozen-quantizer
+    // assignment, per-nProbe probe sets, per-(nProbe, query) top-k, exact
+    // top-k, overlap count. Monotonicity in nProbe is the
+    // VectorStoreSpec law; this query publishes the curve itself.
+    ("q142_ann_recall", (s: SparkSession, d: String) => {
+      import graft.functions.ColumnFunctions.pround
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+      val dir = annStore(s, d)
+      val bf = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      val ann = Seq(1, 2, 4, 8, 16).map { np =>
+        VectorStore.annSearch(s, qs, "vec_id", "embedding", dir,
+            k = 10, nProbe = np)
+          .select(lit(np).as("n_probe"), col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionByName _)
+      ann.join(bf, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("n_probe"), col("query_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hits"),
+          pround(sum(coalesce(col("__hit"), lit(0))) / lit(10.0), 6)
+            .as("recall"))
+    }, Some("""
+      WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ord AS (SELECT vec_id, v,
+                     row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn
+              FROM c WHERE vec_id % 2 = 0),
+      ctr AS (SELECT rn AS cell, v AS cv FROM ord WHERE rn < 16),
+      asg AS (SELECT vec_id, v, cell FROM (
+                SELECT c.vec_id, c.v, ctr.cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                         ORDER BY list_distance(c.v, ctr.cv), ctr.cell) AS r
+                FROM c CROSS JOIN ctr)
+              WHERE r = 1),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+      np AS (SELECT unnest([1, 2, 4, 8, 16]) AS n_probe),
+      proberk AS (SELECT q.query_id, q.qv, ctr.cell,
+                         row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_distance(q.qv, ctr.cv), ctr.cell) AS r
+                  FROM q CROSS JOIN ctr),
+      probe AS (SELECT np.n_probe, p.query_id, p.qv, p.cell
+                FROM np JOIN proberk p ON p.r <= np.n_probe),
+      scored AS (SELECT p.n_probe, p.query_id, a.vec_id AS neighbor_id,
+                        list_cosine_similarity(a.v, p.qv) AS cos
+                 FROM probe p JOIN asg a ON a.cell = p.cell
+                 WHERE a.vec_id != p.query_id),
+      annk AS (SELECT n_probe, query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY n_probe, query_id
+                   ORDER BY cos DESC, neighbor_id) AS rk
+                 FROM scored)
+               WHERE rk <= 10),
+      bf AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.query_id, c.vec_id AS neighbor_id,
+                      row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rk
+               FROM q CROSS JOIN c WHERE c.vec_id != q.query_id)
+             WHERE rk <= 10)
+      SELECT a.n_probe, a.query_id,
+             count(b.neighbor_id) AS n_hits,
+             round(count(b.neighbor_id) / 10.0, 6) AS recall
+      FROM annk a LEFT JOIN bf b USING (query_id, neighbor_id)
+      GROUP BY a.n_probe, a.query_id""")),
 
     // q98's bigram-LM scoring SERVED from the persisted count store:
     // bigram/context counts fold two generations by sum, V folds the

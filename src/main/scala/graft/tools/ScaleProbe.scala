@@ -123,11 +123,34 @@ object ScaleProbe {
     // the c0-shard copies of base docs 0,1,2 — fixed at every scale
     val queries = docs.filter(col("doc_id").isin(0L, k.toLong, 2L * k))
     var seq = 0L // fresh ids per timed call (iters > 1 re-invokes the thunk)
+    var idxCompacted = false // postc probe folds the index store ONCE per k
     Seq(
       ("bm25_from_index", () =>
         graft.operators.Retrieval.bm25FromIndex(spark, queries,
           "doc_id", "text", idxDir, k = 10).count()),
       ("index_append", () => {
+        seq += 1
+        val batch = docs.filter(col("doc_id") < 50)
+          .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),
+            col("text"))
+        graft.operators.Indexing.indexAppend(batch, "doc_id", "text", idxDir)
+        batch.count()
+      }),
+      // full stats surface folded across the build + appended generations:
+      // per-generation heads fold by sum, so the read cost tracks the
+      // surviving vocabulary, not the generation count
+      ("index_stats", () =>
+        graft.operators.Indexing.indexStats(spark, idxDir, minDf = 5L,
+          postingCap = 10).count()),
+      // the row that demonstrates compaction actually RESTORES append
+      // cost: fold the accumulated generations once (first iteration —
+      // its time is discarded by the min), then each later iteration
+      // times a pure append against the freshly compacted store
+      ("index_append_postc", () => {
+        if (!idxCompacted) {
+          graft.operators.Indexing.indexCompact(spark, idxDir)
+          idxCompacted = true
+        }
         seq += 1
         val batch = docs.filter(col("doc_id") < 50)
           .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),

@@ -191,4 +191,79 @@ class MultimodalSpec extends AnyFunSuite {
     assert(BinaryOps.featurizePixels(text, 8).toSeq ===
       BinaryOps.stubFeaturize(text, 8).toSeq)
   }
+
+  // ---- real WAV/PCM audio decode (RIFF chunk walk) ----
+
+  test("parseWav round-trips buildWav exactly at both depths and channel counts") {
+    val mono16 = Array.tabulate(240)(i => ((i * 977) % 65536) - 32768)
+    val parsed = BinaryOps.parseWav(BinaryOps.buildWav(16000, 1, 16, mono16))
+    assert(parsed.exists { case (r, c, b, s) =>
+      r == 16000 && c == 1 && b == 16 && s.toSeq == mono16.toSeq })
+    val stereo8 = Array.tabulate(100)(i => (i % 256) - 128)
+    val p8 = BinaryOps.parseWav(BinaryOps.buildWav(8000, 2, 8, stereo8))
+    assert(p8.exists { case (r, c, b, s) =>
+      r == 8000 && c == 2 && b == 8 && s.toSeq == stereo8.toSeq })
+    // full-scale extremes survive the signed round-trip
+    val edge = Array(-32768, 32767, 0, -1, 1, -32768)
+    val pe = BinaryOps.parseWav(BinaryOps.buildWav(44100, 2, 16, edge))
+    assert(pe.exists(_._4.toSeq == edge.toSeq))
+  }
+
+  test("parseWav skips foreign chunks (odd-padded) and rejects malformed input") {
+    val samples = Array(100, -200, 300, -400)
+    val wav = BinaryOps.buildWav(8000, 1, 16, samples)
+    // splice a 3-byte LIST chunk (odd size → 1 pad byte) between fmt and data
+    val foreign = java.nio.ByteBuffer.allocate(8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0)).array()
+    val spliced = wav.take(36) ++ foreign ++ wav.drop(36)
+    // RIFF size field is not re-checked by the walker; chunk walk must land
+    // on data regardless
+    assert(BinaryOps.parseWav(spliced).exists(_._4.toSeq == samples.toSeq))
+    // malformed: truncated data chunk, non-PCM format, junk, empty
+    assert(BinaryOps.parseWav(wav.dropRight(3)).isEmpty, "truncated data")
+    val ieee = wav.clone(); ieee(20) = 3 // format code 3 = IEEE float
+    assert(BinaryOps.parseWav(ieee).isEmpty, "non-integer-PCM format")
+    val bits24 = wav.clone(); bits24(34) = 24
+    assert(BinaryOps.parseWav(bits24).isEmpty, "24-bit depth unsupported")
+    assert(BinaryOps.parseWav("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(BinaryOps.parseWav("plain text payload".getBytes("UTF-8")).isEmpty)
+    assert(BinaryOps.parseWav(Array[Byte]()).isEmpty)
+  }
+
+  test("featurizeWav: exact hand-computed features; stereo de-interleaves ch0") {
+    // stereo: ch0 = [1000, -1000, 1000], ch1 = [0, 0, 0] interleaved
+    val s = Array(1000, 0, -1000, 0, 1000, 0)
+    val f = BinaryOps.featurizeWav(7L, BinaryOps.buildWav(22050, 2, 16, s)).get
+    assert(f.doc_id === 7L && f.sample_rate === 22050)
+    assert(f.n_channels === 2 && f.n_frames === 3)
+    assert(math.abs(f.mean_amp - 1000.0 / 6 / 32768.0) < 1e-15)
+    assert(math.abs(f.rms_amp - math.sqrt(3e6 / 6) / 32768.0) < 1e-15)
+    assert(f.zero_crossings === 2, "ch0 flips sign twice; ch1's zeros don't count")
+    // 8-bit full scale normalizes by 128
+    val f8 = BinaryOps.featurizeWav(1L, BinaryOps.buildWav(8000, 1, 8,
+      Array(64, -64))).get
+    assert(math.abs(f8.rms_amp - 0.5) < 1e-15)
+    assert(BinaryOps.featurizeWav(2L, "nope".getBytes).isEmpty)
+  }
+
+  test("audioFeaturesBinary == the q141 oracle formula on the synthetic corpus") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(40)
+    val feats = BinaryOps.audioFeaturesBinary(spark,
+      BinaryOps.syntheticWavCorpus(spark, docs)).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats.size === 40, "every synthetic WAV must parse")
+    feats.values.foreach { f =>
+      val id = f.doc_id
+      val nCh = (1 + id % 2).toInt
+      val m = (100 + id % 200).toInt * nCh
+      val samples = Array.tabulate(m)(j =>
+        ((id * 31 + j * 7919L) % 65536L - 32768L).toInt)
+      assert(f.sample_rate === (8000 * (1 + id % 3)).toInt)
+      assert(f.n_channels === nCh && f.n_frames === m / nCh)
+      val mean = samples.map(_.toLong).sum.toDouble / m / 32768.0
+      assert(math.abs(f.mean_amp - mean) < 1e-12)
+    }
+  }
 }

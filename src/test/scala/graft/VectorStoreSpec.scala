@@ -140,6 +140,71 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(search(dir) === before)
   }
 
+  test("recall@k vs brute force is monotone in nProbe and exact at nProbe=nCells") {
+    val dir = tmp()
+    VectorStore.annBuild(emb.filter($"vec_id" % 2 === 0), "vec_id",
+      "embedding", dir, nCells = 16)
+    VectorStore.annAppend(spark, emb.filter($"vec_id" % 2 =!= 0),
+      "vec_id", "embedding", dir)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 10)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallAt = Seq(1, 2, 4, 8, 16).map { np =>
+      val got = VectorStore.annSearch(spark, queries, "vec_id", "embedding",
+          dir, k = 10, nProbe = np)
+        .select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      np -> got.count(exact).toDouble / exact.size
+    }
+    recallAt.sliding(2).foreach { case Seq((npLo, lo), (npHi, hi)) =>
+      assert(lo <= hi + 1e-12,
+        s"recall must not decrease as nProbe grows: $npLo→$lo, $npHi→$hi")
+    }
+    assert(recallAt.last._2 === 1.0,
+      "probing every cell must reproduce brute force exactly")
+    assert(recallAt.head._2 < 1.0,
+      "nProbe=1 must genuinely prune (otherwise the sweep measures nothing)")
+  }
+
+  test("a reader holding a resolved manifest survives a CONCURRENT compact+sweep") {
+    val dir = tmp()
+    VectorStore.annBuild(emb.filter($"vec_id" % 2 === 0), "vec_id",
+      "embedding", dir, nCells = 16)
+    VectorStore.annAppend(spark, emb.filter($"vec_id" % 2 =!= 0),
+      "vec_id", "embedding", dir)
+    val before = search(dir)
+    // reader: resolve the manifest ONCE (plan construction), then collect
+    // repeatedly while the writer compacts — every collect must succeed
+    // with identical results, no file-not-found
+    val resolved = VectorStore.annSearch(spark, queries, "vec_id",
+      "embedding", dir, k = 10, nProbe = 4)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try VectorStore.annCompact(spark, dir) // flips manifest to c0
+      catch { case t: Throwable => failure.set(t) }
+      finally done.set(true)
+    })
+    writer.start()
+    var reads = 0
+    while (!done.get() || reads == 0) {
+      val got = resolved.orderBy("query_id", "rank").collect()
+        .map(_.toString).toSeq
+      assert(got === before,
+        s"read $reads under concurrent compaction diverged")
+      reads += 1
+    }
+    writer.join()
+    assert(failure.get() === null, s"compaction failed: ${failure.get()}")
+    assert(Generations.live(spark, dir) === Seq("c0"))
+    // the old reader's generations are still on disk (one-cycle grace) —
+    // and the lapsed plan STILL collects after the writer finished
+    assert(resolved.orderBy("query_id", "rank").collect()
+      .map(_.toString).toSeq === before)
+    assert(search(dir) === before, "a fresh resolve serves the folded store")
+  }
+
   test("serve scan reads only the probed cells' directories") {
     val dir = tmp()
     VectorStore.annBuild(emb, "vec_id", "embedding", dir, nCells = 16)
