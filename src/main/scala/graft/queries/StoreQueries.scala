@@ -239,23 +239,27 @@ object StoreQueries {
              n_events, (vt IS NULL) AS is_current
       FROM f""")),
 
-    // q101's dup-cluster surface computed INCREMENTALLY: cluster the even
-    // docs first, then absorb the odd half through
-    // connectedComponentsIncremental (old labelling collapses to depth-1
-    // label edges; only edges touching the new batch are fed in). The
-    // oracle is the full-corpus recursive-CTE clustering — incremental
-    // must be indistinguishable from batch.
+    // q101's dup-cluster surface computed INCREMENTALLY, in the regime
+    // the operator exists for: a SMALL batch (10% of docs) absorbed into
+    // a large labelled corpus (90%) through
+    // connectedComponentsIncremental — only clusters touched by the
+    // batch's edges enter the iterative phase, untouched labels pass
+    // through by one anti-join. (The hub-edge filter keeps connectivity
+    // for ANY split: a group's batch members link to the global hub; if
+    // that hub is old it IS the old group's min, already the old
+    // cluster's label.) The oracle is the full-corpus recursive-CTE
+    // clustering — incremental must be indistinguishable from batch.
     ("q128_cc_incremental", (s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val olds = docs.filter(col("doc_id") % 2 === 0)
+      val olds = docs.filter(col("doc_id") % 10 =!= 0)
       val oldCC = Components.connectedComponents(
         olds.select(col("doc_id").as("id")),
         Components.fingerprintEdges(olds, "doc_id", "text"))
       val newEdges = Components.fingerprintEdges(docs, "doc_id", "text")
-        .filter(col("src") % 2 =!= 0 || col("dst") % 2 =!= 0)
+        .filter(col("src") % 10 === 0 || col("dst") % 10 === 0)
       Components.connectedComponentsIncremental(oldCC,
-        docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id").as("id")),
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id").as("id")),
         newEdges)
         .select(col("id").as("doc_id"), col("cluster_id"),
           count(lit(1)).over(Window.partitionBy(col("cluster_id")))
