@@ -99,4 +99,38 @@ object BpeTrainer {
       }.localCheckpoint()
     }.select(col("word"), col("syms").as("subwords"))
   }
+
+  /** Encode a corpus against a learned segmentation: ONE broadcast join
+    * of the tokenized stream against the (word → subwords) lookup — the
+    * corpus never runs a per-document merge loop. Words outside the
+    * capped training vocabulary fall back to character symbols, which is
+    * exactly their segmentation under no applicable merges (the same
+    * greedy fold applied to an unseen word could only merge pairs the
+    * vocab table would also have merged — but rather than approximate,
+    * the fallback IS the no-merge base case, the standard open-vocab
+    * treatment).
+    *
+    * Output: (id, n_words, n_tokens, tokens) with `tokens` the subword
+    * stream in document order (ordered re-assembly via sort-by-position,
+    * not collect_list order). Per-row array size is bounded by document
+    * length — chunk long documents first ([[graft.operators.Chunking]])
+    * exactly as a tokenizer service would.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      segmentation: DataFrame): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("wpos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(segmentation.select(col("word"), col("subwords"))),
+        Seq("word"), "left_outer")
+      .select(col("id"), col("wpos"),
+        coalesce(col("subwords"), split(col("word"), "")).as("subs"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        flatten(transform(array_sort(collect_list(struct(col("wpos"), col("subs")))),
+          s => s.getField("subs"))).as("tokens"))
+      .select(col("id"), col("n_words"), size(col("tokens")).as("n_tokens"),
+        col("tokens"))
 }

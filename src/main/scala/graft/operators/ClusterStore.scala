@@ -111,10 +111,16 @@ object ClusterStore {
 
   private def writeGeneration(path: String, gen: String, hubs: DataFrame,
       labels: DataFrame, remap: DataFrame, nBuckets: Int): Unit = {
+    // repartition before each partitioned write: ONE file per non-empty
+    // shard/bucket dir per generation (otherwise each upstream task
+    // writes into every dir it holds rows for — O(tasks x nBuckets) tiny
+    // files per apply; the extra shuffle is batch-sized)
     hubs.withColumn("__shard", shardOf(col("fp"), nBuckets))
+      .repartition(col("__shard"))
       .write.mode("overwrite").partitionBy("__shard")
       .parquet(s"$path/hubs/gen=$gen")
     labels.withColumn("__bucket", bucketOf(col("id"), nBuckets))
+      .repartition(col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$path/labels/gen=$gen")
     // merge-ledger-sized; one file keeps the read a single open
@@ -356,8 +362,7 @@ object ClusterStore {
     import spark.implicits._
     val hubs = Generations.readSurfaceAs(spark, path, "hubs", committed,
       hubSchema).select(col("w"), col("fp"), col("dst"))
-      // one shuffle partition per shard value → one file per shard dir
-      .repartition(shardOf(col("fp"), nBuckets))
+    // writeGeneration repartitions by shard/bucket — one file per dir
     writeGeneration(path, cGen, hubs, ccRead(spark, path),
       Seq.empty[(Long, Long)].toDF("old_label", "new_label"), nBuckets)
     Generations.commit(spark, path, Seq(cGen))

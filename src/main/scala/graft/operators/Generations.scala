@@ -104,6 +104,38 @@ object Generations {
       .parquet(gens.map(g => s"$storeDir/$surface/gen=$g"): _*)
   }
 
+  /** [[readSurfaceAs]] over a surface whose generations MIX two layouts:
+    * DIRECTORY-PARTITIONED by `partCol` (corpus-sized builds and
+    * compactions — a static IN on `partCol` prunes to the probed
+    * directories) and FLAT SEGMENTS (batch appends: `partCol` is an
+    * ordinary data column and the generation is a handful of batch-sized
+    * files — the Lucene segment shape). The same `partCol` filter
+    * applies to both: directory pruning on the partitioned group, a
+    * row-group-skippable data filter on the flat group, whose total size
+    * is bounded by the compaction cadence, so reading it is batch-bound
+    * by construction. One spark.read cannot span both directory depths,
+    * so the generation list is split by a per-generation directory probe
+    * (generation count is bounded by that same cadence) and the two
+    * reads align on `schema`'s column order before the union.
+    */
+  def readSurfaceMixed(spark: SparkSession, storeDir: String,
+      surface: String, gens: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      partCol: String): DataFrame = {
+    require(gens.nonEmpty, s"readSurfaceMixed($surface): no generations")
+    val fs = fsOf(spark, storeDir)
+    val (parted, flat) = gens.partition { g =>
+      val d = new Path(s"$storeDir/$surface/gen=$g")
+      fs.exists(d) &&
+        fs.listStatus(d).exists(_.getPath.getName.startsWith(partCol + "="))
+    }
+    val cols = schema.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col)
+    Seq(parted, flat).filter(_.nonEmpty)
+      .map(gs => readSurfaceAs(spark, storeDir, surface, gs, schema)
+        .select(cols: _*))
+      .reduce(_ unionByName _)
+  }
+
   /** On-disk generation names of a surface — committed, orphaned by a
     * crashed write, or folded-but-not-yet-swept alike. */
   def onDisk(spark: SparkSession, storeDir: String, surface: String): Seq[String] = {

@@ -83,13 +83,18 @@ object History {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(path), true)
+    // repartition(__bucket) before every partitioned write: ONE file per
+    // non-empty bucket dir (otherwise each upstream task writes into every
+    // bucket dir it holds rows for — O(tasks x nBuckets) tiny files)
     events.withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
+      .repartition(col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$path/events/gen=g0")
     Seq(nBuckets).toDF("n_buckets").write.mode("overwrite").parquet(s"$path/meta")
     Generations.commit(spark, path, Seq("g0"))
     scd2(readEvents(spark, path), keyCol, attrCol, tsCol, tieCol)
       .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
+      .repartition(col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/history")
   }
 
@@ -128,7 +133,8 @@ object History {
   private def appendGeneration(spark: SparkSession, path: String,
       b: DataFrame): Unit = {
     val gen = Generations.nextName(spark, path, surfaces, 'g')
-    b.write.mode("overwrite").partitionBy("__bucket")
+    b.repartition(col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$path/events/gen=$gen")
     Generations.add(spark, path, gen)
   }
@@ -217,6 +223,7 @@ object History {
       .filter(col("__bucket").isin(buckets.map(Integer.valueOf).toIndexedSeq: _*))
     scd2(evs, keyCol, attrCol, tsCol, tieCol)
       .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
+      .repartition(col("__bucket"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket").parquet(s"$path/history")
   }

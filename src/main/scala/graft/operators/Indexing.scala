@@ -117,9 +117,31 @@ object Indexing {
 
   private val surfaces = Seq("postings", "stats", "heads", "doclen", "consts")
 
-  private def surface(spark: SparkSession, indexDir: String, sub: String,
-      gens: Seq[String]): DataFrame =
-    Generations.readSurface(spark, indexDir, sub, gens)
+  // explicit schemas for the sharded surfaces: the mixed-layout read
+  // (dir-partitioned build/compaction generations + flat append segments)
+  // fills `shard` from the directory name or the data column as the
+  // generation's layout dictates, with no footer-based inference
+  private val postingsSchema = new org.apache.spark.sql.types.StructType()
+    .add("token", "string").add("id", "long").add("tf", "long")
+    .add("dl", "long").add("gen", "string").add("shard", "int")
+  private val statsSchema = new org.apache.spark.sql.types.StructType()
+    .add("token", "string").add("df", "long").add("ttf", "long")
+    .add("gen", "string").add("shard", "int")
+  private val headsSchema = new org.apache.spark.sql.types.StructType()
+    .add("token", "string").add("id", "long")
+    .add("gen", "string").add("shard", "int")
+
+  private[operators] def surface(spark: SparkSession, indexDir: String, sub: String,
+      gens: Seq[String]): DataFrame = sub match {
+    case "postings" =>
+      Generations.readSurfaceMixed(spark, indexDir, sub, gens, postingsSchema, "shard")
+    case "stats" =>
+      Generations.readSurfaceMixed(spark, indexDir, sub, gens, statsSchema, "shard")
+    case "heads" =>
+      Generations.readSurfaceMixed(spark, indexDir, sub, gens, headsSchema, "shard")
+    case _ => // doclen, consts: unpartitioned in every generation
+      Generations.readSurface(spark, indexDir, sub, gens)
+  }
 
   /** Batch → checkpointed (token, id, tf, dl, shard) rows: the one
     * tokenize+groupBy evaluation all five generation writes derive from. */
@@ -133,19 +155,40 @@ object Indexing {
   }
 
   /** Write one generation of every surface (each an overwrite of its own
-    * gen directory — see the layout note on idempotent re-runs). */
+    * gen directory — see the layout note on idempotent re-runs).
+    *
+    * Two layouts, chosen by who is writing (the Lucene segment split):
+    *
+    *  - `segment = false` (corpus-sized builds; compaction writes its own
+    *    fold): directory-partitioned by shard, `repartition(shard)` first
+    *    so each shard directory holds ONE file — the layout serving reads
+    *    prune with a static IN on the partition column.
+    *  - `segment = true` (batch appends): a FLAT generation — `shard`
+    *    stays a data column, rows sorted by shard for row-group locality,
+    *    file count tracks the BATCH (AQE coalesces the small shuffle),
+    *    not the store's shard count. A fixed-size append that writes one
+    *    file per shard directory pays O(nShards) file creates — the
+    *    append cost then grows with corpus-scaled shard counts, which the
+    *    r8 scale probe measured before this split. Readers fold both
+    *    layouts through the same shard filter ([[Generations
+    *    .readSurfaceMixed]]); the flat segments' total size is bounded by
+    *    the compaction cadence.
+    */
   private def writeGeneration(p: DataFrame, indexDir: String, gen: String,
-      headCap: Int): Unit = {
-    p.select(col("token"), col("id"), col("tf"), col("dl"), col("shard"))
-      .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$indexDir/postings/gen=$gen")
-    p.groupBy(col("shard"), col("token"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
-      .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$indexDir/stats/gen=$gen")
-    headRows(p, headCap)
-      .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$indexDir/heads/gen=$gen")
+      headCap: Int, segment: Boolean): Unit = {
+    def out(df: DataFrame, sub: String): Unit =
+      if (segment)
+        df.repartition(col("shard")).sortWithinPartitions(col("shard"))
+          .write.mode("overwrite").parquet(s"$indexDir/$sub/gen=$gen")
+      else
+        df.repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$indexDir/$sub/gen=$gen")
+    out(p.select(col("token"), col("id"), col("tf"), col("dl"), col("shard")),
+      "postings")
+    out(p.groupBy(col("shard"), col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf")), "stats")
+    out(headRows(p, headCap), "heads")
     val dl = p.groupBy(col("id")).agg(max(col("dl")).as("dl"))
     dl.write.mode("overwrite").parquet(s"$indexDir/doclen/gen=$gen")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -176,7 +219,7 @@ object Indexing {
     import spark.implicits._
     fsOf(spark, indexDir).delete(new Path(indexDir), true)
     val p = prepared(docs, idCol, textCol, nShards)
-    writeGeneration(p, indexDir, "g0", headCap)
+    writeGeneration(p, indexDir, "g0", headCap, segment = false)
     p.unpersist()
     Seq((nShards, headCap)).toDF("n_shards", "head_cap")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
@@ -208,7 +251,7 @@ object Indexing {
     // visibility from the manifest flip below — all five surfaces at once
     val gen = Generations.nextName(spark, indexDir, surfaces, 'g')
     val p = prepared(batch, idCol, textCol, nShards)
-    writeGeneration(p, indexDir, gen, headCap)
+    writeGeneration(p, indexDir, gen, headCap, segment = true)
     p.unpersist()
     Generations.add(spark, indexDir, gen)
   }
@@ -243,7 +286,7 @@ object Indexing {
       "indexAppendOrReplay: batch contains doc ids already ingested by a " +
         "DIFFERENT generation — genuine re-ingestion, not a replay")
     val p = prepared(batch, idCol, textCol, nShards)
-    writeGeneration(p, indexDir, gen, headCap)
+    writeGeneration(p, indexDir, gen, headCap, segment = true)
     p.unpersist()
     Generations.add(spark, indexDir, gen)
   }
@@ -318,10 +361,13 @@ object Indexing {
     if (foldGens.isEmpty ||
       (foldGens.sizeIs == 1 && foldGens.head.startsWith("c"))) return
     val cGen = Generations.nextName(spark, indexDir, surfaces, 'c')
-    def fold(sub: String, parts: Seq[String])(f: DataFrame => DataFrame): Unit =
-      f(surface(spark, indexDir, sub, foldGens).drop("gen"))
+    // one shuffle partition per shard value → one file per shard dir
+    def fold(sub: String, parts: Seq[String])(f: DataFrame => DataFrame): Unit = {
+      val folded = f(surface(spark, indexDir, sub, foldGens).drop("gen"))
+      (if (parts.isEmpty) folded else folded.repartition(parts.map(col): _*))
         .write.mode("overwrite")
         .partitionBy(parts: _*).parquet(s"$indexDir/$sub/gen=$cGen")
+    }
     fold("postings", Seq("shard"))(identity)
     fold("stats", Seq("shard")) {
       _.groupBy(col("shard"), col("token"))

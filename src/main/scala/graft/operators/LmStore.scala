@@ -94,9 +94,20 @@ object LmStore {
     "unigrams" -> unigramsSchema, "tokens" -> tokensSchema,
     "docreg" -> docregSchema, "vstat" -> vstatSchema)
 
+  // bucket/shard dir-partitioned in build/compaction generations, a data
+  // column in flat append segments ([[Generations.readSurfaceMixed]]);
+  // vstat is flat in every generation
+  private val partColOf = Map("bigrams" -> "shard", "unigrams" -> "shard",
+    "tokens" -> "shard", "docreg" -> "bucket")
+
   private def surface(spark: SparkSession, dir: String, sub: String,
       gens: Seq[String]): DataFrame =
-    Generations.readSurfaceAs(spark, dir, sub, gens, schemaOf(sub))
+    partColOf.get(sub) match {
+      case Some(pc) =>
+        Generations.readSurfaceMixed(spark, dir, sub, gens, schemaOf(sub), pc)
+      case None =>
+        Generations.readSurfaceAs(spark, dir, sub, gens, schemaOf(sub))
+    }
 
   /** The doc registry pruned to the given id buckets. */
   private def docregPruned(spark: SparkSession, dir: String,
@@ -107,32 +118,45 @@ object LmStore {
   /** Count the batch once and write one generation of every surface.
     * `priorGens` is the committed generation list the novelty check runs
     * against — it must EXCLUDE `gen` itself (a replayed stream write
-    * would otherwise find its own tokens "known" and undercount V). */
+    * would otherwise find its own tokens "known" and undercount V).
+    *
+    * `segment = false` (corpus-sized builds; compaction writes its own
+    * fold): shard/bucket dir-partitioned, repartitioned first so each
+    * directory holds one file. `segment = true` (batch appends): FLAT
+    * generations — shard/bucket stay data columns and the file count
+    * tracks the batch, never the store's corpus-scaled shard count (a
+    * per-append file per shard directory is an O(nShards) create cost the
+    * r8 scale probe measured; the Lucene segment split removes it).
+    * Readers fold both layouts behind the same filters
+    * ([[Generations.readSurfaceMixed]]).
+    */
   private def writeGeneration(batch: DataFrame, idCol: String,
       textCol: String, dir: String, gen: String, nShards: Int,
-      priorGens: Seq[String]): Unit = {
+      priorGens: Seq[String], segment: Boolean): Unit = {
     val s = batch.sparkSession
+    def out(df: DataFrame, sub: String, pc: String): Unit =
+      if (segment)
+        df.repartition(col(pc)).sortWithinPartitions(col(pc))
+          .write.mode("overwrite").parquet(s"$dir/$sub/gen=$gen")
+      else
+        df.repartition(col(pc))
+          .write.mode("overwrite").partitionBy(pc)
+          .parquet(s"$dir/$sub/gen=$gen")
     val bg = LanguageModel.bigramRows(batch, idCol, textCol)
       .withColumn("shard", shardOf(col("w1"), nShards))
       .localCheckpoint() // one tokenize+zip evaluation for the two count writes
-    bg.groupBy(col("shard"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c"))
-      .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$dir/bigrams/gen=$gen")
-    bg.groupBy(col("shard"), col("w1")).agg(count(lit(1)).as("c"))
-      .write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$dir/unigrams/gen=$gen")
+    out(bg.groupBy(col("shard"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c")), "bigrams", "shard")
+    out(bg.groupBy(col("shard"), col("w1")).agg(count(lit(1)).as("c")),
+      "unigrams", "shard")
     bg.unpersist()
     val toks = batch.select(explode(split(col(textCol), "\\s+")).as("w"))
       .distinct()
       .withColumn("shard", shardOf(col("w"), nShards))
       .localCheckpoint() // one evaluation: token write + shard probe + novelty
-    toks.write.mode("overwrite").partitionBy("shard")
-      .parquet(s"$dir/tokens/gen=$gen")
-    batch.select(col(idCol).cast("string").as("id")).distinct()
-      .withColumn("bucket", bucketOf(col("id"), nShards))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$dir/docreg/gen=$gen")
+    out(toks, "tokens", "shard")
+    out(batch.select(col(idCol).cast("string").as("id")).distinct()
+      .withColumn("bucket", bucketOf(col("id"), nShards)), "docreg", "bucket")
     // the write pays V's delta — and only the delta: the batch's tokens
     // probe membership against the shards THEY hash to (driver-side int
     // set, bounded by nShards by construction), never the whole register
@@ -161,7 +185,8 @@ object LmStore {
     val spark = trainDocs.sparkSession
     import spark.implicits._
     fsOf(spark, dir).delete(new Path(dir), true)
-    writeGeneration(trainDocs, idCol, textCol, dir, "g0", nShards, Nil)
+    writeGeneration(trainDocs, idCol, textCol, dir, "g0", nShards, Nil,
+      segment = false)
     Seq(nShards).toDF("n_shards")
       .write.mode("overwrite").parquet(s"$dir/meta")
     // the manifest flip commits the build ([[Generations]])
@@ -194,7 +219,8 @@ object LmStore {
           "the append-only contract forbids re-ingesting a document")
     } finally ids.unpersist()
     val gen = Generations.nextName(spark, dir, surfaces, 'g')
-    writeGeneration(batch, idCol, textCol, dir, gen, nShards, committed)
+    writeGeneration(batch, idCol, textCol, dir, gen, nShards, committed,
+      segment = true)
     Generations.add(spark, dir, gen)
   }
 
@@ -229,7 +255,7 @@ object LmStore {
           "DIFFERENT generation — genuine re-ingestion, not a replay")
     } finally ids.unpersist()
     writeGeneration(batch, idCol, textCol, dir, gen, nShards,
-      committed.filterNot(_ == gen))
+      committed.filterNot(_ == gen), segment = true)
     Generations.add(spark, dir, gen)
   }
 
@@ -299,10 +325,13 @@ object LmStore {
     if (foldGens.isEmpty ||
       (foldGens.sizeIs == 1 && foldGens.head.startsWith("c"))) return
     val cGen = Generations.nextName(spark, dir, surfaces, 'c')
-    def fold(sub: String, parts: Seq[String])(f: DataFrame => DataFrame): Unit =
-      f(surface(spark, dir, sub, foldGens).drop("gen"))
+    // one shuffle partition per shard value → one file per shard dir
+    def fold(sub: String, parts: Seq[String])(f: DataFrame => DataFrame): Unit = {
+      val folded = f(surface(spark, dir, sub, foldGens).drop("gen"))
+      (if (parts.isEmpty) folded else folded.repartition(parts.map(col): _*))
         .write.mode("overwrite")
         .partitionBy(parts: _*).parquet(s"$dir/$sub/gen=$cGen")
+    }
     fold("bigrams", Seq("shard")) {
       _.groupBy(col("shard"), col("w1"), col("w2")).agg(sum(col("c")).as("c"))
     }

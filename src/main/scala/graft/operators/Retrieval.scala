@@ -117,9 +117,13 @@ object Retrieval {
     }
     val shards = qterms.select(Indexing.shardOf(col("token"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0))
-    // one manifest resolution — all three surfaces score the same snapshot
+    // one manifest resolution — all three surfaces score the same snapshot.
+    // Indexing.surface folds both store layouts (dir-partitioned
+    // build/compaction generations + flat append segments) behind the
+    // same shard filter: directory pruning on the former, a batch-sized
+    // data filter on the latter
     val gens = Generations.live(spark, indexDir)
-    def pruned(sub: String) = Generations.readSurface(spark, indexDir, sub, gens)
+    def pruned(sub: String) = Indexing.surface(spark, indexDir, sub, gens)
       .filter(col("shard").isin(shards.map(Integer.valueOf).toIndexedSeq: _*))
     val tf = pruned("postings")
       .select(col("id"), col("token"), col("tf"), col("dl"))

@@ -61,6 +61,9 @@ object VectorStore {
         batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
         centroids)
       .select(col("id"), col("v"), col("nrm"), col("cell"))
+      // one file per non-empty cell dir per generation (vs one per
+      // upstream task per cell); the extra shuffle is batch-sized
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/cells/gen=$gen")
 
@@ -135,10 +138,14 @@ object VectorStore {
   }
 
   /** Serve top-k queries from the store: probe each query's nProbe nearest
-    * stored centroids, scan ONLY the probed cells (static IN on the
-    * partition column — the probed set is driver-sized by construction,
-    * bounded by nCells), score by cosine with the stored norms. Same
-    * output shape as [[Similarity.bruteForceTopK]]; equals
+    * stored centroids, scan ONLY the probed cells, score by cosine with
+    * the stored norms. The probed set is driver-sized by construction
+    * (bounded by nCells), and the scan is pruned at the PATH level — the
+    * read enumerates exactly the probed `cell=` directories rather than
+    * listing the whole cell store and filtering afterwards, so even the
+    * driver-side file listing is O(probed), not O(nCells) (at thousands
+    * of cells the discovery listing otherwise dominates a small query
+    * batch). Same output shape as [[Similarity.bruteForceTopK]]; equals
     * [[Similarity.ivfTopKPortable]] when the store was built from the
     * whole corpus in one generation (VectorStoreSpec law; q134 oracle for
     * the multi-generation store).
@@ -146,7 +153,7 @@ object VectorStore {
   def annSearch(spark: SparkSession, queries: DataFrame, idCol: String,
       vecCol: String, dir: String, k: Int, nProbe: Int = 4): DataFrame = {
     require(k >= 1 && nProbe >= 1)
-    val stored = cells(spark, dir, Generations.live(spark, dir))
+    val gens = Generations.live(spark, dir)
     // pinned local relation: the probed-cell collect and the scoring join
     // must see the SAME evaluation of the queries plan (the ivfSearch
     // rationale; driver-sized by construction — this side broadcasts)
@@ -155,9 +162,21 @@ object VectorStore {
         vecCol, nProbe))
     val probed = q.select(col("cell")).distinct().collect()
       .map(_.getAs[Number](0).intValue())
-    Similarity.scoreProbe(
-      stored.filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*)),
-      q, k)
+    // gens × probed existence checks are driver-side and bounded by
+    // generations × (queries × nProbe) — a cell a generation never wrote
+    // simply has no directory
+    val fs = fsOf(spark, dir)
+    val paths = for {
+      g <- gens
+      c <- probed
+      p = s"$dir/cells/gen=$g/cell=$c"
+      if fs.exists(new Path(p))
+    } yield p
+    val stored =
+      if (paths.isEmpty)
+        cells(spark, dir, gens).filter(lit(false)) // schema-only empty
+      else spark.read.option("basePath", s"$dir/cells").parquet(paths: _*)
+    Similarity.scoreProbe(stored, q, k)
   }
 
   /** Compact the store's committed generations into one: assignment rows
@@ -183,6 +202,7 @@ object VectorStore {
       (foldGens.sizeIs == 1 && foldGens.head.startsWith("c"))) return
     val cGen = Generations.nextName(spark, dir, Seq("cells"), 'c')
     cells(spark, dir, foldGens).drop("gen")
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/cells/gen=$cGen")
     Generations.commit(spark, dir, cGen +: liveGens.filter(keepGens))

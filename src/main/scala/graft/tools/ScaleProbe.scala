@@ -120,8 +120,18 @@ object ScaleProbe {
     val ccDir = s"$tmpDir/cc_x$k"
     graft.operators.ClusterStore.ccBuild(docs, "doc_id", "text", ccDir,
       nBuckets = 8 * k)
+    // The fixed query set and the fixed batch are PINNED once per scale
+    // (driver-sized: 3 and 50 rows). Deriving them inside the timed
+    // thunks by filtering the scaled corpus parquet would put an O(k)
+    // corpus scan inside every "fixed-batch" timing — the r7 artifact's
+    // residual upward trend on the apply probes was largely this harness
+    // scan, not store behavior. The stores' own reads are what the
+    // timings must measure.
     // the c0-shard copies of base docs 0,1,2 — fixed at every scale
     val queries = docs.filter(col("doc_id").isin(0L, k.toLong, 2L * k))
+      .localCheckpoint()
+    val batchBase = docs.filter(col("doc_id") < 50).localCheckpoint()
+    val embQueries = emb.filter(col("vec_id") < 3).localCheckpoint()
     var seq = 0L // fresh ids per timed call (iters > 1 re-invokes the thunk)
     var idxCompacted = false // postc probe folds the index store ONCE per k
     Seq(
@@ -130,7 +140,7 @@ object ScaleProbe {
           "doc_id", "text", idxDir, k = 10).count()),
       ("index_append", () => {
         seq += 1
-        val batch = docs.filter(col("doc_id") < 50)
+        val batch = batchBase
           .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),
             col("text"))
         graft.operators.Indexing.indexAppend(batch, "doc_id", "text", idxDir)
@@ -152,7 +162,7 @@ object ScaleProbe {
           idxCompacted = true
         }
         seq += 1
-        val batch = docs.filter(col("doc_id") < 50)
+        val batch = batchBase
           .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),
             col("text"))
         graft.operators.Indexing.indexAppend(batch, "doc_id", "text", idxDir)
@@ -160,7 +170,7 @@ object ScaleProbe {
       }),
       ("scd2_apply", () => {
         seq += 1
-        val batch = eventsOf(docs.filter(col("doc_id") < 50))
+        val batch = eventsOf(batchBase)
           .withColumn("event_id", -(lit(seq) * 1000 + col("event_id")) - 1)
         graft.operators.History.scd2Apply(spark, scdDir, batch,
           "entity", "attr", "ts", "event_id")
@@ -171,21 +181,21 @@ object ScaleProbe {
       // data and serving cost stays query-shaped
       ("ann_search", () =>
         graft.operators.VectorStore.annSearch(spark,
-          emb.filter(col("vec_id") < 3), "vec_id", "embedding", annDir,
+          embQueries, "vec_id", "embedding", annDir,
           k = 10, nProbe = 4).count()),
       // fixed scored batch against a growing register: count scans prune
       // to the batch's vocab shards (constant data per shard by the same
       // contract); V sums the per-generation vstat novelty rows
       ("lm_score", () =>
         graft.operators.LmStore.lmScore(spark,
-          docs.filter(col("doc_id") < 50), "doc_id", "text", lmDir).count()),
+          batchBase, "doc_id", "text", lmDir).count()),
       // fixed-size batch appended to the growing register: count passes
       // cost the batch; the V delta is a membership probe pruned to the
       // batch vocabulary's own token shards, and the append-only guard
       // reads only the batch ids' docreg buckets
       ("lm_append", () => {
         seq += 1
-        val batch = docs.filter(col("doc_id") < 50)
+        val batch = batchBase
           .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),
             col("text"))
         graft.operators.LmStore.lmAppend(spark, batch, "doc_id", "text", lmDir)
@@ -198,7 +208,7 @@ object ScaleProbe {
       // batch-sized subgraph — no read scales with the stored corpus
       ("cc_apply", () => {
         seq += 1
-        val batch = docs.filter(col("doc_id") < 50)
+        val batch = batchBase
           .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),
             col("text"))
         graft.operators.ClusterStore.ccApply(spark, ccDir, batch,

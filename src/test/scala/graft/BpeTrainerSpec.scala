@@ -43,6 +43,36 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(BpeTrainer.learnMerges(spark, tiny, "text", nMerges = 10).isEmpty)
   }
 
+  test("encode: broadcast-join segmentation, ordered stream, OOV falls to chars") {
+    val corpus = Seq(
+      (1L, "low lower low"),
+      (2L, "new unseen low"),
+    ).toDF("doc_id", "text")
+    val merges = BpeTrainer.learnMerges(spark, docs, "text", nMerges = 2)
+    // vocab trained on `docs` — "unseen" is OOV for the segmentation
+    val seg = BpeTrainer.segmentation(spark, docs, "text", merges)
+    val enc = BpeTrainer.encode(corpus, "doc_id", "text", seg)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getSeq[String](3)))).toMap
+    // document order preserved: low | low,e,r | low
+    assert(enc(1L) === ((3L, 5, Seq("low", "low", "e", "r", "low"))))
+    // OOV word "unseen" → character symbols, in place
+    assert(enc(2L)._3 === Seq("n", "e", "w") ++ "unseen".map(_.toString) ++ Seq("low"))
+    assert(enc(2L)._1 === 3L && enc(2L)._2 === 10)
+    // losslessness: concatenated tokens reassemble the whitespace-free text
+    enc.foreach { case (id, (_, _, toks)) =>
+      val raw = corpus.filter($"doc_id" === id).head().getString(1)
+      assert(toks.mkString === raw.replaceAll("\\s+", ""))
+    }
+    // zero merges: encoding degenerates to per-character symbols
+    val seg0 = BpeTrainer.segmentation(spark, docs, "text", Seq.empty)
+    val enc0 = BpeTrainer.encode(corpus, "doc_id", "text", seg0)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(enc0(1L) === "lowlowerlow".length)
+    // more merges never lengthen the stream
+    assert(enc(1L)._2 <= enc0(1L))
+  }
+
   test("trains on the real corpus; token counts shrink monotonically") {
     val corpus = Tables.documents(spark, TestSpark.sf0001)
     val merges = BpeTrainer.learnMerges(spark, corpus, "text", nMerges = 10)
