@@ -109,12 +109,19 @@ object BinaryOps {
   }
 
   /** Header-aware decode: real PNG/JPEG dimensions when the payload is one
-    * (a still image is one frame); deterministic stub otherwise.
+    * (a still image is one frame), real MP4 track dimensions + frame
+    * count when it is an ISO-BMFF container ([[parseMp4Header]]);
+    * deterministic stub otherwise.
     */
   def decodeMeta(docId: Long, payload: Array[Byte]): MediaMeta =
     parseImageHeader(payload) match {
       case Some((w, h)) => MediaMeta(docId, payload.length, w, h, 1)
-      case None         => stubDecode(docId, payload)
+      case None => parseMp4Header(payload) match {
+        case Some(v) =>
+          MediaMeta(docId, payload.length, v.width, v.height,
+            math.min(v.n_frames, Int.MaxValue.toLong).toInt)
+        case None => stubDecode(docId, payload)
+      }
     }
 
   /** Metadata extraction over a (doc_id, payload binary) frame — the real
@@ -429,6 +436,172 @@ object BinaryOps {
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) => featurizeWav(id, bytes) })
+  }
+
+  /** Video-track metadata from an MP4 container: dimensions, movie
+    * duration in milliseconds, and the video track's sample (frame)
+    * count — everything the frame-sampling fan-out and resize planning
+    * need, without touching a codec. */
+  case class VideoMeta(width: Int, height: Int, dur_ms: Double, n_frames: Long)
+
+  /** REAL MP4 / ISO-BMFF container parse — JDK-only byte walk of the box
+    * model (ISO/IEC 14496-12 §4.2: big-endian 32-bit size + 4-char type;
+    * `size == 1` → 64-bit largesize follows; `size == 0` → box runs to
+    * EOF; containers hold boxes recursively). The walk recurses into
+    * moov/trak/mdia/minf/stbl and extracts:
+    *
+    *  - `mvhd` (v0/v1): movie timescale + duration → duration in ms
+    *  - `tkhd` (v0/v1): the track's 16.16 fixed-point width/height — the
+    *    first track with nonzero dimensions is the video track
+    *  - that track's `stsz`: sample_count == frame count
+    *
+    * Returns None for anything that is not a plausible BMFF file (the
+    * gate is the spec-required `ftyp` first box) or whose boxes are
+    * truncated/malformed. Frame DECODE genuinely needs a codec and stays
+    * a stub; the container metadata, duration arithmetic, frame-count and
+    * sampling fan-out — the Spark-side surface — are real (q143 proves
+    * the walker byte-level against a formula oracle).
+    */
+  def parseMp4Header(p: Array[Byte]): Option[VideoMeta] = {
+    if (p.length < 16) return None
+    val sz0 = be32(p, 0)
+    if (sz0 < 8 || sz0 > p.length || p(4) != 'f' || p(5) != 't'
+        || p(6) != 'y' || p(7) != 'p') return None
+    var timescale = 0L
+    var duration = -1L
+    var width = 0
+    var height = 0
+    var frames = -1L
+    // per-trak candidates, committed when the trak closes with video dims
+    var tW = 0; var tH = 0; var tFrames = -1L
+    def u32(i: Int): Long = be32(p, i) & 0xffffffffL
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def walk(from: Int, to: Int, depth: Int): Boolean = { // false = malformed
+      var off = from
+      while (off + 8 <= to) {
+        var size = u32(off)
+        var hdr = 8
+        if (size == 0L) size = (to - off).toLong // to end of enclosing box
+        else if (size == 1L) {
+          if (off + 16 > to) return false
+          size = u64(off + 8); hdr = 16
+        }
+        if (size < hdr || off + size > to || depth > 8) return false
+        val typ = new String(p, off + 4, 4, "US-ASCII")
+        val body = off + hdr
+        val end = (off + size).toInt
+        typ match {
+          case "moov" | "mdia" | "minf" | "stbl" =>
+            if (!walk(body, end, depth + 1)) return false
+          case "trak" =>
+            tW = 0; tH = 0; tFrames = -1L
+            if (!walk(body, end, depth + 1)) return false
+            if (tW > 0 && tH > 0 && width == 0) {
+              width = tW; height = tH; frames = tFrames
+            }
+          case "mvhd" =>
+            if (body + 4 > end) return false
+            val v = p(body) & 0xff
+            if (v == 1) {
+              if (body + 28 > end) return false
+              timescale = u32(body + 20); duration = u64(body + 24)
+            } else {
+              if (body + 20 > end) return false
+              timescale = u32(body + 12); duration = u32(body + 16)
+            }
+          case "tkhd" =>
+            val v = p(body) & 0xff
+            // width/height are the LAST 8 bytes of the fixed v0 (84-byte)
+            // / v1 (96-byte) payload, 16.16 fixed point
+            val need = if (v == 1) 96 else 84
+            if (body + need > end) return false
+            tW = (u32(body + need - 8) >> 16).toInt
+            tH = (u32(body + need - 4) >> 16).toInt
+          case "stsz" =>
+            if (body + 12 > end) return false
+            tFrames = u32(body + 8) // sample_count
+          case _ => () // foreign box: skipped by size
+        }
+        off = (off + size).toInt
+      }
+      off == to || from == to
+    }
+    if (!walk(0, p.length, 0)) return None
+    if (timescale <= 0L || duration < 0L || width <= 0 || height <= 0)
+      return None
+    Some(VideoMeta(width, height, duration * 1000.0 / timescale,
+      math.max(frames, 0L)))
+  }
+
+  /** Serialize a minimal-but-well-formed MP4 (v0 boxes, full-size mvhd/
+    * tkhd payloads, a `free` box to exercise foreign-box skipping, an
+    * `mdat` stub) — the inverse of [[parseMp4Header]] for the round-trip
+    * law and the q143 fixture. */
+  def buildMp4(width: Int, height: Int, timescale: Int, duration: Long,
+      nFrames: Long): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(8)
+      .put("isom".getBytes("US-ASCII")).putInt(0x200).array())
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100) // v0 payload is 100 bytes
+      b.putInt(0) // version 0 + flags
+      b.putInt(0).putInt(0) // ctime, mtime
+      b.putInt(timescale).putInt(duration.toInt)
+      b.array() // rate/volume/matrix/next_track_id left zero — not parsed
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84) // v0 payload is 84 bytes
+      b.putInt(0).putInt(0).putInt(0).putInt(1) // ver+flags, times, track id
+      b.position(76)
+      b.putInt(width << 16).putInt(height << 16)
+      b.array()
+    }
+    val stsz = box("stsz", java.nio.ByteBuffer.allocate(12)
+      .putInt(0).putInt(1).putInt(nFrames.toInt).array()) // fixed size 1
+    val trak = box("trak", box("tkhd", tkhd) ++
+      box("mdia", box("minf", box("stbl", stsz))))
+    val moov = box("moov", box("mvhd", mvhd) ++ trak)
+    val free = box("free", Array[Byte](7, 7, 7)) // odd-length foreign box
+    val mdat = box("mdat", Array[Byte](0, 1, 2, 3))
+    ftyp ++ free ++ moov ++ mdat
+  }
+
+  /** Deterministic MP4 fixture per document (the q143 twin of
+    * [[syntheticWavCorpus]]): dimensions, timescale, duration and frame
+    * count are integer arithmetic on doc_id; the Spark side serializes
+    * the BMFF boxes and re-walks the bytes, the oracle derives the same
+    * values from the formula — a hash match proves the box walker. */
+  def syntheticMp4Corpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (16 * (10 + id % 20)).toInt
+        val h = (16 * (6 + id % 15)).toInt
+        val ts = (600 * (1 + id % 3)).toInt
+        val dur = 600L * (10 + id % 50) + (id % 7) * 100L
+        val n = 24 + id % 96
+        (id, buildMp4(w, h, ts, dur, n))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Video metadata extraction over a (doc_id, payload binary) frame —
+    * the mapPartitions stage of [[extractMetaBinary]] specialized to the
+    * MP4 walker's full output (duration included); non-BMFF payloads are
+    * dropped. */
+  def videoMetaBinary(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseMp4Header(bytes).map(v =>
+          (id, v.width, v.height, v.dur_ms, v.n_frames))
+      })
+      .toDF("doc_id", "width", "height", "dur_ms", "n_frames")
   }
 
   /** Deterministic 16-bit PCM WAV fixture per document — the audio

@@ -151,6 +151,30 @@ object PipelineQueries {
              round(sqrt(ssq / m) / 32768.0, 6) AS rms_amp,
              CAST(coalesce(z.zc, 0) AS INTEGER) AS zero_crossings
       FROM p JOIN agg USING (doc_id) LEFT JOIN z USING (doc_id)""")),
+
+    // REAL video-container decode through the oracle gate (the q141
+    // pattern for MP4): each document gets a deterministic ISO-BMFF file
+    // (dimensions / timescale / duration / frame count are integer
+    // arithmetic on doc_id), the Spark side serializes the box tree and
+    // re-WALKS the bytes (BinaryOps.parseMp4Header — size/largesize
+    // arithmetic, container recursion, mvhd/tkhd/stsz extraction, a
+    // foreign `free` box skipped mid-file), the oracle derives the same
+    // values from the formula. Frame decode stays a codec-requiring
+    // stub; the container surface is real.
+    ("q143_video_meta", (s: SparkSession, d: String) => {
+      import graft.functions.ColumnFunctions.pround
+      BinaryOps.videoMetaBinary(s,
+          BinaryOps.syntheticMp4Corpus(s, Tables.documents(s, d)))
+        .select(col("doc_id"), col("width"), col("height"),
+          pround(col("dur_ms"), 3).as("dur_ms"), col("n_frames"))
+    }, Some("""
+      SELECT doc_id,
+             CAST(16 * (10 + doc_id % 20) AS INTEGER) AS width,
+             CAST(16 * (6 + doc_id % 15) AS INTEGER) AS height,
+             round((600 * (10 + doc_id % 50) + (doc_id % 7) * 100)
+                   * 1000.0 / (600 * (1 + doc_id % 3)), 3) AS dur_ms,
+             CAST(24 + doc_id % 96 AS BIGINT) AS n_frames
+      FROM documents""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

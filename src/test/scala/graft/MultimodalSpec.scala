@@ -248,6 +248,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(BinaryOps.featurizeWav(2L, "nope".getBytes).isEmpty)
   }
 
+  // ---- real MP4 / ISO-BMFF box walk ----
+
+  test("parseMp4Header round-trips buildMp4; handles largesize and to-EOF boxes") {
+    val mp4 = BinaryOps.buildMp4(1920, 1080, 600, 36000L, 900L)
+    val v = BinaryOps.parseMp4Header(mp4)
+    assert(v === Some(BinaryOps.VideoMeta(1920, 1080, 60000.0, 900L)))
+    // largesize: rewrite the mdat box (last) as size==1 + 64-bit size
+    val mdatOff = mp4.length - 12
+    val withLarge = mp4.take(mdatOff) ++ {
+      val b = java.nio.ByteBuffer.allocate(16 + 4)
+      b.putInt(1).put("mdat".getBytes("US-ASCII")).putLong(20L)
+        .put(Array[Byte](0, 1, 2, 3)).array()
+    }
+    assert(BinaryOps.parseMp4Header(withLarge) === v)
+    // size==0 (box to EOF) on the trailing mdat
+    val withZero = mp4.clone()
+    java.nio.ByteBuffer.wrap(withZero).putInt(mdatOff, 0)
+    assert(BinaryOps.parseMp4Header(withZero) === v)
+  }
+
+  test("parseMp4Header rejects malformed input; q62 text payloads never match") {
+    val mp4 = BinaryOps.buildMp4(640, 480, 1000, 5000L, 120L)
+    assert(BinaryOps.parseMp4Header(mp4.dropRight(5)).isEmpty, "truncated box")
+    val badSize = mp4.clone()
+    java.nio.ByteBuffer.wrap(badSize).putInt(0, 7) // first box size < 8
+    assert(BinaryOps.parseMp4Header(badSize).isEmpty)
+    assert(BinaryOps.parseMp4Header("plain text payload".getBytes).isEmpty)
+    assert(BinaryOps.parseMp4Header("abcdftyp trailing".getBytes).isEmpty,
+      "a text payload whose bytes 4-7 spell ftyp still fails the size gate")
+    assert(BinaryOps.parseMp4Header(Array[Byte]()).isEmpty)
+    // decodeMeta dispatch: mp4 → real track meta, text → stub
+    val m = BinaryOps.decodeMeta(9L, mp4)
+    assert((m.width, m.height, m.n_frames) === ((640, 480, 120)))
+    val t = "not media".getBytes
+    assert(BinaryOps.decodeMeta(9L, t) === BinaryOps.stubDecode(9L, t))
+  }
+
   test("audioFeaturesBinary == the q141 oracle formula on the synthetic corpus") {
     val docs = Tables.documents(spark, TestSpark.sf0001).limit(40)
     val feats = BinaryOps.audioFeaturesBinary(spark,
