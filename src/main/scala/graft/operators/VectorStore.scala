@@ -179,6 +179,65 @@ object VectorStore {
     Similarity.scoreProbe(stored, q, k)
   }
 
+  /** The recall-sweep serve (q142): ONE cell read and ONE scoring pass at
+    * `max(probes)`, each candidate carrying its cell's probe rank — a
+    * candidate's cosine is independent of nProbe, only the candidate SET
+    * grows with it, so the per-nProbe top-k is a rank filter + window
+    * over the shared scored set instead of `probes.size` independent
+    * serve plans. Output (n_probe, query_id, rank, neighbor_id,
+    * cos_sim); equals [[annSearch]] at every probed setting
+    * (VectorStoreSpec law).
+    */
+  def annSearchSweep(spark: SparkSession, queries: DataFrame, idCol: String,
+      vecCol: String, dir: String, k: Int, probes: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(k >= 1 && probes.nonEmpty && probes.forall(_ >= 1))
+    val maxP = probes.max
+    val gens = Generations.live(spark, dir)
+    val centroids = loadCentroids(spark, dir)
+    // probeSide with the probe RANK kept (posexplode of the sorted slice)
+    val q = graft.functions.Frames.pinLocal(
+      queries.select(col(idCol).as("query_id"),
+          graft.functions.VectorFunctions.asDouble(col(vecCol)).as("qv"))
+        .withColumn("qnrm", graft.functions.VectorFunctions.l2Norm(col("qv")))
+        .withColumn("cellDists", array(centroids.zipWithIndex.map {
+          case (ctr, i) =>
+            struct(graft.functions.VectorFunctions.l2Sq(col("qv"), lit(ctr))
+              .as("d"), lit(i).as("cell"))
+        }: _*))
+        .select(col("query_id"), col("qv"), col("qnrm"),
+          posexplode(slice(array_sort(col("cellDists")), 1, maxP))
+            .as(Seq("p0", "pc")))
+        .select(col("query_id"), col("qv"), col("qnrm"),
+          (col("p0") + 1).as("probe_rank"), col("pc.cell").as("cell")))
+    val probed = q.select(col("cell")).distinct().collect()
+      .map(_.getAs[Number](0).intValue())
+    val fs = fsOf(spark, dir)
+    val paths = for {
+      g <- gens; c <- probed
+      p = s"$dir/cells/gen=$g/cell=$c"
+      if fs.exists(new Path(p))
+    } yield p
+    val stored =
+      if (paths.isEmpty) cells(spark, dir, gens).filter(lit(false))
+      else spark.read.option("basePath", s"$dir/cells").parquet(paths: _*)
+    val scored = stored.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos", graft.functions.VectorFunctions.dot(col("v"), col("qv"))
+        / (col("nrm") * col("qnrm")))
+    scored
+      .join(broadcast(probes.toDF("n_probe")),
+        col("probe_rank") <= col("n_probe"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("n_probe"), col("query_id"))
+          .orderBy(col("cos").desc, col("id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("n_probe"), col("query_id"), col("rank"),
+        col("id").as("neighbor_id"),
+        graft.functions.ColumnFunctions.pround(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Compact the store's committed generations into one: assignment rows
     * are disjoint across generations, so the merge is a pass-through
     * rewrite — correctness never depends on it; it bounds the generation

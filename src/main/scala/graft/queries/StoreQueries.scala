@@ -391,11 +391,11 @@ object StoreQueries {
       val dir = annStore(s, d)
       val bf = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
-      val ann = Seq(1, 2, 4, 8, 16).map { np =>
-        VectorStore.annSearch(s, qs, "vec_id", "embedding", dir,
-            k = 10, nProbe = np)
-          .select(lit(np).as("n_probe"), col("query_id"), col("neighbor_id"))
-      }.reduce(_ unionByName _)
+      // one cell read + one scoring pass for the whole sweep
+      // (annSearchSweep == annSearch at each setting, VectorStoreSpec law)
+      val ann = VectorStore.annSearchSweep(s, qs, "vec_id", "embedding",
+          dir, k = 10, probes = Seq(1, 2, 4, 8, 16))
+        .select(col("n_probe"), col("query_id"), col("neighbor_id"))
       ann.join(bf, Seq("query_id", "neighbor_id"), "left_outer")
         .groupBy(col("n_probe"), col("query_id"))
         .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hits"),

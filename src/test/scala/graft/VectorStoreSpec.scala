@@ -165,6 +165,19 @@ class VectorStoreSpec extends AnyFunSuite {
       "probing every cell must reproduce brute force exactly")
     assert(recallAt.head._2 < 1.0,
       "nProbe=1 must genuinely prune (otherwise the sweep measures nothing)")
+    // the one-pass sweep serve equals the per-setting serves exactly
+    val sweep = VectorStore.annSearchSweep(spark, queries, "vec_id",
+        "embedding", dir, k = 10, probes = Seq(1, 4, 16))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val perSetting = Seq(1, 4, 16).flatMap { np =>
+      VectorStore.annSearch(spark, queries, "vec_id", "embedding", dir,
+          k = 10, nProbe = np)
+        .collect().map(r => (np, r.getLong(0), r.getInt(1),
+          r.getLong(2), r.getDouble(3)))
+    }.toSet
+    assert(sweep === perSetting,
+      "annSearchSweep must equal annSearch at every probed setting")
   }
 
   test("a reader holding a resolved manifest survives a CONCURRENT compact+sweep") {
