@@ -82,6 +82,49 @@ class IndexingSpec extends AnyFunSuite {
     assert(tfidfServed === tfidfRebuilt)
   }
 
+  test("appends land as FLAT segments; compaction folds them into the sharded layout") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_seg").toString + "/idx"
+    Indexing.indexBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      dir, nShards = 8)
+    Indexing.indexAppend(docs.filter($"doc_id" % 2 === 1), "doc_id", "text", dir)
+    def names(sub: String, gen: String): Seq[String] = {
+      val d = new java.io.File(s"$dir/$sub/gen=$gen")
+      if (d.exists()) d.listFiles().toSeq.map(_.getName) else Nil
+    }
+    // the build generation is directory-partitioned, one file per shard
+    val g0 = names("postings", "g0").filter(_.startsWith("shard="))
+    assert(g0.nonEmpty, "build generation must be shard-partitioned")
+    g0.foreach { sd =>
+      val files = new java.io.File(s"$dir/postings/gen=g0/$sd").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files === 1, s"one file per shard dir, $sd has $files")
+    }
+    // the append generation is a flat segment: shard stays a data column,
+    // file count tracks the batch (AQE coalesces the small shuffle), and
+    // NO per-shard directories are created — the O(nShards)-file-creates
+    // append cost the r8 scale probe measured is structurally gone
+    for (sub <- Seq("postings", "stats", "heads")) {
+      val g1 = names(sub, "g1")
+      assert(g1.nonEmpty, s"$sub append generation missing")
+      assert(!g1.exists(_.startsWith("shard=")),
+        s"$sub append must be a flat segment, found ${g1.mkString(",")}")
+      assert(g1.count(_.endsWith(".parquet")) <= 4,
+        s"$sub segment file count must track the batch")
+    }
+    // serving folds both layouts identically
+    val served = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq
+    assert(served === Indexing.invertedIndex(docs, "doc_id", "text",
+      minDf = 5L, postingCap = 10).orderBy("token").collect().toSeq)
+    // compaction re-shards the segments: a lone c0, partitioned again
+    Indexing.indexCompact(spark, dir)
+    val c0 = names("postings", "c0").filter(_.startsWith("shard="))
+    assert(c0.nonEmpty, "compaction must fold segments into shard dirs")
+    assert(Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq === served)
+  }
+
   test("indexCompact folds the manifest to one generation without changing the served surface") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_cmp").toString + "/idx"

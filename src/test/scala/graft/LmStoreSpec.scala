@@ -40,6 +40,34 @@ class LmStoreSpec extends AnyFunSuite {
     assert(served === recomputed)
   }
 
+  test("appends land as FLAT segments; compaction folds them back to shard dirs") {
+    val dir = tmp()
+    LmStore.lmBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", dir,
+      nShards = 8)
+    LmStore.lmAppend(spark, docs.filter($"doc_id" % 2 =!= 0), "doc_id",
+      "text", dir)
+    def names(sub: String, gen: String): Seq[String] = {
+      val d = new java.io.File(s"$dir/$sub/gen=$gen")
+      if (d.exists()) d.listFiles().toSeq.map(_.getName) else Nil
+    }
+    assert(names("bigrams", "g0").exists(_.startsWith("shard=")),
+      "build generation must be shard-partitioned")
+    for ((sub, pc) <- Seq("bigrams" -> "shard", "unigrams" -> "shard",
+        "tokens" -> "shard", "docreg" -> "bucket")) {
+      val g1 = names(sub, "g1")
+      assert(g1.nonEmpty && !g1.exists(_.startsWith(pc + "=")),
+        s"$sub append must be a flat segment, found ${g1.mkString(",")}")
+      assert(g1.count(_.endsWith(".parquet")) <= 4,
+        s"$sub segment file count must track the batch")
+    }
+    val served = canon(LmStore.lmScore(spark, docs, "doc_id", "text", dir))
+    LmStore.lmCompact(spark, dir)
+    assert(names("bigrams", "c0").exists(_.startsWith("shard=")),
+      "compaction must fold segments back into shard dirs")
+    assert(canon(LmStore.lmScore(spark, docs, "doc_id", "text", dir))
+      === served)
+  }
+
   test("held-out scoring equals train-then-score (unseen bigrams floored)") {
     val dir = tmp()
     val train = docs.filter($"doc_id" % 3 =!= 0)
