@@ -625,20 +625,56 @@ object BinaryOps {
       .toDF("doc_id", "payload")
   }
 
+  /** REAL audio embedding from decoded PCM: the interleaved samples are
+    * cut into `dim` equal windows and each contributes its full-scale-
+    * normalized RMS — the energy-envelope features a real audio encoder's
+    * front end starts from (values in [0, 1], so they compose with the
+    * pixel/stub featurizers in one embedding space). None for non-WAV
+    * payloads. */
+  def featurizeWavBands(payload: Array[Byte], dim: Int): Option[Array[Double]] =
+    parseWav(payload).map { case (_, _, bits, s) =>
+      val fullScale = (1 << (bits - 1)).toDouble
+      val out = new Array[Double](dim)
+      if (s.nonEmpty) {
+        val win = math.max(1, (s.length + dim - 1) / dim)
+        var b = 0
+        while (b < dim) {
+          val from = b * win
+          val to = math.min(s.length, from + win)
+          if (from < to) {
+            var acc = 0.0
+            var i = from
+            while (i < to) { acc += s(i).toDouble * s(i); i += 1 }
+            out(b) = math.sqrt(acc / (to - from)) / fullScale
+          }
+          b += 1
+        }
+      }
+      out
+    }
+
+  /** One featurizer for every media payload: PNG pixels → channel means
+    * ([[featurizePixels]]), PCM WAV → per-band RMS energies
+    * ([[featurizeWavBands]]), anything codec-requiring → the
+    * deterministic stub. All three land in [0, 1]^dim. */
+  def featurizeMedia(payload: Array[Byte], dim: Int): Array[Double] =
+    featurizeWavBands(payload, dim)
+      .getOrElse(featurizePixels(payload, dim))
+
   /** Per-payload embedding extraction: the mapPartitions stage a model
-    * featurizer rides on (batch shape = one partition; PNG payloads take
-    * the REAL [[featurizePixels]] decode, others the deterministic stub —
-    * swap the stub for an ONNX/JNI model call and nothing else changes).
-    * Output embeds straight into [[graft.operators.Similarity]] —
-    * `bruteForceTopK` / `lshTopK` / `ivfTopK` accept the array column
-    * as-is.
+    * featurizer rides on (batch shape = one partition; PNG and WAV
+    * payloads take the REAL decodes via [[featurizeMedia]], others the
+    * deterministic stub — swap the stub for an ONNX/JNI model call and
+    * nothing else changes). Output embeds straight into
+    * [[graft.operators.Similarity]] — `bruteForceTopK` / `lshTopK` /
+    * `ivfTopK` accept the array column as-is.
     */
   def featurize(spark: SparkSession, docs: DataFrame, dim: Int = 8): DataFrame = {
     import spark.implicits._
     docs
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => (id, featurizePixels(bytes, dim)) })
+      .mapPartitions(_.map { case (id, bytes) => (id, featurizeMedia(bytes, dim)) })
       .toDF("doc_id", "embedding")
   }
 

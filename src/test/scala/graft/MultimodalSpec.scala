@@ -285,6 +285,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(BinaryOps.decodeMeta(9L, t) === BinaryOps.stubDecode(9L, t))
   }
 
+  test("featurizeWavBands: exact per-window RMS; featurizeMedia dispatches all three") {
+    // 8 samples, dim 4 → windows of 2; rms of (a,b) = sqrt((a²+b²)/2)
+    val s = Array(32768 / 2, 32768 / 2, 0, 0, -32768 / 4, 32768 / 4, 32767, 0)
+    val wav = BinaryOps.buildWav(8000, 1, 16, s)
+    val v = BinaryOps.featurizeWavBands(wav, 4).get
+    assert(math.abs(v(0) - 0.5) < 1e-12)
+    assert(v(1) === 0.0)
+    assert(math.abs(v(2) - 0.25) < 1e-12)
+    assert(math.abs(v(3) - math.sqrt(32767.0 * 32767 / 2) / 32768) < 1e-12)
+    assert(v.forall(x => x >= 0.0 && x <= 1.0))
+    // dispatch: WAV → bands, PNG → pixel means, text → stub
+    assert(BinaryOps.featurizeMedia(wav, 4).toSeq === v.toSeq)
+    val png = encodePng(2, 2, 1, Array.fill(4)(51.toByte), Seq(0))
+    assert(math.abs(BinaryOps.featurizeMedia(png, 4)(0) - 51 / 255.0) < 1e-12)
+    val text = "just text".getBytes
+    assert(BinaryOps.featurizeMedia(text, 4).toSeq ===
+      BinaryOps.stubFeaturize(text, 4).toSeq)
+  }
+
   test("audioFeaturesBinary == the q141 oracle formula on the synthetic corpus") {
     val docs = Tables.documents(spark, TestSpark.sf0001).limit(40)
     val feats = BinaryOps.audioFeaturesBinary(spark,
