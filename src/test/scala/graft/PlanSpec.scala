@@ -305,6 +305,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(4000))
   }
 
+  test("q142 recall sweep: one scored pass, broadcast probe sides, grouped top-k") {
+    val p = plan("q142_ann_recall")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+    // ONE scoring pass serves every swept nProbe setting: five settings
+    // but the plan holds a handful of scans (cells once + the brute-force
+    // sides), never a per-setting serve plan
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 6,
+      "the sweep must not multiply cell-store scans per setting\n" + p.take(4000))
+  }
+
   test("q135 served LM scoring joins count tables by key, never a real product") {
     // same contract as q98: the only nested-loop join allowed is the
     // 1-row vocab scalar (now served from the vtot stats surface)
