@@ -125,6 +125,25 @@ class IndexingSpec extends AnyFunSuite {
       .orderBy("token").collect().toSeq === served)
   }
 
+  test("an EMPTY batch append is harmless: flat empty generation, serving unchanged") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_empty").toString + "/idx"
+    Indexing.indexBuild(docs, "doc_id", "text", dir, nShards = 4)
+    val before = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq
+    Indexing.indexAppend(docs.filter(lit(false)), "doc_id", "text", dir)
+    // the empty segment generation is committed but contributes nothing
+    assert(graft.operators.Generations.live(spark, dir) === Seq("g0", "g1"))
+    assert(Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq === before)
+    assert(graft.operators.Retrieval.bm25FromIndex(spark,
+      docs.filter($"doc_id" < 2), "doc_id", "text", dir, k = 5).count() > 0)
+    // and compaction folds it away with everything else
+    Indexing.indexCompact(spark, dir)
+    assert(Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq === before)
+  }
+
   test("indexCompact folds the manifest to one generation without changing the served surface") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_cmp").toString + "/idx"
