@@ -159,16 +159,25 @@ object LmStore {
       .withColumn("bucket", bucketOf(col("id"), nShards)), "docreg", "bucket")
     // the write pays V's delta — and only the delta: the batch's tokens
     // probe membership against the shards THEY hash to (driver-side int
-    // set, bounded by nShards by construction), never the whole register
+    // set, bounded by nShards by construction), never the whole register.
+    // Join DIRECTION matters at scale: the prior token surface is
+    // vocabulary-sized, so it must only ever be SCANNED, never shuffled —
+    // `known` semi-joins prior against the BROADCAST batch vocab (a
+    // map-side probe over the scan; its result is ≤ the batch vocab, so
+    // broadcastable by construction), then novel anti-joins against that
+    // broadcast. Two broadcast hash joins of batch-sized sides; zero
+    // exchange of the register.
     val novel =
       if (priorGens.isEmpty) toks
       else {
         val probed = toks.select(col("shard")).distinct().collect()
           .map(_.getInt(0))
-        val prior = surface(s, dir, "tokens", priorGens)
+        val known = surface(s, dir, "tokens", priorGens)
           .filter(col("shard").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
           .select(col("w"))
-        toks.join(prior, Seq("w"), "left_anti")
+          .join(broadcast(toks.select(col("w"))), Seq("w"), "left_semi")
+          .distinct()
+        toks.join(broadcast(known), Seq("w"), "left_anti")
       }
     novel.groupBy(col("shard")).agg(count(lit(1)).as("v"))
       .coalesce(1)
