@@ -93,14 +93,19 @@ object LanguageModel {
     * `c1`=(w1, c1), `vocab`=one (v) row. Left joins + coalesce give
     * unseen bigrams the true smoothing floor k/(k·V). */
   private[operators] def scoreTail(docBigrams: DataFrame, c12: DataFrame,
-      c1: DataFrame, vocab: DataFrame, k: Double): DataFrame = docBigrams
-    .join(c12, Seq("w1", "w2"), "left")
-    .join(c1, Seq("w1"), "left")
-    .crossJoin(vocab) // 1-row scalar: broadcast, not a real product
-    .withColumn("lp", log(
-      (coalesce(col("c12"), lit(0L)) + lit(k))
-        / (coalesce(col("c1"), lit(0L)) + lit(k) * col("v"))))
-    .groupBy(col("id"))
-    .agg(count(lit(1)).as("n_bigrams"),
-      graft.functions.ColumnFunctions.pround(avg(col("lp")), 6).as("avg_logprob"))
+      c1: DataFrame, vocab: DataFrame, k: Double,
+      rounded: Boolean = true): DataFrame = {
+    val avgLp = avg(col("lp"))
+    docBigrams
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(vocab) // 1-row scalar: broadcast, not a real product
+      .withColumn("lp", log(
+        (coalesce(col("c12"), lit(0L)) + lit(k))
+          / (coalesce(col("c1"), lit(0L)) + lit(k) * col("v"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (if (rounded) graft.functions.ColumnFunctions.pround(avgLp, 6)
+         else avgLp).as("avg_logprob"))
+  }
 }

@@ -281,7 +281,19 @@ object LmStore {
     * were ever ingested.
     */
   def lmScore(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, dir: String, k: Double = 1.0): DataFrame = {
+      textCol: String, dir: String, k: Double = 1.0): DataFrame =
+    lmScoreImpl(spark, docs, idCol, textCol, dir, k, rounded = true)
+
+  /** [[lmScore]] with the average log-prob UNROUNDED — for consumers that
+    * compare scores (the q144 perplexity gate thresholds raw values, as
+    * its oracle does; rounding first would gate on a different number
+    * than the one published). */
+  def lmScoreRaw(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, dir: String, k: Double = 1.0): DataFrame =
+    lmScoreImpl(spark, docs, idCol, textCol, dir, k, rounded = false)
+
+  private def lmScoreImpl(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, dir: String, k: Double, rounded: Boolean): DataFrame = {
     val nShards = readMeta(spark, dir)
     // one checkpointed evaluation serves the probe collect AND the scoring
     // join: a bigram whose shard went unprobed would left-join to null and
@@ -307,7 +319,7 @@ object LmStore {
     // scan, never a vocab-sized distinct at scoring time
     val vocab = surface(spark, dir, "vstat", gens)
       .agg(coalesce(sum(col("v")), lit(0L)).as("v"))
-    LanguageModel.scoreTail(bg, c12, c1, vocab, k)
+    LanguageModel.scoreTail(bg, c12, c1, vocab, k, rounded)
   }
 
   /** Compact the store's committed generations into one: bigram/context

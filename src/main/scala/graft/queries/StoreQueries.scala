@@ -376,6 +376,49 @@ object StoreQueries {
              round(cos, 6) AS cos_sim
       FROM rk WHERE rank <= 10""")),
 
+    // CCNet-style perplexity filtering SERVED from the persisted LM
+    // register (Wenzek et al. 2020's gate re-expressed store-first):
+    // score every document against the frozen two-generation register
+    // (the corpus is never re-read at scoring time), then keep the docs
+    // whose avg bigram log-prob sits within 0.05 nats of their SOURCE's
+    // mean — a distribution-relative threshold (the production
+    // convention; an absolute floor would break at other corpus scales),
+    // computed as a per-source window average, never a global sort. The
+    // oracle replays the full chain: register counts, smoothing, scoring,
+    // per-source mean, gate.
+    ("q144_perplexity_filter", (s: SparkSession, d: String) => {
+      import graft.functions.ColumnFunctions.pround
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val scored = LmStore.lmScoreRaw(s, docs, "doc_id", "text", lmStore(s, d))
+        .withColumnRenamed("id", "doc_id")
+      scored
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("src_mean",
+          avg(col("avg_logprob")).over(Window.partitionBy(col("source"))))
+        .filter(col("avg_logprob") >= col("src_mean") - lit(0.05))
+        .select(col("doc_id"), col("source"), col("n_bigrams"),
+          pround(col("avg_logprob"), 6).as("avg_logprob"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+             FROM t WHERE len(w) >= 2),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM t)),
+      sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+                    avg(ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v))) AS lp
+             FROM bg
+             JOIN c12 USING (w1, w2)
+             JOIN c1 USING (w1)
+             CROSS JOIN v
+             GROUP BY bg.doc_id),
+      j AS (SELECT sc.doc_id, d.source, sc.n_bigrams, sc.lp,
+                   avg(sc.lp) OVER (PARTITION BY d.source) AS src_mean
+            FROM sc JOIN documents d USING (doc_id))
+      SELECT doc_id, source, n_bigrams, round(lp, 6) AS avg_logprob
+      FROM j WHERE lp >= src_mean - 0.05""")),
+
     // The number an operator of a 100 TB ANN deployment actually tunes:
     // RECALL@10 of the persisted cell-pruned store vs exact brute force,
     // swept across nProbe (1→nCells). At nProbe = nCells the store scans
