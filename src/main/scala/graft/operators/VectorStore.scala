@@ -193,6 +193,9 @@ object VectorStore {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     require(k >= 1 && probes.nonEmpty && probes.forall(_ >= 1))
+    require(probes.distinct == probes,
+      s"annSearchSweep: duplicate nProbe settings in $probes would " +
+        "duplicate output rows")
     val maxP = probes.max
     val gens = Generations.live(spark, dir)
     val centroids = loadCentroids(spark, dir)
