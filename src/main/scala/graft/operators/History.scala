@@ -203,24 +203,43 @@ object History {
     ()                      // must not accumulate checkpoint blocks
   }
 
+  /** The committed event log restricted to `buckets`, pruned at the PATH
+    * level: the read enumerates exactly the affected `gen=<g>/__bucket=<b>`
+    * directories (generations × affected existence checks, driver-side,
+    * bounded by the batch — the [[VectorStore.annSearch]] discipline), so
+    * neither the guard nor a rebuild pays a discovery listing that grows
+    * with nBuckets × generation count. */
+  private def readEventsPruned(spark: SparkSession, path: String,
+      buckets: Array[Int]): DataFrame = {
+    val gens = Generations.live(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = for {
+      g <- gens
+      bk <- buckets
+      p = s"$path/events/gen=$g/__bucket=$bk"
+      if fs.exists(new org.apache.hadoop.fs.Path(p))
+    } yield p
+    if (paths.isEmpty) readEvents(spark, path).filter(lit(false))
+    else spark.read.option("basePath", s"$path/events").parquet(paths: _*)
+  }
+
   /** Stored events matching the batch's (key, tie) identities —
-    * bucket-pruned, so the scan touches only the affected directories. */
+    * path-pruned to the affected buckets' directories. */
   private def storedOverlap(spark: SparkSession, path: String, b: DataFrame,
       affected: Array[Int], keyCol: String, tieCol: String): DataFrame =
-    readEvents(spark, path)
-      .filter(col("__bucket").isin(affected.map(Integer.valueOf).toIndexedSeq: _*))
+    readEventsPruned(spark, path, affected)
       .join(b.select(col(keyCol), col(tieCol)), Seq(keyCol, tieCol), "left_semi")
 
   /** Recompute the SCD2 history for `buckets` from the stored event log
-    * (statically pruned scan) and dynamic-overwrite just those
+    * (path-pruned scan) and dynamic-overwrite just those
     * directories. Idempotent: safe to re-run after a crash that appended
     * events but died before the history committed.
     */
   private[graft] def rebuildBuckets(spark: SparkSession, path: String,
       buckets: Array[Int], nBuckets: Int, keyCol: String, attrCol: String,
       tsCol: String, tieCol: String): Unit = {
-    val evs = readEvents(spark, path)
-      .filter(col("__bucket").isin(buckets.map(Integer.valueOf).toIndexedSeq: _*))
+    val evs = readEventsPruned(spark, path, buckets)
     scd2(evs, keyCol, attrCol, tsCol, tieCol)
       .withColumn("__bucket", bucketOf(col(keyCol), nBuckets))
       .repartition(col("__bucket"))
