@@ -503,13 +503,18 @@ object BinaryOps {
             if (body + 4 > end) return false
             val v = p(body) & 0xff
             if (v == 1) {
-              if (body + 28 > end) return false
+              // v1 needs 32 bytes through duration: u64(body+24) reads
+              // body+24..body+31
+              if (body + 32 > end) return false
               timescale = u32(body + 20); duration = u64(body + 24)
             } else {
               if (body + 20 > end) return false
               timescale = u32(body + 12); duration = u32(body + 16)
             }
           case "tkhd" =>
+            // v0 minimum is 84 bytes — guard BEFORE the version-byte read
+            // so an empty tkhd body at end-of-payload is malformed, not AIOOBE
+            if (body + 84 > end) return false
             val v = p(body) & 0xff
             // width/height are the LAST 8 bytes of the fixed v0 (84-byte)
             // / v1 (96-byte) payload, 16.16 fixed point

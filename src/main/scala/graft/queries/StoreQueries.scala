@@ -396,7 +396,11 @@ object StoreQueries {
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .withColumn("src_mean",
           avg(col("avg_logprob")).over(Window.partitionBy(col("source"))))
-        .filter(col("avg_logprob") >= col("src_mean") - lit(0.05))
+        // gate on PUBLISHED precision: window-avg accumulation order is
+        // partition-dependent, so comparing unrounded doubles against the
+        // oracle's independently-accumulated mean is flaky at epsilon
+        .filter(pround(col("avg_logprob"), 6) >=
+          pround(col("src_mean"), 6) - lit(0.05))
         .select(col("doc_id"), col("source"), col("n_bigrams"),
           pround(col("avg_logprob"), 6).as("avg_logprob"))
     }, Some("""
@@ -417,7 +421,7 @@ object StoreQueries {
                    avg(sc.lp) OVER (PARTITION BY d.source) AS src_mean
             FROM sc JOIN documents d USING (doc_id))
       SELECT doc_id, source, n_bigrams, round(lp, 6) AS avg_logprob
-      FROM j WHERE lp >= src_mean - 0.05""")),
+      FROM j WHERE round(lp, 6) >= round(src_mean, 6) - 0.05""")),
 
     // The number an operator of a 100 TB ANN deployment actually tunes:
     // RECALL@10 of the persisted cell-pruned store vs exact brute force,

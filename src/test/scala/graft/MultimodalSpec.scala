@@ -278,6 +278,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(BinaryOps.parseMp4Header("abcdftyp trailing".getBytes).isEmpty,
       "a text payload whose bytes 4-7 spell ftyp still fails the size gate")
     assert(BinaryOps.parseMp4Header(Array[Byte]()).isEmpty)
+    // an empty-body tkhd box terminating the payload must be malformed
+    // (None), not an ArrayIndexOutOfBoundsException in the Spark task
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val ftyp = mp4.take(16) // buildMp4's ftyp box is 8-byte header + 8-byte body
+    val emptyTkhd = ftyp ++ box("moov", box("trak", box("tkhd", Array[Byte]())))
+    assert(BinaryOps.parseMp4Header(emptyTkhd).isEmpty, "empty tkhd body")
+    // a 28-byte v1 mvhd at end-of-payload: u64(body+24) needs 32 bytes —
+    // must be malformed, never read past the array or into the next box
+    val shortMvhd = {
+      val b = java.nio.ByteBuffer.allocate(28)
+      b.put(1.toByte) // version 1
+      ftyp ++ box("moov", box("mvhd", b.array()))
+    }
+    assert(BinaryOps.parseMp4Header(shortMvhd).isEmpty, "28-byte v1 mvhd")
+    // a full 32-byte v1 mvhd parses the 64-bit duration correctly
+    val v1Mvhd = {
+      val b = java.nio.ByteBuffer.allocate(32)
+      b.put(1.toByte); b.position(20); b.putInt(600).putLong(36000L)
+      val tkhd = {
+        val t = java.nio.ByteBuffer.allocate(84)
+        t.position(76); t.putInt(320 << 16).putInt(240 << 16)
+        t.array()
+      }
+      ftyp ++ box("moov", box("mvhd", b.array()) ++ box("trak", box("tkhd", tkhd)))
+    }
+    assert(BinaryOps.parseMp4Header(v1Mvhd) ===
+      Some(BinaryOps.VideoMeta(320, 240, 60000.0, 0L)))
     // decodeMeta dispatch: mp4 → real track meta, text → stub
     val m = BinaryOps.decodeMeta(9L, mp4)
     assert((m.width, m.height, m.n_frames) === ((640, 480, 120)))
