@@ -39,6 +39,11 @@ object Bench {
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // comma-separated allowlist for focused iteration; unset = all queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    def loadAvg1: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg1
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -48,8 +53,24 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, times)
     }
+    val loadEnd = loadAvg1
+    // Contamination guard: the r8 artifact was captured under heavy ambient
+    // load and recorded 4-6x-inflated figures as the round's record. Spread
+    // is measured over the STEADY-STATE runs only (iterations 2..n — run 1
+    // legitimately carries planning/codegen-compile cost); on a quiet host
+    // repeat runs of the same plan agree within ~1.5x, so a >3x max/min
+    // spread on a non-trivial query means another process stole the cores
+    // mid-run and the min may itself be inflated.
+    val spreads = results.collect {
+      case (name, _, ts) if ts.length >= 3 && ts.drop(1).min >= 0.2 =>
+        name -> ts.drop(1).max / ts.drop(1).min
+    }
+    val (worstQ, worstSpread) =
+      if (spreads.isEmpty) ("", 1.0) else spreads.maxBy(_._2)
+    val nOver3 = spreads.count(_._2 > 3.0)
+    val contaminated = nOver3 > 0 || loadStart > cpus.toInt * 1.5
     // The driver parses this line out of a bounded tail of the process
     // output (last ~2000 chars, after sbt's own [success] footer), so the
     // line must stay compact: 2-decimal seconds, emitted after spark.stop()
@@ -57,11 +78,16 @@ object Bench {
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     // keys are the qNN prefix (the driver contract's own example shape):
     // ~80 full names would not fit the tail budget, the prefixes always do
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // ld = 1-min loadavg at [start of timed loop, end]; spr/sprq = worst
+    // steady-state max/min spread and its query; nspr3 = queries over 3x
+    val guard = s""""ld":[${fmt(loadStart)},${fmt(loadEnd)}],""" +
+      s""""spr":${fmt(worstSpread)},"sprq":"${worstQ.takeWhile(_ != '_')}",""" +
+      s""""nspr3":$nOver3,"contaminated":$contaminated"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$guard,"queries":$qs,"sf":"$sfDir"}"""
     if (line.length > 1850)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may overflow the driver tail")
     spark.stop()
