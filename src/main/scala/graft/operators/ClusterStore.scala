@@ -177,7 +177,8 @@ object ClusterStore {
     */
   def ccApply(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String,
-      windows: Seq[(Int, Int)] = Seq((1, 8), (5, 12))): Unit = {
+      windows: Seq[(Int, Int)] = Seq((1, 8), (5, 12))): Unit =
+      Generations.withWriterLock(spark, path) {
     val (nBuckets, storedTag) = readMeta(spark, path)
     require(storedTag == windowsTag(windows),
       s"ccApply: fingerprint windows ${windowsTag(windows)} do not match " +
@@ -305,7 +306,8 @@ object ClusterStore {
     */
   def ccApplyOrReplay(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String,
-      windows: Seq[(Int, Int)] = Seq((1, 8), (5, 12))): Unit = {
+      windows: Seq[(Int, Int)] = Seq((1, 8), (5, 12))): Unit =
+      Generations.withWriterLock(spark, path) {
     val (nBuckets, _) = readMeta(spark, path)
     val raw = batch.select(col(idCol).cast("long").as("id")).localCheckpoint()
     try {
@@ -353,7 +355,8 @@ object ClusterStore {
     * compaction is a measured no-op. Single WRITER still required (never
     * concurrent with an apply).
     */
-  def ccCompact(spark: SparkSession, path: String): Unit = {
+  def ccCompact(spark: SparkSession, path: String): Unit =
+      Generations.withWriterLock(spark, path) {
     Generations.sweepUnreferenced(spark, path, surfaces)
     val committed = Generations.live(spark, path)
     if (committed.sizeIs == 1 && committed.head.startsWith("c")) return

@@ -20,31 +20,53 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - Compaction never deletes what the manifest references: it writes
   *    the folded generation as a NEW `gen=c<n>` directory set, flips the
   *    manifest to point at it, and leaves the folded directories on disk
-  *    until the NEXT compaction's sweep. A reader that resolved the old
-  *    manifest keeps a complete, immutable view for a full maintenance
-  *    cycle — the delete+rename swap's "concurrent reader loses its
-  *    directory" window is gone. (One compaction cycle is the documented
-  *    grace bound; a query outliving two compactions of the same store
-  *    needs a snapshot-isolated table format instead.)
+  *    while any RETAINED SNAPSHOT manifest still references them. Every
+  *    commit rotates the outgoing manifest into a bounded history
+  *    (`_MANIFEST.<n>`, [[HistoryKeep]] deep), and the sweep protects
+  *    everything the history references — so a reader that resolved an
+  *    old manifest keeps a complete, immutable view for `HistoryKeep`
+  *    commits (the tunable grace window), and [[liveAt]] resolves a past
+  *    store state by name (cheap time travel). Disk overhead is bounded
+  *    by compaction cadence × HistoryKeep, never by ingest history.
   *  - The manifest flip itself is a write-to-temp + overwrite-rename
   *    ([[FileContext]] `Options.Rename.OVERWRITE` — atomic on HDFS and
   *    POSIX filesystems), so readers see the old list or the new list,
   *    never a torn file.
   *
-  * WRITERS remain single-writer (appends serialized with compaction, the
-  * contract every store documents); the manifest removes the concurrent
-  * READER hazard and narrows every multi-directory commit to one
-  * filesystem op. This is deliberately the small end of the table-format
-  * spectrum (an Iceberg/Delta snapshot pointer without version history);
-  * a production deployment on object storage would swap in such a format
-  * wholesale — the store layouts already match its segment model.
+  * WRITERS remain single-writer — and the contract is ENFORCED, not just
+  * documented: every mutating store entry point runs under
+  * [[withWriterLock]] (in-JVM thread arbiter + best-effort create-
+  * exclusive lock file), so a second concurrent writer fails fast instead
+  * of interleaving `add`/`commit` and silently losing a generation. The
+  * manifest removes the concurrent READER hazard and narrows every
+  * multi-directory commit to one filesystem op. This is deliberately the
+  * small end of the table-format spectrum (an Iceberg/Delta snapshot
+  * pointer with a bounded version history); a production deployment on
+  * object storage would swap in such a format wholesale — the store
+  * layouts already match its segment model.
   */
 object Generations {
 
   private val ManifestName = "_MANIFEST"
+  private val LockName = "_WRITER_LOCK"
+
+  /** Snapshot manifests retained per store (`_MANIFEST.<n>`): each commit
+    * rotates the outgoing manifest into the history before overwriting,
+    * and [[sweepUnreferenced]] protects every generation a retained
+    * snapshot references — so the reader-grace window is `HistoryKeep`
+    * commits deep instead of exactly one compaction cycle, and a reader
+    * can pin a PAST store state by name ([[liveAt]]). */
+  val HistoryKeep = 2
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readManifest(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
 
   /** The committed generation names. Fails fast on a directory that has
     * no manifest — an uncommitted build or not a store at all. */
@@ -53,18 +75,55 @@ object Generations {
     val p = new Path(storeDir, ManifestName)
     require(fs.exists(p),
       s"no $ManifestName under $storeDir — not a committed store")
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().map(_.trim).filter(_.nonEmpty).toList
-    finally in.close()
+    readManifest(fs, p)
   }
 
-  /** Atomically replace the manifest — the store's commit point. */
+  /** Retained snapshot ids, ascending (empty before the second commit). */
+  def snapshotIds(spark: SparkSession, storeDir: String): Seq[Int] = {
+    val fs = fsOf(spark, storeDir)
+    val d = new Path(storeDir)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith(ManifestName + ".") &&
+        n.stripPrefix(ManifestName + ".").forall(_.isDigit) =>
+        n.stripPrefix(ManifestName + ".").toInt }
+      .sorted
+  }
+
+  /** The generation names a retained snapshot manifest references — the
+    * store state as of that commit. Generations are protected from the
+    * sweep while the snapshot is retained, so the view is complete. */
+  def liveAt(spark: SparkSession, storeDir: String, snapshot: Int): Seq[String] = {
+    val fs = fsOf(spark, storeDir)
+    val p = new Path(storeDir, s"$ManifestName.$snapshot")
+    require(fs.exists(p), s"no retained snapshot $snapshot under $storeDir " +
+      s"(retained: ${snapshotIds(spark, storeDir).mkString(",")})")
+    readManifest(fs, p)
+  }
+
+  /** Atomically replace the manifest — the store's commit point. The
+    * outgoing manifest (if any) rotates into the snapshot history first;
+    * history beyond [[HistoryKeep]] is pruned here, so retention cost is
+    * bounded and needs no separate maintenance. */
   def commit(spark: SparkSession, storeDir: String, gens: Seq[String]): Unit = {
     require(gens.nonEmpty, "a store must reference at least one generation")
     require(gens.distinct == gens, s"duplicate generation in $gens")
     val fs = fsOf(spark, storeDir)
     fs.mkdirs(new Path(storeDir))
+    val cur = new Path(storeDir, ManifestName)
+    if (fs.exists(cur)) {
+      val ids = snapshotIds(spark, storeDir)
+      val next = if (ids.isEmpty) 0 else ids.max + 1
+      // plain copy, not rename: a crash between copy and the final flip
+      // leaves the current manifest untouched (snapshot is advisory)
+      val content = readManifest(fs, cur)
+      val snap = new Path(storeDir, s"$ManifestName.$next")
+      val out = fs.create(snap, true)
+      try out.write((content.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      for (old <- (ids :+ next).sorted.dropRight(HistoryKeep))
+        fs.delete(new Path(storeDir, s"$ManifestName.$old"), false)
+    }
     val tmp = new Path(storeDir, ManifestName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write((gens.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -79,6 +138,71 @@ object Generations {
   def add(spark: SparkSession, storeDir: String, gen: String): Unit = {
     val l = live(spark, storeDir)
     if (!l.contains(gen)) commit(spark, storeDir, l :+ gen)
+  }
+
+  /** JVM-level arbiter for [[withWriterLock]], keyed by qualified store
+    * path: catches the realistic in-process hazard (two threads — a
+    * stream's foreachBatch racing a maintenance compact) exactly, and is
+    * reentrant per thread so a compact may call an apply. */
+  private val heldLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Thread]()
+
+  /** Enforce the stores' documented single-WRITER contract instead of
+    * trusting callers: every mutating store entry point (append / apply /
+    * compact) runs its body under this guard. A second concurrent writer
+    * FAILS FAST with `IllegalStateException` — the alternative is an
+    * interleaved `add`/`commit` pair that can silently lose a generation
+    * from the manifest. Two layers: the in-JVM thread map above, plus a
+    * best-effort create-exclusive lock FILE under the store dir for a
+    * second process; a lock file whose mtime is older than `staleMs` is
+    * presumed left by a crashed writer and is broken. (Best-effort by
+    * design: object stores without atomic create need a real coordination
+    * service; this guard turns silent corruption into a loud error on
+    * filesystems, which is the contract the specs pin.) */
+  def withWriterLock[T](spark: SparkSession, storeDir: String,
+      staleMs: Long = 30 * 60 * 1000L)(body: => T): T = {
+    val fs = fsOf(spark, storeDir)
+    fs.mkdirs(new Path(storeDir))
+    val key = fs.makeQualified(new Path(storeDir)).toString
+    val me = Thread.currentThread()
+    val owner = heldLocks.putIfAbsent(key, me)
+    if (owner eq me) return body // reentrant: outer holder owns cleanup
+    if (owner != null)
+      throw new IllegalStateException(s"store $storeDir already has an " +
+        s"active writer (thread ${owner.getName}); stores are " +
+        "single-writer — serialize appends/applies with compaction")
+    val lockFile = new Path(storeDir, LockName)
+    var fileLocked = false
+    try {
+      def tryCreate(): Boolean =
+        try {
+          val out = fs.create(lockFile, false)
+          try out.write(
+            s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n"
+              .getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      fileLocked = tryCreate()
+      if (!fileLocked) {
+        val stale =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(lockFile).getModificationTime > staleMs
+          catch { case _: java.io.FileNotFoundException => true }
+        if (stale) {
+          fs.delete(lockFile, false)
+          fileLocked = tryCreate()
+        }
+        if (!fileLocked)
+          throw new IllegalStateException(s"store $storeDir is locked by " +
+            s"another writer process ($LockName present and fresh)")
+      }
+      body
+    } finally {
+      heldLocks.remove(key)
+      if (fileLocked)
+        try fs.delete(lockFile, false) catch { case _: Throwable => () }
+    }
   }
 
   /** Read one surface restricted to the given generations: explicit
@@ -170,7 +294,11 @@ object Generations {
   def sweepUnreferenced(spark: SparkSession, storeDir: String,
       surfaces: Seq[String], protect: Set[String] = Set.empty): Unit = {
     val fs = fsOf(spark, storeDir)
-    val referenced = live(spark, storeDir).toSet ++ protect
+    // retained snapshot manifests keep their generations readable: the
+    // snapshot history IS the tunable reader-grace window
+    val snapshotRefs = snapshotIds(spark, storeDir)
+      .flatMap(liveAt(spark, storeDir, _)).toSet
+    val referenced = live(spark, storeDir).toSet ++ snapshotRefs ++ protect
     for (surface <- surfaces;
          gen <- onDisk(spark, storeDir, surface) if !referenced(gen))
       fs.delete(new Path(s"$storeDir/$surface/gen=$gen"), true)

@@ -112,6 +112,7 @@ object History {
     */
   def scd2Apply(spark: SparkSession, path: String, batch: DataFrame,
       keyCol: String, attrCol: String, tsCol: String, tieCol: String): Unit =
+    Generations.withWriterLock(spark, path) {
     withAlignedBatch(spark, path, batch, keyCol, tieCol) {
       (b, affected, nBuckets) =>
         // at-least-once CDC redelivery guard: an already-ingested
@@ -126,6 +127,7 @@ object History {
         appendGeneration(spark, path, b)
         rebuildBuckets(spark, path, affected, nBuckets, keyCol, attrCol,
           tsCol, tieCol)
+    }
     }
 
   /** Write the batch as a fresh event-log generation and flip the
@@ -151,6 +153,7 @@ object History {
     */
   def scd2ApplyOrReplay(spark: SparkSession, path: String, batch: DataFrame,
       keyCol: String, attrCol: String, tsCol: String, tieCol: String): Unit =
+    Generations.withWriterLock(spark, path) {
     withAlignedBatch(spark, path, batch, keyCol, tieCol) {
       (b, affected, nBuckets) =>
         val nStored = storedOverlap(spark, path, b, affected, keyCol, tieCol)
@@ -170,6 +173,7 @@ object History {
               "already stored — a checkpointed replay is all-or-nothing, " +
               "so a partial overlap means upstream corruption")
         }
+    }
     }
 
   /** Align the batch to the stored event schema, stamp its bucket, pin it
@@ -267,7 +271,8 @@ object History {
     * returns immediately, so repeated timed runs measure pure serving.
     * Single WRITER still required (never concurrent with an apply).
     */
-  def scd2Compact(spark: SparkSession, path: String): Unit = {
+  def scd2Compact(spark: SparkSession, path: String): Unit =
+      Generations.withWriterLock(spark, path) {
     Generations.sweepUnreferenced(spark, path, surfaces)
     val committed = Generations.live(spark, path)
     if (committed.sizeIs == 1 && committed.head.startsWith("c")) return

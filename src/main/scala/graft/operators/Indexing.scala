@@ -238,7 +238,8 @@ object Indexing {
     * would trip this guard.
     */
   def indexAppend(batch: DataFrame, idCol: String, textCol: String,
-      indexDir: String): Unit = {
+      indexDir: String): Unit =
+      Generations.withWriterLock(batch.sparkSession, indexDir) {
     val spark = batch.sparkSession
     val (nShards, headCap) = readMeta(spark, indexDir)
     val dupe = surface(spark, indexDir, "doclen",
@@ -272,7 +273,8 @@ object Indexing {
     * the compacted generation ("c0") — use "b<batchId>".
     */
   def indexAppendOrReplay(batch: DataFrame, idCol: String, textCol: String,
-      indexDir: String, gen: String): Unit = {
+      indexDir: String, gen: String): Unit =
+      Generations.withWriterLock(batch.sparkSession, indexDir) {
     require(gen.nonEmpty && !namespaceClash(gen),
       s"indexAppendOrReplay: generation name '$gen' collides with the " +
         "batch/compaction namespace — use a distinct prefix, e.g. b<batchId>")
@@ -349,7 +351,8 @@ object Indexing {
     * production).
     */
   def indexCompact(spark: SparkSession, indexDir: String,
-      keepGens: Set[String] = Set.empty): Unit = {
+      keepGens: Set[String] = Set.empty): Unit =
+      Generations.withWriterLock(spark, indexDir) {
     val (_, headCap) = readMeta(spark, indexDir)
     // sweep generations folded by the PREVIOUS compaction (their reader
     // grace has lapsed) and orphans of crashed writes — but never a

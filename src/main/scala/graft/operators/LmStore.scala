@@ -213,7 +213,8 @@ object LmStore {
     * [[lmAppendOrReplay]] — a redelivered batch would trip this guard.
     */
   def lmAppend(spark: SparkSession, batch: DataFrame, idCol: String,
-      textCol: String, dir: String): Unit = {
+      textCol: String, dir: String): Unit =
+      Generations.withWriterLock(spark, dir) {
     val nShards = readMeta(spark, dir)
     val committed = Generations.live(spark, dir)
     val ids = batch.select(col(idCol).cast("string").as("id")).distinct()
@@ -243,7 +244,8 @@ object LmStore {
     * batch ("g<k>") or compaction ("c0") namespaces — use "b<batchId>".
     */
   def lmAppendOrReplay(spark: SparkSession, batch: DataFrame, idCol: String,
-      textCol: String, dir: String, gen: String): Unit = {
+      textCol: String, dir: String, gen: String): Unit =
+      Generations.withWriterLock(spark, dir) {
     require(gen.nonEmpty &&
       !(gen.length > 1 && (gen.head == 'g' || gen.head == 'c') &&
         gen.tail.forall(_.isDigit)),
@@ -338,7 +340,8 @@ object LmStore {
     * folded directories one cycle later; single WRITER still required.
     */
   def lmCompact(spark: SparkSession, dir: String,
-      keepGens: Set[String] = Set.empty): Unit = {
+      keepGens: Set[String] = Set.empty): Unit =
+      Generations.withWriterLock(spark, dir) {
     Generations.sweepUnreferenced(spark, dir, surfaces, keepGens)
     val liveGens = Generations.live(spark, dir)
     val foldGens = liveGens.filterNot(keepGens)

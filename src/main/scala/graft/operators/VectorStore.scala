@@ -101,7 +101,8 @@ object VectorStore {
     * [[annAppendOrReplay]] — a redelivered batch would trip this guard.
     */
   def annAppend(spark: SparkSession, batch: DataFrame, idCol: String,
-      vecCol: String, dir: String): Unit = {
+      vecCol: String, dir: String): Unit =
+      Generations.withWriterLock(spark, dir) {
     val dupe = cells(spark, dir, Generations.live(spark, dir)).select(col("id"))
       .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
     require(dupe.isEmpty,
@@ -121,7 +122,8 @@ object VectorStore {
     * ("g<k>") or compaction ("c0") namespaces — use "b<batchId>".
     */
   def annAppendOrReplay(spark: SparkSession, batch: DataFrame, idCol: String,
-      vecCol: String, dir: String, gen: String): Unit = {
+      vecCol: String, dir: String, gen: String): Unit =
+      Generations.withWriterLock(spark, dir) {
     require(gen.nonEmpty &&
       !(gen.length > 1 && (gen.head == 'g' || gen.head == 'c') &&
         gen.tail.forall(_.isDigit)),
@@ -255,7 +257,8 @@ object VectorStore {
     * folded directories one cycle later; single WRITER still required.
     */
   def annCompact(spark: SparkSession, dir: String,
-      keepGens: Set[String] = Set.empty): Unit = {
+      keepGens: Set[String] = Set.empty): Unit =
+      Generations.withWriterLock(spark, dir) {
     Generations.sweepUnreferenced(spark, dir, Seq("cells"), keepGens)
     val liveGens = Generations.live(spark, dir)
     val foldGens = liveGens.filterNot(keepGens)

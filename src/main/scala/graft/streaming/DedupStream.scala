@@ -86,7 +86,8 @@ object DedupStream {
     */
   private[graft] def ingestBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, stateDir: String, idCol: String, textCol: String,
-      shingleN: Int, threshold: Double, k: Int, bands: Int): Unit = {
+      shingleN: Int, threshold: Double, k: Int, bands: Int): Unit =
+      Generations.withWriterLock(spark, stateDir) {
     val priorGens =
       if (!hasManifest(spark, stateDir)) Nil
       else gensBelow(spark, stateDir, batchId)
@@ -149,7 +150,8 @@ object DedupStream {
     * directory from scratch anyway) is swept at the next run. Single
     * writer: never run concurrently with an active ingest.
     */
-  def compactState(spark: SparkSession, stateDir: String, uptoBatch: Long): Unit = {
+  def compactState(spark: SparkSession, stateDir: String, uptoBatch: Long): Unit =
+      Generations.withWriterLock(spark, stateDir) {
     require(uptoBatch >= 1, "need uptoBatch >= 1")
     Generations.sweepUnreferenced(spark, stateDir, surfaces)
     val live = Generations.live(spark, stateDir)

@@ -72,12 +72,15 @@ class HistorySpec extends AnyFunSuite {
       === before)
 
     // an already-folded store early-returns; a stray partial fold (crashed
-    // compaction) is unreferenced and swept by the next run
+    // compaction) is unreferenced and swept by the next run — while the
+    // committed-then-folded generations survive as long as a retained
+    // SNAPSHOT manifest references them (rotation-and-reclaim law:
+    // IndexingSpec; time travel: StoreLifecycleSpec)
     val stray = new java.io.File(s"$dir/events/gen=c1")
     assert(stray.mkdirs())
     History.scd2Compact(spark, dir)
     assert(!stray.exists(), "an uncommitted partial fold must be swept")
-    assert(genDirs === Seq("gen=c0"), "lapsed generations must be swept")
+    assert(genDirs.size === 4, "snapshot-referenced gens must survive")
     assert(Generations.live(spark, dir) === Seq("c0"))
 
     // applies keep working on the compacted log (late event splits a run)

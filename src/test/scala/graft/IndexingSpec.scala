@@ -178,27 +178,49 @@ class IndexingSpec extends AnyFunSuite {
     for (s <- Seq("postings", "stats", "heads", "doclen", "consts"))
       assert(genDirs(dir, s).size === 4, s"$s: folded gens must survive one cycle")
 
-    // … and the NEXT maintenance cycle sweeps them: one gen dir per
-    // surface, one stat row per (shard, token), one consts row — file
-    // counts stop growing with appends. (foldGens.size == 1 → the second
-    // compact only sweeps; it writes nothing new.)
+    // … and they stay alive as long as a RETAINED SNAPSHOT manifest
+    // references them (Generations.HistoryKeep — the tunable reader-grace
+    // window, StoreLifecycleSpec's time-travel law): an immediate second
+    // compact sweeps nothing yet
     Indexing.indexCompact(spark, dir)
     for (s <- Seq("postings", "stats", "heads", "doclen", "consts"))
-      assert(genDirs(dir, s) === Seq("gen=c0"), s"$s: expected single swept generation")
-    val dup = spark.read.parquet(s"$dir/stats")
+      assert(genDirs(dir, s).size === 4,
+        s"$s: snapshot-referenced gens must survive")
+    // …but once enough commits rotate those snapshots out, the sweep
+    // reclaims them — disk is bounded by compaction cadence × HistoryKeep,
+    // not by ingest history
+    val extra1 = docs.filter($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 1000000).as("doc_id"), $"text")
+    val extra2 = docs.filter($"doc_id" % 3 === 1)
+      .select(($"doc_id" + 2000000).as("doc_id"), $"text")
+    Indexing.indexAppend(extra1, "doc_id", "text", dir) // rotates a snapshot
+    Indexing.indexAppend(extra2, "doc_id", "text", dir) // rotates the other
+    Indexing.indexCompact(spark, dir)
+    for (s <- Seq("postings", "stats", "heads", "doclen", "consts")) {
+      val left = genDirs(dir, s)
+      assert(!left.exists(Seq("gen=g0", "gen=g1", "gen=g2").contains),
+        s"$s: gens no retained snapshot references must be swept, got $left")
+      assert(left.size === 4, s"$s: disk bounded by cadence × HistoryKeep")
+    }
+    // the manifest-resolved stats surface holds one segment row per token
+    val live = Generations.live(spark, dir)
+    assert(live === Seq("c1"))
+    val dup = Generations.readSurface(spark, dir, "stats", live)
       .groupBy("shard", "token").count().filter($"count" > 1)
     assert(dup.isEmpty, "stats must hold a single segment row per token")
-    assert(spark.read.parquet(s"$dir/consts").count() === 1L)
+    assert(Generations.readSurface(spark, dir, "consts", live).count() === 1L)
 
     // crash mid-fold: a partial, never-committed c-generation on disk is
     // an orphan — the next compaction sweeps it and serving is unchanged
-    val stray = new java.io.File(s"$dir/stats/gen=c1")
+    val preStray = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().toSeq
+    val stray = new java.io.File(s"$dir/stats/gen=c9")
     assert(stray.mkdirs())
     Indexing.indexCompact(spark, dir)
     assert(!stray.exists(), "an uncommitted partial fold must be swept")
     val recovered = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
       .orderBy("token").collect().toSeq
-    assert(recovered === before, "sweeping orphans must not change the store")
+    assert(recovered === preStray, "sweeping orphans must not change the store")
   }
 
   test("indexCompact preserves keepGens untouched for in-flight stream generations") {

@@ -1,0 +1,217 @@
+package graft
+
+import graft.operators.{ClusterStore, Generations, History, Indexing, LmStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-store lifecycle laws that VectorStoreSpec pioneered for the ANN
+  * store, promoted to every persisted store:
+  *
+  *  - a reader holding a RESOLVED plan survives a concurrent compact+sweep
+  *    with identical results (real two threads, not the single-threaded
+  *    reader-grace law) — index, LM register, cluster store, SCD2 store;
+  *  - the single-WRITER contract is ENFORCED, not documented: a second
+  *    concurrent writer (thread or process) fails fast with
+  *    `IllegalStateException` instead of interleaving `add`/`commit` and
+  *    losing a generation; stale lock files of crashed writers are broken;
+  *  - the manifest snapshot history gives cheap time travel: after two
+  *    compactions a reader can still resolve and read the store state of
+  *    two commits ago (`Generations.liveAt`), because the sweep protects
+  *    every generation a retained snapshot references.
+  */
+class StoreLifecycleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString + "/store"
+
+  private def docs = Tables.documents(spark, TestSpark.sf0001)
+
+  /** Collect `resolved` repeatedly on the main thread while `writer` runs
+    * on a second thread; every read must equal `before` and the writer
+    * must not throw. */
+  private def readUnderWriter(resolved: => Seq[String], before: Seq[String])(
+      writer: => Unit): Unit = {
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val w = new Thread(() => {
+      try writer
+      catch { case t: Throwable => failure.set(t) }
+      finally done.set(true)
+    })
+    w.start()
+    var reads = 0
+    while (!done.get() || reads == 0) {
+      assert(resolved === before, s"read $reads under concurrent writer diverged")
+      reads += 1
+    }
+    w.join()
+    assert(failure.get() === null, s"writer failed: ${failure.get()}")
+    // the lapsed plan STILL collects after the writer finished (grace)
+    assert(resolved === before)
+  }
+
+  // ---- reader survives a live compact+sweep, per store ----
+
+  test("index: a resolved indexStats survives a concurrent compact+sweep") {
+    val dir = tmp("idx_conc")
+    Indexing.indexBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      dir, nShards = 8)
+    Indexing.indexAppend(docs.filter($"doc_id" % 2 === 1), "doc_id", "text", dir)
+    val resolved = Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+    def read = resolved.orderBy("token").collect().map(_.toString).toSeq
+    val before = read
+    readUnderWriter(read, before) { Indexing.indexCompact(spark, dir) }
+    assert(Generations.live(spark, dir).forall(_.startsWith("c")))
+    // a fresh resolve serves the folded store identically
+    assert(Indexing.indexStats(spark, dir, minDf = 5L, postingCap = 10)
+      .orderBy("token").collect().map(_.toString).toSeq === before)
+  }
+
+  test("LM register: a resolved lmScore survives a concurrent compact+sweep") {
+    val dir = tmp("lm_conc")
+    LmStore.lmBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      dir, nShards = 4)
+    LmStore.lmAppend(spark, docs.filter($"doc_id" % 2 === 1), "doc_id",
+      "text", dir)
+    val scored = docs.filter($"doc_id" < 40)
+    val resolved = LmStore.lmScore(spark, scored, "doc_id", "text", dir)
+    def read = resolved.orderBy("id").collect().map(_.toString).toSeq
+    val before = read
+    readUnderWriter(read, before) { LmStore.lmCompact(spark, dir) }
+    assert(LmStore.lmScore(spark, scored, "doc_id", "text", dir)
+      .orderBy("id").collect().map(_.toString).toSeq === before)
+  }
+
+  test("cluster store: a resolved ccRead survives a concurrent compact+sweep") {
+    val dir = tmp("cc_conc")
+    ClusterStore.ccBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", dir)
+    ClusterStore.ccApply(spark, dir, docs.filter($"doc_id" % 2 =!= 0),
+      "doc_id", "text")
+    val resolved = ClusterStore.ccRead(spark, dir)
+    def read = resolved.orderBy("id").collect().map(_.toString).toSeq
+    val before = read
+    readUnderWriter(read, before) { ClusterStore.ccCompact(spark, dir) }
+    assert(ClusterStore.ccRead(spark, dir)
+      .orderBy("id").collect().map(_.toString).toSeq === before)
+  }
+
+  test("SCD2 store: a resolved scd2Read survives a concurrent compact+sweep") {
+    def ev(rows: (Long, Long, String, Long)*): DataFrame =
+      rows.toSeq.toDF("user_id", "event_id", "event_type", "ms")
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val dir = tmp("scd2_conc")
+    History.scd2Build(
+      ev((1L, 1L, "a", 1000L), (1L, 2L, "b", 2000L), (2L, 1L, "x", 1000L),
+        (3L, 1L, "p", 5000L)),
+      "user_id", "event_type", "ts", "event_id", dir, nBuckets = 4)
+    History.scd2Apply(spark, dir,
+      ev((1L, 3L, "c", 3000L), (2L, 2L, "y", 9000L), (4L, 1L, "q", 1000L)),
+      "user_id", "event_type", "ts", "event_id")
+    val resolved = History.scd2Read(spark, dir)
+    def read = resolved.orderBy("user_id", "version").collect()
+      .map(_.toString).toSeq
+    val before = read
+    readUnderWriter(read, before) { History.scd2Compact(spark, dir) }
+    assert(History.scd2Read(spark, dir)
+      .orderBy("user_id", "version").collect().map(_.toString).toSeq === before)
+  }
+
+  // ---- the single-writer contract is enforced ----
+
+  test("a second concurrent writer thread fails fast; the first completes") {
+    val dir = tmp("lock_thread")
+    Indexing.indexBuild(docs.filter($"doc_id" < 20), "doc_id", "text",
+      dir, nShards = 4)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      Generations.withWriterLock(spark, dir) {
+        entered.countDown()
+        release.await()
+      })
+    holder.start()
+    entered.await()
+    // a real mutator on the main thread must fail fast, not queue
+    val e = intercept[IllegalStateException] {
+      Indexing.indexAppend(docs.filter($"doc_id" >= 20 && $"doc_id" < 40),
+        "doc_id", "text", dir)
+    }
+    assert(e.getMessage.contains("single-writer"))
+    release.countDown()
+    holder.join()
+    // once released, the same append succeeds and commits its generation
+    Indexing.indexAppend(docs.filter($"doc_id" >= 20 && $"doc_id" < 40),
+      "doc_id", "text", dir)
+    assert(Generations.live(spark, dir).size === 2)
+  }
+
+  test("a fresh foreign lock file blocks a writer and is left untouched; a stale one is broken") {
+    val dir = tmp("lock_file")
+    LmStore.lmBuild(docs.filter($"doc_id" < 20), "doc_id", "text",
+      dir, nShards = 4)
+    val lock = new java.io.File(dir, "_WRITER_LOCK")
+    // fresh foreign lock (another process, mtime = now): fail fast,
+    // and NEVER delete the other writer's lock on the way out
+    assert(lock.createNewFile())
+    val e = intercept[IllegalStateException] {
+      LmStore.lmAppend(spark, docs.filter($"doc_id" >= 20 && $"doc_id" < 40),
+        "doc_id", "text", dir)
+    }
+    assert(e.getMessage.contains("locked by another writer process"))
+    assert(lock.exists(), "a blocked writer must not remove the foreign lock")
+    // stale lock (crashed writer, mtime 31 min ago): broken, append lands
+    assert(lock.setLastModified(System.currentTimeMillis() - 31 * 60 * 1000L))
+    LmStore.lmAppend(spark, docs.filter($"doc_id" >= 20 && $"doc_id" < 40),
+      "doc_id", "text", dir)
+    assert(Generations.live(spark, dir).size === 2)
+    assert(!lock.exists(), "the successful writer releases the broken lock")
+  }
+
+  test("the writer lock is reentrant per thread (a compact may call an apply)") {
+    val dir = tmp("lock_reent")
+    val got = Generations.withWriterLock(spark, dir) {
+      Generations.withWriterLock(spark, dir) { 42 }
+    }
+    assert(got === 42)
+    // fully released afterwards: an independent acquisition succeeds
+    assert(Generations.withWriterLock(spark, dir) { 7 } === 7)
+  }
+
+  // ---- manifest snapshot history: cheap time travel ----
+
+  test("after two compactions a reader still resolves and reads the state of two commits ago") {
+    val dir = tmp("snap")
+    val half1 = docs.filter($"doc_id" % 4 === 0)
+    val half2 = docs.filter($"doc_id" % 4 === 1)
+    val half3 = docs.filter($"doc_id" % 4 === 2)
+    val n1 = half1.count(); val n2 = half2.count(); val n3 = half3.count()
+    Indexing.indexBuild(half1, "doc_id", "text", dir, nShards = 4)
+    Indexing.indexAppend(half2, "doc_id", "text", dir) // snapshot: [g0]
+    Indexing.indexCompact(spark, dir) // snapshot: [g0, g1]
+    Indexing.indexAppend(half3, "doc_id", "text", dir) // snapshot: [c0]
+    Indexing.indexCompact(spark, dir) // snapshot: [c0, g2]; retained: last 2
+    assert(Generations.live(spark, dir) === Seq("c1"))
+    val snaps = Generations.snapshotIds(spark, dir)
+    assert(snaps.size === Generations.HistoryKeep)
+    // oldest retained snapshot = the state right after the FIRST compact
+    // (two commits ago): its generations survived the second compact's
+    // sweep because the snapshot references them
+    val gensThen = Generations.liveAt(spark, dir, snaps.min)
+    assert(gensThen === Seq("c0"))
+    val doclenThen = Generations.readSurface(spark, dir, "doclen", gensThen)
+    assert(doclenThen.count() === n1 + n2, "time-travel read sees the pre-append corpus")
+    // newest retained snapshot = the pre-second-compact state
+    val gensPrev = Generations.liveAt(spark, dir, snaps.max)
+    assert(gensPrev.toSet === Set("c0", "g2"))
+    assert(Generations.readSurface(spark, dir, "doclen", gensPrev).count()
+      === n1 + n2 + n3)
+    // resolving a pruned snapshot fails fast with the retained list
+    val e = intercept[IllegalArgumentException] {
+      Generations.liveAt(spark, dir, snaps.min - 1)
+    }
+    assert(e.getMessage.contains("retained"))
+  }
+}

@@ -72,9 +72,11 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(resolvedBefore.orderBy("query_id", "rank").collect()
       .map(_.toString).toSeq === before,
       "a reader holding the old manifest must survive the compaction")
-    // the NEXT maintenance cycle sweeps the lapsed generations
+    // the NEXT cycle keeps them while a retained SNAPSHOT manifest
+    // references them — the tunable reader-grace window (rotation-and-
+    // reclaim law: IndexingSpec; time travel: StoreLifecycleSpec)
     VectorStore.annCompact(spark, b)
-    assert(genDirs(b) === Seq("gen=c0"))
+    assert(genDirs(b).size === 4, "snapshot-referenced gens must survive")
     assert(search(b) === before)
 
     // keepGens: the kept generation survives the fold untouched
@@ -136,7 +138,9 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(search(dir) === before)
     VectorStore.annCompact(spark, dir)
     assert(!stray.exists(), "an uncommitted partial fold must be swept")
-    assert(genDirs(dir) === Seq("gen=c0"))
+    // the committed-then-folded g0/g1 survive: a retained snapshot
+    // manifest still references them (reader-grace window)
+    assert(genDirs(dir).toSet === Set("gen=g0", "gen=g1", "gen=c0"))
     assert(search(dir) === before)
   }
 
