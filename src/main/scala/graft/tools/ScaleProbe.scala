@@ -134,6 +134,8 @@ object ScaleProbe {
     val embQueries = emb.filter(col("vec_id") < 3).localCheckpoint()
     var seq = 0L // fresh ids per timed call (iters > 1 re-invokes the thunk)
     var idxCompacted = false // postc probe folds the index store ONCE per k
+    var lmCompacted = false
+    var ccCompacted = false
     Seq(
       ("bm25_from_index", () =>
         graft.operators.Retrieval.bm25FromIndex(spark, queries,
@@ -201,12 +203,48 @@ object ScaleProbe {
         graft.operators.LmStore.lmAppend(spark, batch, "doc_id", "text", lmDir)
         batch.count()
       }),
+      // isolates generation-listing growth from real per-append cost: the
+      // lm_append probes above accumulate one generation per timed call
+      // and never compact, so their directory enumeration grows with the
+      // iteration count × k — this row folds the register once (first
+      // iteration, discarded by the min) and times appends against the
+      // compacted store (the index_append_postc pattern)
+      ("lm_append_postc", () => {
+        if (!lmCompacted) {
+          graft.operators.LmStore.lmCompact(spark, lmDir)
+          lmCompacted = true
+        }
+        seq += 1
+        val batch = batchBase
+          .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),
+            col("text"))
+        graft.operators.LmStore.lmAppend(spark, batch, "doc_id", "text", lmDir)
+        batch.count()
+      }),
       // fixed-size batch absorbed into the growing cluster store: edge
       // derivation reads only the batch fingerprints' hub shards, old
       // connectivity enters as endpoint-bucket point lookups resolved
       // through the merge ledger, and the iterative CC runs over a
       // batch-sized subgraph — no read scales with the stored corpus
       ("cc_apply", () => {
+        seq += 1
+        val batch = batchBase
+          .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),
+            col("text"))
+        graft.operators.ClusterStore.ccApply(spark, ccDir, batch,
+          "doc_id", "text")
+        batch.count()
+      }),
+      // same isolation for the cluster store: cc_apply's labelsPruned/
+      // hubsPruned guards enumerate gens × buckets directories, and the
+      // probe harness never compacts — if the residual growth is listing
+      // overhead, this row measures flat; if it survives compaction, the
+      // per-apply constant itself trends and needs profiling
+      ("cc_apply_postc", () => {
+        if (!ccCompacted) {
+          graft.operators.ClusterStore.ccCompact(spark, ccDir)
+          ccCompacted = true
+        }
         seq += 1
         val batch = batchBase
           .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),
