@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   *
   * The REAL decode paths are JDK-only: PNG pixel decode
   * ([[decodePngPixels]] — zlib inflate + all five scanline filters),
-  * PNG/JPEG header parse ([[parseImageHeader]]) and WAV/PCM audio decode
-  * ([[parseWav]] / [[featurizeWav]] — RIFF chunk walk, 8/16-bit PCM).
-  * Everything a codec library would genuinely be needed for (JPEG entropy
-  * decode, compressed audio, video) falls back to a clearly-marked
-  * deterministic STUB; everything around it — schema, typed Dataset,
-  * mapPartitions batching, partition sizing — is the real plumbing a
-  * decode UDF rides on. Swapping [[stubDecode]] for a JNI/FFI decoder
-  * changes no query shape.
+  * baseline grayscale JPEG entropy decode ([[decodeJpegPixels]] —
+  * Huffman + dequant + IDCT per ITU-T T.81), PNG/JPEG header parse
+  * ([[parseImageHeader]]) and WAV/PCM audio decode ([[parseWav]] /
+  * [[featurizeWav]] — RIFF chunk walk, 8/16-bit PCM).
+  * Everything a codec library would genuinely be needed for (color/
+  * progressive JPEG, compressed audio, video frames) falls back to a
+  * clearly-marked deterministic STUB; everything around it — schema,
+  * typed Dataset, mapPartitions batching, partition sizing — is the real
+  * plumbing a decode UDF rides on. Swapping [[stubDecode]] for a JNI/FFI
+  * decoder changes no query shape.
   *
   * Scale: decode is embarrassingly parallel per-partition;
   * `spark.sql.files.maxPartitionBytes` bounds the bytes decoded per task,
@@ -259,8 +261,9 @@ object BinaryOps {
     * pixels yield normalized per-channel means plus normalized dimensions
     * (cycled to `dim`); everything else falls to [[stubFeaturize]]. This
     * closes the declared decode stub for PNG with nothing but the JDK's
-    * zlib; [[featurizeWav]] closes it for PCM audio. Video (and JPEG
-    * entropy decode, and compressed audio) remain the documented
+    * zlib; [[featurizeWav]] closes it for PCM audio and
+    * [[decodeJpegPixels]] for baseline grayscale JPEG. Video frames (and
+    * color/progressive JPEG, and compressed audio) remain the documented
     * swap-points, since their codecs genuinely need external libraries.
     */
   def featurizePixels(payload: Array[Byte], dim: Int): Array[Double] =
@@ -658,12 +661,34 @@ object BinaryOps {
       out
     }
 
-  /** One featurizer for every media payload: PNG pixels → channel means
-    * ([[featurizePixels]]), PCM WAV → per-band RMS energies
-    * ([[featurizeWavBands]]), anything codec-requiring → the
-    * deterministic stub. All three land in [0, 1]^dim. */
+  /** One featurizer for every media payload: PCM WAV → per-band RMS
+    * energies ([[featurizeWavBands]]), baseline grayscale JPEG → decoded
+    * per-strip pixel means ([[decodeJpegPixels]]), PNG pixels → channel
+    * means ([[featurizePixels]]), anything codec-requiring → the
+    * deterministic stub. All land in [0, 1]^dim. */
   def featurizeMedia(payload: Array[Byte], dim: Int): Array[Double] =
     featurizeWavBands(payload, dim)
+      .orElse(decodeJpegPixels(payload).map { case (_, _, px) =>
+        // dim equal pixel strips, normalized mean each — the grayscale
+        // analogue of the WAV energy envelope
+        val out = new Array[Double](dim)
+        if (px.nonEmpty) {
+          val win = math.max(1, (px.length + dim - 1) / dim)
+          var b = 0
+          while (b < dim) {
+            val from = b * win
+            val to = math.min(px.length, from + win)
+            if (from < to) {
+              var acc = 0L
+              var i = from
+              while (i < to) { acc += px(i) & 0xff; i += 1 }
+              out(b) = acc.toDouble / (to - from) / 255.0
+            }
+            b += 1
+          }
+        }
+        out
+      })
       .getOrElse(featurizePixels(payload, dim))
 
   /** Per-payload embedding extraction: the mapPartitions stage a model
@@ -681,6 +706,401 @@ object BinaryOps {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => (id, featurizeMedia(bytes, dim)) })
       .toDF("doc_id", "embedding")
+  }
+
+  // ---- REAL baseline JPEG decode (ITU-T T.81) ----
+
+  /** Zig-zag index k → natural (row-major) coefficient position
+    * (ITU-T T.81 Figure 5). */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)·u·π/16) at (x, u) — the 1-D IDCT basis, shared by rows
+    * and columns of the 2-D separable transform. */
+  private val IdctCos: Array[Double] =
+    Array.tabulate(64)(i => math.cos((2 * (i / 8) + 1) * (i % 8) * math.Pi / 16))
+  private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+  /** Canonical Huffman decode tables from a DHT segment's (BITS, HUFFVAL)
+    * — mincode/maxcode/valptr per code length, the ITU-T T.81 Annex F.2.2.3
+    * DECODE procedure's working set. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes of this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1)
+          k += bits(l - 1)
+          maxCode(l) = code - 1
+        } else maxCode(l) = -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: JpegBitReader): Int = {
+      var code = br.bit()
+      var l = 1
+      while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+        code = (code << 1) | br.bit()
+        l += 1
+      }
+      if (l > 16) throw new java.io.IOException("bad Huffman code")
+      vals(valPtr(l) + code - minCode(l)) & 0xff
+    }
+  }
+
+  /** Entropy-coded-segment bit reader with 0xFF00 byte unstuffing; RSTn
+    * markers are surfaced to the MCU loop (byte-aligned, prediction
+    * reset), EOI/any other marker ends the stream. */
+  private final class JpegBitReader(p: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nBits = 0
+    var atMarker = 0 // 0 = none; else the marker byte just hit
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (atMarker != 0 || pos >= p.length)
+          throw new java.io.IOException("bit read past segment end")
+        var b = p(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= p.length) throw new java.io.IOException("truncated")
+          val m = p(pos) & 0xff
+          pos += 1
+          if (m != 0x00) { atMarker = m; throw new java.io.IOException("marker in data") }
+          b = 0xff
+        }
+        cur = b
+        nBits = 8
+      }
+      nBits -= 1
+      (cur >> nBits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker. */
+    def restart(): Unit = {
+      nBits = 0
+      if (pos + 1 >= p.length || (p(pos) & 0xff) != 0xff
+          || (p(pos + 1) & 0xff) < 0xd0 || (p(pos + 1) & 0xff) > 0xd7)
+        throw new java.io.IOException("expected RST marker")
+      pos += 2
+    }
+  }
+
+  /** EXTEND (ITU-T T.81 F.2.2.1): map the `s` received magnitude bits to
+    * the signed coefficient value. */
+  private def extendSign(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** REAL baseline JPEG pixel decode — JDK-only, the PNG-decode
+    * discipline applied to ITU-T T.81: marker walk (DQT with multiple
+    * 8/16-bit tables, DHT canonical Huffman build per Annex C, SOF0,
+    * DRI), then the Annex F sequential entropy decoder — byte-unstuffed
+    * bit reading, Huffman DC category + EXTEND with cross-block DC
+    * prediction, the AC run/size loop with EOB and ZRL over zig-zag
+    * order, dequantization, full 64-coefficient 2-D IDCT, level shift,
+    * clamp, edge-block crop, restart-interval handling.
+    *
+    * Scope (honestly bounded, like the PNG decoder's): single-component
+    * (grayscale) baseline SOF0 only — returns (width, height, row-major
+    * pixels). Multi-component color (needs per-component sampling
+    * factors + YCbCr math), progressive SOF2 and arithmetic coding
+    * return None and stay on the metadata/stub path.
+    */
+  def decodeJpegPixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
+      return None
+    try {
+      val quant = new Array[Array[Int]](4) // per table id, zig-zag order
+      val dcTables = new Array[HuffTable](4)
+      val acTables = new Array[HuffTable](4)
+      var w = 0
+      var h = 0
+      var qTab = -1 // the single component's quant table id
+      var restartInterval = 0
+      var i = 2
+      var sosAt = -1
+      var dcSel = -1
+      var acSel = -1
+      while (sosAt < 0) {
+        if (i + 1 >= p.length) return None
+        if ((p(i) & 0xff) != 0xff) return None
+        var j = i
+        while (j < p.length && (p(j) & 0xff) == 0xff) j += 1 // fill bytes
+        if (j >= p.length) return None
+        val marker = p(j) & 0xff
+        if (marker == 0xd9) return None // EOI before SOS
+        if (marker >= 0xd0 && marker <= 0xd8) { i = j + 1 }
+        else {
+          if (j + 2 >= p.length) return None
+          val len = be16(p, j + 1)
+          val seg = j + 3 // first payload byte
+          val segEnd = j + 1 + len
+          if (len < 2 || segEnd > p.length) return None
+          marker match {
+            case 0xdb => // DQT: one or more tables
+              var q = seg
+              while (q < segEnd) {
+                val pq = (p(q) & 0xff) >> 4
+                val tq = p(q) & 0x0f
+                val n = if (pq == 0) 64 else 128
+                if (tq > 3 || q + 1 + n > segEnd) return None
+                quant(tq) = Array.tabulate(64)(k =>
+                  if (pq == 0) p(q + 1 + k) & 0xff else be16(p, q + 1 + 2 * k))
+                q += 1 + n
+              }
+            case 0xc4 => // DHT: one or more tables
+              var q = seg
+              while (q < segEnd) {
+                val tc = (p(q) & 0xff) >> 4
+                val th = p(q) & 0x0f
+                if (tc > 1 || th > 3 || q + 17 > segEnd) return None
+                val bits = Array.tabulate(16)(k => p(q + 1 + k) & 0xff)
+                val nv = bits.sum
+                if (q + 17 + nv > segEnd) return None
+                val vals = java.util.Arrays.copyOfRange(p, q + 17, q + 17 + nv)
+                val t = new HuffTable(bits, vals)
+                if (tc == 0) dcTables(th) = t else acTables(th) = t
+                q += 17 + nv
+              }
+            case 0xc0 => // SOF0 baseline
+              if (seg + 6 > segEnd || (p(seg) & 0xff) != 8) return None
+              h = be16(p, seg + 1)
+              w = be16(p, seg + 3)
+              val nc = p(seg + 5) & 0xff
+              if (nc != 1 || seg + 6 + 3 > segEnd) return None // grayscale only
+              if ((p(seg + 7) & 0xff) != 0x11) return None // 1x1 sampling
+              qTab = p(seg + 8) & 0x0f
+            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+                 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+              return None // non-baseline frame types
+            case 0xdd => // DRI
+              if (seg + 2 > segEnd) return None
+              restartInterval = be16(p, seg)
+            case 0xda => // SOS
+              val ns = p(seg) & 0xff
+              if (ns != 1 || seg + 1 + 2 * ns + 3 > segEnd) return None
+              dcSel = (p(seg + 2) & 0xff) >> 4
+              acSel = p(seg + 2) & 0x0f
+              sosAt = segEnd
+            case _ => () // APPn / COM / foreign: skipped by length
+          }
+          i = segEnd
+        }
+      }
+      if (w <= 0 || h <= 0 || qTab < 0 || quant(qTab) == null
+          || dcTables(dcSel) == null || acTables(acSel) == null) return None
+      if (w.toLong * h > (1L << 28)) return None // hostile dimensions
+      val qt = quant(qTab)
+      val dcT = dcTables(dcSel)
+      val acT = acTables(acSel)
+      val cols = (w + 7) / 8
+      val rows = (h + 7) / 8
+      val out = new Array[Byte](w * h)
+      val br = new JpegBitReader(p, sosAt)
+      val coef = new Array[Int](64)
+      var pred = 0
+      var mcu = 0
+      val nMcu = cols * rows
+      while (mcu < nMcu) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.restart(); pred = 0
+        }
+        java.util.Arrays.fill(coef, 0)
+        // DC: category via Huffman, magnitude bits, EXTEND, prediction
+        val s = dcT.decode(br)
+        if (s > 11) return None
+        pred += extendSign(br.receive(s), s)
+        coef(0) = pred * qt(0)
+        // AC: run/size loop over zig-zag positions 1..63
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = acT.decode(br)
+          val r = rs >> 4
+          val sz = rs & 0x0f
+          if (sz == 0) {
+            if (r == 15) k += 16 // ZRL: sixteen zeros
+            else eob = true
+          } else {
+            k += r
+            if (k > 63) return None
+            coef(ZigZag(k)) = extendSign(br.receive(sz), sz) * qt(k)
+            k += 1
+          }
+        }
+        // full 2-D IDCT (T.81 A.3.3), level shift, clamp, crop-aware store
+        val bx = (mcu % cols) * 8
+        val by = (mcu / cols) * 8
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0.0
+            var v = 0
+            while (v < 8) {
+              val cv = if (v == 0) InvSqrt2 else 1.0
+              val cosY = IdctCos(y * 8 + v)
+              var u = 0
+              while (u < 8) {
+                val c = coef(v * 8 + u)
+                if (c != 0) {
+                  val cu = if (u == 0) InvSqrt2 else 1.0
+                  acc += cu * cv * c * IdctCos(x * 8 + u) * cosY
+                }
+                u += 1
+              }
+              v += 1
+            }
+            val px = math.round(acc / 4.0 + 128.0).toInt
+            val gx = bx + x
+            val gy = by + y
+            if (gx < w && gy < h)
+              out(gy * w + gx) = (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+            x += 1
+          }
+          y += 1
+        }
+        mcu += 1
+      }
+      Some((w, h, out))
+    } catch { case _: java.io.IOException | _: ArrayIndexOutOfBoundsException =>
+      None }
+  }
+
+  /** Serialize a minimal-but-well-formed BASELINE GRAYSCALE JPEG — the
+    * inverse of [[decodeJpegPixels]] for the round-trip law and the q145
+    * fixture. Each 8×8 block is the constant `blockVal(bx, by)` (edge
+    * blocks replicate it into the padding), the quantization table is
+    * all-ones and the image is DC-only — the one regime where baseline
+    * JPEG is LOSSLESS (FDCT of a constant block is exactly 8·(v−128) in
+    * the DC slot, IDCT inverts it exactly), so an oracle can predict the
+    * decoded pixels. The entropy stream is real Huffman coding: custom
+    * canonical tables carried in DHT (12 four-bit DC category codes, a
+    * one-bit AC EOB), cross-block DC prediction, magnitude bits,
+    * 0xFF byte stuffing, 1-padding to the byte boundary.
+    */
+  def buildJpeg(w: Int, h: Int, blockVal: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 1 + 64); u8(0x00) // DQT: 8-bit table 0
+    for (_ <- 0 until 64) u8(1)
+    marker(0xc0); u16(8 + 3); u8(8); u16(h); u16(w); u8(1) // SOF0, 1 comp
+    u8(1); u8(0x11); u8(0) // id 1, 1x1 sampling, quant table 0
+    // DHT DC table 0: 12 symbols (categories 0..11), all four bits long
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    marker(0xc4); u16(2 + 17 + 12); u8(0x00)
+    dcBits.foreach(u8); (0 until 12).foreach(u8)
+    // DHT AC table 0: the single symbol 0x00 (EOB) as the one-bit code 0
+    marker(0xc4); u16(2 + 17 + 1); u8(0x10)
+    u8(1); (0 until 15).foreach(_ => u8(0)); u8(0x00)
+    marker(0xda); u16(6 + 2); u8(1); u8(1); u8(0x00) // SOS: comp 1, DC0/AC0
+    u8(0); u8(63); u8(0)
+    // entropy-coded segment
+    var acc = 0
+    var nAcc = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nAcc += 1
+        if (nAcc == 8) {
+          bos.write(acc)
+          if (acc == 0xff) bos.write(0x00) // byte stuffing
+          acc = 0; nAcc = 0
+        }
+        i -= 1
+      }
+    }
+    val cols = (w + 7) / 8
+    val rows = (h + 7) / 8
+    var pred = 0
+    var mcu = 0
+    while (mcu < cols * rows) {
+      val v = blockVal(mcu % cols, mcu / cols) & 0xff
+      val dc = 8 * (v - 128)
+      val diff = dc - pred
+      pred = dc
+      val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(s, 4) // DC category: our canonical table maps symbol k to code k
+      if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      putBits(0, 1) // AC EOB
+      mcu += 1
+    }
+    if (nAcc > 0) { // 1-pad the final byte
+      acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+      bos.write(acc)
+      if (acc == 0xff) bos.write(0x00)
+    }
+    marker(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /** Per-image pixel statistics from a REAL JPEG entropy decode. */
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+      mean_px: Double, rms_px: Double)
+
+  def featurizeJpeg(docId: Long, payload: Array[Byte]): Option[ImageFeatures] =
+    decodeJpegPixels(payload).map { case (w, h, px) =>
+      var sum = 0L
+      var sumSq = 0L
+      var i = 0
+      while (i < px.length) {
+        val v = px(i) & 0xff
+        sum += v
+        sumSq += v.toLong * v
+        i += 1
+      }
+      val n = px.length.toDouble
+      ImageFeatures(docId, w, h, sum / n / 255.0, math.sqrt(sumSq / n) / 255.0)
+    }
+
+  /** Deterministic grayscale JPEG fixture per document — the q141/q143
+    * pattern for still images: dimensions (not 8-aligned, so edge-block
+    * cropping is exercised) and every block's value are integer
+    * arithmetic on doc_id, the Spark side genuinely Huffman-encodes and
+    * re-decodes the entropy stream, the oracle derives the same pixels
+    * from the formula alone (q145). */
+  def syntheticJpegCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (13 + id % 40).toInt
+        val h = (9 + (id * 3) % 40).toInt
+        val cols = (w + 7) / 8
+        (id, buildJpeg(w, h, (bx, by) =>
+          ((id * 31 + (by * cols + bx) * 17) % 256).toInt))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Image featurization over a (doc_id, payload binary) frame — the
+    * mapPartitions stage of [[audioFeaturesBinary]] for JPEG payloads;
+    * non-JPEG (or non-grayscale-baseline) payloads are dropped. */
+  def imageFeaturesBinary(spark: SparkSession,
+      payloads: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => featurizeJpeg(id, bytes) })
   }
 
   /** Resize planning: fit each image into a `box`×`box` square preserving

@@ -175,6 +175,52 @@ object PipelineQueries {
                    * 1000.0 / (600 * (1 + doc_id % 3)), 3) AS dur_ms,
              CAST(24 + doc_id % 96 AS BIGINT) AS n_frames
       FROM documents""")),
+
+    // REAL JPEG entropy decode through the oracle gate (the q141 pattern
+    // for still images): each document gets a deterministic baseline
+    // grayscale JPEG — non-8-aligned dimensions and per-block constants
+    // are integer arithmetic on doc_id; with an all-ones quant table a
+    // DC-only JPEG is LOSSLESS, so the oracle can predict the decoded
+    // pixels. The Spark side genuinely Huffman-ENCODES the entropy stream
+    // (canonical DHT tables, DC prediction, magnitude bits, byte
+    // stuffing) and re-DECODES it (BinaryOps.decodeJpegPixels — marker
+    // walk, Annex-C Huffman build, EXTEND, dequant, full 2-D IDCT, edge
+    // crop); the oracle derives the same pixel statistics from the
+    // formula alone. A hash match proves the byte-level codec. Color /
+    // progressive JPEG stay documented stubs (they need a codec library
+    // to be worth trusting).
+    ("q145_jpeg_decode", (s: SparkSession, d: String) => {
+      import graft.functions.ColumnFunctions.pround
+      BinaryOps.imageFeaturesBinary(s,
+          BinaryOps.syntheticJpegCorpus(s, Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          pround(col("mean_px"), 6).as("mean_px"),
+          pround(col("rms_px"), 6).as("rms_px"))
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(13 + doc_id % 40 AS INTEGER) AS w,
+               CAST(9 + (doc_id * 3) % 40 AS INTEGER) AS h
+        FROM documents),
+      g AS (SELECT doc_id, w, h,
+                   CAST(ceil(w / 8.0) AS INTEGER) AS cols,
+                   CAST(ceil(h / 8.0) AS INTEGER) AS rws
+            FROM p),
+      b AS (SELECT doc_id, w, h, cols,
+                   unnest(range(0, cols * rws)) AS bi
+            FROM g),
+      v AS (SELECT doc_id, w, h,
+                   (doc_id * 31 + bi * 17) % 256 AS val,
+                   least(8, w - (bi % cols) * 8)
+                     * least(8, h - (bi // cols) * 8) AS vis
+            FROM b),
+      agg AS (SELECT doc_id, w, h, sum(val * vis) AS sv,
+                     sum(val * val * vis) AS svv
+              FROM v GROUP BY doc_id, w, h)
+      SELECT doc_id, w AS width, h AS height,
+             round(sv / (w * h) / 255.0, 6) AS mean_px,
+             round(sqrt(svv / (w * h)) / 255.0, 6) AS rms_px
+      FROM agg""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

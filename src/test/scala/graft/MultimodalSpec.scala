@@ -316,6 +316,101 @@ class MultimodalSpec extends AnyFunSuite {
     assert(BinaryOps.decodeMeta(9L, t) === BinaryOps.stubDecode(9L, t))
   }
 
+  // ---- real baseline JPEG entropy decode ----
+
+  test("decodeJpegPixels round-trips buildJpeg exactly (DC-only lossless regime)") {
+    val w = 29; val h = 21 // non-8-aligned: edge-block crop on both axes
+    def v(bx: Int, by: Int) = (7 + bx * 31 + by * 59) % 256
+    val jpeg = BinaryOps.buildJpeg(w, h, v)
+    val Some((gw, gh, px)) = BinaryOps.decodeJpegPixels(jpeg)
+    assert((gw, gh) === ((w, h)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((px(y * w + x) & 0xff) === v(x / 8, y / 8), s"pixel ($x,$y)")
+    // the DC prediction chain really is exercised: blocks differ
+    assert(px.map(_ & 0xff).distinct.length > 4)
+  }
+
+  test("decodeJpegPixels agrees with javax.imageio on the fixture (differential)") {
+    val jpeg = BinaryOps.buildJpeg(24, 16, (bx, by) => 16 + 40 * bx + 13 * by)
+    val Some((w, h, px)) = BinaryOps.decodeJpegPixels(jpeg)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    assert(img != null, "imageio must accept the generated JPEG")
+    assert(img.getWidth === w && img.getHeight === h)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      assert(math.abs((px(y * w + x) & 0xff) - raster.getSample(x, y, 0)) <= 1,
+        s"pixel ($x,$y): ours ${px(y * w + x) & 0xff} vs imageio ${raster.getSample(x, y, 0)}")
+  }
+
+  test("the AC run/size loop decodes a handcrafted coefficient (beyond EOB)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)
+    marker(0xdb); u16(67); u8(0); (0 until 64).foreach(_ => u8(1))
+    marker(0xc0); u16(11); u8(8); u16(8); u16(8); u8(1); u8(1); u8(0x11); u8(0)
+    // DC table: single symbol (category 0), one-bit code "0"
+    marker(0xc4); u16(2 + 17 + 1); u8(0x00)
+    u8(1); (0 until 15).foreach(_ => u8(0)); u8(0)
+    // AC table: EOB = "0" (len 1), symbol 0x04 (run 0, size 4) = "10" (len 2)
+    marker(0xc4); u16(2 + 17 + 2); u8(0x10)
+    u8(1); u8(1); (0 until 14).foreach(_ => u8(0)); u8(0x00); u8(0x04)
+    marker(0xda); u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    // bits: DC "0" | AC "10" + magnitude 1010 (+10 at zig-zag 1) | EOB "0"
+    u8(0x54)
+    marker(0xd9)
+    val Some((w, h, px)) = BinaryOps.decodeJpegPixels(bos.toByteArray)
+    assert((w, h) === ((8, 8)))
+    // a (0,1)-frequency horizontal cosine around 128, identical rows
+    val expected = Array.tabulate(8)(x =>
+      math.round(128.0 + 10.0 / math.sqrt(2.0) / 4.0 *
+        math.cos((2 * x + 1) * math.Pi / 16)).toInt)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((px(y * 8 + x) & 0xff) === expected(x), s"pixel ($x,$y)")
+  }
+
+  test("decodeJpegPixels rejects what it cannot faithfully decode") {
+    val jpeg = BinaryOps.buildJpeg(16, 16, (_, _) => 100)
+    assert(BinaryOps.decodeJpegPixels(jpeg.dropRight(8)).isEmpty, "truncated")
+    // progressive frame marker (SOF2) honestly refused
+    val prog = jpeg.clone()
+    val sofAt = prog.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(BinaryOps.decodeJpegPixels(prog).isEmpty, "progressive")
+    assert(BinaryOps.decodeJpegPixels("not a jpeg at all".getBytes).isEmpty)
+    assert(BinaryOps.featurizeJpeg(1L, "text".getBytes).isEmpty)
+    // featurizeMedia dispatches decoded JPEG strips, in [0,1]
+    val f = BinaryOps.featurizeMedia(jpeg, 4)
+    assert(f.length === 4 && f.forall(v => v >= 0.0 && v <= 1.0))
+    assert(math.abs(f(0) - 100.0 / 255.0) < 1e-9, "constant image strip mean")
+  }
+
+  test("imageFeaturesBinary == the q145 oracle formula on the synthetic corpus") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(60)
+    val got = BinaryOps.imageFeaturesBinary(spark,
+        BinaryOps.syntheticJpegCorpus(spark, docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(got.size === ids.length)
+    for (id <- ids) {
+      val w = (13 + id % 40).toInt
+      val h = (9 + (id * 3) % 40).toInt
+      val cols = (w + 7) / 8
+      val rows = (h + 7) / 8
+      var sv = 0L; var svv = 0L
+      for (by <- 0 until rows; bx <- 0 until cols) {
+        val v = (id * 31 + (by * cols + bx) * 17) % 256
+        val vis = math.min(8, w - bx * 8) * math.min(8, h - by * 8)
+        sv += v * vis; svv += v * v * vis
+      }
+      val f = got(id)
+      assert(f.width === w && f.height === h)
+      assert(math.abs(f.mean_px - sv.toDouble / (w * h) / 255.0) < 1e-12)
+      assert(math.abs(f.rms_px - math.sqrt(svv.toDouble / (w * h)) / 255.0) < 1e-12)
+    }
+  }
+
   test("featurizeWavBands: exact per-window RMS; featurizeMedia dispatches all three") {
     // 8 samples, dim 4 → windows of 2; rms of (a,b) = sqrt((a²+b²)/2)
     val s = Array(32768 / 2, 32768 / 2, 0, 0, -32768 / 4, 32768 / 4, 32767, 0)
