@@ -88,18 +88,20 @@ object ClusterStore {
     (m.getInt(0), m.getString(1))
   }
 
-  /** The hub surface pruned to the given fingerprint shards. */
+  /** The hub surface pruned to the given fingerprint shards — at the
+    * PATH level (probed leaf directories only), so the plan-time listing
+    * is O(gens + touched shards), never O(gens × nBuckets). */
   private def hubsPruned(spark: SparkSession, path: String,
       gens: Seq[String], shards: Array[Int]): DataFrame =
-    Generations.readSurfaceAs(spark, path, "hubs", gens, hubSchema)
-      .filter(col("__shard").isin(shards.map(Integer.valueOf).toIndexedSeq: _*))
+    Generations.readSurfacePruned(spark, path, "hubs", gens, hubSchema,
+        "__shard", shards.toIndexedSeq)
       .select(col("w"), col("fp"), col("dst"))
 
-  /** The label surface pruned to the given id buckets. */
+  /** The label surface pruned to the given id buckets (path level). */
   private def labelsPruned(spark: SparkSession, path: String,
       gens: Seq[String], buckets: Array[Int]): DataFrame =
-    Generations.readSurfaceAs(spark, path, "labels", gens, labelSchema)
-      .filter(col("__bucket").isin(buckets.map(Integer.valueOf).toIndexedSeq: _*))
+    Generations.readSurfacePruned(spark, path, "labels", gens, labelSchema,
+        "__bucket", buckets.toIndexedSeq)
       .select(col("id"), col("cluster_id"))
 
   /** The current merge ledger: the LAST committed generation's remap (each
@@ -191,9 +193,12 @@ object ClusterStore {
       col(textCol).as("__text")).localCheckpoint()
     try {
       val batchIds = b.select(col("id"))
-      val n = b.count()
+      // one job for both guards: row count and distinct-id count
+      val guard = b.agg(count(lit(1)).as("n"),
+        countDistinct(col("id")).as("nd")).head()
+      val n = guard.getLong(0)
       if (n == 0L) return
-      require(batchIds.distinct().count() == n,
+      require(guard.getLong(1) == n,
         s"ccApply: batch holds duplicate doc ids — deduplicate the batch " +
           "before apply (a duplicate row would store two labels for one doc)")
       // dupe guard, pruned to the batch ids' own buckets — untouched

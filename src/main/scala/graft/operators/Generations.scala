@@ -260,6 +260,59 @@ object Generations {
       .reduce(_ unionByName _)
   }
 
+  /** [[readSurfaceMixed]] with PATH-LEVEL pruning to the probed
+    * `partCol` values — the [[graft.operators.History]] /
+    * [[graft.operators.VectorStore.annSearch]] discipline generalized:
+    * Spark's surface-wide discovery listing costs gens × ALL partition
+    * directories at plan time even when a static IN prunes the scan, and
+    * at store scale (thousands of shards) that listing dominates a
+    * batch-bounded read. Here each partitioned generation contributes
+    * exactly its existing probed leaf directories — ONE listStatus per
+    * generation, intersected with the wanted values (never an exists
+    * probe per candidate pair) — and flat segment generations (batch
+    * appends, total size bounded by the compaction cadence) are read
+    * whole behind a data filter on `partCol`. Cost: O(gens + touched
+    * dirs) driver-side ops, independent of the store's partition count.
+    */
+  def readSurfacePruned(spark: SparkSession, storeDir: String,
+      surface: String, gens: Seq[String],
+      schema: org.apache.spark.sql.types.StructType, partCol: String,
+      values: Seq[Int]): DataFrame = {
+    require(gens.nonEmpty, s"readSurfacePruned($surface): no generations")
+    val fs = fsOf(spark, storeDir)
+    val wanted = values.map(v => s"$partCol=$v").toSet
+    val leafPaths = Seq.newBuilder[String]
+    val flatGens = Seq.newBuilder[String]
+    for (g <- gens) {
+      val d = new Path(s"$storeDir/$surface/gen=$g")
+      if (fs.exists(d)) {
+        val subs = fs.listStatus(d).toSeq.map(_.getPath.getName)
+        if (subs.exists(_.startsWith(partCol + "=")))
+          leafPaths ++= subs.filter(wanted)
+            .map(s => s"$storeDir/$surface/gen=$g/$s")
+        else if (subs.exists(_.endsWith(".parquet")))
+          flatGens += g
+      }
+    }
+    val cols = schema.fieldNames.toIndexedSeq
+      .map(org.apache.spark.sql.functions.col)
+    val paths = leafPaths.result()
+    val flats = flatGens.result()
+    val parts =
+      (if (paths.isEmpty) Nil
+       else Seq(spark.read.option("basePath", s"$storeDir/$surface")
+         .schema(schema).parquet(paths: _*).select(cols: _*))) ++
+      (if (flats.isEmpty) Nil
+       else Seq(readSurfaceAs(spark, storeDir, surface, flats, schema)
+         .filter(org.apache.spark.sql.functions.col(partCol)
+           .isin(values.map(Integer.valueOf): _*))
+         .select(cols: _*)))
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else parts.reduce(_ unionByName _)
+  }
+
   /** On-disk generation names of a surface — committed, orphaned by a
     * crashed write, or folded-but-not-yet-swept alike. */
   def onDisk(spark: SparkSession, storeDir: String, surface: String): Seq[String] = {

@@ -398,8 +398,11 @@ object Indexing {
     val t = tokens.toDF("token")
     val shards = t.select(shardOf(col("token"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0))
-    surface(spark, indexDir, "postings", Generations.live(spark, indexDir))
-      .filter(col("shard").isin(shards.map(Integer.valueOf).toIndexedSeq: _*))
+    // path-level pruning: the plan-time listing enumerates only the
+    // probed shards' directories, O(gens + touched), never O(gens × nShards)
+    Generations.readSurfacePruned(spark, indexDir, "postings",
+        Generations.live(spark, indexDir), postingsSchema, "shard",
+        shards.toIndexedSeq)
       .join(broadcast(t), Seq("token"))
       .select(col("token"), col("id"), col("tf"))
   }

@@ -109,11 +109,20 @@ object LmStore {
         Generations.readSurfaceAs(spark, dir, sub, gens, schemaOf(sub))
     }
 
+  /** A shard/bucket-partitioned surface pruned to the probed values at
+    * the PATH level: the plan-time listing costs O(gens + touched dirs),
+    * never O(gens × nShards) — at thousands of shards the discovery
+    * listing otherwise dominates a batch-bounded read. Flat segment
+    * generations fall back to the data filter (readSurfacePruned). */
+  private def surfacePruned(spark: SparkSession, dir: String, sub: String,
+      gens: Seq[String], values: Seq[Int]): DataFrame =
+    Generations.readSurfacePruned(spark, dir, sub, gens, schemaOf(sub),
+      partColOf(sub), values)
+
   /** The doc registry pruned to the given id buckets. */
   private def docregPruned(spark: SparkSession, dir: String,
       gens: Seq[String], buckets: Array[Int]): DataFrame =
-    surface(spark, dir, "docreg", gens)
-      .filter(col("bucket").isin(buckets.map(Integer.valueOf).toIndexedSeq: _*))
+    surfacePruned(spark, dir, "docreg", gens, buckets.toIndexedSeq)
 
   /** Count the batch once and write one generation of every surface.
     * `priorGens` is the committed generation list the novelty check runs
@@ -172,8 +181,8 @@ object LmStore {
       else {
         val probed = toks.select(col("shard")).distinct().collect()
           .map(_.getInt(0))
-        val known = surface(s, dir, "tokens", priorGens)
-          .filter(col("shard").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
+        val known = surfacePruned(s, dir, "tokens", priorGens,
+            probed.toIndexedSeq)
           .select(col("w"))
           .join(broadcast(toks.select(col("w"))), Seq("w"), "left_semi")
           .distinct()
@@ -311,12 +320,34 @@ object LmStore {
       .distinct().collect().map(_.getInt(0))
     // one manifest resolution — all three surfaces score the same snapshot
     val gens = Generations.live(spark, dir)
-    def pruned(sub: String) = surface(spark, dir, sub, gens)
-      .filter(col("shard").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
-    val c12 = pruned("bigrams").groupBy(col("w1"), col("w2"))
-      .agg(sum(col("c")).as("c12"))
-    val c1 = pruned("unigrams").groupBy(col("w1"))
-      .agg(sum(col("c")).as("c1"))
+    def pruned(sub: String) =
+      surfacePruned(spark, dir, sub, gens, probed.toIndexedSeq)
+    // Adaptive register plan, chosen on the EXACT batch size (one cheap
+    // count over the checkpointed blocks, no shuffle): a FIXED serving
+    // batch semi-joins the register scans against its own BROADCAST
+    // bigram/context keys BELOW the groupBy, so the register is scanned
+    // but never aggregated whole — the aggregation and its shuffle are
+    // batch-bound, which is what keeps per-batch scoring cost flat as
+    // the register grows (the scale probe's lm_score term was exactly
+    // this register-sized aggregation). A corpus-scale batch (where the
+    // key set itself is register-sized and the semi-join would filter
+    // nothing while broadcasting gigabytes) keeps the
+    // aggregate-then-join plan. Both paths compute identical counts;
+    // the small-batch path is pinned by the LmStoreSpec serving laws,
+    // the corpus path by the q98/q135/q139/q144 oracles.
+    val smallBatch = bg.count() <= 200000L
+    def regAgg(sub: String, keys: Seq[String], out: String): DataFrame = {
+      val scan = pruned(sub)
+      val filtered =
+        if (smallBatch)
+          scan.join(
+            broadcast(bg.select(keys.map(col): _*).distinct()),
+            keys, "left_semi")
+        else scan
+      filtered.groupBy(keys.map(col): _*).agg(sum(col("c")).as(out))
+    }
+    val c12 = regAgg("bigrams", Seq("w1", "w2"), "c12")
+    val c1 = regAgg("unigrams", Seq("w1"), "c1")
     // V folds the per-generation novel-token counts by sum: one tiny
     // scan, never a vocab-sized distinct at scoring time
     val vocab = surface(spark, dir, "vstat", gens)
