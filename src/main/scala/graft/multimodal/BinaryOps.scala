@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * Huffman + dequant + IDCT per ITU-T T.81), PNG/JPEG header parse
   * ([[parseImageHeader]]) and WAV/PCM audio decode ([[parseWav]] /
   * [[featurizeWav]] — RIFF chunk walk, 8/16-bit PCM).
-  * Everything a codec library would genuinely be needed for (color/
-  * progressive JPEG, compressed audio, video frames) falls back to a
-  * clearly-marked deterministic STUB; everything around it — schema,
+  * Everything a codec library would genuinely be needed for
+  * (chroma-subsampled/progressive JPEG, compressed audio, video frames)
+  * falls back to a clearly-marked deterministic STUB; everything around
+  * it — schema,
   * typed Dataset, mapPartitions batching, partition sizing — is the real
   * plumbing a decode UDF rides on. Swapping [[stubDecode]] for a JNI/FFI
   * decoder changes no query shape.
@@ -262,9 +263,10 @@ object BinaryOps {
     * (cycled to `dim`); everything else falls to [[stubFeaturize]]. This
     * closes the declared decode stub for PNG with nothing but the JDK's
     * zlib; [[featurizeWav]] closes it for PCM audio and
-    * [[decodeJpegPixels]] for baseline grayscale JPEG. Video frames (and
-    * color/progressive JPEG, and compressed audio) remain the documented
-    * swap-points, since their codecs genuinely need external libraries.
+    * [[decodeJpegPixels]] for baseline grayscale AND 4:4:4 color JPEG.
+    * Video frames (and subsampled/progressive JPEG, and compressed
+    * audio) remain the documented swap-points, since their codecs
+    * genuinely need external libraries.
     */
   def featurizePixels(payload: Array[Byte], dim: Int): Array[Double] =
     decodePngPixels(payload) match {
@@ -668,7 +670,7 @@ object BinaryOps {
     * deterministic stub. All land in [0, 1]^dim. */
   def featurizeMedia(payload: Array[Byte], dim: Int): Array[Double] =
     featurizeWavBands(payload, dim)
-      .orElse(decodeJpegPixels(payload).map { case (_, _, px) =>
+      .orElse(decodeJpegPixels(payload).map { case (_, _, _, px) =>
         // dim equal pixel strips, normalized mean each — the grayscale
         // analogue of the WAV energy envelope
         val out = new Array[Double](dim)
@@ -815,13 +817,16 @@ object BinaryOps {
     * order, dequantization, full 64-coefficient 2-D IDCT, level shift,
     * clamp, edge-block crop, restart-interval handling.
     *
-    * Scope (honestly bounded, like the PNG decoder's): single-component
-    * (grayscale) baseline SOF0 only — returns (width, height, row-major
-    * pixels). Multi-component color (needs per-component sampling
-    * factors + YCbCr math), progressive SOF2 and arithmetic coding
-    * return None and stay on the metadata/stub path.
+    * Scope (honestly bounded, like the PNG decoder's): baseline SOF0,
+    * single-component grayscale or 3-component 4:4:4 YCbCr (every
+    * sampling factor 1×1; interleaved Y-Cb-Cr MCUs with per-component
+    * DC prediction, JFIF YCbCr→RGB after the IDCT) — returns (width,
+    * height, channels, row-major interleaved pixels), the
+    * [[decodePngPixels]] shape. Chroma subsampling (2×1/2×2 MCU
+    * geometry), progressive SOF2 and arithmetic coding return None and
+    * stay on the metadata/stub path.
     */
-  def decodeJpegPixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  def decodeJpegPixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
       return None
     try {
@@ -830,12 +835,13 @@ object BinaryOps {
       val acTables = new Array[HuffTable](4)
       var w = 0
       var h = 0
-      var qTab = -1 // the single component's quant table id
+      var nComp = 0
+      val qTab = Array.fill(3)(-1) // per component: quant table id
+      val dcSel = Array.fill(3)(-1) // per component: SOS table selectors
+      val acSel = Array.fill(3)(-1)
       var restartInterval = 0
       var i = 2
       var sosAt = -1
-      var dcSel = -1
-      var acSel = -1
       while (sosAt < 0) {
         if (i + 1 >= p.length) return None
         if ((p(i) & 0xff) != 0xff) return None
@@ -881,103 +887,140 @@ object BinaryOps {
               if (seg + 6 > segEnd || (p(seg) & 0xff) != 8) return None
               h = be16(p, seg + 1)
               w = be16(p, seg + 3)
-              val nc = p(seg + 5) & 0xff
-              if (nc != 1 || seg + 6 + 3 > segEnd) return None // grayscale only
-              if ((p(seg + 7) & 0xff) != 0x11) return None // 1x1 sampling
-              qTab = p(seg + 8) & 0x0f
+              nComp = p(seg + 5) & 0xff
+              // grayscale or 4:4:4 color; subsampled chroma → None
+              if ((nComp != 1 && nComp != 3) ||
+                  seg + 6 + 3 * nComp > segEnd) return None
+              for (c <- 0 until nComp) {
+                if ((p(seg + 7 + 3 * c) & 0xff) != 0x11) return None // 1x1
+                qTab(c) = p(seg + 8 + 3 * c) & 0x0f
+              }
             case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                  0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
               return None // non-baseline frame types
             case 0xdd => // DRI
               if (seg + 2 > segEnd) return None
               restartInterval = be16(p, seg)
-            case 0xda => // SOS
+            case 0xda => // SOS: components in frame order (our writers')
               val ns = p(seg) & 0xff
-              if (ns != 1 || seg + 1 + 2 * ns + 3 > segEnd) return None
-              dcSel = (p(seg + 2) & 0xff) >> 4
-              acSel = p(seg + 2) & 0x0f
+              if (ns != nComp || ns < 1 ||
+                  seg + 1 + 2 * ns + 3 > segEnd) return None
+              for (c <- 0 until ns) {
+                dcSel(c) = (p(seg + 2 + 2 * c) & 0xff) >> 4
+                acSel(c) = p(seg + 2 + 2 * c) & 0x0f
+              }
               sosAt = segEnd
             case _ => () // APPn / COM / foreign: skipped by length
           }
           i = segEnd
         }
       }
-      if (w <= 0 || h <= 0 || qTab < 0 || quant(qTab) == null
-          || dcTables(dcSel) == null || acTables(acSel) == null) return None
-      if (w.toLong * h > (1L << 28)) return None // hostile dimensions
-      val qt = quant(qTab)
-      val dcT = dcTables(dcSel)
-      val acT = acTables(acSel)
+      if (w <= 0 || h <= 0 || nComp == 0) return None
+      for (c <- 0 until nComp)
+        if (qTab(c) < 0 || quant(qTab(c)) == null ||
+            dcTables(dcSel(c)) == null || acTables(acSel(c)) == null)
+          return None
+      if (w.toLong * h * nComp > (1L << 28)) return None // hostile dims
       val cols = (w + 7) / 8
       val rows = (h + 7) / 8
-      val out = new Array[Byte](w * h)
+      // per-component planes at full resolution (4:4:4)
+      val planes = Array.fill(nComp)(new Array[Byte](w * h))
       val br = new JpegBitReader(p, sosAt)
       val coef = new Array[Int](64)
-      var pred = 0
+      val pred = new Array[Int](nComp)
       var mcu = 0
       val nMcu = cols * rows
       while (mcu < nMcu) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          br.restart(); pred = 0
+          br.restart()
+          java.util.Arrays.fill(pred, 0)
         }
-        java.util.Arrays.fill(coef, 0)
-        // DC: category via Huffman, magnitude bits, EXTEND, prediction
-        val s = dcT.decode(br)
-        if (s > 11) return None
-        pred += extendSign(br.receive(s), s)
-        coef(0) = pred * qt(0)
-        // AC: run/size loop over zig-zag positions 1..63
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = acT.decode(br)
-          val r = rs >> 4
-          val sz = rs & 0x0f
-          if (sz == 0) {
-            if (r == 15) k += 16 // ZRL: sixteen zeros
-            else eob = true
-          } else {
-            k += r
-            if (k > 63) return None
-            coef(ZigZag(k)) = extendSign(br.receive(sz), sz) * qt(k)
-            k += 1
-          }
-        }
-        // full 2-D IDCT (T.81 A.3.3), level shift, clamp, crop-aware store
-        val bx = (mcu % cols) * 8
-        val by = (mcu / cols) * 8
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            var acc = 0.0
-            var v = 0
-            while (v < 8) {
-              val cv = if (v == 0) InvSqrt2 else 1.0
-              val cosY = IdctCos(y * 8 + v)
-              var u = 0
-              while (u < 8) {
-                val c = coef(v * 8 + u)
-                if (c != 0) {
-                  val cu = if (u == 0) InvSqrt2 else 1.0
-                  acc += cu * cv * c * IdctCos(x * 8 + u) * cosY
-                }
-                u += 1
-              }
-              v += 1
+        var comp = 0
+        while (comp < nComp) { // interleaved MCU: one block per component
+          val qt = quant(qTab(comp))
+          val dcT = dcTables(dcSel(comp))
+          val acT = acTables(acSel(comp))
+          java.util.Arrays.fill(coef, 0)
+          // DC: category via Huffman, magnitude bits, EXTEND, prediction
+          val s = dcT.decode(br)
+          if (s > 11) return None
+          pred(comp) += extendSign(br.receive(s), s)
+          coef(0) = pred(comp) * qt(0)
+          // AC: run/size loop over zig-zag positions 1..63
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = acT.decode(br)
+            val r = rs >> 4
+            val sz = rs & 0x0f
+            if (sz == 0) {
+              if (r == 15) k += 16 // ZRL: sixteen zeros
+              else eob = true
+            } else {
+              k += r
+              if (k > 63) return None
+              coef(ZigZag(k)) = extendSign(br.receive(sz), sz) * qt(k)
+              k += 1
             }
-            val px = math.round(acc / 4.0 + 128.0).toInt
-            val gx = bx + x
-            val gy = by + y
-            if (gx < w && gy < h)
-              out(gy * w + gx) = (if (px < 0) 0 else if (px > 255) 255 else px).toByte
-            x += 1
           }
-          y += 1
+          // full 2-D IDCT (T.81 A.3.3), level shift, clamp, crop-aware
+          val bx = (mcu % cols) * 8
+          val by = (mcu / cols) * 8
+          val plane = planes(comp)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var acc = 0.0
+              var v = 0
+              while (v < 8) {
+                val cv = if (v == 0) InvSqrt2 else 1.0
+                val cosY = IdctCos(y * 8 + v)
+                var u = 0
+                while (u < 8) {
+                  val c = coef(v * 8 + u)
+                  if (c != 0) {
+                    val cu = if (u == 0) InvSqrt2 else 1.0
+                    acc += cu * cv * c * IdctCos(x * 8 + u) * cosY
+                  }
+                  u += 1
+                }
+                v += 1
+              }
+              val px = math.round(acc / 4.0 + 128.0).toInt
+              val gx = bx + x
+              val gy = by + y
+              if (gx < w && gy < h)
+                plane(gy * w + gx) =
+                  (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+              x += 1
+            }
+            y += 1
+          }
+          comp += 1
         }
         mcu += 1
       }
-      Some((w, h, out))
+      if (nComp == 1) Some((w, h, 1, planes(0)))
+      else {
+        // JFIF YCbCr → RGB (ITU-T T.871 §7), rounded and clamped
+        val out = new Array[Byte](w * h * 3)
+        var i2 = 0
+        while (i2 < w * h) {
+          val yv = planes(0)(i2) & 0xff
+          val cb = (planes(1)(i2) & 0xff) - 128
+          val cr = (planes(2)(i2) & 0xff) - 128
+          def cl(d: Double): Byte = { // parity round: see rgbToYcc
+            val r = roundPar(d)
+            (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+          }
+          out(i2 * 3) = cl(yv + 1.402 * cr)
+          out(i2 * 3 + 1) = cl(yv - 0.344136 * cb - 0.714136 * cr)
+          out(i2 * 3 + 2) = cl(yv + 1.772 * cb)
+          i2 += 1
+        }
+        Some((w, h, 3, out))
+      }
     } catch { case _: java.io.IOException | _: ArrayIndexOutOfBoundsException =>
       None }
   }
@@ -1054,12 +1097,114 @@ object BinaryOps {
     bos.toByteArray
   }
 
-  /** Per-image pixel statistics from a REAL JPEG entropy decode. */
+  /** RGB → JFIF YCbCr (ITU-T T.871 §7), rounded — the encoder side of
+    * the color conversion [[decodeJpegPixels]] inverts. */
+  /** Color-transform rounding uses the repo's cross-engine parity
+    * convention (the `pround` 1e-8 stabilizer): the 6-decimal JFIF
+    * coefficients land integer combinations EXACTLY on decimal .5 ties,
+    * where IEEE evaluation order decides the side and engines disagree.
+    * T.871 mandates round-to-nearest without fixing tie direction, so
+    * the stabilized round is a valid choice — and the only one both
+    * sides of the oracle can reproduce bit-for-bit. */
+  private def roundPar(d: Double): Int = math.round(d + 1e-8).toInt
+
+  private def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+    def cl(d: Double): Int = { // Cb/Cr round to 256 at the gamut corners
+      val v = roundPar(d)
+      if (v < 0) 0 else if (v > 255) 255 else v
+    }
+    (cl(0.299 * r + 0.587 * g + 0.114 * b),
+      cl(128 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+      cl(128 + 0.5 * r - 0.418688 * g - 0.081312 * b))
+  }
+
+  /** [[buildJpeg]] for 3-component 4:4:4 color: each 8×8 block is the
+    * constant RGB `blockRgb(bx, by)`, converted to YCbCr at encode time
+    * (the one lossy step — integer rounding, exactly replayable), then
+    * coded DC-only against all-ones quant tables so the YCbCr planes
+    * round-trip exactly. Two DQT tables (luma/chroma), two DHT pairs,
+    * interleaved Y-Cb-Cr MCUs with per-component DC prediction — the
+    * full baseline color container surface. */
+  def buildJpegColor(w: Int, h: Int,
+      blockRgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    for (t <- 0 to 1) { // DQT: all-ones luma + chroma tables
+      marker(0xdb); u16(2 + 1 + 64); u8(t)
+      for (_ <- 0 until 64) u8(1)
+    }
+    marker(0xc0); u16(8 + 3 * 3); u8(8); u16(h); u16(w); u8(3) // SOF0
+    u8(1); u8(0x11); u8(0) // Y: 1x1, quant 0
+    u8(2); u8(0x11); u8(1) // Cb: 1x1, quant 1
+    u8(3); u8(0x11); u8(1) // Cr: 1x1, quant 1
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    for (t <- 0 to 1) { // DHT: DC + AC table pair per class id
+      marker(0xc4); u16(2 + 17 + 12); u8(t) // DC table t
+      dcBits.foreach(u8); (0 until 12).foreach(u8)
+      marker(0xc4); u16(2 + 17 + 1); u8(0x10 | t) // AC table t: EOB="0"
+      u8(1); (0 until 15).foreach(_ => u8(0)); u8(0x00)
+    }
+    marker(0xda); u16(6 + 2 * 3); u8(3) // SOS
+    u8(1); u8(0x00); u8(2); u8(0x11); u8(3); u8(0x11)
+    u8(0); u8(63); u8(0)
+    var acc = 0
+    var nAcc = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nAcc += 1
+        if (nAcc == 8) {
+          bos.write(acc)
+          if (acc == 0xff) bos.write(0x00)
+          acc = 0; nAcc = 0
+        }
+        i -= 1
+      }
+    }
+    val cols = (w + 7) / 8
+    val rows = (h + 7) / 8
+    val pred = new Array[Int](3)
+    var mcu = 0
+    while (mcu < cols * rows) {
+      val (r, g, b) = blockRgb(mcu % cols, mcu / cols)
+      val (yv, cb, cr) = rgbToYcc(r & 0xff, g & 0xff, b & 0xff)
+      var comp = 0
+      while (comp < 3) {
+        val v = comp match { case 0 => yv; case 1 => cb; case _ => cr }
+        val dc = 8 * (v - 128)
+        val diff = dc - pred(comp)
+        pred(comp) = dc
+        val s = if (diff == 0) 0
+          else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        putBits(s, 4)
+        if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        putBits(0, 1) // AC EOB
+        comp += 1
+      }
+      mcu += 1
+    }
+    if (nAcc > 0) {
+      acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+      bos.write(acc)
+      if (acc == 0xff) bos.write(0x00)
+    }
+    marker(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /** Per-image pixel statistics from a REAL JPEG entropy decode —
+    * grayscale and color alike (statistics over all interleaved
+    * samples; `channels` disambiguates). */
   case class ImageFeatures(doc_id: Long, width: Int, height: Int,
-      mean_px: Double, rms_px: Double)
+      channels: Int, mean_px: Double, rms_px: Double)
 
   def featurizeJpeg(docId: Long, payload: Array[Byte]): Option[ImageFeatures] =
-    decodeJpegPixels(payload).map { case (w, h, px) =>
+    decodeJpegPixels(payload).map { case (w, h, ch, px) =>
       var sum = 0L
       var sumSq = 0L
       var i = 0
@@ -1070,7 +1215,24 @@ object BinaryOps {
         i += 1
       }
       val n = px.length.toDouble
-      ImageFeatures(docId, w, h, sum / n / 255.0, math.sqrt(sumSq / n) / 255.0)
+      ImageFeatures(docId, w, h, ch,
+        sum / n / 255.0, math.sqrt(sumSq / n) / 255.0)
+    }
+
+  /** Per-channel means from a decoded COLOR JPEG (None for grayscale or
+    * non-JPEG payloads) — the q146 surface. */
+  case class ColorImageFeatures(doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  def featurizeJpegColor(docId: Long,
+      payload: Array[Byte]): Option[ColorImageFeatures] =
+    decodeJpegPixels(payload).collect { case (w, h, 3, px) =>
+      val sums = new Array[Long](3)
+      var i = 0
+      while (i < px.length) { sums(i % 3) += px(i) & 0xff; i += 1 }
+      val n = (w.toDouble * h) * 255.0
+      ColorImageFeatures(docId, w, h,
+        sums(0) / n, sums(1) / n, sums(2) / n)
     }
 
   /** Deterministic grayscale JPEG fixture per document — the q141/q143
@@ -1094,13 +1256,46 @@ object BinaryOps {
 
   /** Image featurization over a (doc_id, payload binary) frame — the
     * mapPartitions stage of [[audioFeaturesBinary]] for JPEG payloads;
-    * non-JPEG (or non-grayscale-baseline) payloads are dropped. */
+    * non-JPEG (or non-baseline) payloads are dropped. */
   def imageFeaturesBinary(spark: SparkSession,
       payloads: DataFrame): Dataset[ImageFeatures] = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) => featurizeJpeg(id, bytes) })
+  }
+
+  /** Deterministic COLOR JPEG fixture per document (the q145 pattern in
+    * color): non-8-aligned dimensions, per-block RGB from doc_id
+    * arithmetic — the encoder's RGB→YCbCr rounding and the decoder's
+    * YCbCr→RGB rounding are both exactly replayable in SQL, so the q146
+    * oracle proves the full color chain byte-level. */
+  def syntheticJpegColorCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (11 + id % 36).toInt
+        val h = (10 + (id * 5) % 30).toInt
+        val cols = (w + 7) / 8
+        (id, buildJpegColor(w, h, (bx, by) => {
+          val bi = by * cols + bx
+          (((id * 31 + bi * 17) % 256).toInt,
+            ((id * 47 + bi * 29) % 256).toInt,
+            ((id * 59 + bi * 41) % 256).toInt)
+        }))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Color-image featurization over a (doc_id, payload binary) frame;
+    * grayscale and non-JPEG payloads are dropped. */
+  def colorImageFeaturesBinary(spark: SparkSession,
+      payloads: DataFrame): Dataset[ColorImageFeatures] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        featurizeJpegColor(id, bytes) })
   }
 
   /** Resize planning: fit each image into a `box`×`box` square preserving

@@ -186,9 +186,9 @@ object PipelineQueries {
     // stuffing) and re-DECODES it (BinaryOps.decodeJpegPixels — marker
     // walk, Annex-C Huffman build, EXTEND, dequant, full 2-D IDCT, edge
     // crop); the oracle derives the same pixel statistics from the
-    // formula alone. A hash match proves the byte-level codec. Color /
-    // progressive JPEG stay documented stubs (they need a codec library
-    // to be worth trusting).
+    // formula alone. A hash match proves the byte-level codec. 4:4:4
+    // color is q146; chroma-subsampled / progressive JPEG stay
+    // documented stubs (they need a codec library to be worth trusting).
     ("q145_jpeg_decode", (s: SparkSession, d: String) => {
       import graft.functions.ColumnFunctions.pround
       BinaryOps.imageFeaturesBinary(s,
@@ -220,6 +220,67 @@ object PipelineQueries {
       SELECT doc_id, w AS width, h AS height,
              round(sv / (w * h) / 255.0, 6) AS mean_px,
              round(sqrt(svv / (w * h)) / 255.0, 6) AS rms_px
+      FROM agg""")),
+
+    // The q145 codec in COLOR: 3-component 4:4:4 baseline JPEG with
+    // interleaved Y-Cb-Cr MCUs, per-component DC prediction, two
+    // DQT/DHT table pairs, and the JFIF color transform on both sides.
+    // The encoder's RGB→YCbCr rounding and the decoder's YCbCr→RGB
+    // rounding+clamp are exact integer arithmetic the oracle replays,
+    // so the hash match proves the full color chain — container,
+    // entropy stream, and both color conversions — byte-level.
+    ("q146_jpeg_color", (s: SparkSession, d: String) => {
+      import graft.functions.ColumnFunctions.pround
+      BinaryOps.colorImageFeaturesBinary(s,
+          BinaryOps.syntheticJpegColorCorpus(s, Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          pround(col("mean_r"), 6).as("mean_r"),
+          pround(col("mean_g"), 6).as("mean_g"),
+          pround(col("mean_b"), 6).as("mean_b"))
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(11 + doc_id % 36 AS INTEGER) AS w,
+               CAST(10 + (doc_id * 5) % 30 AS INTEGER) AS h
+        FROM documents),
+      g AS (SELECT doc_id, w, h,
+                   CAST(ceil(w / 8.0) AS INTEGER) AS cols,
+                   CAST(ceil(h / 8.0) AS INTEGER) AS rws
+            FROM p),
+      b AS (SELECT doc_id, w, h, cols,
+                   unnest(range(0, cols * rws)) AS bi
+            FROM g),
+      rgb AS (SELECT doc_id, w, h, cols, bi,
+                     (doc_id * 31 + bi * 17) % 256 AS r,
+                     (doc_id * 47 + bi * 29) % 256 AS gg,
+                     (doc_id * 59 + bi * 41) % 256 AS bb
+              FROM b),
+      ycc AS (SELECT doc_id, w, h, cols, bi,
+                     least(255, greatest(0,
+                       round(0.299 * r + 0.587 * gg + 0.114 * bb))) AS y,
+                     least(255, greatest(0,
+                       round(128 - 0.168736 * r - 0.331264 * gg + 0.5 * bb))) AS cb,
+                     least(255, greatest(0,
+                       round(128 + 0.5 * r - 0.418688 * gg - 0.081312 * bb))) AS cr
+              FROM rgb),
+      dec AS (SELECT doc_id, w, h,
+                     least(255, greatest(0,
+                       round(y + 1.402 * (cr - 128)))) AS r2,
+                     least(255, greatest(0,
+                       round(y - 0.344136 * (cb - 128)
+                             - 0.714136 * (cr - 128)))) AS g2,
+                     least(255, greatest(0,
+                       round(y + 1.772 * (cb - 128)))) AS b2,
+                     least(8, w - (bi % cols) * 8)
+                       * least(8, h - (bi // cols) * 8) AS vis
+              FROM ycc),
+      agg AS (SELECT doc_id, w, h, sum(r2 * vis) AS sr,
+                     sum(g2 * vis) AS sg, sum(b2 * vis) AS sb
+              FROM dec GROUP BY doc_id, w, h)
+      SELECT doc_id, w AS width, h AS height,
+             round(sr / (w * h) / 255.0, 6) AS mean_r,
+             round(sg / (w * h) / 255.0, 6) AS mean_g,
+             round(sb / (w * h) / 255.0, 6) AS mean_b
       FROM agg""")),
   )
 

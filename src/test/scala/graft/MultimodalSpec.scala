@@ -322,8 +322,8 @@ class MultimodalSpec extends AnyFunSuite {
     val w = 29; val h = 21 // non-8-aligned: edge-block crop on both axes
     def v(bx: Int, by: Int) = (7 + bx * 31 + by * 59) % 256
     val jpeg = BinaryOps.buildJpeg(w, h, v)
-    val Some((gw, gh, px)) = BinaryOps.decodeJpegPixels(jpeg)
-    assert((gw, gh) === ((w, h)))
+    val Some((gw, gh, ch, px)) = BinaryOps.decodeJpegPixels(jpeg)
+    assert((gw, gh, ch) === ((w, h, 1)))
     for (y <- 0 until h; x <- 0 until w)
       assert((px(y * w + x) & 0xff) === v(x / 8, y / 8), s"pixel ($x,$y)")
     // the DC prediction chain really is exercised: blocks differ
@@ -332,7 +332,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("decodeJpegPixels agrees with javax.imageio on the fixture (differential)") {
     val jpeg = BinaryOps.buildJpeg(24, 16, (bx, by) => 16 + 40 * bx + 13 * by)
-    val Some((w, h, px)) = BinaryOps.decodeJpegPixels(jpeg)
+    val Some((w, h, _, px)) = BinaryOps.decodeJpegPixels(jpeg)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
     assert(img != null, "imageio must accept the generated JPEG")
     assert(img.getWidth === w && img.getHeight === h)
@@ -360,7 +360,7 @@ class MultimodalSpec extends AnyFunSuite {
     // bits: DC "0" | AC "10" + magnitude 1010 (+10 at zig-zag 1) | EOB "0"
     u8(0x54)
     marker(0xd9)
-    val Some((w, h, px)) = BinaryOps.decodeJpegPixels(bos.toByteArray)
+    val Some((w, h, _, px)) = BinaryOps.decodeJpegPixels(bos.toByteArray)
     assert((w, h) === ((8, 8)))
     // a (0,1)-frequency horizontal cosine around 128, identical rows
     val expected = Array.tabulate(8)(x =>
@@ -384,6 +384,62 @@ class MultimodalSpec extends AnyFunSuite {
     val f = BinaryOps.featurizeMedia(jpeg, 4)
     assert(f.length === 4 && f.forall(v => v >= 0.0 && v <= 1.0))
     assert(math.abs(f(0) - 100.0 / 255.0) < 1e-9, "constant image strip mean")
+  }
+
+  test("color JPEG round-trips through both JFIF conversions exactly as replayed") {
+    val w = 27; val h = 18 // non-8-aligned both axes
+    def rgbOf(bx: Int, by: Int) = ((7 + bx * 53 + by * 11) % 256,
+      (91 + bx * 17) % 256, (200 + by * 77) % 256)
+    val jpeg = BinaryOps.buildJpegColor(w, h, rgbOf)
+    val Some((gw, gh, ch, px)) = BinaryOps.decodeJpegPixels(jpeg)
+    assert((gw, gh, ch) === ((w, h, 3)))
+    // the parity round (1e-8 stabilizer) — same convention as the codec
+    def cl(d: Double) = math.max(0, math.min(255, math.round(d + 1e-8).toInt))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgbOf(x / 8, y / 8)
+      val yv = cl(0.299 * r + 0.587 * g + 0.114 * b)
+      val cb = cl(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+      val cr = cl(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+      val er = cl(yv + 1.402 * (cr - 128))
+      val eg = cl(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+      val eb = cl(yv + 1.772 * (cb - 128))
+      val o = (y * w + x) * 3
+      assert(((px(o) & 0xff), (px(o + 1) & 0xff), (px(o + 2) & 0xff))
+        === ((er, eg, eb)), s"pixel ($x,$y)")
+    }
+    // the gamut corner where Cb rounds to 256 pre-clamp still decodes
+    val corner = BinaryOps.buildJpegColor(8, 8, (_, _) => (0, 0, 255))
+    val Some((_, _, _, cpx)) = BinaryOps.decodeJpegPixels(corner)
+    assert((cpx(2) & 0xff) >= 250, "blue gamut corner stays blue")
+  }
+
+  test("color JPEG agrees with javax.imageio within fixed-point tolerance") {
+    val jpeg = BinaryOps.buildJpegColor(16, 16,
+      (bx, by) => (40 * bx + 20, 200 - 60 * by, 90 + 30 * bx))
+    val Some((w, h, ch, px)) = BinaryOps.decodeJpegPixels(jpeg)
+    assert(ch === 3)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    assert(img != null, "imageio must accept the generated color JPEG")
+    assert(img.getWidth === w && img.getHeight === h)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert(math.abs((px((y * w + x) * 3 + c) & 0xff)
+        - raster.getSample(x, y, c)) <= 2,
+        s"pixel ($x,$y) band $c: ours ${px((y * w + x) * 3 + c) & 0xff} " +
+          s"vs imageio ${raster.getSample(x, y, c)}")
+  }
+
+  test("subsampled chroma is refused; the color surface drops grayscale") {
+    val colorJpeg = BinaryOps.buildJpegColor(16, 8, (_, _) => (10, 20, 30))
+    val sub = colorJpeg.clone()
+    val sof = sub.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    sub(sof + 11) = 0x22.toByte // Y sampling 2x2 → MCU geometry unsupported
+    assert(BinaryOps.decodeJpegPixels(sub).isEmpty, "subsampled chroma refused")
+    assert(BinaryOps.featurizeJpegColor(1L,
+      BinaryOps.buildJpeg(16, 8, (_, _) => 50)).isEmpty,
+      "grayscale payloads drop from the color surface")
+    // the general featurizer reports channels for both
+    assert(BinaryOps.featurizeJpeg(1L, colorJpeg).get.channels === 3)
   }
 
   test("imageFeaturesBinary == the q145 oracle formula on the synthetic corpus") {
