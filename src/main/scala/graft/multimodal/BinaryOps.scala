@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * ([[parseImageHeader]]) and WAV/PCM audio decode ([[parseWav]] /
   * [[featurizeWav]] — RIFF chunk walk, 8/16-bit PCM).
   * Everything a codec library would genuinely be needed for
-  * (chroma-subsampled/progressive JPEG, compressed audio, video frames)
-  * falls back to a clearly-marked deterministic STUB; everything around
-  * it — schema,
+  * (progressive/arithmetic JPEG, sampling factors beyond 2×2,
+  * compressed audio, video frames) falls back to a clearly-marked
+  * deterministic STUB; everything around it — schema,
   * typed Dataset, mapPartitions batching, partition sizing — is the real
   * plumbing a decode UDF rides on. Swapping [[stubDecode]] for a JNI/FFI
   * decoder changes no query shape.
@@ -263,10 +263,10 @@ object BinaryOps {
     * (cycled to `dim`); everything else falls to [[stubFeaturize]]. This
     * closes the declared decode stub for PNG with nothing but the JDK's
     * zlib; [[featurizeWav]] closes it for PCM audio and
-    * [[decodeJpegPixels]] for baseline grayscale AND 4:4:4 color JPEG.
-    * Video frames (and subsampled/progressive JPEG, and compressed
-    * audio) remain the documented swap-points, since their codecs
-    * genuinely need external libraries.
+    * [[decodeJpegPixels]] for baseline JPEG — grayscale, 4:4:4 color
+    * and 4:2:0 subsampled color. Video frames (and progressive JPEG,
+    * and compressed audio) remain the documented swap-points, since
+    * their codecs genuinely need external libraries.
     */
   def featurizePixels(payload: Array[Byte], dim: Int): Array[Double] =
     decodePngPixels(payload) match {
@@ -818,13 +818,14 @@ object BinaryOps {
     * clamp, edge-block crop, restart-interval handling.
     *
     * Scope (honestly bounded, like the PNG decoder's): baseline SOF0,
-    * single-component grayscale or 3-component 4:4:4 YCbCr (every
-    * sampling factor 1×1; interleaved Y-Cb-Cr MCUs with per-component
-    * DC prediction, JFIF YCbCr→RGB after the IDCT) — returns (width,
-    * height, channels, row-major interleaved pixels), the
-    * [[decodePngPixels]] shape. Chroma subsampling (2×1/2×2 MCU
-    * geometry), progressive SOF2 and arithmetic coding return None and
-    * stay on the metadata/stub path.
+    * single-component grayscale or 3-component YCbCr with sampling
+    * factors up to 2×2 — 4:4:4, 4:2:2 and 4:2:0 MCU geometries
+    * (interleaved data units in T.81 B.2.3 order, per-component DC
+    * prediction, nearest-neighbor chroma upsampling, JFIF YCbCr→RGB
+    * after the IDCT) — returns (width, height, channels, row-major
+    * interleaved pixels), the [[decodePngPixels]] shape. Sampling
+    * factors beyond 2, progressive SOF2 and arithmetic coding return
+    * None and stay on the metadata/stub path.
     */
   def decodeJpegPixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
@@ -839,6 +840,8 @@ object BinaryOps {
       val qTab = Array.fill(3)(-1) // per component: quant table id
       val dcSel = Array.fill(3)(-1) // per component: SOS table selectors
       val acSel = Array.fill(3)(-1)
+      val sampH = Array.fill(3)(1) // per component: sampling factors
+      val sampV = Array.fill(3)(1)
       var restartInterval = 0
       var i = 2
       var sosAt = -1
@@ -888,11 +891,16 @@ object BinaryOps {
               h = be16(p, seg + 1)
               w = be16(p, seg + 3)
               nComp = p(seg + 5) & 0xff
-              // grayscale or 4:4:4 color; subsampled chroma → None
               if ((nComp != 1 && nComp != 3) ||
                   seg + 6 + 3 * nComp > segEnd) return None
               for (c <- 0 until nComp) {
-                if ((p(seg + 7 + 3 * c) & 0xff) != 0x11) return None // 1x1
+                val sv = p(seg + 7 + 3 * c) & 0xff
+                sampH(c) = sv >> 4
+                sampV(c) = sv & 0x0f
+                // sampling factors 1 or 2 per axis cover gray, 4:4:4,
+                // 4:2:2 and 4:2:0; anything else → None
+                if (sampH(c) < 1 || sampH(c) > 2 ||
+                    sampV(c) < 1 || sampV(c) > 2) return None
                 qTab(c) = p(seg + 8 + 3 * c) & 0x0f
               }
             case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
@@ -916,108 +924,143 @@ object BinaryOps {
         }
       }
       if (w <= 0 || h <= 0 || nComp == 0) return None
+      if (nComp == 1) { // single-component scans ignore sampling factors
+        sampH(0) = 1; sampV(0) = 1
+      }
       for (c <- 0 until nComp)
         if (qTab(c) < 0 || quant(qTab(c)) == null ||
             dcTables(dcSel(c)) == null || acTables(acSel(c)) == null)
           return None
       if (w.toLong * h * nComp > (1L << 28)) return None // hostile dims
-      val cols = (w + 7) / 8
-      val rows = (h + 7) / 8
-      // per-component planes at full resolution (4:4:4)
-      val planes = Array.fill(nComp)(new Array[Byte](w * h))
+      val hMax = (0 until nComp).map(sampH).max
+      val vMax = (0 until nComp).map(sampV).max
+      // MCU grid of 8·hMax × 8·vMax pixel tiles (16×16 for 4:2:0)
+      val mcuCols = (w + 8 * hMax - 1) / (8 * hMax)
+      val mcuRows = (h + 8 * vMax - 1) / (8 * vMax)
+      // per-component planes at their own sampled resolution, padded to
+      // the MCU grid so block stores never bound-check
+      val planeW = Array.tabulate(nComp)(c => mcuCols * sampH(c) * 8)
+      val planeH = Array.tabulate(nComp)(c => mcuRows * sampV(c) * 8)
+      val planes =
+        Array.tabulate(nComp)(c => new Array[Byte](planeW(c) * planeH(c)))
       val br = new JpegBitReader(p, sosAt)
       val coef = new Array[Int](64)
       val pred = new Array[Int](nComp)
       var mcu = 0
-      val nMcu = cols * rows
+      val nMcu = mcuCols * mcuRows
       while (mcu < nMcu) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           br.restart()
           java.util.Arrays.fill(pred, 0)
         }
+        val mcuX = mcu % mcuCols
+        val mcuY = mcu / mcuCols
         var comp = 0
-        while (comp < nComp) { // interleaved MCU: one block per component
+        while (comp < nComp) { // interleaved: sampH×sampV blocks per comp
           val qt = quant(qTab(comp))
           val dcT = dcTables(dcSel(comp))
           val acT = acTables(acSel(comp))
-          java.util.Arrays.fill(coef, 0)
-          // DC: category via Huffman, magnitude bits, EXTEND, prediction
-          val s = dcT.decode(br)
-          if (s > 11) return None
-          pred(comp) += extendSign(br.receive(s), s)
-          coef(0) = pred(comp) * qt(0)
-          // AC: run/size loop over zig-zag positions 1..63
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = acT.decode(br)
-            val r = rs >> 4
-            val sz = rs & 0x0f
-            if (sz == 0) {
-              if (r == 15) k += 16 // ZRL: sixteen zeros
-              else eob = true
-            } else {
-              k += r
-              if (k > 63) return None
-              coef(ZigZag(k)) = extendSign(br.receive(sz), sz) * qt(k)
-              k += 1
-            }
-          }
-          // full 2-D IDCT (T.81 A.3.3), level shift, clamp, crop-aware
-          val bx = (mcu % cols) * 8
-          val by = (mcu / cols) * 8
           val plane = planes(comp)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              var acc = 0.0
-              var v = 0
-              while (v < 8) {
-                val cv = if (v == 0) InvSqrt2 else 1.0
-                val cosY = IdctCos(y * 8 + v)
-                var u = 0
-                while (u < 8) {
-                  val c = coef(v * 8 + u)
-                  if (c != 0) {
-                    val cu = if (u == 0) InvSqrt2 else 1.0
-                    acc += cu * cv * c * IdctCos(x * 8 + u) * cosY
-                  }
-                  u += 1
-                }
-                v += 1
+          val pw = planeW(comp)
+          var blk = 0
+          val nBlk = sampH(comp) * sampV(comp)
+          while (blk < nBlk) {
+            java.util.Arrays.fill(coef, 0)
+            // DC: category via Huffman, magnitude bits, EXTEND, prediction
+            val s = dcT.decode(br)
+            if (s > 11) return None
+            pred(comp) += extendSign(br.receive(s), s)
+            coef(0) = pred(comp) * qt(0)
+            // AC: run/size loop over zig-zag positions 1..63
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = acT.decode(br)
+              val r = rs >> 4
+              val sz = rs & 0x0f
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL: sixteen zeros
+                else eob = true
+              } else {
+                k += r
+                if (k > 63) return None
+                coef(ZigZag(k)) = extendSign(br.receive(sz), sz) * qt(k)
+                k += 1
               }
-              val px = math.round(acc / 4.0 + 128.0).toInt
-              val gx = bx + x
-              val gy = by + y
-              if (gx < w && gy < h)
-                plane(gy * w + gx) =
-                  (if (px < 0) 0 else if (px > 255) 255 else px).toByte
-              x += 1
             }
-            y += 1
+            // full 2-D IDCT (T.81 A.3.3), level shift, clamp; blocks are
+            // ordered left-to-right, top-to-bottom within the MCU (B.2.3)
+            val bx = (mcuX * sampH(comp) + blk % sampH(comp)) * 8
+            val by = (mcuY * sampV(comp) + blk / sampH(comp)) * 8
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var acc = 0.0
+                var v = 0
+                while (v < 8) {
+                  val cv = if (v == 0) InvSqrt2 else 1.0
+                  val cosY = IdctCos(y * 8 + v)
+                  var u = 0
+                  while (u < 8) {
+                    val c = coef(v * 8 + u)
+                    if (c != 0) {
+                      val cu = if (u == 0) InvSqrt2 else 1.0
+                      acc += cu * cv * c * IdctCos(x * 8 + u) * cosY
+                    }
+                    u += 1
+                  }
+                  v += 1
+                }
+                val px = math.round(acc / 4.0 + 128.0).toInt
+                plane((by + y) * pw + (bx + x)) =
+                  (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+                x += 1
+              }
+              y += 1
+            }
+            blk += 1
           }
           comp += 1
         }
         mcu += 1
       }
-      if (nComp == 1) Some((w, h, 1, planes(0)))
-      else {
-        // JFIF YCbCr → RGB (ITU-T T.871 §7), rounded and clamped
+      if (nComp == 1) {
+        val pw = planeW(0)
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          System.arraycopy(planes(0), y * pw, out, y * w, w)
+          y += 1
+        }
+        Some((w, h, 1, out))
+      } else {
+        // JFIF YCbCr → RGB (ITU-T T.871 §7), rounded and clamped, with
+        // nearest-neighbor chroma upsampling for subsampled components
+        // (constant-chroma regions — the fixture regime — are filter-
+        // independent; gradient edges would differ from libjpeg's
+        // triangle filter by ≤1-2 levels)
         val out = new Array[Byte](w * h * 3)
-        var i2 = 0
-        while (i2 < w * h) {
-          val yv = planes(0)(i2) & 0xff
-          val cb = (planes(1)(i2) & 0xff) - 128
-          val cr = (planes(2)(i2) & 0xff) - 128
-          def cl(d: Double): Byte = { // parity round: see rgbToYcc
-            val r = roundPar(d)
-            (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+        def cl(d: Double): Byte = { // parity round: see rgbToYcc
+          val r = roundPar(d)
+          (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+        }
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            def samp(c: Int): Int = planes(c)(
+              (y * sampV(c) / vMax) * planeW(c) + (x * sampH(c) / hMax)) & 0xff
+            val yv = samp(0)
+            val cb = samp(1) - 128
+            val cr = samp(2) - 128
+            val o = (y * w + x) * 3
+            out(o) = cl(yv + 1.402 * cr)
+            out(o + 1) = cl(yv - 0.344136 * cb - 0.714136 * cr)
+            out(o + 2) = cl(yv + 1.772 * cb)
+            x += 1
           }
-          out(i2 * 3) = cl(yv + 1.402 * cr)
-          out(i2 * 3 + 1) = cl(yv - 0.344136 * cb - 0.714136 * cr)
-          out(i2 * 3 + 2) = cl(yv + 1.772 * cb)
-          i2 += 1
+          y += 1
         }
         Some((w, h, 3, out))
       }
@@ -1037,8 +1080,9 @@ object BinaryOps {
     * one-bit AC EOB), cross-block DC prediction, magnitude bits,
     * 0xFF byte stuffing, 1-padding to the byte boundary.
     */
-  def buildJpeg(w: Int, h: Int, blockVal: (Int, Int) => Int): Array[Byte] = {
-    require(w > 0 && h > 0)
+  def buildJpeg(w: Int, h: Int, blockVal: (Int, Int) => Int,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && restartInterval >= 0)
     val bos = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = bos.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -1046,6 +1090,7 @@ object BinaryOps {
     marker(0xd8) // SOI
     marker(0xdb); u16(2 + 1 + 64); u8(0x00) // DQT: 8-bit table 0
     for (_ <- 0 until 64) u8(1)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
     marker(0xc0); u16(8 + 3); u8(8); u16(h); u16(w); u8(1) // SOF0, 1 comp
     u8(1); u8(0x11); u8(0) // id 1, 1x1 sampling, quant table 0
     // DHT DC table 0: 12 symbols (categories 0..11), all four bits long
@@ -1073,11 +1118,22 @@ object BinaryOps {
         i -= 1
       }
     }
+    def align(): Unit = if (nAcc > 0) { // 1-pad to the byte boundary
+      acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+      bos.write(acc)
+      if (acc == 0xff) bos.write(0x00)
+      acc = 0; nAcc = 0
+    }
     val cols = (w + 7) / 8
     val rows = (h + 7) / 8
     var pred = 0
     var mcu = 0
     while (mcu < cols * rows) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        align() // RSTn is byte-aligned; prediction resets (T.81 E.1.4)
+        marker(0xd0 + ((mcu / restartInterval - 1) % 8))
+        pred = 0
+      }
       val v = blockVal(mcu % cols, mcu / cols) & 0xff
       val dc = 8 * (v - 128)
       val diff = dc - pred
@@ -1088,11 +1144,7 @@ object BinaryOps {
       putBits(0, 1) // AC EOB
       mcu += 1
     }
-    if (nAcc > 0) { // 1-pad the final byte
-      acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
-      bos.write(acc)
-      if (acc == 0xff) bos.write(0x00)
-    }
+    align()
     marker(0xd9) // EOI
     bos.toByteArray
   }
@@ -1197,6 +1249,86 @@ object BinaryOps {
     bos.toByteArray
   }
 
+  /** [[buildJpegColor]] in 4:2:0 — THE dominant layout of real crawl
+    * JPEGs: Y sampled 2×2, chroma 1×1, so each MCU covers a 16×16 pixel
+    * tile carrying four interleaved Y blocks then one Cb and one Cr
+    * block (T.81 B.2.3 ordering), with per-component DC prediction.
+    * `macroRgb(mx, my)` is the constant RGB of the 16×16 macroblock —
+    * constant chroma per tile makes the subsampling exact (any
+    * upsampling filter reproduces a constant), so the decode is as
+    * replayable as the 4:4:4 case. */
+  def buildJpegColor420(w: Int, h: Int,
+      macroRgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    for (t <- 0 to 1) {
+      marker(0xdb); u16(2 + 1 + 64); u8(t)
+      for (_ <- 0 until 64) u8(1)
+    }
+    marker(0xc0); u16(8 + 3 * 3); u8(8); u16(h); u16(w); u8(3) // SOF0
+    u8(1); u8(0x22); u8(0) // Y: 2x2 sampling, quant 0
+    u8(2); u8(0x11); u8(1) // Cb: 1x1, quant 1
+    u8(3); u8(0x11); u8(1) // Cr: 1x1, quant 1
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    for (t <- 0 to 1) {
+      marker(0xc4); u16(2 + 17 + 12); u8(t)
+      dcBits.foreach(u8); (0 until 12).foreach(u8)
+      marker(0xc4); u16(2 + 17 + 1); u8(0x10 | t)
+      u8(1); (0 until 15).foreach(_ => u8(0)); u8(0x00)
+    }
+    marker(0xda); u16(6 + 2 * 3); u8(3) // SOS
+    u8(1); u8(0x00); u8(2); u8(0x11); u8(3); u8(0x11)
+    u8(0); u8(63); u8(0)
+    var acc = 0
+    var nAcc = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nAcc += 1
+        if (nAcc == 8) {
+          bos.write(acc)
+          if (acc == 0xff) bos.write(0x00)
+          acc = 0; nAcc = 0
+        }
+        i -= 1
+      }
+    }
+    def putBlock(v: Int, comp: Int, pred: Array[Int]): Unit = {
+      val dc = 8 * (v - 128)
+      val diff = dc - pred(comp)
+      pred(comp) = dc
+      val s = if (diff == 0) 0
+        else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(s, 4)
+      if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      putBits(0, 1) // AC EOB
+    }
+    val mcuCols = (w + 15) / 16
+    val mcuRows = (h + 15) / 16
+    val pred = new Array[Int](3)
+    var mcu = 0
+    while (mcu < mcuCols * mcuRows) {
+      val (r, g, b) = macroRgb(mcu % mcuCols, mcu / mcuCols)
+      val (yv, cb, cr) = rgbToYcc(r & 0xff, g & 0xff, b & 0xff)
+      for (_ <- 0 until 4) putBlock(yv, 0, pred) // 2×2 Y blocks
+      putBlock(cb, 1, pred)
+      putBlock(cr, 2, pred)
+      mcu += 1
+    }
+    if (nAcc > 0) {
+      acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+      bos.write(acc)
+      if (acc == 0xff) bos.write(0x00)
+    }
+    marker(0xd9) // EOI
+    bos.toByteArray
+  }
+
   /** Per-image pixel statistics from a REAL JPEG entropy decode —
     * grayscale and color alike (statistics over all interleaved
     * samples; `channels` disambiguates). */
@@ -1282,6 +1414,26 @@ object BinaryOps {
           (((id * 31 + bi * 17) % 256).toInt,
             ((id * 47 + bi * 29) % 256).toInt,
             ((id * 59 + bi * 41) % 256).toInt)
+        }))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** [[syntheticJpegColorCorpus]] in 4:2:0 (q147): per-macroblock
+    * constant RGB, non-16-aligned dimensions so the MCU-grid crop is
+    * exercised on both axes. */
+  def syntheticJpeg420Corpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (9 + id % 40).toInt
+        val h = (8 + (id * 7) % 40).toInt
+        val cols = (w + 15) / 16
+        (id, buildJpegColor420(w, h, (mx, my) => {
+          val mi = my * cols + mx
+          (((id * 31 + mi * 17) % 256).toInt,
+            ((id * 47 + mi * 29) % 256).toInt,
+            ((id * 59 + mi * 41) % 256).toInt)
         }))
       })
       .toDF("doc_id", "payload")

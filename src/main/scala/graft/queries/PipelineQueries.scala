@@ -187,8 +187,9 @@ object PipelineQueries {
     // walk, Annex-C Huffman build, EXTEND, dequant, full 2-D IDCT, edge
     // crop); the oracle derives the same pixel statistics from the
     // formula alone. A hash match proves the byte-level codec. 4:4:4
-    // color is q146; chroma-subsampled / progressive JPEG stay
-    // documented stubs (they need a codec library to be worth trusting).
+    // color is q146, 4:2:0 subsampled color is q147; progressive JPEG
+    // stays a documented stub (it needs a codec library to be worth
+    // trusting).
     ("q145_jpeg_decode", (s: SparkSession, d: String) => {
       import graft.functions.ColumnFunctions.pround
       BinaryOps.imageFeaturesBinary(s,
@@ -273,6 +274,67 @@ object PipelineQueries {
                        round(y + 1.772 * (cb - 128)))) AS b2,
                      least(8, w - (bi % cols) * 8)
                        * least(8, h - (bi // cols) * 8) AS vis
+              FROM ycc),
+      agg AS (SELECT doc_id, w, h, sum(r2 * vis) AS sr,
+                     sum(g2 * vis) AS sg, sum(b2 * vis) AS sb
+              FROM dec GROUP BY doc_id, w, h)
+      SELECT doc_id, w AS width, h AS height,
+             round(sr / (w * h) / 255.0, 6) AS mean_r,
+             round(sg / (w * h) / 255.0, 6) AS mean_g,
+             round(sb / (w * h) / 255.0, 6) AS mean_b
+      FROM agg""")),
+
+    // The q146 chain in 4:2:0 — the dominant layout of real crawl
+    // JPEGs: Y sampled 2×2 with chroma at quarter resolution, 16×16
+    // MCUs carrying four interleaved Y blocks then Cb and Cr, each
+    // component under its own DC predictor. Constant chroma per
+    // macroblock makes the subsampling exactly replayable (any
+    // upsampling filter reproduces a constant), so the oracle proves
+    // the subsampled MCU geometry byte-level.
+    ("q147_jpeg_420", (s: SparkSession, d: String) => {
+      import graft.functions.ColumnFunctions.pround
+      BinaryOps.colorImageFeaturesBinary(s,
+          BinaryOps.syntheticJpeg420Corpus(s, Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          pround(col("mean_r"), 6).as("mean_r"),
+          pround(col("mean_g"), 6).as("mean_g"),
+          pround(col("mean_b"), 6).as("mean_b"))
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(9 + doc_id % 40 AS INTEGER) AS w,
+               CAST(8 + (doc_id * 7) % 40 AS INTEGER) AS h
+        FROM documents),
+      g AS (SELECT doc_id, w, h,
+                   CAST(ceil(w / 16.0) AS INTEGER) AS cols,
+                   CAST(ceil(h / 16.0) AS INTEGER) AS rws
+            FROM p),
+      b AS (SELECT doc_id, w, h, cols,
+                   unnest(range(0, cols * rws)) AS mi
+            FROM g),
+      rgb AS (SELECT doc_id, w, h, cols, mi,
+                     (doc_id * 31 + mi * 17) % 256 AS r,
+                     (doc_id * 47 + mi * 29) % 256 AS gg,
+                     (doc_id * 59 + mi * 41) % 256 AS bb
+              FROM b),
+      ycc AS (SELECT doc_id, w, h, cols, mi,
+                     least(255, greatest(0,
+                       round(0.299 * r + 0.587 * gg + 0.114 * bb))) AS y,
+                     least(255, greatest(0,
+                       round(128 - 0.168736 * r - 0.331264 * gg + 0.5 * bb))) AS cb,
+                     least(255, greatest(0,
+                       round(128 + 0.5 * r - 0.418688 * gg - 0.081312 * bb))) AS cr
+              FROM rgb),
+      dec AS (SELECT doc_id, w, h,
+                     least(255, greatest(0,
+                       round(y + 1.402 * (cr - 128)))) AS r2,
+                     least(255, greatest(0,
+                       round(y - 0.344136 * (cb - 128)
+                             - 0.714136 * (cr - 128)))) AS g2,
+                     least(255, greatest(0,
+                       round(y + 1.772 * (cb - 128)))) AS b2,
+                     least(16, w - (mi % cols) * 16)
+                       * least(16, h - (mi // cols) * 16) AS vis
               FROM ycc),
       agg AS (SELECT doc_id, w, h, sum(r2 * vis) AS sr,
                      sum(g2 * vis) AS sg, sum(b2 * vis) AS sb

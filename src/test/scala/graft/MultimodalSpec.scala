@@ -429,12 +429,65 @@ class MultimodalSpec extends AnyFunSuite {
           s"vs imageio ${raster.getSample(x, y, c)}")
   }
 
-  test("subsampled chroma is refused; the color surface drops grayscale") {
+  test("restart markers: DRI fixture round-trips and imageio agrees") {
+    val w = 29; val h = 21
+    def v(bx: Int, by: Int) = (7 + bx * 31 + by * 59) % 256
+    val plain = BinaryOps.buildJpeg(w, h, v)
+    val withRst = BinaryOps.buildJpeg(w, h, v, restartInterval = 2)
+    assert(withRst.length > plain.length, "RST markers present")
+    val a = BinaryOps.decodeJpegPixels(withRst).get
+    val b = BinaryOps.decodeJpegPixels(plain).get
+    assert((a._1, a._2, a._3) === ((b._1, b._2, b._3)))
+    assert(a._4.toSeq === b._4.toSeq,
+      "restart intervals must not change decoded pixels")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(withRst))
+    assert(img != null && img.getWidth === w && img.getHeight === h)
+    val Some((_, _, _, px)) = BinaryOps.decodeJpegPixels(withRst)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(math.abs((px(y * w + x) & 0xff)
+        - img.getRaster.getSample(x, y, 0)) <= 1)
+  }
+
+  test("4:2:0 round-trips with exact subsampled-MCU geometry; imageio agrees on one tile") {
+    val w = 27; val h = 22 // non-16-aligned: MCU-grid crop on both axes
+    def rgbOf(mx: Int, my: Int) = ((13 + mx * 67 + my * 29) % 256,
+      (111 + mx * 41) % 256, (5 + my * 93) % 256)
+    val jpeg = BinaryOps.buildJpegColor420(w, h, rgbOf)
+    val Some((gw, gh, ch, px)) = BinaryOps.decodeJpegPixels(jpeg)
+    assert((gw, gh, ch) === ((w, h, 3)))
+    def cl(d: Double) = math.max(0, math.min(255, math.round(d + 1e-8).toInt))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgbOf(x / 16, y / 16)
+      val yv = cl(0.299 * r + 0.587 * g + 0.114 * b)
+      val cb = cl(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+      val cr = cl(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+      val er = cl(yv + 1.402 * (cr - 128))
+      val eg = cl(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+      val eb = cl(yv + 1.772 * (cb - 128))
+      val o = (y * w + x) * 3
+      assert(((px(o) & 0xff), (px(o + 1) & 0xff), (px(o + 2) & 0xff))
+        === ((er, eg, eb)), s"pixel ($x,$y)")
+    }
+    // imageio differential on a SINGLE 16x16 tile: constant chroma, so
+    // libjpeg's triangle upsampling filter and our nearest-neighbor
+    // agree exactly (multi-tile gradients would differ at tile seams)
+    val one = BinaryOps.buildJpegColor420(16, 16, (_, _) => (170, 60, 200))
+    val Some((_, _, _, opx)) = BinaryOps.decodeJpegPixels(one)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(one))
+    assert(img != null && img.getWidth === 16 && img.getHeight === 16)
+    for (y <- 0 until 16; x <- 0 until 16; c <- 0 until 3)
+      assert(math.abs((opx((y * 16 + x) * 3 + c) & 0xff)
+        - img.getRaster.getSample(x, y, c)) <= 2)
+  }
+
+  test("sampling factors above 2 are refused; the color surface drops grayscale") {
     val colorJpeg = BinaryOps.buildJpegColor(16, 8, (_, _) => (10, 20, 30))
     val sub = colorJpeg.clone()
     val sof = sub.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
-    sub(sof + 11) = 0x22.toByte // Y sampling 2x2 → MCU geometry unsupported
-    assert(BinaryOps.decodeJpegPixels(sub).isEmpty, "subsampled chroma refused")
+    sub(sof + 11) = 0x33.toByte // Y sampling 3x3 → outside the 2x2 cap
+    assert(BinaryOps.decodeJpegPixels(sub).isEmpty,
+      "sampling factors beyond 2x2 refused")
     assert(BinaryOps.featurizeJpegColor(1L,
       BinaryOps.buildJpeg(16, 8, (_, _) => 50)).isEmpty,
       "grayscale payloads drop from the color surface")
