@@ -119,6 +119,28 @@ class StoreLifecycleSpec extends AnyFunSuite {
       .orderBy("user_id", "version").collect().map(_.toString).toSeq === before)
   }
 
+  test("dedup band state: a resolved corpus read survives a concurrent compactState") {
+    import spark.implicits._
+    val dir = tmp("dedup_conc")
+    def ingest(df: org.apache.spark.sql.DataFrame, id: Long) =
+      graft.streaming.DedupStream.ingestBatch(spark, df, id, dir,
+        "doc_id", "text", 3, 0.5, 32, 16)
+    ingest(docs.filter($"doc_id" % 2 === 0).limit(60)
+      .select($"doc_id", $"text"), 0L)
+    ingest(docs.filter($"doc_id" % 2 === 1).limit(60)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text"), 1L)
+    ingest(docs.filter($"doc_id" % 3 === 0).limit(40)
+      .select(($"doc_id" + 200000).as("doc_id"), $"text"), 2L)
+    val resolved = graft.streaming.DedupStream.corpus(spark, dir)
+    def read = resolved.orderBy("doc_id").collect().map(_.toString).toSeq
+    val before = read
+    readUnderWriter(read, before) {
+      graft.streaming.DedupStream.compactState(spark, dir, uptoBatch = 3L)
+    }
+    assert(graft.streaming.DedupStream.corpus(spark, dir)
+      .orderBy("doc_id").collect().map(_.toString).toSeq === before)
+  }
+
   // ---- the single-writer contract is enforced ----
 
   test("a second concurrent writer thread fails fast; the first completes") {
