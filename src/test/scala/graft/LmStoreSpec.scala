@@ -29,6 +29,33 @@ class LmStoreSpec extends AnyFunSuite {
     else d.listFiles().toSeq.map(_.getName).filter(_.startsWith("gen="))
   }
 
+  test("lmScore's register plan adapts to the batch: semi-join gate for serving, aggregate-then-join for corpora") {
+    val dir = tmp()
+    LmStore.lmBuild(docs, "doc_id", "text", dir, nShards = 8)
+    // a fixed SERVING batch: the register scans must be gated by a
+    // broadcast LEFT-SEMI against the batch's own keys BELOW the
+    // groupBy — the aggregation and its shuffle stay batch-bound as the
+    // register grows (the scale-probe lm_score term)
+    val small = LmStore.lmScore(spark, docs.filter($"doc_id" < 20),
+      "doc_id", "text", dir)
+    val ps = small.queryExecution.executedPlan.toString
+    assert(ps.contains("BroadcastHashJoin") && ps.contains("LeftSemi"),
+      "serving batch must gate the register scan: " + ps.take(3000))
+    // results identical to the recompute regardless of the plan chosen
+    assert(canon(small) === canon(LanguageModel.bigramLogProb(docs,
+      "doc_id", "text").join(docs.filter($"doc_id" < 20)
+        .select($"doc_id".as("id")), Seq("id"), "left_semi")))
+    // a CORPUS-scale batch (> 200k bigram occurrences): broadcasting its
+    // key set would ship the register's own vocabulary — the plan must
+    // fall back to aggregate-then-join with NO semi gate
+    val bigDoc = Seq((1L, (0 to 200001).map(i => "t" + (i % 50))
+      .mkString(" "))).toDF("doc_id", "text")
+    val pb = LmStore.lmScore(spark, bigDoc, "doc_id", "text", dir)
+      .queryExecution.executedPlan.toString
+    assert(!pb.contains("LeftSemi"),
+      "corpus-scale batch must not broadcast its key set: " + pb.take(3000))
+  }
+
   test("two-generation register scores the corpus exactly like the recompute") {
     val dir = tmp()
     LmStore.lmBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", dir,
