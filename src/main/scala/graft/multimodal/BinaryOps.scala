@@ -1258,8 +1258,18 @@ object BinaryOps {
     * upsampling filter reproduces a constant), so the decode is as
     * replayable as the 4:4:4 case. */
   def buildJpegColor420(w: Int, h: Int,
+      macroRgb: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    buildJpegColorSampled(w, h, 2, 2, macroRgb)
+
+  /** 4:2:2 variant (Y sampled 2×1 — 16×8 MCU tiles; `macroRgb` is the
+    * constant RGB per 16×8 macroblock). */
+  def buildJpegColor422(w: Int, h: Int,
+      macroRgb: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    buildJpegColorSampled(w, h, 2, 1, macroRgb)
+
+  private def buildJpegColorSampled(w: Int, h: Int, hy: Int, vy: Int,
       macroRgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
-    require(w > 0 && h > 0)
+    require(w > 0 && h > 0 && hy >= 1 && hy <= 2 && vy >= 1 && vy <= 2)
     val bos = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = bos.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -1270,7 +1280,7 @@ object BinaryOps {
       for (_ <- 0 until 64) u8(1)
     }
     marker(0xc0); u16(8 + 3 * 3); u8(8); u16(h); u16(w); u8(3) // SOF0
-    u8(1); u8(0x22); u8(0) // Y: 2x2 sampling, quant 0
+    u8(1); u8((hy << 4) | vy); u8(0) // Y sampling, quant 0
     u8(2); u8(0x11); u8(1) // Cb: 1x1, quant 1
     u8(3); u8(0x11); u8(1) // Cr: 1x1, quant 1
     val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
@@ -1308,14 +1318,14 @@ object BinaryOps {
       if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
       putBits(0, 1) // AC EOB
     }
-    val mcuCols = (w + 15) / 16
-    val mcuRows = (h + 15) / 16
+    val mcuCols = (w + 8 * hy - 1) / (8 * hy)
+    val mcuRows = (h + 8 * vy - 1) / (8 * vy)
     val pred = new Array[Int](3)
     var mcu = 0
     while (mcu < mcuCols * mcuRows) {
       val (r, g, b) = macroRgb(mcu % mcuCols, mcu / mcuCols)
       val (yv, cb, cr) = rgbToYcc(r & 0xff, g & 0xff, b & 0xff)
-      for (_ <- 0 until 4) putBlock(yv, 0, pred) // 2×2 Y blocks
+      for (_ <- 0 until hy * vy) putBlock(yv, 0, pred) // Y data units
       putBlock(cb, 1, pred)
       putBlock(cr, 2, pred)
       mcu += 1

@@ -481,6 +481,36 @@ class MultimodalSpec extends AnyFunSuite {
         - img.getRaster.getSample(x, y, c)) <= 2)
   }
 
+  test("4:2:2 round-trips: 16x8 MCU tiles, chroma halved horizontally only") {
+    val w = 25; val h = 13 // crops on both axes of the 16x8 grid
+    def rgbOf(mx: Int, my: Int) = ((31 + mx * 73 + my * 19) % 256,
+      (140 + mx * 23) % 256, (77 + my * 61) % 256)
+    val jpeg = BinaryOps.buildJpegColor422(w, h, rgbOf)
+    val Some((gw, gh, ch, px)) = BinaryOps.decodeJpegPixels(jpeg)
+    assert((gw, gh, ch) === ((w, h, 3)))
+    def cl(d: Double) = math.max(0, math.min(255, math.round(d + 1e-8).toInt))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgbOf(x / 16, y / 8)
+      val yv = cl(0.299 * r + 0.587 * g + 0.114 * b)
+      val cb = cl(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+      val cr = cl(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+      val er = cl(yv + 1.402 * (cr - 128))
+      val eg = cl(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+      val eb = cl(yv + 1.772 * (cb - 128))
+      val o = (y * w + x) * 3
+      assert(((px(o) & 0xff), (px(o + 1) & 0xff), (px(o + 2) & 0xff))
+        === ((er, eg, eb)), s"pixel ($x,$y)")
+    }
+    // single-tile imageio differential (constant chroma, filter-free)
+    val one = BinaryOps.buildJpegColor422(16, 8, (_, _) => (30, 190, 120))
+    val Some((_, _, _, opx)) = BinaryOps.decodeJpegPixels(one)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(one))
+    assert(img != null && img.getWidth === 16 && img.getHeight === 8)
+    for (y <- 0 until 8; x <- 0 until 16; c <- 0 until 3)
+      assert(math.abs((opx((y * 16 + x) * 3 + c) & 0xff)
+        - img.getRaster.getSample(x, y, c)) <= 2)
+  }
+
   test("sampling factors above 2 are refused; the color surface drops grayscale") {
     val colorJpeg = BinaryOps.buildJpegColor(16, 8, (_, _) => (10, 20, 30))
     val sub = colorJpeg.clone()
