@@ -351,7 +351,17 @@ object ScaleProbe {
     val iters = sys.env.getOrElse("SPARK_GRAFT_PROBE_ITERS", "2").toInt
     val probes = run(spark, base, baseEmb, ks, "/tmp/graft_scale",
       iters = iters, sizeOf = sizeOf)
-    val lines = probes.map(jsonLine) ++ summaryLines(probes)
+    // a self-describing header: the two modes answer different questions
+    // and must be read together (contract ratios fold the geometry ramp
+    // in; the fixed-geometry control isolates pure corpus growth)
+    val mode =
+      if (args.length > 3 && args(3) == "fixed")
+        """{"mode":"fixed-geometry","iters":%d,"note":"store shard/bucket/cell counts pinned at the largest scale for every k - serving/maintenance ratios here measure pure corpus growth at constant store geometry"}"""
+          .format(iters)
+      else
+        """{"mode":"contract-sizing","iters":%d,"note":"store geometry scales with k (constant data per directory) - serving/maintenance ratios fold in the geometry ramp (touched-file count toward its batch/vocab ceiling); see the fixed-geometry control artifact for pure corpus growth"}"""
+          .format(iters)
+    val lines = mode +: (probes.map(jsonLine) ++ summaryLines(probes))
     lines.foreach(println)
     outFile.foreach { f =>
       java.nio.file.Files.writeString(java.nio.file.Path.of(f),
