@@ -156,14 +156,16 @@ object BinaryOps {
 
   /** REAL PNG pixel decode — JDK-only (`java.util.zip.Inflater`), no
     * image library: 8-bit-depth greyscale (color type 0), truecolor (2),
-    * grey+alpha (4) and RGBA (6), non-interlaced. Concatenates the IDAT
-    * chunks, inflates the compressed stream, and reverses the five
-    * scanline filters (None/Sub/Up/Average/Paeth — ISO/IEC 15948 §9.2).
-    * Returns (width, height, channels, rowMajorPixelBytes); None for
-    * anything else (16-bit, palette, interlaced, malformed, truncated) —
-    * callers fall back to the stub path. CRCs are not validated: a
-    * corrupt-but-decodable payload still yields pixels, matching how
-    * lenient production decoders behave in a crawl pipeline.
+    * palette (3 — indices expanded through PLTE to RGB), grey+alpha (4)
+    * and RGBA (6), non-interlaced. Concatenates the IDAT chunks,
+    * inflates the compressed stream, and reverses the five scanline
+    * filters (None/Sub/Up/Average/Paeth — ISO/IEC 15948 §9.2). Returns
+    * (width, height, channels, rowMajorPixelBytes); None for anything
+    * else (16-bit, packed sub-8-bit palette, interlaced, malformed,
+    * truncated) — callers fall back to the stub path. CRCs are not
+    * validated: a corrupt-but-decodable payload still yields pixels,
+    * matching how lenient production decoders behave in a crawl
+    * pipeline.
     */
   def decodePngPixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
@@ -176,18 +178,23 @@ object BinaryOps {
     val colorType = p(25) & 0xff
     val interlace = p(28) & 0xff
     if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+    // palette images carry 1 index byte per pixel in the stream and
+    // expand through PLTE to RGB on output (8-bit depth only — packed
+    // 1/2/4-bit indices fail the depth gate above)
+    val palette = colorType == 3
     val channels = colorType match {
-      case 0 => 1
+      case 0 | 3 => 1
       case 2 => 3
       case 4 => 2
       case 6 => 4
-      case _ => return None // palette (3) needs PLTE handling — not worth it
+      case _ => return None
     }
     // bound absurd dimensions before allocating (a hostile header would
     // otherwise ask for gigabytes)
     if (w.toLong * h * channels > (1L << 28)) return None
 
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var off = 8
     var end = false
     while (!end && off + 8 <= p.length) {
@@ -197,11 +204,18 @@ object BinaryOps {
         if (p(off + 4) == 'I' && p(off + 5) == 'D'
             && p(off + 6) == 'A' && p(off + 7) == 'T')
           idat.write(p, off + 8, len)
+        if (p(off + 4) == 'P' && p(off + 5) == 'L'
+            && p(off + 6) == 'T' && p(off + 7) == 'E')
+          plte = java.util.Arrays.copyOfRange(p, off + 8, off + 8 + len)
         if (p(off + 4) == 'I' && p(off + 5) == 'E'
             && p(off + 6) == 'N' && p(off + 7) == 'D') end = true
         off += 12 + len
       }
     }
+    // PLTE is mandatory for color type 3: 1-256 RGB triples (ISO 15948
+    // §11.2.3); an out-of-range index below makes the image malformed
+    if (palette && (plte == null || plte.length < 3 || plte.length % 3 != 0
+        || plte.length > 768)) return None
 
     val stride = w * channels
     val needed = (stride + 1L) * h
@@ -255,7 +269,21 @@ object BinaryOps {
       }
       y += 1
     }
-    Some((w, h, channels, out))
+    if (!palette) Some((w, h, channels, out))
+    else { // expand indices through the palette to interleaved RGB
+      val nEntries = plte.length / 3
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < out.length) {
+        val idx = out(i) & 0xff
+        if (idx >= nEntries) return None // index past PLTE: malformed
+        rgb(i * 3) = plte(idx * 3)
+        rgb(i * 3 + 1) = plte(idx * 3 + 1)
+        rgb(i * 3 + 2) = plte(idx * 3 + 2)
+        i += 1
+      }
+      Some((w, h, 3, rgb))
+    }
   }
 
   /** Feature extraction with a REAL decode path for PNG payloads: decoded

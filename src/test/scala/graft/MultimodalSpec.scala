@@ -97,10 +97,12 @@ class MultimodalSpec extends AnyFunSuite {
     * filters (the inverse of what the decoder must undo), deflates, and
     * writes signature + IHDR/IDAT/IEND with real CRCs. */
   private def encodePng(w: Int, h: Int, channels: Int, pixels: Array[Byte],
-      filters: Seq[Int]): Array[Byte] = {
-    val colorType = channels match {
-      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
-    }
+      filters: Seq[Int], palette: Array[Byte] = null): Array[Byte] = {
+    val colorType =
+      if (palette != null) { require(channels == 1); 3 }
+      else channels match {
+        case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      }
     val stride = w * channels
     val raw = new Array[Byte]((stride + 1) * h)
     for (y <- 0 until h) {
@@ -139,8 +141,43 @@ class MultimodalSpec extends AnyFunSuite {
       .put(8.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+      chunk("IHDR", ihdr) ++
+      (if (palette != null) chunk("PLTE", palette) else Array.emptyByteArray) ++
+      chunk("IDAT", buf.take(n)) ++
       chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("palette PNG expands indices through PLTE to RGB; bad indices are malformed") {
+    val w = 7; val h = 6
+    val nColors = 16
+    val plte = Array.tabulate(nColors * 3)(i => ((i * 53 + 19) % 256).toByte)
+    val indices = Array.tabulate(w * h)(i => ((i * 7) % nColors).toByte)
+    val png = encodePng(w, h, 1, indices, filters = Seq(0, 1, 2, 3, 4),
+      palette = plte)
+    val Some((gw, gh, ch, px)) = BinaryOps.decodePngPixels(png)
+    assert((gw, gh, ch) === ((w, h, 3)))
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert(px(i * 3 + c) === plte((indices(i) & 0xff) * 3 + c), s"pixel $i band $c")
+    // imageio agrees on the expansion (indexed rasters store INDICES, so
+    // compare through the color model via getRGB)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null && img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert(((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff))
+        === (((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)),
+        s"pixel ($x,$y)")
+    }
+    // an index past the palette end is malformed, not an exception
+    val shortPlte = plte.take(9) // 3 colors; indices reach 15
+    assert(BinaryOps.decodePngPixels(encodePng(w, h, 1, indices,
+      filters = Seq(0), palette = shortPlte)).isEmpty, "index past PLTE")
+    // palette declared but PLTE chunk absent: malformed
+    val noPlte = encodePng(w, h, 1, indices, filters = Seq(0))
+    val patched = noPlte.clone()
+    patched(8 + 8 + 9) = 3.toByte // IHDR color type byte → palette
+    assert(BinaryOps.decodePngPixels(patched).isEmpty, "missing PLTE")
   }
 
   test("decodePngPixels round-trips RGB pixels through every filter type") {
