@@ -155,17 +155,18 @@ object BinaryOps {
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))).as("frame_idx"))
 
   /** REAL PNG pixel decode — JDK-only (`java.util.zip.Inflater`), no
-    * image library: 8-bit-depth greyscale (color type 0), truecolor (2),
-    * palette (3 — indices expanded through PLTE to RGB), grey+alpha (4)
-    * and RGBA (6), non-interlaced. Concatenates the IDAT chunks,
-    * inflates the compressed stream, and reverses the five scanline
-    * filters (None/Sub/Up/Average/Paeth — ISO/IEC 15948 §9.2). Returns
-    * (width, height, channels, rowMajorPixelBytes); None for anything
-    * else (16-bit, packed sub-8-bit palette, interlaced, malformed,
-    * truncated) — callers fall back to the stub path. CRCs are not
-    * validated: a corrupt-but-decodable payload still yields pixels,
-    * matching how lenient production decoders behave in a crawl
-    * pipeline.
+    * image library: 8- and 16-bit-depth greyscale (color type 0),
+    * truecolor (2), palette (3 — indices expanded through PLTE to RGB),
+    * grey+alpha (4) and RGBA (6), non-interlaced; 16-bit samples
+    * downsample to their high byte on output (feature extraction never
+    * needs the low bits). Concatenates the IDAT chunks, inflates the
+    * compressed stream, and reverses the five scanline filters
+    * (None/Sub/Up/Average/Paeth — ISO/IEC 15948 §9.2). Returns (width,
+    * height, channels, rowMajorPixelBytes); None for anything else
+    * (packed sub-8-bit palette, interlaced, malformed, truncated) —
+    * callers fall back to the stub path. CRCs are not validated: a
+    * corrupt-but-decodable payload still yields pixels, matching how
+    * lenient production decoders behave in a crawl pipeline.
     */
   def decodePngPixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
@@ -177,11 +178,14 @@ object BinaryOps {
     val bitDepth = p(24) & 0xff
     val colorType = p(25) & 0xff
     val interlace = p(28) & 0xff
-    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+    if (w <= 0 || h <= 0 || (bitDepth != 8 && bitDepth != 16)
+        || interlace != 0) return None
     // palette images carry 1 index byte per pixel in the stream and
     // expand through PLTE to RGB on output (8-bit depth only — packed
-    // 1/2/4-bit indices fail the depth gate above)
+    // 1/2/4-bit indices fail the depth gate, and 16-bit palette is
+    // illegal per ISO 15948 Table 11.1)
     val palette = colorType == 3
+    if (palette && bitDepth != 8) return None
     val channels = colorType match {
       case 0 | 3 => 1
       case 2 => 3
@@ -189,9 +193,13 @@ object BinaryOps {
       case 6 => 4
       case _ => return None
     }
+    // 16-bit samples are big-endian pairs in the stream; output
+    // downsamples to the high byte (the production-pipeline convention —
+    // feature extraction never needs the low 8 bits)
+    val bytesPerSample = bitDepth / 8
     // bound absurd dimensions before allocating (a hostile header would
     // otherwise ask for gigabytes)
-    if (w.toLong * h * channels > (1L << 28)) return None
+    if (w.toLong * h * channels * bytesPerSample > (1L << 28)) return None
 
     val idat = new java.io.ByteArrayOutputStream()
     var plte: Array[Byte] = null
@@ -217,7 +225,7 @@ object BinaryOps {
     if (palette && (plte == null || plte.length < 3 || plte.length % 3 != 0
         || plte.length > 768)) return None
 
-    val stride = w * channels
+    val stride = w * channels * bytesPerSample
     val needed = (stride + 1L) * h
     // zlib's theoretical max expansion is ~1032:1 — a header claiming far
     // more pixels than the IDAT bytes could ever inflate to is hostile or
@@ -239,7 +247,7 @@ object BinaryOps {
     finally inf.end()
 
     val out = new Array[Byte](stride * h)
-    val bpp = channels // 8-bit depth: bytes per pixel == channels
+    val bpp = channels * bytesPerSample // filters operate on whole bytes
     var y = 0
     while (y < h) {
       val f = raw(y * (stride + 1)) & 0xff
@@ -269,13 +277,22 @@ object BinaryOps {
       }
       y += 1
     }
-    if (!palette) Some((w, h, channels, out))
+    // 16-bit: keep the high byte of each big-endian sample
+    val px8 =
+      if (bytesPerSample == 1) out
+      else {
+        val d = new Array[Byte](w * h * channels)
+        var i = 0
+        while (i < d.length) { d(i) = out(i * 2); i += 1 }
+        d
+      }
+    if (!palette) Some((w, h, channels, px8))
     else { // expand indices through the palette to interleaved RGB
       val nEntries = plte.length / 3
       val rgb = new Array[Byte](w * h * 3)
       var i = 0
-      while (i < out.length) {
-        val idx = out(i) & 0xff
+      while (i < px8.length) {
+        val idx = px8(i) & 0xff
         if (idx >= nEntries) return None // index past PLTE: malformed
         rgb(i * 3) = plte(idx * 3)
         rgb(i * 3 + 1) = plte(idx * 3 + 1)

@@ -97,22 +97,24 @@ class MultimodalSpec extends AnyFunSuite {
     * filters (the inverse of what the decoder must undo), deflates, and
     * writes signature + IHDR/IDAT/IEND with real CRCs. */
   private def encodePng(w: Int, h: Int, channels: Int, pixels: Array[Byte],
-      filters: Seq[Int], palette: Array[Byte] = null): Array[Byte] = {
+      filters: Seq[Int], palette: Array[Byte] = null,
+      bitDepth: Int = 8): Array[Byte] = {
     val colorType =
       if (palette != null) { require(channels == 1); 3 }
       else channels match {
         case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
       }
-    val stride = w * channels
+    val bpp = channels * bitDepth / 8
+    val stride = w * bpp
     val raw = new Array[Byte]((stride + 1) * h)
     for (y <- 0 until h) {
       val f = filters(y % filters.length)
       raw(y * (stride + 1)) = f.toByte
       for (x <- 0 until stride) {
         val cur = pixels(y * stride + x) & 0xff
-        val left = if (x >= channels) pixels(y * stride + x - channels) & 0xff else 0
+        val left = if (x >= bpp) pixels(y * stride + x - bpp) & 0xff else 0
         val up = if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0
-        val ul = if (y > 0 && x >= channels) pixels((y - 1) * stride + x - channels) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) pixels((y - 1) * stride + x - bpp) & 0xff else 0
         val enc = f match {
           case 0 => cur
           case 1 => cur - left
@@ -138,13 +140,35 @@ class MultimodalSpec extends AnyFunSuite {
       bb.putInt(crc.getValue.toInt).array()
     }
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
-      .put(8.toByte).put(colorType.toByte)
+      .put(bitDepth.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
       chunk("IHDR", ihdr) ++
       (if (palette != null) chunk("PLTE", palette) else Array.emptyByteArray) ++
       chunk("IDAT", buf.take(n)) ++
       chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("16-bit PNG decodes to the high byte of each big-endian sample") {
+    val w = 6; val h = 5; val ch = 3
+    val samples = Array.tabulate(w * h * ch)(i => (i * 9973 + 123) % 65536)
+    val bytes = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      bytes(i * 2) = (samples(i) >> 8).toByte
+      bytes(i * 2 + 1) = (samples(i) & 0xff).toByte
+    }
+    val png = encodePng(w, h, ch, bytes, filters = Seq(0, 1, 2, 3, 4),
+      bitDepth = 16)
+    val Some((gw, gh, gch, px)) = BinaryOps.decodePngPixels(png)
+    assert((gw, gh, gch) === ((w, h, ch)))
+    for (i <- samples.indices)
+      assert((px(i) & 0xff) === (samples(i) >> 8), s"sample $i")
+    // imageio reads the full 16-bit samples — our output is their high byte
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null && img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+      assert((px((y * w + x) * ch + c) & 0xff)
+        === (img.getRaster.getSample(x, y, c) >> 8), s"pixel ($x,$y) band $c")
   }
 
   test("palette PNG expands indices through PLTE to RGB; bad indices are malformed") {
