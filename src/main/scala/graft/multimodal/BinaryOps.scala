@@ -161,9 +161,11 @@ object BinaryOps {
     * downsample to their high byte on output (feature extraction never
     * needs the low bits). Concatenates the IDAT chunks, inflates the
     * compressed stream, and reverses the five scanline filters
-    * (None/Sub/Up/Average/Paeth — ISO/IEC 15948 §9.2). Returns (width,
-    * height, channels, rowMajorPixelBytes); None for anything else
-    * (packed sub-8-bit palette, interlaced, malformed, truncated) —
+    * (None/Sub/Up/Average/Paeth — ISO/IEC 15948 §9.2), sequentially or
+    * across the seven Adam7 interlace passes (§8.2 — each pass an
+    * independently filtered sub-image scattered to its final cells).
+    * Returns (width, height, channels, rowMajorPixelBytes); None for
+    * anything else (packed sub-8-bit palette, malformed, truncated) —
     * callers fall back to the stub path. CRCs are not validated: a
     * corrupt-but-decodable payload still yields pixels, matching how
     * lenient production decoders behave in a crawl pipeline.
@@ -179,7 +181,7 @@ object BinaryOps {
     val colorType = p(25) & 0xff
     val interlace = p(28) & 0xff
     if (w <= 0 || h <= 0 || (bitDepth != 8 && bitDepth != 16)
-        || interlace != 0) return None
+        || interlace > 1) return None // 0 = sequential, 1 = Adam7
     // palette images carry 1 index byte per pixel in the stream and
     // expand through PLTE to RGB on output (8-bit depth only — packed
     // 1/2/4-bit indices fail the depth gate, and 16-bit palette is
@@ -225,8 +227,23 @@ object BinaryOps {
     if (palette && (plte == null || plte.length < 3 || plte.length % 3 != 0
         || plte.length > 768)) return None
 
-    val stride = w * channels * bytesPerSample
-    val needed = (stride + 1L) * h
+    val bpp = channels * bytesPerSample // filters operate on whole bytes
+    val stride = w * bpp
+    // Adam7 pass geometry (ISO 15948 §8.2): (x0, y0, dx, dy) per pass;
+    // a non-interlaced image is the single pass (0, 0, 1, 1)
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    val needed = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else (pw.toLong * bpp + 1L) * ph
+    }.sum
     // zlib's theoretical max expansion is ~1032:1 — a header claiming far
     // more pixels than the IDAT bytes could ever inflate to is hostile or
     // truncated; reject BEFORE allocating hundreds of MB per record (the
@@ -246,36 +263,66 @@ object BinaryOps {
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
 
-    val out = new Array[Byte](stride * h)
-    val bpp = channels * bytesPerSample // filters operate on whole bytes
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (stride + 1)) & 0xff
-      val rowIn = y * (stride + 1) + 1
-      val rowOut = y * stride
-      var x = 0
-      while (x < stride) {
-        val cur = raw(rowIn + x) & 0xff
-        val left = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0
-        val up = if (y > 0) out(rowOut - stride + x) & 0xff else 0
-        val ul = if (y > 0 && x >= bpp) out(rowOut - stride + x - bpp) & 0xff else 0
-        val v = f match {
-          case 0 => cur
-          case 1 => cur + left
-          case 2 => cur + up
-          case 3 => cur + (left + up) / 2
-          case 4 =>
-            val pp = left + up - ul
-            val pa = math.abs(pp - left)
-            val pb = math.abs(pp - up)
-            val pc = math.abs(pp - ul)
-            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
-          case _ => return None
+    // reverse the per-row filters of one pass image (rows of `rowBytes`
+    // at raw(off), each led by its filter byte) into `dst`; each pass
+    // filters independently of the others (§8.2)
+    def unfilter(off: Int, rowBytes: Int, rows: Int,
+        dst: Array[Byte]): Boolean = {
+      var y = 0
+      while (y < rows) {
+        val f = raw(off + y * (rowBytes + 1)) & 0xff
+        val rowIn = off + y * (rowBytes + 1) + 1
+        val rowOut = y * rowBytes
+        var x = 0
+        while (x < rowBytes) {
+          val cur = raw(rowIn + x) & 0xff
+          val left = if (x >= bpp) dst(rowOut + x - bpp) & 0xff else 0
+          val up = if (y > 0) dst(rowOut - rowBytes + x) & 0xff else 0
+          val ul = if (y > 0 && x >= bpp) dst(rowOut - rowBytes + x - bpp) & 0xff else 0
+          val v = f match {
+            case 0 => cur
+            case 1 => cur + left
+            case 2 => cur + up
+            case 3 => cur + (left + up) / 2
+            case 4 =>
+              val pp = left + up - ul
+              val pa = math.abs(pp - left)
+              val pb = math.abs(pp - up)
+              val pc = math.abs(pp - ul)
+              cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            case _ => return false
+          }
+          dst(rowOut + x) = (v & 0xff).toByte
+          x += 1
         }
-        out(rowOut + x) = (v & 0xff).toByte
-        x += 1
+        y += 1
       }
-      y += 1
+      true
+    }
+
+    val out = new Array[Byte](stride * h)
+    var roff = 0
+    for (p <- passes) {
+      val (x0, y0, dx, dy) = p
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val rowBytes = pw * bpp
+        val pbuf = if (interlace == 0) out else new Array[Byte](rowBytes * ph)
+        if (!unfilter(roff, rowBytes, ph, pbuf)) return None
+        if (interlace != 0) { // scatter pass pixels to their final cells
+          var py = 0
+          while (py < ph) {
+            var px = 0
+            while (px < pw) {
+              System.arraycopy(pbuf, (py * pw + px) * bpp,
+                out, (y0 + py * dy) * stride + (x0 + px * dx) * bpp, bpp)
+              px += 1
+            }
+            py += 1
+          }
+        }
+        roff += (rowBytes + 1) * ph
+      }
     }
     // 16-bit: keep the high byte of each big-endian sample
     val px8 =

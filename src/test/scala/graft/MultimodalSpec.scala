@@ -98,36 +98,59 @@ class MultimodalSpec extends AnyFunSuite {
     * writes signature + IHDR/IDAT/IEND with real CRCs. */
   private def encodePng(w: Int, h: Int, channels: Int, pixels: Array[Byte],
       filters: Seq[Int], palette: Array[Byte] = null,
-      bitDepth: Int = 8): Array[Byte] = {
+      bitDepth: Int = 8, interlace: Boolean = false): Array[Byte] = {
     val colorType =
       if (palette != null) { require(channels == 1); 3 }
       else channels match {
         case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
       }
     val bpp = channels * bitDepth / 8
-    val stride = w * bpp
-    val raw = new Array[Byte]((stride + 1) * h)
-    for (y <- 0 until h) {
-      val f = filters(y % filters.length)
-      raw(y * (stride + 1)) = f.toByte
-      for (x <- 0 until stride) {
-        val cur = pixels(y * stride + x) & 0xff
-        val left = if (x >= bpp) pixels(y * stride + x - bpp) & 0xff else 0
-        val up = if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0
-        val ul = if (y > 0 && x >= bpp) pixels((y - 1) * stride + x - bpp) & 0xff else 0
-        val enc = f match {
-          case 0 => cur
-          case 1 => cur - left
-          case 2 => cur - up
-          case 3 => cur - (left + up) / 2
-          case 4 =>
-            val p = left + up - ul
-            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
-            cur - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+    // forward-filter one (sub-)image's rows with the chosen filter cycle
+    def filterImage(pix: Array[Byte], rowBytes: Int, rows: Int): Array[Byte] = {
+      val r = new Array[Byte]((rowBytes + 1) * rows)
+      for (y <- 0 until rows) {
+        val f = filters(y % filters.length)
+        r(y * (rowBytes + 1)) = f.toByte
+        for (x <- 0 until rowBytes) {
+          val cur = pix(y * rowBytes + x) & 0xff
+          val left = if (x >= bpp) pix(y * rowBytes + x - bpp) & 0xff else 0
+          val up = if (y > 0) pix((y - 1) * rowBytes + x) & 0xff else 0
+          val ul = if (y > 0 && x >= bpp) pix((y - 1) * rowBytes + x - bpp) & 0xff else 0
+          val enc = f match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              cur - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          }
+          r(y * (rowBytes + 1) + 1 + x) = (enc & 0xff).toByte
         }
-        raw(y * (stride + 1) + 1 + x) = (enc & 0xff).toByte
       }
+      r
     }
+    val raw: Array[Byte] =
+      if (!interlace) filterImage(pixels, w * bpp, h)
+      else { // Adam7: gather each pass sub-image, filter it independently
+        val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+          (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        val bos = new java.io.ByteArrayOutputStream()
+        for ((x0, y0, dx, dy) <- passes) {
+          val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+          val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+          if (pw > 0 && ph > 0) {
+            val sub = new Array[Byte](pw * ph * bpp)
+            for (py <- 0 until ph; px <- 0 until pw)
+              System.arraycopy(pixels,
+                ((y0 + py * dy) * w + (x0 + px * dx)) * bpp,
+                sub, (py * pw + px) * bpp, bpp)
+            bos.write(filterImage(sub, pw * bpp, ph))
+          }
+        }
+        bos.toByteArray
+      }
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val buf = new Array[Byte](raw.length + 64)
@@ -141,12 +164,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
     val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
       .put(bitDepth.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      .put(0.toByte).put(0.toByte)
+      .put(if (interlace) 1.toByte else 0.toByte).array()
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
       chunk("IHDR", ihdr) ++
       (if (palette != null) chunk("PLTE", palette) else Array.emptyByteArray) ++
       chunk("IDAT", buf.take(n)) ++
       chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("Adam7 interlaced PNG de-interlaces to the same pixels as sequential") {
+    // dims that are NOT multiples of 8 exercise empty/partial passes
+    val w = 13; val h = 11; val ch = 3
+    val pixels = Array.tabulate(w * h * ch)(i => ((i * 41 + 5) % 256).toByte)
+    val seq7 = encodePng(w, h, ch, pixels, filters = Seq(0, 1, 2, 3, 4))
+    val adam = encodePng(w, h, ch, pixels, filters = Seq(0, 1, 2, 3, 4),
+      interlace = true)
+    val Some((_, _, _, a)) = BinaryOps.decodePngPixels(adam)
+    val Some((_, _, _, s)) = BinaryOps.decodePngPixels(seq7)
+    assert(a.toSeq === s.toSeq, "interlaced and sequential decodes must agree")
+    assert(a.toSeq === pixels.toSeq, "and both equal the source pixels")
+    // imageio cross-check on the interlaced file
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(adam))
+    assert(img != null && img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+      assert((a((y * w + x) * ch + c) & 0xff)
+        === img.getRaster.getSample(x, y, c), s"pixel ($x,$y) band $c")
+    // a 1-pixel-wide interlaced image: several passes are empty
+    val tiny = Array.tabulate(1 * 9 * ch)(i => ((i * 17 + 3) % 256).toByte)
+    val tinyPng = encodePng(1, 9, ch, tiny, filters = Seq(1, 4),
+      interlace = true)
+    val Some((_, _, _, t)) = BinaryOps.decodePngPixels(tinyPng)
+    assert(t.toSeq === tiny.toSeq)
   }
 
   test("16-bit PNG decodes to the high byte of each big-endian sample") {
