@@ -76,20 +76,43 @@ object Bench {
     // line must stay compact: 2-decimal seconds, emitted after spark.stop()
     // so no shutdown logging can land between it and the end of output.
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // keys are the qNN prefix (the driver contract's own example shape):
-    // ~80 full names would not fit the tail budget, the prefixes always do
-    val qs = results.map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+    // Per-query seconds at ONE decimal, trailing ".0" trimmed, and the
+    // numeric query id without the leading "q" ("q44_..." → "44"): at 145+
+    // queries the two-decimal qNN map alone was ~1740 chars, within three
+    // queries of the ~1850-char tail ceiling — this shape keeps ≥300 chars
+    // of headroom. Full-precision per-query figures go to the sidecar
+    // below; the inline map is the driver's coarse record.
+    def fmt1(v: Double): String = {
+      val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
+    def shortName(k: String): String = {
+      val p = k.takeWhile(_ != '_')
+      if (p.startsWith("q") && p.tail.forall(_.isDigit)) p.tail else p
+    }
+    val qs = results.map { case (k, v, _) => "\"" + shortName(k) + "\":" + fmt1(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // full-precision sidecar (3 decimals, full query names, all iterations)
+    // for humans and the per-round record; the inline line stays compact
+    val detail = results.map { case (k, v, ts) =>
+      s""""$k":{"min":${"%.3f".formatLocal(java.util.Locale.ROOT, v)},"runs":[${
+        ts.map("%.3f".formatLocal(java.util.Locale.ROOT, _)).mkString(",")}]}"""
+    }.mkString("{\"total\":" + fmt(total) + ",\"queries\":{", ",", "}}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("BENCH_DETAIL.json"), detail + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     // ld = 1-min loadavg at [start of timed loop, end]; spr/sprq = worst
     // steady-state max/min spread and its query; nspr3 = queries over 3x
     val guard = s""""ld":[${fmt(loadStart)},${fmt(loadEnd)}],""" +
-      s""""spr":${fmt(worstSpread)},"sprq":"${worstQ.takeWhile(_ != '_')}",""" +
+      s""""spr":${fmt(worstSpread)},"sprq":"${shortName(worstQ)}",""" +
       s""""nspr3":$nOver3,"contaminated":$contaminated"""
+    val sfName = new java.io.File(sfDir).getName
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$guard,"queries":$qs,"sf":"$sfDir"}"""
-    if (line.length > 1850)
-      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may overflow the driver tail")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$guard,"queries":$qs,"sf":"$sfName"}"""
+    if (line.length > 1550)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — under 300 chars of tail headroom")
     spark.stop()
     println(line)
   }

@@ -193,12 +193,18 @@ object ClusterStore {
       col(textCol).as("__text")).localCheckpoint()
     try {
       val batchIds = b.select(col("id"))
-      // one job for both guards: row count and distinct-id count
-      val guard = b.agg(count(lit(1)).as("n"),
+      // one job for all three guards: row count, non-null count (a failed
+      // long cast yields null — countDistinct skips nulls, so without the
+      // explicit check a lone null row would masquerade as a duplicate),
+      // and distinct-id count
+      val guard = b.agg(count(lit(1)).as("n"), count(col("id")).as("nn"),
         countDistinct(col("id")).as("nd")).head()
       val n = guard.getLong(0)
       if (n == 0L) return
       require(guard.getLong(1) == n,
+        s"ccApply: batch holds ${n - guard.getLong(1)} null doc ids (a " +
+          "non-numeric id fails the long cast) — clean the batch before apply")
+      require(guard.getLong(2) == n,
         s"ccApply: batch holds duplicate doc ids — deduplicate the batch " +
           "before apply (a duplicate row would store two labels for one doc)")
       // dupe guard, pruned to the batch ids' own buckets — untouched

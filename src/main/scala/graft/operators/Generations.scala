@@ -172,26 +172,60 @@ object Generations {
         s"active writer (thread ${owner.getName}); stores are " +
         "single-writer — serialize appends/applies with compaction")
     val lockFile = new Path(storeDir, LockName)
+    // owner-unique token: stale-break verifies it is still deleting the
+    // SAME lock it observed as stale, and acquisition reads it back
+    val token =
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} " +
+        s"${java.util.UUID.randomUUID()}\n"
     var fileLocked = false
     try {
       def tryCreate(): Boolean =
         try {
           val out = fs.create(lockFile, false)
-          try out.write(
-            s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n"
-              .getBytes("UTF-8"))
+          try out.write(token.getBytes("UTF-8"))
           finally out.close()
           true
         } catch { case _: java.io.IOException => false }
+      def readLock(): Option[(String, Long)] =
+        try {
+          val st = fs.getFileStatus(lockFile)
+          val in = fs.open(lockFile)
+          val content =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          Some((content, st.getModificationTime))
+        } catch { case _: java.io.IOException => None }
       fileLocked = tryCreate()
       if (!fileLocked) {
-        val stale =
-          try System.currentTimeMillis() -
-            fs.getFileStatus(lockFile).getModificationTime > staleMs
-          catch { case _: java.io.FileNotFoundException => true }
+        // Stale-break with a TOCTOU guard: between "observed stale" and
+        // "delete", ANOTHER waiter may have broken the same stale lock and
+        // created a fresh one — deleting blindly would remove the fresh
+        // lock and let two writers acquire. Re-read immediately before the
+        // delete and only remove the lock if its owner token AND mtime
+        // still match the stale observation; a lock that changed hands in
+        // between is fresh by definition, so back off and fail locked.
+        // (The read→delete instant itself is irreducible without an
+        // atomic compare-and-delete, which plain filesystems lack; the
+        // guard shrinks the window from "entire stale decision" to one
+        // syscall pair and makes the raced outcome a loud failure, not a
+        // silent double-acquire.)
+        val observed = readLock()
+        val stale = observed match {
+          case Some((_, mtime)) => System.currentTimeMillis() - mtime > staleMs
+          case None             => true // holder vanished; retry create below
+        }
         if (stale) {
-          fs.delete(lockFile, false)
+          val again = readLock()
+          if (again == observed && observed.isDefined)
+            fs.delete(lockFile, false)
           fileLocked = tryCreate()
+          // verify ownership: if a raced breaker created its lock between
+          // our delete and create, our create failed and this stays false
+          if (fileLocked && !readLock().exists(_._1 == token)) {
+            fileLocked = false
+            throw new IllegalStateException(s"store $storeDir writer lock " +
+              "changed hands during a stale-lock break — another writer won")
+          }
         }
         if (!fileLocked)
           throw new IllegalStateException(s"store $storeDir is locked by " +
@@ -292,6 +326,20 @@ object Generations {
             .map(s => s"$storeDir/$surface/gen=$g/$s")
         else if (subs.exists(_.endsWith(".parquet")))
           flatGens += g
+        else {
+          // neither layout: a non-empty generation partitioned under an
+          // unexpected column (layout drift) must fail LOUDLY — silently
+          // skipping it would drop committed data from reads. An empty
+          // write (commit markers/dotfiles only) is a legitimate empty
+          // surface generation and contributes nothing.
+          val real = subs.filterNot(s => s == "_SUCCESS" ||
+            s.startsWith(".") || s.startsWith("_temporary"))
+          require(real.isEmpty,
+            s"readSurfacePruned($surface): generation gen=$g matches " +
+              s"neither the $partCol=-partitioned nor the flat-parquet " +
+              s"layout (contains: ${real.take(3).mkString(", ")}) — " +
+              "layout drift would silently vanish from pruned reads")
+        }
       }
     }
     val cols = schema.fieldNames.toIndexedSeq

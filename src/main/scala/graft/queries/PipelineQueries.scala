@@ -230,6 +230,11 @@ object PipelineQueries {
     // rounding+clamp are exact integer arithmetic the oracle replays,
     // so the hash match proves the full color chain — container,
     // entropy stream, and both color conversions — byte-level.
+    // Rounding parity is by construction, not empirical: the verify
+    // harness rewrites every oracle `round(` to `round(1e-8 + ` (the
+    // driver's stabilizer convention), matching the Scala side's
+    // roundPar(x) = round(x + 1e-8) — so write plain round() here;
+    // hand-adding the stabilizer would double-apply it.
     ("q146_jpeg_color", (s: SparkSession, d: String) => {
       import graft.functions.ColumnFunctions.pround
       BinaryOps.colorImageFeaturesBinary(s,

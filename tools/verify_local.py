@@ -28,6 +28,13 @@ def main(out_dir: str, sf_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Mirror the driver's rounding-parity rewrite: every oracle round() is
+    # stabilized to round(1e-8 + x[, d]) before execution, matching the
+    # Scala side's pround/roundPar convention (x + 1e-8). With the rewrite
+    # applied in BOTH harnesses, a term landing within 1e-8 below an exact
+    # .5 tie rounds identically by construction — never hand-write the
+    # stabilizer in oracle SQL, it would double-apply here.
+    oracle = {k: v.replace("round(", "round(1e-8 + ") for k, v in oracle.items()}
     n_pass = n_fail = 0
     import glob
     for name in sorted(oracle):
