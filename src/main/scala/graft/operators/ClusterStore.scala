@@ -343,9 +343,14 @@ object ClusterStore {
     } finally { raw.unpersist(); () }
   }
 
-  /** The stored labelling (id, cluster_id), merge ledger resolved. */
-  def ccRead(spark: SparkSession, path: String): DataFrame = {
-    val committed = Generations.live(spark, path)
+  /** The stored labelling (id, cluster_id), merge ledger resolved.
+    * `asOf` pins a retained snapshot manifest ([[Generations.liveAt]]) —
+    * labels AND the ledger resolve at that commit's state, so the
+    * labelling an operator debugs is exactly the one that was served. */
+  def ccRead(spark: SparkSession, path: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val committed = asOf.map(Generations.liveAt(spark, path, _))
+      .getOrElse(Generations.live(spark, path))
     val labels = Generations.readSurfaceAs(spark, path, "labels", committed,
       labelSchema).select(col("id"), col("cluster_id"))
     val remap = readRemap(spark, path, committed)

@@ -255,6 +255,21 @@ object History {
   def scd2Read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/history").drop("__bucket")
 
+  /** The collapsed history as of a RETAINED snapshot commit
+    * ([[Generations.liveAt]]). The history table itself is
+    * dynamic-overwritten in place by applies, so time travel recomputes
+    * the collapse from the immutable event log at that snapshot's
+    * generation list — the same derivation every rebuild runs, so the
+    * result is exactly what [[scd2Read]] served at that commit
+    * (StoreLifecycleSpec law). Column parameters match the store's build
+    * arguments (the store does not stamp them). */
+  def scd2ReadAsOf(spark: SparkSession, path: String, snapshot: Int,
+      keyCol: String, attrCol: String, tsCol: String,
+      tieCol: String): DataFrame =
+    scd2(Generations.readSurface(spark, path, "events",
+        Generations.liveAt(spark, path, snapshot))
+      .drop("gen", "__bucket"), keyCol, attrCol, tsCol, tieCol)
+
   /** Compact the event log's generations into one: every apply adds a
     * generation, so after N batches each rebuild's pruned scan pays N
     * directory opens per bucket — this folds them without changing a row

@@ -392,16 +392,22 @@ object Indexing {
     * only the probed shards' directories.
     */
   def indexLookup(spark: SparkSession, indexDir: String,
-      tokens: Seq[String]): DataFrame = {
+      tokens: Seq[String], asOf: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val (nShards, _) = readMeta(spark, indexDir)
     val t = tokens.toDF("token")
     val shards = t.select(shardOf(col("token"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0))
     // path-level pruning: the plan-time listing enumerates only the
-    // probed shards' directories, O(gens + touched), never O(gens × nShards)
+    // probed shards' directories, O(gens + touched), never O(gens × nShards).
+    // `asOf` resolves a RETAINED snapshot manifest instead of the live one
+    // ([[Generations.liveAt]]) — time travel for debugging a compaction:
+    // the sweep protects every generation the history references, so the
+    // snapshot view is complete for `HistoryKeep` commits.
     Generations.readSurfacePruned(spark, indexDir, "postings",
-        Generations.live(spark, indexDir), postingsSchema, "shard",
+        asOf.map(Generations.liveAt(spark, indexDir, _))
+          .getOrElse(Generations.live(spark, indexDir)),
+        postingsSchema, "shard",
         shards.toIndexedSeq)
       .join(broadcast(t), Seq("token"))
       .select(col("token"), col("id"), col("tf"))

@@ -292,19 +292,22 @@ object LmStore {
     * were ever ingested.
     */
   def lmScore(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, dir: String, k: Double = 1.0): DataFrame =
-    lmScoreImpl(spark, docs, idCol, textCol, dir, k, rounded = true)
+      textCol: String, dir: String, k: Double = 1.0,
+      asOf: Option[Int] = None): DataFrame =
+    lmScoreImpl(spark, docs, idCol, textCol, dir, k, rounded = true, asOf)
 
   /** [[lmScore]] with the average log-prob UNROUNDED — for consumers that
     * compare scores (the q144 perplexity gate thresholds raw values, as
     * its oracle does; rounding first would gate on a different number
     * than the one published). */
   def lmScoreRaw(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, dir: String, k: Double = 1.0): DataFrame =
-    lmScoreImpl(spark, docs, idCol, textCol, dir, k, rounded = false)
+      textCol: String, dir: String, k: Double = 1.0,
+      asOf: Option[Int] = None): DataFrame =
+    lmScoreImpl(spark, docs, idCol, textCol, dir, k, rounded = false, asOf)
 
   private def lmScoreImpl(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, dir: String, k: Double, rounded: Boolean): DataFrame = {
+      textCol: String, dir: String, k: Double, rounded: Boolean,
+      asOf: Option[Int] = None): DataFrame = {
     val nShards = readMeta(spark, dir)
     // one checkpointed evaluation serves the probe collect AND the scoring
     // join: a bigram whose shard went unprobed would left-join to null and
@@ -318,8 +321,12 @@ object LmStore {
       .localCheckpoint()
     val probed = bg.select(shardOf(col("w1"), nShards).as("s"))
       .distinct().collect().map(_.getInt(0))
-    // one manifest resolution — all three surfaces score the same snapshot
-    val gens = Generations.live(spark, dir)
+    // one manifest resolution — all three surfaces score the same
+    // snapshot; `asOf` pins a RETAINED snapshot manifest instead of the
+    // live one ([[Generations.liveAt]] — time travel for debugging a
+    // compaction or reproducing a past scoring run)
+    val gens = asOf.map(Generations.liveAt(spark, dir, _))
+      .getOrElse(Generations.live(spark, dir))
     def pruned(sub: String) =
       surfacePruned(spark, dir, sub, gens, probed.toIndexedSeq)
     // Adaptive register plan, chosen on the EXACT batch size (one cheap

@@ -153,9 +153,14 @@ object VectorStore {
     * the multi-generation store).
     */
   def annSearch(spark: SparkSession, queries: DataFrame, idCol: String,
-      vecCol: String, dir: String, k: Int, nProbe: Int = 4): DataFrame = {
+      vecCol: String, dir: String, k: Int, nProbe: Int = 4,
+      asOf: Option[Int] = None): DataFrame = {
     require(k >= 1 && nProbe >= 1)
-    val gens = Generations.live(spark, dir)
+    // `asOf` pins a retained snapshot manifest ([[Generations.liveAt]]):
+    // the search serves the store state of that commit — centroids are
+    // build-time constants, so only the cell generation list time-travels
+    val gens = asOf.map(Generations.liveAt(spark, dir, _))
+      .getOrElse(Generations.live(spark, dir))
     // pinned local relation: the probed-cell collect and the scoring join
     // must see the SAME evaluation of the queries plan (the ivfSearch
     // rationale; driver-sized by construction — this side broadcasts)

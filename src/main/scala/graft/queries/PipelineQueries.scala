@@ -230,11 +230,11 @@ object PipelineQueries {
     // rounding+clamp are exact integer arithmetic the oracle replays,
     // so the hash match proves the full color chain — container,
     // entropy stream, and both color conversions — byte-level.
-    // Rounding parity is by construction, not empirical: the verify
-    // harness rewrites every oracle `round(` to `round(1e-8 + ` (the
-    // driver's stabilizer convention), matching the Scala side's
-    // roundPar(x) = round(x + 1e-8) — so write plain round() here;
-    // hand-adding the stabilizer would double-apply it.
+    // Rounding parity is by construction, not empirical: the oracle's
+    // conversion rounds carry the SAME `round(1e-8 + …)` stabilizer the
+    // Scala codec's roundPar uses (the SQL runs verbatim — no harness
+    // rewrite), so a term landing within 1e-8 below an exact .5 decimal
+    // tie rounds identically on both sides.
     ("q146_jpeg_color", (s: SparkSession, d: String) => {
       import graft.functions.ColumnFunctions.pround
       BinaryOps.colorImageFeaturesBinary(s,
@@ -263,20 +263,20 @@ object PipelineQueries {
               FROM b),
       ycc AS (SELECT doc_id, w, h, cols, bi,
                      least(255, greatest(0,
-                       round(0.299 * r + 0.587 * gg + 0.114 * bb))) AS y,
+                       round(1e-8 + 0.299 * r + 0.587 * gg + 0.114 * bb))) AS y,
                      least(255, greatest(0,
-                       round(128 - 0.168736 * r - 0.331264 * gg + 0.5 * bb))) AS cb,
+                       round(1e-8 + 128 - 0.168736 * r - 0.331264 * gg + 0.5 * bb))) AS cb,
                      least(255, greatest(0,
-                       round(128 + 0.5 * r - 0.418688 * gg - 0.081312 * bb))) AS cr
+                       round(1e-8 + 128 + 0.5 * r - 0.418688 * gg - 0.081312 * bb))) AS cr
               FROM rgb),
       dec AS (SELECT doc_id, w, h,
                      least(255, greatest(0,
-                       round(y + 1.402 * (cr - 128)))) AS r2,
+                       round(1e-8 + y + 1.402 * (cr - 128)))) AS r2,
                      least(255, greatest(0,
-                       round(y - 0.344136 * (cb - 128)
+                       round(1e-8 + y - 0.344136 * (cb - 128)
                              - 0.714136 * (cr - 128)))) AS g2,
                      least(255, greatest(0,
-                       round(y + 1.772 * (cb - 128)))) AS b2,
+                       round(1e-8 + y + 1.772 * (cb - 128)))) AS b2,
                      least(8, w - (bi % cols) * 8)
                        * least(8, h - (bi // cols) * 8) AS vis
               FROM ycc),
@@ -324,20 +324,20 @@ object PipelineQueries {
               FROM b),
       ycc AS (SELECT doc_id, w, h, cols, mi,
                      least(255, greatest(0,
-                       round(0.299 * r + 0.587 * gg + 0.114 * bb))) AS y,
+                       round(1e-8 + 0.299 * r + 0.587 * gg + 0.114 * bb))) AS y,
                      least(255, greatest(0,
-                       round(128 - 0.168736 * r - 0.331264 * gg + 0.5 * bb))) AS cb,
+                       round(1e-8 + 128 - 0.168736 * r - 0.331264 * gg + 0.5 * bb))) AS cb,
                      least(255, greatest(0,
-                       round(128 + 0.5 * r - 0.418688 * gg - 0.081312 * bb))) AS cr
+                       round(1e-8 + 128 + 0.5 * r - 0.418688 * gg - 0.081312 * bb))) AS cr
               FROM rgb),
       dec AS (SELECT doc_id, w, h,
                      least(255, greatest(0,
-                       round(y + 1.402 * (cr - 128)))) AS r2,
+                       round(1e-8 + y + 1.402 * (cr - 128)))) AS r2,
                      least(255, greatest(0,
-                       round(y - 0.344136 * (cb - 128)
+                       round(1e-8 + y - 0.344136 * (cb - 128)
                              - 0.714136 * (cr - 128)))) AS g2,
                      least(255, greatest(0,
-                       round(y + 1.772 * (cb - 128)))) AS b2,
+                       round(1e-8 + y + 1.772 * (cb - 128)))) AS b2,
                      least(16, w - (mi % cols) * 16)
                        * least(16, h - (mi // cols) * 16) AS vis
               FROM ycc),

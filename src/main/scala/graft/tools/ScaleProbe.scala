@@ -139,6 +139,7 @@ object ScaleProbe {
     val queries = docs.filter(col("doc_id").isin(0L, k.toLong, 2L * k))
       .localCheckpoint()
     val batchBase = docs.filter(col("doc_id") < 50).localCheckpoint()
+    val batchBase5k = docs.filter(col("doc_id") < 5000).localCheckpoint()
     val embQueries = emb.filter(col("vec_id") < 3).localCheckpoint()
     var seq = 0L // fresh ids per timed call (iters > 1 re-invokes the thunk)
     var idxCompacted = false // postc probe folds the index store ONCE per k
@@ -256,6 +257,21 @@ object ScaleProbe {
         seq += 1
         val batch = batchBase
           .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),
+            col("text"))
+        graft.operators.ClusterStore.ccApply(spark, ccDir, batch,
+          "doc_id", "text")
+        batch.count()
+      }),
+      // the amortization row for cc_apply's per-batch constant (~2-4s of
+      // fixed job-count overhead at 50 docs): the SAME apply path at a
+      // realistic 5K-doc maintenance batch — per-doc cost is this row's
+      // seconds / 5000. Runs last so its absorbed docs never sit under
+      // the other stores' timings; ids live in their own -(seq*10^6)
+      // range so they can never collide with the 50-doc batches
+      ("cc_apply_5k", () => {
+        seq += 1
+        val batch = batchBase5k
+          .select((-(lit(seq) * 1000000 + col("doc_id")) - 1).as("doc_id"),
             col("text"))
         graft.operators.ClusterStore.ccApply(spark, ccDir, batch,
           "doc_id", "text")

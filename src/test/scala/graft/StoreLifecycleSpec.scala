@@ -202,7 +202,133 @@ class StoreLifecycleSpec extends AnyFunSuite {
     assert(Generations.withWriterLock(spark, dir) { 7 } === 7)
   }
 
+  test("a writer in a genuinely separate JVM blocks a parent append (cross-process lock)") {
+    val dir = tmp("lock_xproc")
+    LmStore.lmBuild(docs.filter($"doc_id" < 20), "doc_id", "text",
+      dir, nShards = 4)
+    val sentinel = dir + ".sentinel"
+    // fork a real child JVM through the REAL acquisition path (its own
+    // SparkSession + FileSystem), not a simulated foreign lock file
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+    val addOpens = inherited.sliding(2).collect {
+      case Array(f, v) if f == "--add-opens" => Seq(f, v)
+    }.flatten.toSeq
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp",
+      System.getProperty("java.class.path"), "graft.tools.LockHold",
+      dir, sentinel, "180000")
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      .redirectErrorStream(false).start()
+    try {
+      // the sentinel lands only AFTER the child holds the lock
+      val deadline = System.currentTimeMillis() + 120000L
+      while (!new java.io.File(sentinel).exists() &&
+        System.currentTimeMillis() < deadline && proc.isAlive)
+        Thread.sleep(100)
+      assert(new java.io.File(sentinel).exists(),
+        "child JVM never acquired the lock")
+      // a real mutator in THIS process must fail fast with the
+      // lock-holder message, and must not disturb the child's lock
+      val e = intercept[IllegalStateException] {
+        LmStore.lmAppend(spark, docs.filter($"doc_id" >= 20 && $"doc_id" < 40),
+          "doc_id", "text", dir)
+      }
+      assert(e.getMessage.contains("locked by another writer process"))
+      assert(new java.io.File(dir, "_WRITER_LOCK").exists())
+    } finally {
+      proc.destroyForcibly()
+      proc.waitFor()
+    }
+    // a killed holder leaves its lock behind (the stale-break law covers
+    // recovery by age); clear it and the same append must land
+    new java.io.File(dir, "_WRITER_LOCK").delete()
+    LmStore.lmAppend(spark, docs.filter($"doc_id" >= 20 && $"doc_id" < 40),
+      "doc_id", "text", dir)
+    assert(Generations.live(spark, dir).size === 2)
+  }
+
   // ---- manifest snapshot history: cheap time travel ----
+
+  test("asOf serving: every store answers at the pre-compaction snapshot") {
+    import graft.operators.VectorStore
+    def canon(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toIndexedSeq
+    // each store: build + append (two commits — the append rotates the
+    // build manifest into _MANIFEST.0), capture the live read, compact
+    // (rotates the pre-compaction manifest into the history), then the
+    // asOf read at the NEWEST retained snapshot must equal the captured
+    // pre-compaction read even though live() now serves the folded state.
+    val idx = tmp("asof_idx")
+    Indexing.indexBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      idx, nShards = 4)
+    Indexing.indexAppend(docs.filter($"doc_id" % 2 === 1), "doc_id", "text", idx)
+    val idxBefore = canon(Indexing.indexLookup(spark, idx, Seq("the", "a")))
+    Indexing.indexCompact(spark, idx)
+    val idxSnap = Generations.snapshotIds(spark, idx).max
+    assert(canon(Indexing.indexLookup(spark, idx, Seq("the", "a"),
+      asOf = Some(idxSnap))) === idxBefore)
+
+    val lm = tmp("asof_lm")
+    LmStore.lmBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      lm, nShards = 4)
+    LmStore.lmAppend(spark, docs.filter($"doc_id" % 2 === 1), "doc_id",
+      "text", lm)
+    val scored = docs.filter($"doc_id" < 30)
+    val lmBefore = canon(LmStore.lmScore(spark, scored, "doc_id", "text", lm))
+    LmStore.lmCompact(spark, lm)
+    val lmSnap = Generations.snapshotIds(spark, lm).max
+    assert(canon(LmStore.lmScore(spark, scored, "doc_id", "text", lm,
+      asOf = Some(lmSnap))) === lmBefore)
+    // and the snapshot genuinely differs from the live state when the
+    // corpus changed between the commits: score against the OLDEST
+    // retained snapshot (build-only register) — a smaller corpus shifts
+    // the counts, so the scores must differ
+    val lmSnap0 = Generations.snapshotIds(spark, lm).min
+    assert(canon(LmStore.lmScore(spark, scored, "doc_id", "text", lm,
+      asOf = Some(lmSnap0))) !== lmBefore)
+
+    val cc = tmp("asof_cc")
+    ClusterStore.ccBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", cc)
+    ClusterStore.ccApply(spark, cc, docs.filter($"doc_id" % 2 =!= 0),
+      "doc_id", "text")
+    val ccBefore = canon(ClusterStore.ccRead(spark, cc))
+    ClusterStore.ccCompact(spark, cc)
+    val ccSnap = Generations.snapshotIds(spark, cc).max
+    assert(canon(ClusterStore.ccRead(spark, cc, asOf = Some(ccSnap)))
+      === ccBefore)
+
+    val ann = tmp("asof_ann")
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    VectorStore.annBuild(emb.filter($"vec_id" % 2 === 0), "vec_id",
+      "embedding", ann, nCells = 8)
+    VectorStore.annAppend(spark, emb.filter($"vec_id" % 2 === 1), "vec_id",
+      "embedding", ann)
+    val q = emb.filter($"vec_id" < 3)
+    val annBefore = canon(VectorStore.annSearch(spark, q, "vec_id",
+      "embedding", ann, k = 5))
+    VectorStore.annCompact(spark, ann)
+    val annSnap = Generations.snapshotIds(spark, ann).max
+    assert(canon(VectorStore.annSearch(spark, q, "vec_id", "embedding", ann,
+      k = 5, asOf = Some(annSnap))) === annBefore)
+
+    def ev(rows: (Long, Long, String, Long)*): DataFrame =
+      rows.toSeq.toDF("user_id", "event_id", "event_type", "ms")
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val scd = tmp("asof_scd2")
+    History.scd2Build(
+      ev((1L, 1L, "a", 1000L), (1L, 2L, "b", 2000L), (2L, 1L, "x", 1000L)),
+      "user_id", "event_type", "ts", "event_id", scd, nBuckets = 4)
+    History.scd2Apply(spark, scd,
+      ev((1L, 3L, "c", 3000L), (3L, 1L, "p", 5000L)),
+      "user_id", "event_type", "ts", "event_id")
+    val scdBefore = canon(History.scd2Read(spark, scd))
+    History.scd2Compact(spark, scd)
+    val scdSnap = Generations.snapshotIds(spark, scd).max
+    assert(canon(History.scd2ReadAsOf(spark, scd, scdSnap,
+      "user_id", "event_type", "ts", "event_id")) === scdBefore)
+  }
 
   test("after two compactions a reader still resolves and reads the state of two commits ago") {
     val dir = tmp("snap")

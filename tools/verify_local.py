@@ -27,14 +27,14 @@ def main(out_dir: str, sf_dir: str) -> int:
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # NOTE: oracle SQL runs VERBATIM — neither this harness nor the driver
+    # applies a rounding rewrite (proven round 10: stabilizing every
+    # round() here flipped 16 queries whose values sit on exact ties the
+    # driver passes with plain round, e.g. q98). Where tie-adjacent
+    # rounding parity must hold by construction (the q146/q147 JFIF color
+    # conversions), the committed oracle SQL carries the same
+    # `round(1e-8 + ...)` stabilizer the Scala side uses.
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    # Mirror the driver's rounding-parity rewrite: every oracle round() is
-    # stabilized to round(1e-8 + x[, d]) before execution, matching the
-    # Scala side's pround/roundPar convention (x + 1e-8). With the rewrite
-    # applied in BOTH harnesses, a term landing within 1e-8 below an exact
-    # .5 tie rounds identically by construction — never hand-write the
-    # stabilizer in oracle SQL, it would double-apply here.
-    oracle = {k: v.replace("round(", "round(1e-8 + ") for k, v in oracle.items()}
     n_pass = n_fail = 0
     import glob
     for name in sorted(oracle):
