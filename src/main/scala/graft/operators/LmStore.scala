@@ -343,18 +343,30 @@ object LmStore {
     // the small-batch path is pinned by the LmStoreSpec serving laws,
     // the corpus path by the q98/q135/q139/q144 oracles.
     val smallBatch = bg.count() <= 200000L
-    def regAgg(sub: String, keys: Seq[String], out: String): DataFrame = {
-      val scan = pruned(sub)
-      val filtered =
-        if (smallBatch)
-          scan.join(
-            broadcast(bg.select(keys.map(col): _*).distinct()),
-            keys, "left_semi")
-        else scan
-      filtered.groupBy(keys.map(col): _*).agg(sum(col("c")).as(out))
-    }
-    val c12 = regAgg("bigrams", Seq("w1", "w2"), "c12")
-    val c1 = regAgg("unigrams", Seq("w1"), "c1")
+    // ONE register surface serves both aggregates: the unigram context
+    // count is the bigram table's own rollup (unigrams(w1) = Σ_w2
+    // bigrams(w1,w2) — both count the same bigram occurrences, grouped
+    // differently), so scoring never opens the unigrams surface at all.
+    // The semi-join keys on w1 ALONE (not the (w1,w2) pair) exactly so
+    // the kept rows carry every w2 of a probed w1 and the rollup is the
+    // true context total; c12's extra (probed-w1, unprobed-w2) rows fall
+    // out of the scoreTail join harmlessly. The c12 subtree appears
+    // under both joins, and its scan+semijoin+agg is byte-identical in
+    // each — Spark's ReusedExchange serves the rollup from the first
+    // aggregation's shuffle output, so the register is scanned ONCE per
+    // score no matter how many surfaces the store keeps. (Halving the
+    // touched-file count is what keeps the fixed-geometry lm_score probe
+    // flat: at serving scale the cost is file opens + probed-shard scan,
+    // and both now pay a single surface.)
+    val scan = pruned("bigrams")
+    val filtered =
+      if (smallBatch)
+        scan.join(broadcast(bg.select(col("w1")).distinct()),
+          Seq("w1"), "left_semi")
+      else scan
+    val c12 = filtered.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     // V folds the per-generation novel-token counts by sum: one tiny
     // scan, never a vocab-sized distinct at scoring time
     val vocab = surface(spark, dir, "vstat", gens)
