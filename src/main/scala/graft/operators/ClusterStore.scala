@@ -112,21 +112,42 @@ object ClusterStore {
       .select(col("old_label"), col("new_label"))
 
   private def writeGeneration(path: String, gen: String, hubs: DataFrame,
-      labels: DataFrame, remap: DataFrame, nBuckets: Int): Unit = {
+      labels: DataFrame, remap: DataFrame, nBuckets: Int,
+      tiny: Boolean = false): Unit = {
     // repartition before each partitioned write: ONE file per non-empty
     // shard/bucket dir per generation (otherwise each upstream task
     // writes into every dir it holds rows for — O(tasks x nBuckets) tiny
-    // files per apply; the extra shuffle is batch-sized)
-    hubs.withColumn("__shard", shardOf(col("fp"), nBuckets))
-      .repartition(col("__shard"))
-      .write.mode("overwrite").partitionBy("__shard")
-      .parquet(s"$path/hubs/gen=$gen")
-    labels.withColumn("__bucket", bucketOf(col("id"), nBuckets))
-      .repartition(col("__bucket"))
-      .write.mode("overwrite").partitionBy("__bucket")
-      .parquet(s"$path/labels/gen=$gen")
-    // merge-ledger-sized; one file keeps the read a single open
-    remap.coalesce(1).write.mode("overwrite").parquet(s"$path/remap/gen=$gen")
+    // files per apply; the extra shuffle is batch-sized). A TINY batch
+    // (the driver apply path) skips the shuffle entirely: one task's
+    // dynamic-partition write produces the same one-file-per-dir layout.
+    def laidOut(df: DataFrame, pc: org.apache.spark.sql.Column) =
+      if (tiny) df.coalesce(1) else df.repartition(pc)
+    // the three surface writes are independent until the manifest flip —
+    // run them concurrently so a batch apply pays max(write), not
+    // sum(writes); each is its own job, the session is thread-safe
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val writes = Seq(
+      Future {
+        laidOut(hubs.withColumn("__shard", shardOf(col("fp"), nBuckets)),
+            col("__shard"))
+          .write.mode("overwrite").partitionBy("__shard")
+          .parquet(s"$path/hubs/gen=$gen")
+      },
+      Future {
+        laidOut(labels.withColumn("__bucket", bucketOf(col("id"), nBuckets)),
+            col("__bucket"))
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(s"$path/labels/gen=$gen")
+      },
+      Future {
+        // merge-ledger-sized; one file keeps the read a single open
+        remap.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/remap/gen=$gen")
+      })
+    Await.result(Future.sequence(writes), Duration.Inf)
+    ()
   }
 
   /** Initialize the store from a corpus: fingerprint, pick hubs, run
@@ -193,24 +214,28 @@ object ClusterStore {
       col(textCol).as("__text")).localCheckpoint()
     try {
       val batchIds = b.select(col("id"))
-      // one job for all three guards: row count, non-null count (a failed
-      // long cast yields null — countDistinct skips nulls, so without the
-      // explicit check a lone null row would masquerade as a duplicate),
-      // and distinct-id count
-      val guard = b.agg(count(lit(1)).as("n"), count(col("id")).as("nn"),
-        countDistinct(col("id")).as("nd")).head()
-      val n = guard.getLong(0)
+      // ONE job serves all three guards AND the touched-bucket set: the
+      // per-bucket grouped counts sum to row count, non-null count (a
+      // failed long cast yields null — countDistinct skips nulls, so
+      // without the explicit check a lone null row would masquerade as a
+      // duplicate) and distinct-id count (distinct ids are disjoint
+      // across buckets — the bucket is a function of the id), and the
+      // group keys ARE the batch's label buckets
+      val perBucket = b.groupBy(bucketOf(col("id"), nBuckets).as("b"))
+        .agg(count(lit(1)).as("n"), count(col("id")).as("nn"),
+          countDistinct(col("id")).as("nd")).collect()
+      val n = perBucket.map(_.getLong(1)).sum
       if (n == 0L) return
-      require(guard.getLong(1) == n,
-        s"ccApply: batch holds ${n - guard.getLong(1)} null doc ids (a " +
-          "non-numeric id fails the long cast) — clean the batch before apply")
-      require(guard.getLong(2) == n,
+      require(perBucket.map(_.getLong(2)).sum == n,
+        s"ccApply: batch holds ${n - perBucket.map(_.getLong(2)).sum} null " +
+          "doc ids (a non-numeric id fails the long cast) — clean the " +
+          "batch before apply")
+      require(perBucket.map(_.getLong(3)).sum == n,
         s"ccApply: batch holds duplicate doc ids — deduplicate the batch " +
           "before apply (a duplicate row would store two labels for one doc)")
       // dupe guard, pruned to the batch ids' own buckets — untouched
       // buckets are never opened
-      val batchBuckets = batchIds.select(bucketOf(col("id"), nBuckets).as("b"))
-        .distinct().collect().map(_.getInt(0))
+      val batchBuckets = perBucket.map(_.getInt(0))
       val dupe = labelsPruned(spark, path, committed, batchBuckets)
         .join(batchIds, Seq("id"), "left_semi")
       require(dupe.isEmpty,
@@ -219,16 +244,39 @@ object ClusterStore {
       val fps = Components.fingerprintRows(b, "id", "__text", windows)
         .localCheckpoint()
       try {
-        applyBody(spark, path, fps, batchIds, nBuckets, committed)
+        applyBody(spark, path, fps, b, nBuckets, committed, n)
       } finally fps.unpersist()
     } finally b.unpersist()
     ()
   }
 
+  /** Batches at or under this many docs run the apply's subgraph CC on
+    * the DRIVER (collected union-find) instead of the iterative
+    * distributed CC. The subgraph is batch-bound BY CONSTRUCTION — hubs
+    * are unique per (window, fingerprint), so edges ≤ windows × batch
+    * rows, endpoints ≤ 2 × edges — which makes the collect ≤ a few MB at
+    * this threshold, while the distributed path's ~50 extra Spark jobs
+    * (iteration rounds, checkpoints, AQE stages) cost seconds of pure
+    * scheduling per apply: the round-9 probe measured a flat-but-large
+    * ~3.5-3.9 s per-batch constant that was almost entirely job count.
+    * Corpus-scale applies keep the distributed path. Overridable per
+    * session via `spark.graft.cc.driverMaxBatch` (the equivalence law in
+    * ClusterStoreSpec pins both paths to identical generations by
+    * forcing it to 0). */
+  val DriverCcMaxBatch = 200000L
+
+  private def driverCcMax(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.cc.driverMaxBatch")
+      .map(_.toLong).getOrElse(DriverCcMaxBatch)
+
   /** The edge derivation + subgraph CC + generation commit of [[ccApply]]
-    * (split out so the checkpoint releases wrap it on every path). */
+    * (split out so the checkpoint releases wrap it on every path).
+    * Batches at or under [[DriverCcMaxBatch]] docs take the collected
+    * union-find path; larger ones the iterative distributed CC. */
   private def applyBody(spark: SparkSession, path: String, fps: DataFrame,
-      batchIds: DataFrame, nBuckets: Int, committed: Seq[String]): Unit = {
+      b: DataFrame, nBuckets: Int, committed: Seq[String],
+      nDocs: Long): Unit = {
+    val batchIds = b.select(col("id"))
     val gen = Generations.nextName(spark, path, surfaces, 'g')
     // hub lookup pruned to the batch fingerprints' shards (bounded by
     // nBuckets by construction — a driver-side int set, never data)
@@ -240,10 +288,17 @@ object ClusterStore {
     val novel = fps.join(stored, Seq("w", "fp"), "left_anti")
     val newHubs = novel.groupBy(col("w"), col("fp"))
       .agg(min(col("id")).as("dst")).localCheckpoint()
-    val edges = known
+    val edgePlan = known
       .union(novel.join(newHubs, Seq("w", "fp"))
         .select(col("id").as("src"), col("dst")))
       .filter(col("src") =!= col("dst"))
+    if (nDocs <= driverCcMax(spark)) {
+      applyBodyDriver(spark, path, edgePlan, b, nBuckets, committed,
+        gen, newHubs, nDocs)
+      newHubs.unpersist()
+      return
+    }
+    val edges = edgePlan
       .localCheckpoint() // one evaluation: endpoint probe + CC seed
     try {
       // OLD endpoints of the batch's edges, resolved to current labels:
@@ -300,6 +355,98 @@ object ClusterStore {
     } finally edges.unpersist()
     newHubs.unpersist()
     ()
+  }
+
+  /** The driver-side small-batch half of [[applyBody]]: same store
+    * reads, same invariants, but the subgraph CC is a collected
+    * union-find instead of ~50 Spark jobs of iterative propagation.
+    * Everything collected is batch-bound by construction (edges ≤
+    * windows × docs since hubs are unique per (w, fp); endpoints ≤ 2 ×
+    * edges); the merge ledger is NOT collected — the remap composition
+    * stays a broadcast join over its scan, exactly as in the
+    * distributed path. Produces bit-identical generations to the
+    * distributed path (ClusterStoreSpec: apply equals the union-corpus
+    * rebuild; the served-label invariant — labels are component minima —
+    * holds because union-find labels with the subgraph minimum too). */
+  private def applyBodyDriver(spark: SparkSession, path: String,
+      edgePlan: DataFrame, b: DataFrame, nBuckets: Int,
+      committed: Seq[String], gen: String, newHubs: DataFrame,
+      nDocs: Long): Unit = {
+    import spark.implicits._
+    val edgeArr = edgePlan.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val idArr = b.select(col("id")).collect().map(_.getLong(0))
+    val idSet = idArr.toSet
+    val endpoints = edgeArr.iterator
+      .flatMap { case (s, d) => Iterator(s, d) }
+      .filterNot(idSet).toArray.distinct
+    // endpoint labels: bucket-pruned point lookup + depth-1 ledger, one
+    // collect. The endpoint frame is a local relation, so its bucket
+    // projection folds driver-side; the only cluster job is the lookup.
+    val epLab: Array[(Long, Long)] =
+      if (endpoints.isEmpty) Array.empty
+      else {
+        val epDf = endpoints.toSeq.toDF("id")
+        val epBuckets = epDf.select(bucketOf(col("id"), nBuckets).as("b"))
+          .distinct().collect().map(_.getInt(0))
+        val remap = readRemap(spark, path, committed)
+        // no broadcast hint: the left of a left-outer cannot be the
+        // build side; the pruned label slice is batch-bounded and AQE
+        // picks the join strategy
+        val epStored = epDf
+          .join(labelsPruned(spark, path, committed, epBuckets),
+            Seq("id"), "left_outer")
+        epStored
+          .join(remap, epStored("cluster_id") === remap("old_label"),
+            "left_outer")
+          .select(col("id"),
+            coalesce(col("new_label"), epStored("cluster_id"), col("id"))
+              .as("root"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+    // union-find over batch vertices + endpoint stars, labelling each
+    // component with its MINIMUM member (the served-label invariant)
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) {
+        val nxt = parent.get(c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    def union(a: Long, bb: Long): Unit = {
+      val (ra, rb) = (find(a), find(bb))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    idArr.foreach(v => parent.putIfAbsent(v, v))
+    endpoints.foreach(v => parent.putIfAbsent(v, v))
+    epLab.foreach { case (id, root) =>
+      parent.putIfAbsent(root, root); union(id, root)
+    }
+    edgeArr.foreach { case (s, d) => union(s, d) }
+    // linking max→min keeps every root the component minimum already;
+    // find() after all unions resolves the chains
+    val batchLabels = idArr.toSeq.map(id => (id, find(id)))
+      .toDF("id", "cluster_id")
+    // merge ledger delta: old roots whose component got a smaller min
+    val delta = epLab.map(_._2).distinct
+      .map(r => (r, find(r))).filter { case (o, nw) => o != nw }
+    val deltaDf = delta.toSeq.toDF("d_old", "d_new")
+    val remap = readRemap(spark, path, committed)
+    val newRemap = remap
+      .join(broadcast(deltaDf), remap("new_label") === col("d_old"),
+        "left_outer")
+      .select(remap("old_label"),
+        coalesce(col("d_new"), remap("new_label")).as("new_label"))
+      .unionByName(deltaDf.select(col("d_old").as("old_label"),
+        col("d_new").as("new_label")))
+    // single-task writes only while the frames are genuinely tiny; a
+    // 200k-doc driver-path batch still wants the one-file-per-dir shuffle
+    writeGeneration(path, gen, newHubs, batchLabels, newRemap, nBuckets,
+      tiny = nDocs <= 20000)
+    Generations.add(spark, path, gen)
   }
 
   /** Replay-safe apply for STREAM-triggered ingestion

@@ -45,6 +45,29 @@ class ClusterStoreSpec extends AnyFunSuite {
     assert(dupHubs.isEmpty, "hub append must add only novel fingerprints")
   }
 
+  test("driver-path and distributed-path applies serve identical labellings") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val dirD = java.nio.file.Files.createTempDirectory("graft_cc_drv").toString + "/store"
+    val dirX = java.nio.file.Files.createTempDirectory("graft_cc_dist").toString + "/store"
+    ClusterStore.ccBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", dirD)
+    ClusterStore.ccBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", dirX)
+    val batch = docs.filter($"doc_id" % 2 =!= 0)
+    // small batch → driver union-find path
+    ClusterStore.ccApply(spark, dirD, batch, "doc_id", "text")
+    // force the distributed iterative path for the SAME batch
+    spark.conf.set("spark.graft.cc.driverMaxBatch", "0")
+    try ClusterStore.ccApply(spark, dirX, batch, "doc_id", "text")
+    finally spark.conf.unset("spark.graft.cc.driverMaxBatch")
+    assert(labelsOf(ClusterStore.ccRead(spark, dirD))
+      === labelsOf(ClusterStore.ccRead(spark, dirX)))
+    // the ledgers agree too (same merges, same depth-1 composition)
+    def remapOf(dir: String) =
+      Generations.readSurface(spark, dir, "remap",
+          Seq(Generations.live(spark, dir).last))
+        .select("old_label", "new_label").as[(Long, Long)].collect().toSet
+    assert(remapOf(dirD) === remapOf(dirX))
+  }
+
   test("ccApply is batch-bound: untouched label buckets neither read nor written") {
     // two identical-prefix docs cluster together; the third is unrelated
     val olds = Seq(
