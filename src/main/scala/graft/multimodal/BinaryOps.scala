@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * ([[parseImageHeader]]) and WAV/PCM audio decode ([[parseWav]] /
   * [[featurizeWav]] — RIFF chunk walk, 8/16-bit PCM).
   * Everything a codec library would genuinely be needed for
-  * (progressive/arithmetic JPEG, sampling factors beyond 2×2,
+  * (arithmetic-coded JPEG, sampling factors beyond 2×2,
   * compressed audio, video frames) falls back to a clearly-marked
   * deterministic STUB; everything around it — schema,
   * typed Dataset, mapPartitions batching, partition sizing — is the real
@@ -355,9 +355,9 @@ object BinaryOps {
     * (cycled to `dim`); everything else falls to [[stubFeaturize]]. This
     * closes the declared decode stub for PNG with nothing but the JDK's
     * zlib; [[featurizeWav]] closes it for PCM audio and
-    * [[decodeJpegPixels]] for baseline JPEG — grayscale, 4:4:4 color
-    * and 4:2:0 subsampled color. Video frames (and progressive JPEG,
-    * and compressed audio) remain the documented swap-points, since
+    * [[decodeJpegPixels]] for baseline AND progressive JPEG —
+    * grayscale, 4:4:4 color and 4:2:0 subsampled color. Video frames
+    * (and compressed audio) remain the documented swap-points, since
     * their codecs genuinely need external libraries.
     */
   def featurizePixels(payload: Array[Byte], dim: Int): Array[Double] =
@@ -900,6 +900,81 @@ object BinaryOps {
   private def extendSign(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
+  /** Full 2-D IDCT of one natural-order coefficient block (T.81 A.3.3),
+    * level shift, clamp, store at (bx, by) of a padded component plane —
+    * shared by the baseline MCU loop and the progressive final pass. */
+  private def idctToPlane(coef: Array[Int], plane: Array[Byte], pw: Int,
+      bx: Int, by: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) {
+          val cv = if (v == 0) InvSqrt2 else 1.0
+          val cosY = IdctCos(y * 8 + v)
+          var u = 0
+          while (u < 8) {
+            val c = coef(v * 8 + u)
+            if (c != 0) {
+              val cu = if (u == 0) InvSqrt2 else 1.0
+              acc += cu * cv * c * IdctCos(x * 8 + u) * cosY
+            }
+            u += 1
+          }
+          v += 1
+        }
+        val px = math.round(acc / 4.0 + 128.0).toInt
+        plane((by + y) * pw + (bx + x)) =
+          (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Crop the padded component planes to (w, h) output — grayscale copy
+    * or JFIF YCbCr → RGB with nearest-neighbor chroma upsampling (see
+    * the color notes on [[decodeJpegPixels]]). */
+  private def assemblePlanes(w: Int, h: Int, nComp: Int,
+      planes: Array[Array[Byte]], planeW: Array[Int], sampH: Array[Int],
+      sampV: Array[Int], hMax: Int, vMax: Int): (Int, Int, Int, Array[Byte]) =
+    if (nComp == 1) {
+      val pw = planeW(0)
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(planes(0), y * pw, out, y * w, w)
+        y += 1
+      }
+      (w, h, 1, out)
+    } else {
+      val out = new Array[Byte](w * h * 3)
+      def cl(d: Double): Byte = { // parity round: see rgbToYcc
+        val r = roundPar(d)
+        (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+      }
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          def samp(c: Int): Int = planes(c)(
+            (y * sampV(c) / vMax) * planeW(c) + (x * sampH(c) / hMax)) & 0xff
+          val yv = samp(0)
+          val cb = samp(1) - 128
+          val cr = samp(2) - 128
+          val o = (y * w + x) * 3
+          out(o) = cl(yv + 1.402 * cr)
+          out(o + 1) = cl(yv - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = cl(yv + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, 3, out)
+    }
+
   /** REAL baseline JPEG pixel decode — JDK-only, the PNG-decode
     * discipline applied to ITU-T T.81: marker walk (DQT with multiple
     * 8/16-bit tables, DHT canonical Huffman build per Annex C, SOF0,
@@ -915,9 +990,11 @@ object BinaryOps {
     * (interleaved data units in T.81 B.2.3 order, per-component DC
     * prediction, nearest-neighbor chroma upsampling, JFIF YCbCr→RGB
     * after the IDCT) — returns (width, height, channels, row-major
-    * interleaved pixels), the [[decodePngPixels]] shape. Sampling
-    * factors beyond 2, progressive SOF2 and arithmetic coding return
-    * None and stay on the metadata/stub path.
+    * interleaved pixels), the [[decodePngPixels]] shape. PROGRESSIVE
+    * (SOF2) frames take the multi-scan buffered-coefficient path
+    * ([[decodeJpegProgressive]] — spectral selection, successive
+    * approximation, EOB runs). Sampling factors beyond 2 and
+    * arithmetic coding return None and stay on the metadata/stub path.
     */
   def decodeJpegPixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
@@ -935,6 +1012,9 @@ object BinaryOps {
       val sampH = Array.fill(3)(1) // per component: sampling factors
       val sampV = Array.fill(3)(1)
       var restartInterval = 0
+      var progressive = false
+      val compId = Array.fill(3)(0) // SOF component ids (scan selectors)
+      var sosMarkerAt = -1 // progressive: first SOS marker position
       var i = 2
       var sosAt = -1
       while (sosAt < 0) {
@@ -978,7 +1058,8 @@ object BinaryOps {
                 if (tc == 0) dcTables(th) = t else acTables(th) = t
                 q += 17 + nv
               }
-            case 0xc0 => // SOF0 baseline
+            case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+              progressive = marker == 0xc2
               if (seg + 6 > segEnd || (p(seg) & 0xff) != 8) return None
               h = be16(p, seg + 1)
               w = be16(p, seg + 3)
@@ -986,6 +1067,7 @@ object BinaryOps {
               if ((nComp != 1 && nComp != 3) ||
                   seg + 6 + 3 * nComp > segEnd) return None
               for (c <- 0 until nComp) {
+                compId(c) = p(seg + 6 + 3 * c) & 0xff
                 val sv = p(seg + 7 + 3 * c) & 0xff
                 sampH(c) = sv >> 4
                 sampV(c) = sv & 0x0f
@@ -995,21 +1077,29 @@ object BinaryOps {
                     sampV(c) < 1 || sampV(c) > 2) return None
                 qTab(c) = p(seg + 8 + 3 * c) & 0x0f
               }
-            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+            case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                  0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-              return None // non-baseline frame types
+              return None // extended/lossless/arithmetic frame types
             case 0xdd => // DRI
               if (seg + 2 > segEnd) return None
               restartInterval = be16(p, seg)
             case 0xda => // SOS: components in frame order (our writers')
-              val ns = p(seg) & 0xff
-              if (ns != nComp || ns < 1 ||
-                  seg + 1 + 2 * ns + 3 > segEnd) return None
-              for (c <- 0 until ns) {
-                dcSel(c) = (p(seg + 2 + 2 * c) & 0xff) >> 4
-                acSel(c) = p(seg + 2 + 2 * c) & 0x0f
+              if (progressive) {
+                // progressive scans are parsed (and re-parsed per scan,
+                // with inter-scan DHT/DRI updates) by the scan loop;
+                // record the 0xFF marker-start (i), not the code byte (j)
+                sosMarkerAt = i
+                sosAt = segEnd // exits the walk
+              } else {
+                val ns = p(seg) & 0xff
+                if (ns != nComp || ns < 1 ||
+                    seg + 1 + 2 * ns + 3 > segEnd) return None
+                for (c <- 0 until ns) {
+                  dcSel(c) = (p(seg + 2 + 2 * c) & 0xff) >> 4
+                  acSel(c) = p(seg + 2 + 2 * c) & 0x0f
+                }
+                sosAt = segEnd
               }
-              sosAt = segEnd
             case _ => () // APPn / COM / foreign: skipped by length
           }
           i = segEnd
@@ -1019,11 +1109,15 @@ object BinaryOps {
       if (nComp == 1) { // single-component scans ignore sampling factors
         sampH(0) = 1; sampV(0) = 1
       }
-      for (c <- 0 until nComp)
-        if (qTab(c) < 0 || quant(qTab(c)) == null ||
-            dcTables(dcSel(c)) == null || acTables(acSel(c)) == null)
-          return None
       if (w.toLong * h * nComp > (1L << 28)) return None // hostile dims
+      for (c <- 0 until nComp)
+        if (qTab(c) < 0 || quant(qTab(c)) == null) return None
+      if (progressive)
+        return decodeJpegProgressive(p, sosMarkerAt, w, h, nComp, compId,
+          qTab, sampH, sampV, quant, dcTables, acTables, restartInterval)
+      for (c <- 0 until nComp)
+        if (dcTables(dcSel(c)) == null || acTables(acSel(c)) == null)
+          return None
       val hMax = (0 until nComp).map(sampH).max
       val vMax = (0 until nComp).map(sampV).max
       // MCU grid of 8·hMax × 8·vMax pixel tiles (16×16 for 4:2:0)
@@ -1084,80 +1178,310 @@ object BinaryOps {
             // ordered left-to-right, top-to-bottom within the MCU (B.2.3)
             val bx = (mcuX * sampH(comp) + blk % sampH(comp)) * 8
             val by = (mcuY * sampV(comp) + blk / sampH(comp)) * 8
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                var acc = 0.0
-                var v = 0
-                while (v < 8) {
-                  val cv = if (v == 0) InvSqrt2 else 1.0
-                  val cosY = IdctCos(y * 8 + v)
-                  var u = 0
-                  while (u < 8) {
-                    val c = coef(v * 8 + u)
-                    if (c != 0) {
-                      val cu = if (u == 0) InvSqrt2 else 1.0
-                      acc += cu * cv * c * IdctCos(x * 8 + u) * cosY
-                    }
-                    u += 1
-                  }
-                  v += 1
-                }
-                val px = math.round(acc / 4.0 + 128.0).toInt
-                plane((by + y) * pw + (bx + x)) =
-                  (if (px < 0) 0 else if (px > 255) 255 else px).toByte
-                x += 1
-              }
-              y += 1
-            }
+            idctToPlane(coef, plane, pw, bx, by)
             blk += 1
           }
           comp += 1
         }
         mcu += 1
       }
-      if (nComp == 1) {
-        val pw = planeW(0)
-        val out = new Array[Byte](w * h)
-        var y = 0
-        while (y < h) {
-          System.arraycopy(planes(0), y * pw, out, y * w, w)
-          y += 1
-        }
-        Some((w, h, 1, out))
-      } else {
-        // JFIF YCbCr → RGB (ITU-T T.871 §7), rounded and clamped, with
-        // nearest-neighbor chroma upsampling for subsampled components
-        // (constant-chroma regions — the fixture regime — are filter-
-        // independent; gradient edges would differ from libjpeg's
-        // triangle filter by ≤1-2 levels)
-        val out = new Array[Byte](w * h * 3)
-        def cl(d: Double): Byte = { // parity round: see rgbToYcc
-          val r = roundPar(d)
-          (if (r < 0) 0 else if (r > 255) 255 else r).toByte
-        }
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            def samp(c: Int): Int = planes(c)(
-              (y * sampV(c) / vMax) * planeW(c) + (x * sampH(c) / hMax)) & 0xff
-            val yv = samp(0)
-            val cb = samp(1) - 128
-            val cr = samp(2) - 128
-            val o = (y * w + x) * 3
-            out(o) = cl(yv + 1.402 * cr)
-            out(o + 1) = cl(yv - 0.344136 * cb - 0.714136 * cr)
-            out(o + 2) = cl(yv + 1.772 * cb)
-            x += 1
-          }
-          y += 1
-        }
-        Some((w, h, 3, out))
-      }
+      Some(assemblePlanes(w, h, nComp, planes, planeW, sampH, sampV,
+        hMax, vMax))
     } catch { case _: java.io.IOException | _: ArrayIndexOutOfBoundsException =>
       None }
+  }
+
+  /** PROGRESSIVE (SOF2) decode — the multi-scan half of
+    * [[decodeJpegPixels]] (ITU-T T.81 G.2): coefficients for every block
+    * of every component are buffered across scans; each SOS carries a
+    * spectral band (Ss..Se) and a successive-approximation stage
+    * (Ah → Al) and refines the buffer — DC-first with the baseline
+    * category+EXTEND coding of `diff ÷ 2^Al`, DC-refine one bit per
+    * block, AC-first with end-of-band (EOBn) run coding, AC-refine with
+    * the correction-bit algorithm of G.1.2.3 (run lengths count
+    * ZERO-HISTORY positions; every nonzero-history coefficient passed
+    * appends one correction bit). DHT/DQT/DRI segments between scans
+    * update the live tables; interleaved multi-component DC scans use
+    * the MCU geometry, single-component scans the component's own
+    * (unpadded) block grid; restart intervals reset predictions and the
+    * EOB run. The IDCT runs ONCE, after the last scan.
+    */
+  private def decodeJpegProgressive(p: Array[Byte], firstSos: Int, w: Int,
+      h: Int, nComp: Int, compId: Array[Int], qTab: Array[Int],
+      sampH: Array[Int], sampV: Array[Int], quant: Array[Array[Int]],
+      dcTables: Array[HuffTable], acTables: Array[HuffTable],
+      restartInterval0: Int): Option[(Int, Int, Int, Array[Byte])] = {
+    var restartInterval = restartInterval0
+    val hMax = (0 until nComp).map(sampH).max
+    val vMax = (0 until nComp).map(sampV).max
+    val mcuCols = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcuRows = (h + 8 * vMax - 1) / (8 * vMax)
+    // MCU-padded block grid (interleaved addressing); non-interleaved
+    // scans cover the component's TRUE grid (T.81 A.2.2), a prefix of
+    // the padded one in each axis
+    val blocksW = Array.tabulate(nComp)(c => mcuCols * sampH(c))
+    val blocksH = Array.tabulate(nComp)(c => mcuRows * sampV(c))
+    val compBW = Array.tabulate(nComp)(c =>
+      ((w * sampH(c) + hMax - 1) / hMax + 7) / 8)
+    val compBH = Array.tabulate(nComp)(c =>
+      ((h * sampV(c) + vMax - 1) / vMax + 7) / 8)
+    // per block: 64 ints in ZIG-ZAG order, raw (dequantized at the end)
+    val coefs = Array.tabulate(nComp)(c =>
+      new Array[Int](blocksW(c) * blocksH(c) * 64))
+
+    def doScan(scanComp: Array[Int], scanDc: Array[Int], scanAc: Array[Int],
+        ss: Int, se: Int, ah: Int, al: Int, br: JpegBitReader): Unit = {
+      val pred = new Array[Int](nComp)
+      var eobrun = 0
+      def bad(msg: String) = throw new java.io.IOException(msg)
+      def dcUnit(c: Int, ci: Int, base: Int): Unit =
+        if (ah == 0) {
+          val t = dcTables(scanDc(ci))
+          if (t == null) bad("missing DC table")
+          val s = t.decode(br)
+          if (s > 11) bad("bad DC category")
+          pred(c) += extendSign(br.receive(s), s)
+          coefs(c)(base) = pred(c) << al
+        } else { // refinement: one bit appends to the approximation
+          if (br.bit() == 1) coefs(c)(base) |= 1 << al
+        }
+      def acFirstUnit(c: Int, acT: HuffTable, base: Int): Unit =
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var end = false
+          while (k <= se && !end) {
+            val rs = acT.decode(br)
+            val r = rs >> 4
+            val sz = rs & 0x0f
+            if (sz == 0) {
+              if (r == 15) k += 16 // ZRL
+              else { // EOBn: run includes this block
+                eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+                end = true
+              }
+            } else {
+              k += r
+              if (k > se) bad("AC index past Se")
+              coefs(c)(base + k) = extendSign(br.receive(sz), sz) << al
+              k += 1
+            }
+          }
+        }
+      def acRefineUnit(c: Int, acT: HuffTable, base: Int): Unit = {
+        val p1 = 1 << al
+        val m1 = -1 << al
+        val cf = coefs(c)
+        def correct(idx: Int): Unit =
+          if (br.bit() == 1 && (cf(idx) & p1) == 0)
+            cf(idx) += (if (cf(idx) >= 0) p1 else m1)
+        var k = ss
+        if (eobrun == 0) {
+          var end = false
+          while (k <= se && !end) {
+            val rs = acT.decode(br)
+            var r = rs >> 4
+            val sz = rs & 0x0f
+            var newVal = 0
+            if (sz == 0) {
+              if (r != 15) { // EOBn (includes this block); tail below
+                eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+                end = true
+              } // r == 15: pass 16 zero-history positions
+            } else {
+              if (sz != 1) bad("AC refine size != 1")
+              newVal = if (br.bit() == 1) p1 else m1
+            }
+            if (!end) {
+              // advance over r ZERO-HISTORY positions; every nonzero-
+              // history coefficient passed appends a correction bit
+              var placed = false
+              while (k <= se && !placed) {
+                if (cf(base + k) != 0) { correct(base + k); k += 1 }
+                else if (r == 0) placed = true
+                else { r -= 1; k += 1 }
+              }
+              if (newVal != 0) {
+                if (k > se) bad("AC refine past Se")
+                cf(base + k) = newVal
+              }
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) { // band tail: corrections only
+          while (k <= se) {
+            if (cf(base + k) != 0) correct(base + k)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      if (scanComp.length > 1) { // interleaved DC scan over MCUs
+        if (ss != 0) bad("interleaved AC scan")
+        var mcu = 0
+        val nMcu = mcuCols * mcuRows
+        while (mcu < nMcu) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            br.restart(); java.util.Arrays.fill(pred, 0); eobrun = 0
+          }
+          val mcuX = mcu % mcuCols
+          val mcuY = mcu / mcuCols
+          var ci = 0
+          while (ci < scanComp.length) {
+            val c = scanComp(ci)
+            var blk = 0
+            val nBlk = sampH(c) * sampV(c)
+            while (blk < nBlk) {
+              val bx = mcuX * sampH(c) + blk % sampH(c)
+              val by = mcuY * sampV(c) + blk / sampH(c)
+              dcUnit(c, ci, (by * blocksW(c) + bx) * 64)
+              blk += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+        }
+      } else { // non-interleaved: the component's true block grid
+        val c = scanComp(0)
+        val acT = if (ss > 0) acTables(scanAc(0)) else null
+        if (ss > 0 && acT == null) bad("missing AC table")
+        val bw = compBW(c)
+        var unit = 0
+        val nUnits = bw * compBH(c)
+        while (unit < nUnits) {
+          if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+            br.restart(); java.util.Arrays.fill(pred, 0); eobrun = 0
+          }
+          val base = ((unit / bw) * blocksW(c) + (unit % bw)) * 64
+          if (ss == 0) dcUnit(c, 0, base)
+          else if (ah == 0) acFirstUnit(c, acT, base)
+          else acRefineUnit(c, acT, base)
+          unit += 1
+        }
+      }
+    }
+
+    // after a scan's counted data units, skip padding bits / stuffed
+    // bytes / trailing RSTs to the next true marker
+    def skipEntropy(pos0: Int): Int = {
+      var q = pos0
+      while (q + 1 < p.length) {
+        if ((p(q) & 0xff) == 0xff) {
+          val m = p(q + 1) & 0xff
+          if (m == 0x00 || (m >= 0xd0 && m <= 0xd7)) q += 2
+          else if (m == 0xff) q += 1 // fill byte
+          else return q
+        } else q += 1
+      }
+      p.length
+    }
+
+    // the scan loop: a marker walk that also executes SOS segments
+    var i = firstSos
+    var done = false
+    while (!done) {
+      if (i + 1 >= p.length) done = true // truncated: render what we have
+      else {
+        var j = i
+        while (j < p.length && (p(j) & 0xff) == 0xff) j += 1
+        if (j >= p.length || (p(i) & 0xff) != 0xff) return None
+        val marker = p(j) & 0xff
+        if (marker == 0xd9) done = true // EOI
+        else if (marker >= 0xd0 && marker <= 0xd8) i = j + 1
+        else {
+          if (j + 2 >= p.length) return None
+          val len = be16(p, j + 1)
+          val seg = j + 3
+          val segEnd = j + 1 + len
+          if (len < 2 || segEnd > p.length) return None
+          marker match {
+            case 0xc4 => // DHT between scans updates the live tables
+              var q = seg
+              while (q < segEnd) {
+                val tc = (p(q) & 0xff) >> 4
+                val th = p(q) & 0x0f
+                if (tc > 1 || th > 3 || q + 17 > segEnd) return None
+                val bits = Array.tabulate(16)(k => p(q + 1 + k) & 0xff)
+                val nv = bits.sum
+                if (q + 17 + nv > segEnd) return None
+                val t = new HuffTable(bits,
+                  java.util.Arrays.copyOfRange(p, q + 17, q + 17 + nv))
+                if (tc == 0) dcTables(th) = t else acTables(th) = t
+                q += 17 + nv
+              }
+              i = segEnd
+            case 0xdb => // DQT between scans (legal; used at the IDCT)
+              var q = seg
+              while (q < segEnd) {
+                val pq = (p(q) & 0xff) >> 4
+                val tq = p(q) & 0x0f
+                val n = if (pq == 0) 64 else 128
+                if (tq > 3 || q + 1 + n > segEnd) return None
+                quant(tq) = Array.tabulate(64)(k =>
+                  if (pq == 0) p(q + 1 + k) & 0xff else be16(p, q + 1 + 2 * k))
+                q += 1 + n
+              }
+              i = segEnd
+            case 0xdd =>
+              if (seg + 2 > segEnd) return None
+              restartInterval = be16(p, seg)
+              i = segEnd
+            case 0xda =>
+              val ns = p(seg) & 0xff
+              if (ns < 1 || ns > nComp ||
+                  seg + 1 + 2 * ns + 3 > segEnd) return None
+              val scanComp = new Array[Int](ns)
+              val scanDc = new Array[Int](ns)
+              val scanAc = new Array[Int](ns)
+              for (c <- 0 until ns) {
+                val idx = (0 until nComp)
+                  .indexWhere(compId(_) == (p(seg + 1 + 2 * c) & 0xff))
+                if (idx < 0) return None
+                scanComp(c) = idx
+                scanDc(c) = (p(seg + 2 + 2 * c) & 0xff) >> 4
+                scanAc(c) = p(seg + 2 + 2 * c) & 0x0f
+              }
+              val ss = p(seg + 1 + 2 * ns) & 0xff
+              val se = p(seg + 2 + 2 * ns) & 0xff
+              val a = p(seg + 3 + 2 * ns) & 0xff
+              val ah = a >> 4
+              val al = a & 0x0f
+              if (se > 63 || ss > se || (ss == 0 && se != 0) ||
+                  (ss > 0 && ns != 1) || ah > 13 || al > 13) return None
+              val br = new JpegBitReader(p, segEnd)
+              doScan(scanComp, scanDc, scanAc, ss, se, ah, al, br)
+              i = skipEntropy(br.pos)
+            case _ => i = segEnd // APPn / COM / foreign
+          }
+        }
+      }
+    }
+    // dequantize + IDCT once, over each component's true grid
+    val planeW = Array.tabulate(nComp)(c => blocksW(c) * 8)
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Byte](planeW(c) * blocksH(c) * 8))
+    val nat = new Array[Int](64)
+    var c = 0
+    while (c < nComp) {
+      val qt = quant(qTab(c))
+      val cf = coefs(c)
+      var by = 0
+      while (by < compBH(c)) {
+        var bx = 0
+        while (bx < compBW(c)) {
+          val base = (by * blocksW(c) + bx) * 64
+          var k = 0
+          while (k < 64) { nat(ZigZag(k)) = cf(base + k) * qt(k); k += 1 }
+          idctToPlane(nat, planes(c), planeW(c), bx * 8, by * 8)
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+    Some(assemblePlanes(w, h, nComp, planes, planeW, sampH, sampV,
+      hMax, vMax))
   }
 
   /** Serialize a minimal-but-well-formed BASELINE GRAYSCALE JPEG — the
@@ -1237,6 +1561,133 @@ object BinaryOps {
       mcu += 1
     }
     align()
+    marker(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /** [[buildJpeg]]'s PROGRESSIVE twin (SOF2) — the q148 fixture: the
+    * same DC-only all-ones-quant lossless regime, but coded as a real
+    * four-scan progressive script exercising every scan type the
+    * decoder supports:
+    *
+    *   1. DC first  (Ss=Se=0, Ah=0→Al=1): category+EXTEND coding of the
+    *      arithmetic-shifted DC diffs, prediction over shifted values
+    *   2. AC first  (Ss=1..63, Ah=0→Al=1): the band is all-zero, coded
+    *      as genuine EOBn runs (run-length batches with extension bits)
+    *   3. DC refine (Ah=1→Al=0): the dropped low bit, one raw bit/block
+    *   4. AC refine (Ss=1..63, Ah=1→Al=0): EOBn runs over the
+    *      still-zero band (the correction-bit path with empty history)
+    *
+    * `restartInterval > 0` stamps DRI and emits byte-aligned RSTn at the
+    * cadence in EVERY scan (predictions and EOB runs reset — EOB runs
+    * never cross a restart boundary, as T.81 requires). Lossless like
+    * the baseline fixture, so the q145-style closed-form oracle applies.
+    */
+  def buildJpegProgressive(w: Int, h: Int, blockVal: (Int, Int) => Int,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && restartInterval >= 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    // DQT: DC quant 8, AC all-ones — the quantized DC is then (v - 128)
+    // itself (8·(v-128) ÷ 8), whose low bit is LIVE, so the refinement
+    // scan genuinely flips bits; dequantization restores the exact DC
+    // and the regime stays lossless
+    marker(0xdb); u16(2 + 1 + 64); u8(0x00)
+    u8(8); for (_ <- 0 until 63) u8(1)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    marker(0xc2); u16(8 + 3); u8(8); u16(h); u16(w); u8(1) // SOF2, 1 comp
+    u8(1); u8(0x11); u8(0)
+    // DHT DC 0: categories 0..11 as four-bit codes (canonical: code = k)
+    val dcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    marker(0xc4); u16(2 + 17 + 12); u8(0x00)
+    dcBits.foreach(u8); (0 until 12).foreach(u8)
+    // DHT AC 0: the fifteen EOBn symbols (r<<4, r = 0..14) as four-bit
+    // codes — symbol index = r, code = r
+    marker(0xc4); u16(2 + 17 + 15); u8(0x10)
+    Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).foreach(u8)
+    (0 until 15).foreach(r => u8(r << 4))
+    val cols = (w + 7) / 8
+    val rows = (h + 7) / 8
+    val nUnits = cols * rows
+    def dcOf(u: Int): Int = (blockVal(u % cols, u / cols) & 0xff) - 128
+    var acc = 0
+    var nAcc = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nAcc += 1
+        if (nAcc == 8) {
+          bos.write(acc)
+          if (acc == 0xff) bos.write(0x00)
+          acc = 0; nAcc = 0
+        }
+        i -= 1
+      }
+    }
+    def align(): Unit = if (nAcc > 0) {
+      acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+      bos.write(acc)
+      if (acc == 0xff) bos.write(0x00)
+      acc = 0; nAcc = 0
+    }
+    var rstN = 0
+    def rst(): Unit = { align(); marker(0xd0 + rstN % 8); rstN += 1 }
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); u16(6 + 2); u8(1); u8(1); u8(0x00)
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+    // scan 1: DC first, Al=1 — prediction over the SHIFTED values
+    sos(0, 0, 0, 1)
+    var pred = 0
+    for (u <- 0 until nUnits) {
+      if (restartInterval > 0 && u > 0 && u % restartInterval == 0) {
+        rst(); pred = 0
+      }
+      val vs = dcOf(u) >> 1 // arithmetic shift, T.81 G.1.2.1
+      val diff = vs - pred
+      pred = vs
+      val s =
+        if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(s, 4)
+      if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    }
+    align()
+    // scans 2 & 4: the all-zero AC band as EOBn run batches, runs never
+    // crossing a restart boundary
+    def acScanOfZeros(ah: Int, al: Int): Unit = {
+      sos(1, 63, ah, al)
+      var u = 0
+      while (u < nUnits) {
+        if (restartInterval > 0 && u > 0 && u % restartInterval == 0) rst()
+        val span =
+          if (restartInterval > 0)
+            math.min(nUnits - u, restartInterval - u % restartInterval)
+          else nUnits - u
+        var left = span
+        while (left > 0) {
+          val r = math.min(14, 31 - Integer.numberOfLeadingZeros(left))
+          val run = math.min(left, (1 << (r + 1)) - 1)
+          putBits(r, 4) // EOBn symbol r<<4: canonical code = r
+          if (r > 0) putBits(run - (1 << r), r)
+          left -= run
+        }
+        u += span
+      }
+      align()
+    }
+    acScanOfZeros(0, 1)
+    // scan 3: DC refinement — the dropped low bit, raw
+    sos(0, 0, 1, 0)
+    for (u <- 0 until nUnits) {
+      if (restartInterval > 0 && u > 0 && u % restartInterval == 0) rst()
+      putBits(dcOf(u) & 1, 1)
+    }
+    align()
+    acScanOfZeros(1, 0)
     marker(0xd9) // EOI
     bos.toByteArray
   }
@@ -1484,6 +1935,29 @@ object BinaryOps {
         val cols = (w + 7) / 8
         (id, buildJpeg(w, h, (bx, by) =>
           ((id * 31 + (by * cols + bx) * 17) % 256).toInt))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Deterministic PROGRESSIVE JPEG fixture per document — the q148
+    * corpus: the q145 shape (non-8-aligned dims, per-block constants
+    * from doc_id arithmetic), but encoded by [[buildJpegProgressive]]'s
+    * four-scan SOF2 script (DC first/refine with successive
+    * approximation, AC bands as EOBn runs), with a restart interval on
+    * every third doc so RST-in-progressive-scan decode is on the oracle
+    * path too. Same lossless regime → the q145-style closed-form oracle
+    * predicts every decoded pixel. */
+  def syntheticJpegProgressiveCorpus(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (11 + (id * 7) % 42).toInt
+        val h = (10 + (id * 5) % 38).toInt
+        val cols = (w + 7) / 8
+        (id, buildJpegProgressive(w, h, (bx, by) =>
+          ((id * 37 + (by * cols + bx) * 23) % 256).toInt,
+          restartInterval = if (id % 3 == 0) 2 else 0))
       })
       .toDF("doc_id", "payload")
   }

@@ -187,9 +187,8 @@ object PipelineQueries {
     // walk, Annex-C Huffman build, EXTEND, dequant, full 2-D IDCT, edge
     // crop); the oracle derives the same pixel statistics from the
     // formula alone. A hash match proves the byte-level codec. 4:4:4
-    // color is q146, 4:2:0 subsampled color is q147; progressive JPEG
-    // stays a documented stub (it needs a codec library to be worth
-    // trusting).
+    // color is q146, 4:2:0 subsampled color is q147, progressive SOF2
+    // is q148.
     ("q145_jpeg_decode", (s: SparkSession, d: String) => {
       import graft.functions.ColumnFunctions.pround
       BinaryOps.imageFeaturesBinary(s,
@@ -230,11 +229,12 @@ object PipelineQueries {
     // rounding+clamp are exact integer arithmetic the oracle replays,
     // so the hash match proves the full color chain — container,
     // entropy stream, and both color conversions — byte-level.
-    // Rounding parity is by construction, not empirical: the oracle's
-    // conversion rounds carry the SAME `round(1e-8 + …)` stabilizer the
-    // Scala codec's roundPar uses (the SQL runs verbatim — no harness
-    // rewrite), so a term landing within 1e-8 below an exact .5 decimal
-    // tie rounds identically on both sides.
+    // Rounding parity is by construction, not empirical: the `oracles`
+    // exporter below rewrites every `round(` in this source to
+    // `round(1e-8 + ` before it reaches oracle_sql.json, which is
+    // exactly the Scala codec's roundPar(x) = round(x + 1e-8) — so
+    // write PLAIN round() here; hand-adding the stabilizer would
+    // double-apply it to 2e-8 and open a fresh mismatch band.
     ("q146_jpeg_color", (s: SparkSession, d: String) => {
       import graft.functions.ColumnFunctions.pround
       BinaryOps.colorImageFeaturesBinary(s,
@@ -263,20 +263,20 @@ object PipelineQueries {
               FROM b),
       ycc AS (SELECT doc_id, w, h, cols, bi,
                      least(255, greatest(0,
-                       round(1e-8 + 0.299 * r + 0.587 * gg + 0.114 * bb))) AS y,
+                       round(0.299 * r + 0.587 * gg + 0.114 * bb))) AS y,
                      least(255, greatest(0,
-                       round(1e-8 + 128 - 0.168736 * r - 0.331264 * gg + 0.5 * bb))) AS cb,
+                       round(128 - 0.168736 * r - 0.331264 * gg + 0.5 * bb))) AS cb,
                      least(255, greatest(0,
-                       round(1e-8 + 128 + 0.5 * r - 0.418688 * gg - 0.081312 * bb))) AS cr
+                       round(128 + 0.5 * r - 0.418688 * gg - 0.081312 * bb))) AS cr
               FROM rgb),
       dec AS (SELECT doc_id, w, h,
                      least(255, greatest(0,
-                       round(1e-8 + y + 1.402 * (cr - 128)))) AS r2,
+                       round(y + 1.402 * (cr - 128)))) AS r2,
                      least(255, greatest(0,
-                       round(1e-8 + y - 0.344136 * (cb - 128)
+                       round(y - 0.344136 * (cb - 128)
                              - 0.714136 * (cr - 128)))) AS g2,
                      least(255, greatest(0,
-                       round(1e-8 + y + 1.772 * (cb - 128)))) AS b2,
+                       round(y + 1.772 * (cb - 128)))) AS b2,
                      least(8, w - (bi % cols) * 8)
                        * least(8, h - (bi // cols) * 8) AS vis
               FROM ycc),
@@ -324,20 +324,20 @@ object PipelineQueries {
               FROM b),
       ycc AS (SELECT doc_id, w, h, cols, mi,
                      least(255, greatest(0,
-                       round(1e-8 + 0.299 * r + 0.587 * gg + 0.114 * bb))) AS y,
+                       round(0.299 * r + 0.587 * gg + 0.114 * bb))) AS y,
                      least(255, greatest(0,
-                       round(1e-8 + 128 - 0.168736 * r - 0.331264 * gg + 0.5 * bb))) AS cb,
+                       round(128 - 0.168736 * r - 0.331264 * gg + 0.5 * bb))) AS cb,
                      least(255, greatest(0,
-                       round(1e-8 + 128 + 0.5 * r - 0.418688 * gg - 0.081312 * bb))) AS cr
+                       round(128 + 0.5 * r - 0.418688 * gg - 0.081312 * bb))) AS cr
               FROM rgb),
       dec AS (SELECT doc_id, w, h,
                      least(255, greatest(0,
-                       round(1e-8 + y + 1.402 * (cr - 128)))) AS r2,
+                       round(y + 1.402 * (cr - 128)))) AS r2,
                      least(255, greatest(0,
-                       round(1e-8 + y - 0.344136 * (cb - 128)
+                       round(y - 0.344136 * (cb - 128)
                              - 0.714136 * (cr - 128)))) AS g2,
                      least(255, greatest(0,
-                       round(1e-8 + y + 1.772 * (cb - 128)))) AS b2,
+                       round(y + 1.772 * (cb - 128)))) AS b2,
                      least(16, w - (mi % cols) * 16)
                        * least(16, h - (mi // cols) * 16) AS vis
               FROM ycc),
@@ -348,6 +348,50 @@ object PipelineQueries {
              round(sr / (w * h) / 255.0, 6) AS mean_r,
              round(sg / (w * h) / 255.0, 6) AS mean_g,
              round(sb / (w * h) / 255.0, 6) AS mean_b
+      FROM agg""")),
+
+    // PROGRESSIVE JPEG (SOF2) through the oracle gate — the q145
+    // discipline extended to the multi-scan decoder: every document's
+    // fixture is a REAL four-scan progressive script (DC first at Al=1,
+    // the AC band as EOBn runs, the DC refinement bit, an AC refinement
+    // pass; every third doc adds restart intervals inside the scans),
+    // decoded by the spectral-selection + successive-approximation
+    // decoder (BinaryOps.decodeJpegProgressive) and still lossless by
+    // construction (DC-only content, DC quant 8), so the closed-form
+    // oracle predicts every pixel. The AC-refinement path with LIVE
+    // coefficients is covered by the javax.imageio differential on the
+    // JDK writer's own scan script (MultimodalSpec).
+    ("q148_jpeg_progressive", (s: SparkSession, d: String) => {
+      import graft.functions.ColumnFunctions.pround
+      BinaryOps.imageFeaturesBinary(s,
+          BinaryOps.syntheticJpegProgressiveCorpus(s, Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          pround(col("mean_px"), 6).as("mean_px"),
+          pround(col("rms_px"), 6).as("rms_px"))
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(11 + (doc_id * 7) % 42 AS INTEGER) AS w,
+               CAST(10 + (doc_id * 5) % 38 AS INTEGER) AS h
+        FROM documents),
+      g AS (SELECT doc_id, w, h,
+                   CAST(ceil(w / 8.0) AS INTEGER) AS cols,
+                   CAST(ceil(h / 8.0) AS INTEGER) AS rws
+            FROM p),
+      b AS (SELECT doc_id, w, h, cols,
+                   unnest(range(0, cols * rws)) AS bi
+            FROM g),
+      v AS (SELECT doc_id, w, h,
+                   (doc_id * 37 + bi * 23) % 256 AS val,
+                   least(8, w - (bi % cols) * 8)
+                     * least(8, h - (bi // cols) * 8) AS vis
+            FROM b),
+      agg AS (SELECT doc_id, w, h, sum(val * vis) AS sv,
+                     sum(val * val * vis) AS svv
+              FROM v GROUP BY doc_id, w, h)
+      SELECT doc_id, w AS width, h AS height,
+             round(sv / (w * h) / 255.0, 6) AS mean_px,
+             round(sqrt(svv / (w * h)) / 255.0, 6) AS rms_px
       FROM agg""")),
   )
 

@@ -621,6 +621,106 @@ class MultimodalSpec extends AnyFunSuite {
         - img.getRaster.getSample(x, y, c)) <= 2)
   }
 
+  test("progressive JPEG round-trips buildJpegProgressive exactly (four-scan script)") {
+    val w = 29; val h = 21 // non-8-aligned: edge-block crop on both axes
+    def v(bx: Int, by: Int) = (7 + bx * 31 + by * 59) % 256
+    val jpeg = BinaryOps.buildJpegProgressive(w, h, v)
+    // the container really is progressive: SOF2, four SOS segments
+    assert(jpeg.indexOfSlice(Seq(0xff.toByte, 0xc2.toByte)) > 0)
+    assert(jpeg.sliding(2).count(s =>
+      s.head == 0xff.toByte && s.last == 0xda.toByte) === 4)
+    val Some((gw, gh, ch, px)) = BinaryOps.decodeJpegPixels(jpeg)
+    assert((gw, gh, ch) === ((w, h, 1)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((px(y * w + x) & 0xff) === v(x / 8, y / 8), s"pixel ($x,$y)")
+    // quantized DC values with an odd low bit exist (quant[0] = 8 maps
+    // the stored DC to v - 128), so the refinement scan genuinely flips
+    val cols = (w + 7) / 8
+    assert((0 until cols * ((h + 7) / 8))
+      .exists(u => ((v(u % cols, u / cols) - 128) & 1) == 1))
+  }
+
+  test("progressive JPEG with restart intervals decodes identically; imageio agrees") {
+    val w = 24; val h = 24
+    def v(bx: Int, by: Int) = (16 + 40 * bx + 13 * by) % 256
+    val plain = BinaryOps.buildJpegProgressive(w, h, v)
+    val withRst = BinaryOps.buildJpegProgressive(w, h, v, restartInterval = 2)
+    assert(withRst.length > plain.length, "RST markers present")
+    val a = BinaryOps.decodeJpegPixels(plain).get
+    val b = BinaryOps.decodeJpegPixels(withRst).get
+    assert(a._4.toSeq === b._4.toSeq,
+      "restart intervals must not change decoded pixels")
+    for (fixture <- Seq(plain, withRst)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fixture))
+      assert(img != null, "imageio must accept the generated progressive JPEG")
+      assert(img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(math.abs((a._4(y * w + x) & 0xff)
+          - img.getRaster.getSample(x, y, 0)) <= 1, s"pixel ($x,$y)")
+    }
+  }
+
+  test("progressive decode agrees with imageio on the JDK writer's own scan script") {
+    // the JDK's progressive encoder emits a real multi-scan script with
+    // spectral selection AND successive approximation over nonzero AC
+    // coefficients — this differential drives the AC-first EOB runs and
+    // the AC-refinement correction-bit path with live data
+    def writeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    // grayscale gradient + texture: plenty of nonzero AC at every band
+    val w = 37; val h = 26
+    val gray = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0,
+        (x * 7 + y * 5 + ((x * y) % 13) * 11) % 256)
+    val gBytes = writeProgressive(gray)
+    assert(gBytes.indexOfSlice(Seq(0xff.toByte, 0xc2.toByte)) > 0,
+      "JDK writer must emit SOF2 in progressive mode")
+    val Some((gw, gh, gch, gpx)) = BinaryOps.decodeJpegPixels(gBytes)
+    assert((gw, gh, gch) === ((w, h, 1)))
+    val gRef = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gBytes))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(math.abs((gpx(y * w + x) & 0xff)
+        - gRef.getRaster.getSample(x, y, 0)) <= 1,
+        s"gray pixel ($x,$y): ours ${gpx(y * w + x) & 0xff} vs " +
+          s"imageio ${gRef.getRaster.getSample(x, y, 0)}")
+    // color: the JDK writes progressive 3-component YCbCr with
+    // subsampled chroma → non-interleaved AC scans over a subsampled
+    // component grid. Constant-chroma content (r = g = b ⇒ Cb = Cr =
+    // 128 everywhere) keeps the comparison upsampling-FILTER-free
+    // (nearest vs triangle agree on constants), so the tolerance stays
+    // the fixed-point band while the luma still carries full-band AC.
+    val cimg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val t = (x * 7 + y * 5 + ((x * y) % 13) * 11) % 256
+      cimg.setRGB(x, y, (t << 16) | (t << 8) | t)
+    }
+    val cBytes = writeProgressive(cimg)
+    val Some((cw2, ch2, cch, cpx)) = BinaryOps.decodeJpegPixels(cBytes)
+    assert((cw2, ch2, cch) === ((w, h, 3)))
+    val cRef = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(cBytes))
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert(math.abs((cpx((y * w + x) * 3 + c) & 0xff)
+        - cRef.getRaster.getSample(x, y, c)) <= 2,
+        s"color pixel ($x,$y) band $c: ours ${cpx((y * w + x) * 3 + c) & 0xff}" +
+          s" vs imageio ${cRef.getRaster.getSample(x, y, c)}")
+  }
+
   test("sampling factors above 2 are refused; the color surface drops grayscale") {
     val colorJpeg = BinaryOps.buildJpegColor(16, 8, (_, _) => (10, 20, 30))
     val sub = colorJpeg.clone()

@@ -27,13 +27,13 @@ def main(out_dir: str, sf_dir: str) -> int:
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    # NOTE: oracle SQL runs VERBATIM — neither this harness nor the driver
-    # applies a rounding rewrite (proven round 10: stabilizing every
-    # round() here flipped 16 queries whose values sit on exact ties the
-    # driver passes with plain round, e.g. q98). Where tie-adjacent
-    # rounding parity must hold by construction (the q146/q147 JFIF color
-    # conversions), the committed oracle SQL carries the same
-    # `round(1e-8 + ...)` stabilizer the Scala side uses.
+    # NOTE: oracle_sql.json runs VERBATIM here and on the driver. The
+    # rounding-parity stabilizer (round( -> round(1e-8 + , matching the
+    # Scala side's pround/roundPar) is injected ONCE by each queries
+    # object's `oracles` exporter when the json is dumped — so never add
+    # a second rewrite here, and never hand-write the stabilizer in
+    # oracle source SQL: both double-apply it to 2e-8, which flips
+    # genuine tie values (observed on q98 in round 10).
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     import glob
