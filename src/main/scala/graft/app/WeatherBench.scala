@@ -112,11 +112,22 @@ object WeatherBench {
     // timed region = what the reference's 600 s envelope covers: read the
     // landed CSVs, run every pipeline, write every result table
     val t0 = System.nanoTime()
-    val counts = WeatherRunner.runAll(spark,
+    val (counts, times) = WeatherRunner.runAllTimed(spark,
       s"$work/weather_csv", s"$work/locations_csv", s"$work/out")
     val sec = (System.nanoTime() - t0) / 1e9
     val rows = counts("raw_weather_data")
     spark.stop()
-    println(f"""{"metric":"weather_e2e","value":$sec%.2f,"unit":"sec","rows":$rows,"tables":${counts.size}}""")
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val per = times.map { case (n, s) => s""""$n":${f2(s)}""" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"weather_e2e","value":${f2(sec)},""" +
+      s""""unit":"sec","rows":$rows,"tables":${counts.size},""" +
+      s""""pipelines":$per}"""
+    // committed per-round artifact: the end-to-end record at the
+    // reference corpus scale, per-pipeline breakdown included
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("WEATHER_BENCH.json"), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
   }
 }

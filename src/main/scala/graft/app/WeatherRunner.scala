@@ -87,7 +87,14 @@ object WeatherRunner {
     * Returns table name → row count.
     */
   def runAll(spark: SparkSession, weatherCsv: String, locationsCsv: String,
-      outDir: String): Map[String, Long] = {
+      outDir: String): Map[String, Long] =
+    runAllTimed(spark, weatherCsv, locationsCsv, outDir)._1
+
+  /** [[runAll]] with a per-pipeline wall-time breakdown (plan + write +
+    * count-back, seconds) — the WeatherBench artifact's detail rows. */
+  def runAllTimed(spark: SparkSession, weatherCsv: String,
+      locationsCsv: String, outDir: String)
+      : (Map[String, Long], Seq[(String, Double)]) = {
     val weather = WeatherAnalytics.prepare(
       CsvIngest.readCsv(spark, weatherCsv, weatherSchema)).cache()
     val locations = CsvIngest.readCsv(spark, locationsCsv, locationSchema)
@@ -104,12 +111,14 @@ object WeatherRunner {
       // the catalog/SQL route to the same answer, exercised end-to-end
       "top_temperate_cities_hql" -> runSqlSurface(spark, weatherCsv, locationsCsv),
     )
-    val counts = tables.map { case (name, df) =>
+    val timed = tables.map { case (name, df) =>
+      val t0 = System.nanoTime()
       ResultStore.overwrite(df, s"$outDir/$name")
-      name -> spark.read.parquet(s"$outDir/$name").count()
-    }.toMap
+      val n = spark.read.parquet(s"$outDir/$name").count()
+      (name, n, (System.nanoTime() - t0) / 1e9)
+    }
     weather.unpersist()
-    counts
+    (timed.map(t => t._1 -> t._2).toMap, timed.map(t => t._1 -> t._3))
   }
 
   def main(args: Array[String]): Unit = {
