@@ -995,6 +995,12 @@ object BinaryOps {
     * ([[decodeJpegProgressive]] — spectral selection, successive
     * approximation, EOB runs). Sampling factors beyond 2 and
     * arithmetic coding return None and stay on the metadata/stub path.
+    *
+    * Truncation contract: any stream that ends MID-scan is rejected
+    * (None), baseline and progressive alike. A progressive stream cut
+    * cleanly BETWEEN scans decodes its completed passes — a coarser
+    * image by SOF2's own refinement semantics, best-effort by design —
+    * unless zero scans completed, which is None like the baseline case.
     */
   def decodeJpegPixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
@@ -1112,9 +1118,16 @@ object BinaryOps {
       if (w.toLong * h * nComp > (1L << 28)) return None // hostile dims
       for (c <- 0 until nComp)
         if (qTab(c) < 0 || quant(qTab(c)) == null) return None
-      if (progressive)
+      if (progressive) {
+        // Tighter cap for SOF2: the progressive path buffers a full Int
+        // coefficient plane per component (4 B/sample, MCU-padded) BEFORE
+        // any entropy data validates, so size the guard by that 4×
+        // footprint — 2^26 samples ≈ 256 MiB of coefficient buffers,
+        // vs the baseline path's byte planes under the 2^28 cap above.
+        if (w.toLong * h * nComp > (1L << 26)) return None
         return decodeJpegProgressive(p, sosMarkerAt, w, h, nComp, compId,
           qTab, sampH, sampV, quant, dcTables, acTables, restartInterval)
+      }
       for (c <- 0 until nComp)
         if (dcTables(dcSel(c)) == null || acTables(acSel(c)) == null)
           return None
@@ -1377,8 +1390,16 @@ object BinaryOps {
       p.length
     }
 
-    // the scan loop: a marker walk that also executes SOS segments
+    // the scan loop: a marker walk that also executes SOS segments.
+    // Truncation contract: a stream that throws MID-scan is rejected by
+    // the caller's catch (same as baseline); a stream that ends cleanly
+    // BETWEEN scans renders the passes that completed — progressive is
+    // refinement by design, so a partial-but-valid prefix is a coarser
+    // image, not a wrong one — EXCEPT that zero completed scans means
+    // there is no image at all (an all-flat coefficient buffer), which
+    // is rejected like the baseline path rejects truncation.
     var i = firstSos
+    var scansDone = 0
     var done = false
     while (!done) {
       if (i + 1 >= p.length) done = true // truncated: render what we have
@@ -1451,12 +1472,14 @@ object BinaryOps {
                   (ss > 0 && ns != 1) || ah > 13 || al > 13) return None
               val br = new JpegBitReader(p, segEnd)
               doScan(scanComp, scanDc, scanAc, ss, se, ah, al, br)
+              scansDone += 1
               i = skipEntropy(br.pos)
             case _ => i = segEnd // APPn / COM / foreign
           }
         }
       }
     }
+    if (scansDone == 0) return None // truncated before any scan: no image
     // dequantize + IDCT once, over each component's true grid
     val planeW = Array.tabulate(nComp)(c => blocksW(c) * 8)
     val planes = Array.tabulate(nComp)(c =>

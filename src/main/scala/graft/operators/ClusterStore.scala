@@ -124,27 +124,37 @@ object ClusterStore {
       if (tiny) df.coalesce(1) else df.repartition(pc)
     // the three surface writes are independent until the manifest flip —
     // run them concurrently so a batch apply pays max(write), not
-    // sum(writes); each is its own job, the session is thread-safe
-    import scala.concurrent.{Await, Future}
+    // sum(writes); each is its own job, the session is thread-safe.
+    // Each future BLOCKS for its full write, so mark the bodies with
+    // blocking{}: the shared fork-join pool then spawns compensation
+    // threads instead of starving (parallelism = #cores) when several
+    // stores in one JVM apply concurrently alongside other global-EC users.
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val writes = Seq(
       Future {
-        laidOut(hubs.withColumn("__shard", shardOf(col("fp"), nBuckets)),
-            col("__shard"))
-          .write.mode("overwrite").partitionBy("__shard")
-          .parquet(s"$path/hubs/gen=$gen")
+        blocking {
+          laidOut(hubs.withColumn("__shard", shardOf(col("fp"), nBuckets)),
+              col("__shard"))
+            .write.mode("overwrite").partitionBy("__shard")
+            .parquet(s"$path/hubs/gen=$gen")
+        }
       },
       Future {
-        laidOut(labels.withColumn("__bucket", bucketOf(col("id"), nBuckets)),
-            col("__bucket"))
-          .write.mode("overwrite").partitionBy("__bucket")
-          .parquet(s"$path/labels/gen=$gen")
+        blocking {
+          laidOut(labels.withColumn("__bucket", bucketOf(col("id"), nBuckets)),
+              col("__bucket"))
+            .write.mode("overwrite").partitionBy("__bucket")
+            .parquet(s"$path/labels/gen=$gen")
+        }
       },
       Future {
         // merge-ledger-sized; one file keeps the read a single open
-        remap.coalesce(1).write.mode("overwrite")
-          .parquet(s"$path/remap/gen=$gen")
+        blocking {
+          remap.coalesce(1).write.mode("overwrite")
+            .parquet(s"$path/remap/gen=$gen")
+        }
       })
     Await.result(Future.sequence(writes), Duration.Inf)
     ()

@@ -197,18 +197,19 @@ object Generations {
         } catch { case _: java.io.IOException => None }
       fileLocked = tryCreate()
       if (!fileLocked) {
-        // Stale-break with a TOCTOU guard: between "observed stale" and
-        // "delete", ANOTHER waiter may have broken the same stale lock and
-        // created a fresh one — deleting blindly would remove the fresh
-        // lock and let two writers acquire. Re-read immediately before the
-        // delete and only remove the lock if its owner token AND mtime
-        // still match the stale observation; a lock that changed hands in
-        // between is fresh by definition, so back off and fail locked.
-        // (The read→delete instant itself is irreducible without an
-        // atomic compare-and-delete, which plain filesystems lack; the
-        // guard shrinks the window from "entire stale decision" to one
-        // syscall pair and makes the raced outcome a loud failure, not a
-        // silent double-acquire.)
+        // Stale-break via an ATOMIC RENAME-CLAIM: two waiters may both
+        // observe the same stale lock, but breaking it is done by renaming
+        // the observed lock file to a waiter-unique tombstone — rename has
+        // exactly one winner (the source vanishes for the loser), so the
+        // right to re-create the lock is claimed atomically and a fresh
+        // lock created by a raced breaker is never deleted (the old
+        // delete-based break had a read→delete window where it could be).
+        // The loser's rename fails and it backs off to "locked". The
+        // re-read before the rename still gates on token+mtime so a lock
+        // that changed hands since the stale observation is never claimed;
+        // the residual window is create-exclusive itself, covered by the
+        // post-create token verification below (loud failure, never a
+        // silent double-acquire).
         val observed = readLock()
         val stale = observed match {
           case Some((_, mtime)) => System.currentTimeMillis() - mtime > staleMs
@@ -216,9 +217,17 @@ object Generations {
         }
         if (stale) {
           val again = readLock()
-          if (again == observed && observed.isDefined)
-            fs.delete(lockFile, false)
-          fileLocked = tryCreate()
+          val claimed = if (again == observed && observed.isDefined) {
+            val tomb = new Path(storeDir,
+              s"$LockName.broken.${java.util.UUID.randomUUID()}")
+            val won =
+              try fs.rename(lockFile, tomb)
+              catch { case _: java.io.IOException => false }
+            if (won) { try fs.delete(tomb, false)
+                       catch { case _: Throwable => () } }
+            won
+          } else observed.isEmpty // vanished holder: nothing to claim
+          fileLocked = claimed && tryCreate()
           // verify ownership: if a raced breaker created its lock between
           // our delete and create, our create failed and this stays false
           if (fileLocked && !readLock().exists(_._1 == token)) {

@@ -640,6 +640,28 @@ class MultimodalSpec extends AnyFunSuite {
       .exists(u => ((v(u % cols, u / cols) - 128) & 1) == 1))
   }
 
+  test("truncated progressive: zero completed scans is None, a clean " +
+      "between-scan cut renders the completed passes") {
+    val w = 24; val h = 16
+    def v(bx: Int, by: Int) = (30 + 50 * bx + 20 * by) % 256
+    val jpeg = BinaryOps.buildJpegProgressive(w, h, v)
+    def sosOffsets = jpeg.indices.dropRight(1).filter(i =>
+      jpeg(i) == 0xff.toByte && jpeg(i + 1) == 0xda.toByte)
+    val soss = sosOffsets
+    assert(soss.length === 4)
+    // cut at the FIRST SOS marker: no scan data at all -> None (was a
+    // flat gray "image" before the zero-scan guard)
+    assert(BinaryOps.decodeJpegPixels(jpeg.take(soss.head)).isEmpty)
+    // cut mid-first-scan -> the bit reader runs off the stream -> None
+    assert(BinaryOps.decodeJpegPixels(jpeg.take(soss.head + 20)).isEmpty)
+    // cut cleanly before the LAST scan: three completed passes render —
+    // a coarser refinement of the full image, same dims, not None
+    val partial = BinaryOps.decodeJpegPixels(jpeg.take(soss.last))
+    assert(partial.nonEmpty)
+    val (pw, ph, pc, _) = partial.get
+    assert((pw, ph, pc) === ((w, h, 1)))
+  }
+
   test("progressive JPEG with restart intervals decodes identically; imageio agrees") {
     val w = 24; val h = 24
     def v(bx: Int, by: Int) = (16 + 40 * bx + 13 * by) % 256
