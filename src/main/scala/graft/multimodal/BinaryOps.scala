@@ -706,6 +706,301 @@ object BinaryOps {
       .toDF("doc_id", "width", "height", "dur_ms", "n_frames")
   }
 
+  /** The video track's SAMPLE TABLE: codec fourcc plus the absolute
+    * byte range of every sample (frame) in the file — what frame
+    * EXTRACTION needs beyond [[parseMp4Header]]'s metadata. */
+  case class VideoSamples(width: Int, height: Int, fourcc: String,
+      offsets: Array[Long], sizes: Array[Int])
+
+  /** REAL ISO-BMFF sample-table parse (14496-12 §8.5–8.7) — the second
+    * half of the container walk: for the first trak with video
+    * dimensions, read `stsd` (codec fourcc of sample entry 1), `stsz`
+    * (uniform or per-sample sizes), `stsc` (sample→chunk runs) and
+    * `stco`/`co64` (chunk offsets), then resolve every sample to its
+    * absolute (offset, size) by the standard chunk walk: stsc runs give
+    * each chunk its sample count, samples pack back-to-back within a
+    * chunk. None when any table is missing/malformed or a resolved
+    * range falls outside the payload — truncated files are rejected,
+    * never sliced short. */
+  def parseMp4Samples(p: Array[Byte]): Option[VideoSamples] = {
+    if (p.length < 16) return None
+    val sz0 = be32(p, 0)
+    if (sz0 < 8 || sz0 > p.length || p(4) != 'f' || p(5) != 't'
+        || p(6) != 'y' || p(7) != 'p') return None
+    def u32(i: Int): Long = be32(p, i) & 0xffffffffL
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    var width = 0; var height = 0; var fourcc = ""
+    var sizes: Array[Int] = null
+    var chunkOffs: Array[Long] = null
+    var stscRuns: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+    // per-trak candidates, committed when a trak closes with video dims
+    var tW = 0; var tH = 0; var tFcc = ""
+    var tSizes: Array[Int] = null
+    var tChunks: Array[Long] = null
+    var tRuns: Array[(Long, Long)] = null
+    def walk(from: Int, to: Int, depth: Int): Boolean = {
+      var off = from
+      while (off + 8 <= to) {
+        var size = u32(off)
+        var hdr = 8
+        if (size == 0L) size = (to - off).toLong
+        else if (size == 1L) {
+          if (off + 16 > to) return false
+          size = u64(off + 8); hdr = 16
+        }
+        if (size < hdr || off + size > to || depth > 8) return false
+        val typ = new String(p, off + 4, 4, "US-ASCII")
+        val body = off + hdr
+        val end = (off + size).toInt
+        typ match {
+          case "moov" | "mdia" | "minf" | "stbl" =>
+            if (!walk(body, end, depth + 1)) return false
+          case "trak" =>
+            tW = 0; tH = 0; tFcc = ""; tSizes = null; tChunks = null
+            tRuns = null
+            if (!walk(body, end, depth + 1)) return false
+            if (tW > 0 && tH > 0 && width == 0) {
+              width = tW; height = tH; fourcc = tFcc
+              sizes = tSizes; chunkOffs = tChunks; stscRuns = tRuns
+            }
+          case "tkhd" =>
+            if (body + 84 > end) return false
+            val v = p(body) & 0xff
+            val need = if (v == 1) 96 else 84
+            if (body + need > end) return false
+            tW = (u32(body + need - 8) >> 16).toInt
+            tH = (u32(body + need - 4) >> 16).toInt
+          case "stsd" =>
+            // ver/flags(4) entry_count(4), then sample entries; the
+            // fourcc is bytes 4..8 of entry 1's box header
+            if (body + 16 > end || u32(body + 4) < 1) return false
+            tFcc = new String(p, body + 12, 4, "US-ASCII")
+          case "stsz" =>
+            if (body + 12 > end) return false
+            val uniform = u32(body + 4)
+            val n = u32(body + 8)
+            if (n > (1L << 20)) return false // hostile sample count
+            val nn = n.toInt
+            tSizes =
+              if (uniform != 0L) {
+                if (uniform > Int.MaxValue) return false
+                Array.fill(nn)(uniform.toInt)
+              } else {
+                if (body + 12 + 4L * nn > end) return false
+                Array.tabulate(nn) { k =>
+                  val s = u32(body + 12 + 4 * k)
+                  if (s > Int.MaxValue) return false
+                  s.toInt
+                }
+              }
+          case "stsc" =>
+            if (body + 8 > end) return false
+            val n = u32(body + 4)
+            if (n > (1L << 16) || body + 8 + 12L * n > end) return false
+            tRuns = Array.tabulate(n.toInt)(k =>
+              (u32(body + 8 + 12 * k), u32(body + 12 + 12 * k)))
+          case "stco" =>
+            if (body + 8 > end) return false
+            val n = u32(body + 4)
+            if (n > (1L << 20) || body + 8 + 4L * n > end) return false
+            tChunks = Array.tabulate(n.toInt)(k => u32(body + 8 + 4 * k))
+          case "co64" =>
+            if (body + 8 > end) return false
+            val n = u32(body + 4)
+            if (n > (1L << 20) || body + 8 + 8L * n > end) return false
+            tChunks = Array.tabulate(n.toInt)(k => u64(body + 8 + 8 * k))
+          case _ => ()
+        }
+        off = (off + size).toInt
+      }
+      off == to || from == to
+    }
+    if (!walk(0, p.length, 0)) return None
+    if (width <= 0 || height <= 0 || sizes == null || chunkOffs == null ||
+        stscRuns == null || stscRuns.isEmpty) return None
+    // resolve samples: stsc run i covers chunks [first_i, first_{i+1});
+    // runs must start at chunk 1 and be strictly increasing
+    if (stscRuns.head._1 != 1L) return None
+    val offs = new Array[Long](sizes.length)
+    var s = 0
+    var run = 0
+    var chunk = 0 // 0-based index into chunkOffs
+    while (s < sizes.length) {
+      if (chunk >= chunkOffs.length) return None // more samples than chunks hold
+      while (run + 1 < stscRuns.length &&
+          chunk + 1 >= stscRuns(run + 1)._1) run += 1
+      val spc = stscRuns(run)._2
+      if (spc < 1L || spc > (1L << 20)) return None
+      var at = chunkOffs(chunk)
+      var k = 0L
+      while (k < spc && s < sizes.length) {
+        if (at < 0 || at + sizes(s) > p.length) return None // truncated
+        offs(s) = at
+        at += sizes(s)
+        s += 1; k += 1
+      }
+      chunk += 1
+    }
+    Some(VideoSamples(width, height, fourcc, offs, sizes))
+  }
+
+  /** REAL video FRAME decode for Motion-JPEG tracks — the one video
+    * codec the engine can decode library-free, because every sample is
+    * a complete baseline/progressive JPEG handed to
+    * [[decodeJpegPixels]]. Samples every `everyNth`-th frame (the
+    * [[frameSampleFanout]] stride, applied at extraction so undecoded
+    * frames are never sliced), decodes it, and emits per-frame luma
+    * statistics — (doc_id, frame_idx, width, height, mean_px). Tracks
+    * whose stsd fourcc is not `jpeg`/`mjpa`/`mjpb` (H.264 and friends —
+    * inter-frame codecs genuinely need a codec library) and payloads
+    * without a sample table are dropped, not stubbed. Runs in
+    * mapPartitions over the binary column: per-row imperative work with
+    * no shuffle, the same plan shape as the image/audio featurizers. */
+  def videoFrameFeaturesBinary(spark: SparkSession, payloads: DataFrame,
+      everyNth: Int = 1): DataFrame = {
+    import spark.implicits._
+    require(everyNth >= 1, "everyNth must be >= 1")
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseMp4Samples(bytes).toSeq
+          .filter(v => Set("jpeg", "mjpa", "mjpb")(v.fourcc))
+          .flatMap { v =>
+            (0 until v.sizes.length by everyNth).flatMap { f =>
+              val frame = java.util.Arrays.copyOfRange(bytes,
+                v.offsets(f).toInt, v.offsets(f).toInt + v.sizes(f))
+              decodeJpegPixels(frame).map { case (w, h, ch, px) =>
+                // luma: channel 0 of grayscale, JFIF Y is not recomputed
+                // for color — mean over the FIRST channel keeps the
+                // statistic codec-exact for the gray MJPEG fixture
+                var sum = 0L
+                var i = 0
+                while (i < w.toLong * h) { sum += px(i.toInt * ch) & 0xff; i += 1 }
+                (id, f, w, h, sum.toDouble / (w.toLong * h) / 255.0)
+              }
+            }
+          }
+      })
+      .toDF("doc_id", "frame_idx", "width", "height", "mean_px")
+  }
+
+  /** Serialize a REAL Motion-JPEG MP4: full ftyp/moov box tree with a
+    * `jpeg` VisualSampleEntry in stsd, per-sample stsz, samples packed
+    * two per chunk (so stsc carries a genuine run table and stco one
+    * offset per chunk — the resolve path in [[parseMp4Samples]] is
+    * exercised, not a single-chunk degenerate), frames byte-concatenated
+    * in mdat. The inverse of [[parseMp4Samples]] for the round-trip law
+    * and the q149 fixture. */
+  def buildMjpegMp4(width: Int, height: Int, timescale: Int,
+      duration: Long, frames: Seq[Array[Byte]]): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val n = frames.length
+    val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(8)
+      .put("isom".getBytes("US-ASCII")).putInt(0x200).array())
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(timescale).putInt(duration.toInt)
+      b.array()
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(0).putInt(0).putInt(0).putInt(1)
+      b.position(76)
+      b.putInt(width << 16).putInt(height << 16)
+      b.array()
+    }
+    val stsd = {
+      // VisualSampleEntry (14496-12 §12.1.3): 86 bytes — 8 box header,
+      // 6 reserved + data_reference_index, 16 pre_defined/reserved,
+      // width/height, 72dpi 16.16 resolutions, reserved, frame_count=1,
+      // 32-byte compressorname, depth 24, pre_defined -1
+      val e = java.nio.ByteBuffer.allocate(86)
+      e.putInt(86).put("jpeg".getBytes("US-ASCII"))
+      e.position(14); e.putShort(1) // data_reference_index
+      e.position(32)
+      e.putShort(width.toShort).putShort(height.toShort)
+      e.putInt(0x00480000).putInt(0x00480000).putInt(0)
+      e.putShort(1)
+      e.position(82); e.putShort(24).putShort(-1)
+      box("stsd", java.nio.ByteBuffer.allocate(8)
+        .putInt(0).putInt(1).array() ++ e.array())
+    }
+    val stsz = {
+      val b = java.nio.ByteBuffer.allocate(12 + 4 * n)
+      b.putInt(0) // version + flags
+      b.putInt(0) // sample_size 0 => per-sample size table follows
+      b.putInt(n)
+      frames.foreach(f => b.putInt(f.length))
+      box("stsz", b.array())
+    }
+    val nChunks = (n + 1) / 2
+    def moovOf(chunkOffs: Array[Long]): Array[Byte] = {
+      val stsc = { // two samples per chunk; a short tail chunk gets its own run
+        val runs =
+          if (n % 2 == 0 || n < 2) Seq((1, math.min(2, math.max(n, 1))))
+          else Seq((1, 2), (nChunks, 1))
+        val b = java.nio.ByteBuffer.allocate(8 + 12 * runs.length)
+        b.putInt(0).putInt(runs.length)
+        runs.foreach { case (fc, spc) => b.putInt(fc).putInt(spc).putInt(1) }
+        box("stsc", b.array())
+      }
+      val stco = {
+        val b = java.nio.ByteBuffer.allocate(8 + 4 * nChunks)
+        b.putInt(0).putInt(nChunks)
+        chunkOffs.foreach(o => b.putInt(o.toInt))
+        box("stco", b.array())
+      }
+      val trak = box("trak", box("tkhd", tkhd) ++
+        box("mdia", box("minf", box("stbl", stsd ++ stsz ++ stsc ++ stco))))
+      box("moov", box("mvhd", mvhd) ++ trak)
+    }
+    // two passes: moov's size is offset-independent, so lay out with
+    // zeros, then rebuild with the true mdat-relative chunk offsets
+    val probe = moovOf(Array.fill(nChunks)(0L))
+    val mdatBody = ftyp.length + probe.length + 8L
+    val offs = new Array[Long](nChunks)
+    var at = mdatBody
+    var i = 0
+    while (i < n) {
+      if (i % 2 == 0) offs(i / 2) = at
+      at += frames(i).length
+      i += 1
+    }
+    val moov = moovOf(offs)
+    val mdat = box("mdat", frames.toArray.flatten)
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Deterministic Motion-JPEG fixture per document (the q149 twin of
+    * [[syntheticJpegCorpus]], lifted to video): 8-aligned dimensions and
+    * an odd/even frame count from doc_id arithmetic, each frame a
+    * DC-only LOSSLESS baseline JPEG whose block constants are integer
+    * arithmetic on (doc_id, frame_idx, block) — so a SQL oracle predicts
+    * every decoded pixel of every frame while the Spark side genuinely
+    * serializes the BMFF sample table AND the per-frame entropy streams,
+    * then re-walks and re-decodes both. Odd frame counts make the stsc
+    * run table two runs (builder packs two samples per chunk). */
+  def syntheticMjpegCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 * (2 + id % 4)).toInt
+        val h = (8 * (1 + id % 3)).toInt
+        val nf = (3 + id % 4).toInt
+        val frames = (0 until nf).map { f =>
+          buildJpeg(w, h, (bx, by) =>
+            ((id * 31 + f * 97 + bx * 17 + by * 23) % 256).toInt)
+        }
+        (id, buildMjpegMp4(w, h, 600, 25L * nf, frames))
+      })
+      .toDF("doc_id", "payload")
+  }
+
   /** Deterministic 16-bit PCM WAV fixture per document — the audio
     * analogue of the text-payload stand-in: channel count, sample rate,
     * frame count and every sample are pure integer arithmetic on doc_id,

@@ -393,6 +393,47 @@ object PipelineQueries {
              round(sv / (w * h) / 255.0, 6) AS mean_px,
              round(sqrt(svv / (w * h)) / 255.0, 6) AS rms_px
       FROM agg""")),
+
+    // REAL video FRAME decode through the oracle gate — Motion-JPEG,
+    // the one video codec the engine decodes library-free: every
+    // document's fixture is a genuine ISO-BMFF file whose video track
+    // carries a `jpeg` sample entry and 3–6 DC-only lossless JPEG
+    // frames packed two per chunk (stsd/stsz/stsc/stco all real and
+    // exercised — odd frame counts force a two-run stsc). The Spark
+    // side re-walks the sample table (BinaryOps.parseMp4Samples),
+    // slices every SECOND frame (the frame-sampling stride applied at
+    // extraction) and entropy-decodes each through the q145 JPEG core;
+    // the oracle predicts each sampled frame's mean luma from the
+    // block formula. Inter-frame codecs (H.264 etc.) genuinely need a
+    // codec library and are dropped by fourcc, not stubbed.
+    ("q149_video_frames", (s: SparkSession, d: String) => {
+      import graft.functions.ColumnFunctions.pround
+      BinaryOps.videoFrameFeaturesBinary(s,
+          BinaryOps.syntheticMjpegCorpus(s, Tables.documents(s, d)),
+          everyNth = 2)
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), pround(col("mean_px"), 6).as("mean_px"))
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(8 * (2 + doc_id % 4) AS INTEGER) AS w,
+               CAST(8 * (1 + doc_id % 3) AS INTEGER) AS h,
+               3 + doc_id % 4 AS nf
+        FROM documents),
+      f AS (SELECT doc_id, w, h, unnest(range(0, nf, 2)) AS fi FROM p),
+      b AS (SELECT doc_id, w, h, fi,
+                   unnest(range(0, (w // 8) * (h // 8))) AS bi
+            FROM f),
+      v AS (SELECT doc_id, w, h, fi,
+                   (doc_id * 31 + fi * 97 + (bi % (w // 8)) * 17
+                    + (bi // (w // 8)) * 23) % 256 AS val
+            FROM b),
+      agg AS (SELECT doc_id, fi, w, h, sum(val * 64) AS sv
+              FROM v GROUP BY doc_id, fi, w, h)
+      SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+             w AS width, h AS height,
+             round(sv / (w * h) / 255.0, 6) AS mean_px
+      FROM agg""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -120,8 +120,14 @@ object ScaleProbe {
     graft.operators.History.scd2Build(eventsOf(docs), "entity", "attr",
       "ts", "event_id", scdDir, nBuckets = 8 * sizeK)
     val annDir = s"$tmpDir/ann_x$k"
+    // ANN cells cap at 256 (the maxK=16 geometry): under fixed sizing the
+    // centroids are drawn from the SMALLEST corpus too, and the base
+    // embedding table holds 500 rows — 16*32 = 512 cells is undrawable at
+    // k=1. Geometry stays constant across k (all fixed mode requires);
+    // k>=32 contract rungs likewise cap (2x data per cell at k=32, noted
+    // in the artifact rather than failing the whole run).
     graft.operators.VectorStore.annBuild(emb, "vec_id", "embedding", annDir,
-      nCells = 16 * sizeK)
+      nCells = math.min(16 * sizeK, 256))
     val lmDir = s"$tmpDir/lm_x$k"
     graft.operators.LmStore.lmBuild(docs, "doc_id", "text", lmDir,
       nShards = 4 * sizeK)

@@ -640,6 +640,70 @@ class MultimodalSpec extends AnyFunSuite {
       .exists(u => ((v(u % cols, u / cols) - 128) & 1) == 1))
   }
 
+  test("MJPEG MP4 round-trips: sample table resolves every frame, each " +
+      "decodes to the source JPEG's exact pixels") {
+    val w = 24; val h = 16
+    // FIVE frames: odd count -> two chunks of 2 plus a tail chunk of 1,
+    // so the stsc run table has two runs and the chunk walk is real
+    val frames = (0 until 5).map(f =>
+      BinaryOps.buildJpeg(w, h, (bx, by) => (f * 50 + bx * 20 + by * 10) % 256))
+    val mp4 = BinaryOps.buildMjpegMp4(w, h, 600, 1200L, frames)
+    val vs = BinaryOps.parseMp4Samples(mp4).get
+    assert((vs.width, vs.height, vs.fourcc) === ((w, h, "jpeg")))
+    assert(vs.sizes.toSeq === frames.map(_.length))
+    for (f <- 0 until 5) {
+      val slice = java.util.Arrays.copyOfRange(mp4,
+        vs.offsets(f).toInt, vs.offsets(f).toInt + vs.sizes(f))
+      assert(slice.toSeq === frames(f).toSeq, s"frame $f byte range")
+      val Some((dw, dh, dc, px)) = BinaryOps.decodeJpegPixels(slice)
+      assert((dw, dh, dc) === ((w, h, 1)))
+      for (y <- 0 until h; x <- 0 until w)
+        assert((px(y * w + x) & 0xff) === (f * 50 + (x / 8) * 20 + (y / 8) * 10) % 256)
+    }
+    // the metadata walker still reads the same container
+    val meta = BinaryOps.parseMp4Header(mp4).get
+    assert((meta.width, meta.height, meta.n_frames) === ((w, h, 5L)))
+    // a truncated mdat is rejected, never sliced short
+    assert(BinaryOps.parseMp4Samples(mp4.dropRight(8)).isEmpty)
+  }
+
+  test("videoFrameFeaturesBinary: every-2nd-frame stride, non-JPEG " +
+      "fourcc dropped") {
+    val docs = spark.range(0, 20).toDF("doc_id")
+    val corpus = BinaryOps.syntheticMjpegCorpus(spark, docs)
+    val out = BinaryOps.videoFrameFeaturesBinary(spark, corpus, everyNth = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getDouble(4))).toMap
+    for (id <- 0L until 20L) {
+      val w = (8 * (2 + id % 4)).toInt
+      val h = (8 * (1 + id % 3)).toInt
+      val nf = (3 + id % 4).toInt
+      val expectFrames = (0 until nf by 2).toSet
+      assert(out.keys.filter(_._1 == id).map(_._2).toSet === expectFrames)
+      for (f <- expectFrames) {
+        val (ow, oh, mean) = out((id, f))
+        assert((ow, oh) === ((w, h)))
+        val cols = w / 8; val rws = h / 8
+        val sv = (0 until cols * rws).map(bi =>
+          ((id * 31 + f * 97 + (bi % cols) * 17 + (bi / cols) * 23) % 256) * 64).sum
+        assert(mean === sv.toDouble / (w.toLong * h) / 255.0)
+      }
+    }
+    // patch the stsd fourcc to a codec we cannot decode: dropped, not stubbed
+    val one = corpus.filter(org.apache.spark.sql.functions.col("doc_id") === 3)
+      .collect()(0)
+      .getAs[Array[Byte]]("payload")
+    val idx = one.indexOfSlice("jpeg".getBytes("US-ASCII"))
+    assert(idx > 0)
+    val patched = one.clone()
+    "avc1".getBytes("US-ASCII").copyToArray(patched, idx)
+    assert(BinaryOps.parseMp4Samples(patched).get.fourcc === "avc1")
+    import spark.implicits._
+    val dropped = BinaryOps.videoFrameFeaturesBinary(spark,
+      Seq((3L, patched)).toDF("doc_id", "payload"))
+    assert(dropped.count() === 0L)
+  }
+
   test("truncated progressive: zero completed scans is None, a clean " +
       "between-scan cut renders the completed passes") {
     val w = 24; val h = 16
