@@ -85,6 +85,12 @@ object BinaryOps {
       val w = be32(p, 16)
       val h = be32(p, 20)
       if (w > 0 && h > 0) Some((w, h)) else None
+    } else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F'
+        && p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') {
+      // GIF87a/89a: logical screen w/h, little-endian 16-bit at 6/8
+      val w = le16(p, 6)
+      val h = le16(p, 8)
+      if (w > 0 && h > 0) Some((w, h)) else None
     } else if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
       var i = 2
       while (i + 3 < p.length && (p(i) & 0xff) == 0xff) {
@@ -361,7 +367,7 @@ object BinaryOps {
     * their codecs genuinely need external libraries.
     */
   def featurizePixels(payload: Array[Byte], dim: Int): Array[Double] =
-    decodePngPixels(payload) match {
+    decodePngPixels(payload).orElse(decodeGifPixels(payload)) match {
       case Some((w, h, ch, px)) =>
         val sums = new Array[Double](ch)
         var i = 0
@@ -999,6 +1005,281 @@ object BinaryOps {
         (id, buildMjpegMp4(w, h, 600, 25L * nf, frames))
       })
       .toDF("doc_id", "payload")
+  }
+
+  /** REAL GIF decode — JDK-only, the PNG/JPEG discipline applied to
+    * GIF87a/89a: header + logical-screen-descriptor walk, global/local
+    * color tables, extension-block skipping (GCE/comment/application),
+    * then the FIRST image descriptor's LZW-compressed index stream —
+    * LSB-first variable-width codes over concatenated sub-blocks, the
+    * standard dictionary growth (first free = clear+2, width bump when
+    * the table reaches 2^codeSize, add-skip at 4096 so deferred-clear
+    * encoders decode too), Adam-style 4-pass interlace reorder when the
+    * descriptor flags it, palette expansion to interleaved RGB. Returns
+    * (width, height, 3, pixels) in the [[decodePngPixels]] shape;
+    * animated GIFs decode their first frame (the standard still-image
+    * semantics); malformed streams, oversized dims, frames outside the
+    * canvas and out-of-palette indices are None, never garbage. */
+  def decodeGifPixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (p.length < 14 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F'
+        || p(3) != '8' || (p(4) != '7' && p(4) != '9') || p(5) != 'a')
+      return None
+    try {
+      val w = le16(p, 6)
+      val h = le16(p, 8)
+      if (w <= 0 || h <= 0 || w.toLong * h * 3 > (1L << 28)) return None
+      val packed = p(10) & 0xff
+      var off = 13
+      var gct: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val n = 1 << ((packed & 7) + 1)
+        if (off + 3 * n > p.length) return None
+        gct = java.util.Arrays.copyOfRange(p, off, off + 3 * n)
+        off += 3 * n
+      }
+      while (off < p.length) {
+        (p(off) & 0xff) match {
+          case 0x3b => return None // trailer before any image
+          case 0x21 => // extension: label, then sub-blocks to terminator
+            off += 2
+            while (off < p.length && p(off) != 0) off += 1 + (p(off) & 0xff)
+            if (off >= p.length) return None
+            off += 1
+          case 0x2c =>
+            if (off + 10 > p.length) return None
+            val left = le16(p, off + 1)
+            val top = le16(p, off + 3)
+            val iw = le16(p, off + 5)
+            val ih = le16(p, off + 7)
+            val ip = p(off + 9) & 0xff
+            off += 10
+            if (iw <= 0 || ih <= 0 || left + iw > w || top + ih > h)
+              return None
+            var pal = gct
+            if ((ip & 0x80) != 0) {
+              val n = 1 << ((ip & 7) + 1)
+              if (off + 3 * n > p.length) return None
+              pal = java.util.Arrays.copyOfRange(p, off, off + 3 * n)
+              off += 3 * n
+            }
+            if (pal == null) return None
+            val palSize = pal.length / 3
+            val interlaced = (ip & 0x40) != 0
+            // concatenate the data sub-blocks
+            if (off >= p.length) return None
+            val minCode = p(off) & 0xff
+            if (minCode < 1 || minCode > 11) return None
+            off += 1
+            val data = new java.io.ByteArrayOutputStream()
+            while (off < p.length && p(off) != 0) {
+              val n = p(off) & 0xff
+              if (off + 1 + n > p.length) return None
+              data.write(p, off + 1, n)
+              off += 1 + n
+            }
+            if (off >= p.length) return None
+            val d = data.toByteArray
+            // LZW decode to iw*ih palette indices
+            val idx = new Array[Byte](iw * ih)
+            val clear = 1 << minCode
+            val eoi = clear + 1
+            val prefix = new Array[Int](4096)
+            val suffix = new Array[Byte](4096)
+            var next = eoi + 1
+            var codeSize = minCode + 1
+            var prev = -1
+            var bitPos = 0L
+            var out = 0
+            val stack = new Array[Byte](4096)
+            def readCode(): Int = {
+              if (bitPos + codeSize > d.length * 8L) return -1
+              var v = 0
+              var i = 0
+              while (i < codeSize) {
+                val bp = bitPos + i
+                if ((d((bp >> 3).toInt) >> (bp & 7) & 1) != 0) v |= 1 << i
+                i += 1
+              }
+              bitPos += codeSize
+              v
+            }
+            def firstByteOf(code: Int): Byte = {
+              var c = code
+              while (c >= clear) c = prefix(c)
+              c.toByte
+            }
+            def emit(code: Int): Boolean = { // expand via the prefix chain
+              var c = code
+              var sp = 0
+              while (c >= clear) {
+                if (sp >= 4096 || c >= next) return false
+                stack(sp) = suffix(c); sp += 1; c = prefix(c)
+              }
+              if (c >= palSize) return false
+              if (out + sp + 1 > idx.length) return false
+              idx(out) = c.toByte; out += 1
+              while (sp > 0) { sp -= 1; idx(out) = stack(sp); out += 1 }
+              true
+            }
+            var done = false
+            while (!done && out < idx.length) {
+              val code = readCode()
+              if (code < 0 || code > next || code == eoi) done = true
+              else if (code == clear) {
+                next = eoi + 1; codeSize = minCode + 1; prev = -1
+              } else if (prev < 0) {
+                if (code >= clear || code >= palSize) return None
+                idx(out) = code.toByte; out += 1
+                prev = code
+              } else {
+                // code == next is the KwKwK case: str(prev)+first(prev),
+                // which is exactly the entry being added this step
+                val kwk = code == next
+                if (kwk && next >= 4096) return None // nothing to refer to
+                val first =
+                  if (kwk) firstByteOf(prev) else firstByteOf(code)
+                if (next < 4096) { // table full: decode only, no add
+                  prefix(next) = prev; suffix(next) = first
+                  next += 1
+                  if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+                }
+                if (kwk) { // emit the just-added entry: str(prev) + first
+                  if (!emit(prev)) return None
+                  if (out < idx.length) { idx(out) = first; out += 1 }
+                } else if (!emit(code)) return None
+                prev = code
+              }
+            }
+            if (out != idx.length) return None
+            // interlace: sequential rows land in 4-pass order
+            val rows =
+              if (!interlaced) (0 until ih).toArray
+              else {
+                val order = new Array[Int](ih)
+                var r = 0
+                for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                     y <- start until ih by step) { order(r) = y; r += 1 }
+                order
+              }
+            val outPx = new Array[Byte](w * h * 3)
+            var rSeq = 0
+            while (rSeq < ih) {
+              val y = top + rows(rSeq)
+              var x = 0
+              while (x < iw) {
+                val pi = (idx(rSeq * iw + x) & 0xff)
+                if (pi >= palSize) return None
+                val o = (y * w + left + x) * 3
+                outPx(o) = pal(pi * 3)
+                outPx(o + 1) = pal(pi * 3 + 1)
+                outPx(o + 2) = pal(pi * 3 + 2)
+                x += 1
+              }
+              rSeq += 1
+            }
+            return Some((w, h, 3, outPx))
+          case _ => return None
+        }
+      }
+      None
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Serialize a real GIF89a — global color table, optional interlace,
+    * a REAL LZW encoder (dictionary growth, width bumps mirroring the
+    * decoder's schedule, clear-and-reset at table-full) — the inverse of
+    * [[decodeGifPixels]] for the round-trip law and the q151 fixture.
+    * `palette` is (r,g,b) per index (length a power of two, 2..256);
+    * `pixel(x, y)` gives the palette index. */
+  def buildGif(w: Int, h: Int, palette: Array[(Int, Int, Int)],
+      pixel: (Int, Int) => Int, interlace: Boolean = false): Array[Byte] = {
+    val palSize = palette.length
+    require(palSize >= 2 && (palSize & (palSize - 1)) == 0 && palSize <= 256,
+      "palette size must be a power of two in 2..256")
+    val bits = 31 - Integer.numberOfLeadingZeros(palSize) // log2
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0x80 | ((bits - 1) & 7)) // GCT present, size 2^bits
+    out.write(0); out.write(0) // bg index, aspect
+    palette.foreach { case (r, g, b) =>
+      out.write(r); out.write(g); out.write(b) }
+    // image descriptor: full canvas
+    out.write(0x2c)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(if (interlace) 0x40 else 0)
+    // indices in stream order (interlace reorders rows)
+    val rows =
+      if (!interlace) (0 until h).toArray
+      else Seq((0, 8), (4, 8), (2, 4), (1, 2))
+        .flatMap { case (s, st) => s until h by st }.toArray
+    val idx = new Array[Int](w * h)
+    var k = 0
+    rows.foreach { y =>
+      var x = 0
+      while (x < w) { idx(k) = pixel(x, y); k += 1; x += 1 }
+    }
+    // LZW encode
+    val minCode = math.max(2, bits) // spec: minimum code size >= 2
+    out.write(minCode)
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val bytes = new java.io.ByteArrayOutputStream()
+    var cur = 0L
+    var nBits = 0
+    var codeSize = minCode + 1
+    def put(code: Int): Unit = {
+      cur |= code.toLong << nBits
+      nBits += codeSize
+      while (nBits >= 8) {
+        bytes.write((cur & 0xff).toInt); cur >>= 8; nBits -= 8
+      }
+    }
+    var dict = new java.util.HashMap[Long, Integer]()
+    var next = eoi + 1
+    put(clear)
+    var wCode = idx(0)
+    var i = 1
+    while (i < idx.length) {
+      val key = wCode.toLong << 12 | idx(i)
+      val hit = dict.get(key)
+      if (hit != null) wCode = hit
+      else {
+        put(wCode)
+        if (next < 4096) {
+          dict.put(key, next)
+          next += 1
+          // mirror of the decoder's bump (decoder adds lag one code, so
+          // the encoder widens when next EXCEEDS the current ceiling)
+          if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+        } else { // table full: clear and restart
+          put(clear)
+          dict = new java.util.HashMap[Long, Integer]()
+          next = eoi + 1
+          codeSize = minCode + 1
+        }
+        wCode = idx(i)
+      }
+      i += 1
+    }
+    put(wCode)
+    put(eoi)
+    if (nBits > 0) bytes.write((cur & 0xff).toInt)
+    // sub-blocks of <= 255 bytes + terminator + trailer
+    val b = bytes.toByteArray
+    var o = 0
+    while (o < b.length) {
+      val n = math.min(255, b.length - o)
+      out.write(n)
+      out.write(b, o, n)
+      o += n
+    }
+    out.write(0)
+    out.write(0x3b)
+    out.toByteArray
   }
 
   /** Deterministic 16-bit PCM WAV fixture per document — the audio
@@ -2342,6 +2623,47 @@ object BinaryOps {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         featurizeJpegColor(id, bytes) })
+  }
+
+  /** Deterministic GIF fixture per document (the q145 pattern for
+    * palette images): a 64-color global palette and every pixel's
+    * palette index are integer arithmetic on (doc_id, x, y) — GIF's LZW
+    * is lossless, so the oracle predicts every pixel. Every fourth
+    * document is INTERLACED, so the 4-pass reorder is on the oracle
+    * path, and the palette indices cycle with x so the LZW dictionary
+    * genuinely builds multi-symbol strings. */
+  def syntheticGifCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (13 + id % 20).toInt
+        val h = (11 + (id * 3) % 20).toInt
+        val pal = Array.tabulate(64)(i =>
+          ((i * 37 + 11) % 256, (i * 73 + 29) % 256, (i * 101 + 47) % 256))
+        (id, buildGif(w, h, pal,
+          (x, y) => ((id + x * 7 + y * 31) % 64).toInt,
+          interlace = id % 4 == 0))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Color featurization of GIF payloads — [[colorImageFeaturesBinary]]
+    * with [[decodeGifPixels]] as the codec; non-GIF payloads drop. */
+  def gifFeaturesBinary(spark: SparkSession,
+      payloads: DataFrame): Dataset[ColorImageFeatures] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeGifPixels(bytes).collect { case (w, h, 3, px) =>
+          val sums = new Array[Long](3)
+          var i = 0
+          while (i < px.length) { sums(i % 3) += px(i) & 0xff; i += 1 }
+          val n = (w.toDouble * h) * 255.0
+          ColorImageFeatures(id, w, h,
+            sums(0) / n, sums(1) / n, sums(2) / n)
+        }
+      })
   }
 
   /** Resize planning: fit each image into a `box`×`box` square preserving

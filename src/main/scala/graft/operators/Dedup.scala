@@ -518,4 +518,68 @@ object Dedup {
         graft.expressions.TokenExpressions.jaccardSim(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** EXACT SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", §3 ExactSubstr — re-expressed as a
+    * relational plan instead of the paper's suffix array): every
+    * duplicated token run of length ≥ `windowN` across the corpus,
+    * reported as per-document MAXIMAL spans.
+    *
+    *  1. Slide a `windowN`-token window over every position of every
+    *     document and hash it — done INSIDE the row with
+    *     `transform(sequence(...), slice)` over the token array, so the
+    *     expansion is computed per-document with zero shuffle, and only
+    *     (id, pos, hash64) rows leave the stage. A duplicated substring
+    *     of length L ≥ windowN duplicates all L−windowN+1 of its
+    *     windows, which is what makes span merging exact.
+    *  2. One shuffle groups by window hash; hashes seen ≥ 2 times (self-
+    *     repeats count — a doc repeating its own boilerplate dedups too)
+    *     are the duplicated windows. The hot set is bounded by actual
+    *     duplication, so it joins back broadcast-shaped, exactly the
+    *     q104 plan.
+    *  3. Per document, merge hit windows into maximal spans by
+    *     gaps-and-islands over window start positions: windows at p and
+    *     p' overlap-or-abut iff p' ≤ p + windowN, so an island break is
+    *     a gap > windowN; each island reports [start, end] in token
+    *     coordinates, its window count, and its hash count.
+    *
+    * At 100 TB: stage 1 is embarrassingly parallel; the stage-2 shuffle
+    * key is the 64-bit window hash (corpus-token-sized, uniformly
+    * distributed — the same volume any shingle pipeline shuffles); stage
+    * 3 repartitions by document, span merge is a per-doc sort window.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      windowN: Int = 8): DataFrame = {
+    require(windowN >= 2, "windowN must be >= 2")
+    val toks = docs.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("w"))
+    val wins = toks
+      .filter(size(col("w")) >= windowN)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("w")) - windowN),
+        i => struct(i.as("pos"),
+          xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(windowN))))
+            .as("h")))).as("pw"))
+      .select(col("id"), col("pw.pos").cast("long").as("pos"),
+        col("pw.h").as("h"))
+    val hot = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("h"))
+    val hits = wins.join(hot, Seq("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > windowN, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("id").as("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(windowN - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
 }

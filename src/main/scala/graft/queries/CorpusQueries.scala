@@ -385,6 +385,41 @@ object CorpusQueries {
       SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
              round(cos, 6) AS cos_sim
       FROM rk WHERE rank <= 10""")),
+
+    // EXACT SUBSTRING dedup (Lee et al. 2022 ExactSubstr as a relational
+    // plan): every duplicated run of >= 8 tokens anywhere in the corpus
+    // (self-repeats included), reported as per-document MAXIMAL spans.
+    // Sliding windows are expanded INSIDE the row (transform over
+    // sequence + slice — no shuffle), duplicated window hashes are one
+    // corpus-token-sized groupBy, and overlapping hit windows merge into
+    // spans by gaps-and-islands per document. The oracle replays the
+    // same windows/merge with DuckDB list slicing; hashes differ
+    // (xxhash64 vs md5) but only equality is consumed.
+    ("q150_dup_spans", (s: SparkSession, d: String) => {
+      Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        windowN = 8)
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                 FROM documents),
+      e AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 8)) AS pos
+            FROM t WHERE len(w) >= 8),
+      wn AS (SELECT doc_id, pos,
+                    md5(array_to_string(w[pos + 1 : pos + 8], ' ')) AS h
+             FROM e),
+      hot AS (SELECT h FROM wn GROUP BY h HAVING count(*) >= 2),
+      hits AS (SELECT doc_id, pos FROM wn JOIN hot USING (h)),
+      g AS (SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) > 8
+                        THEN 1 ELSE 0 END AS brk
+            FROM hits),
+      i AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM g)
+      SELECT doc_id, min(pos) AS span_start,
+             max(pos) + 7 AS span_end, count(*) AS n_windows
+      FROM i GROUP BY doc_id, island""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

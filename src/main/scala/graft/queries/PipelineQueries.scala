@@ -434,6 +434,47 @@ object PipelineQueries {
              w AS width, h AS height,
              round(sv / (w * h) / 255.0, 6) AS mean_px
       FROM agg""")),
+
+    // REAL GIF decode through the oracle gate — the q145 discipline for
+    // the palette format: each document gets a real GIF89a (64-color
+    // global table, REAL LZW compression with dictionary growth and
+    // width bumps, every fourth document interlaced so the 4-pass
+    // reorder is oracle-checked), decoded by the full LZW/interlace/
+    // palette chain (BinaryOps.decodeGifPixels). GIF is lossless, so
+    // the oracle predicts every pixel from the index formula. With
+    // q145-q148 this closes the library-free web image surface:
+    // JPEG + PNG + GIF; WEBP/AVIF genuinely need codec libraries.
+    ("q151_gif_decode", (s: SparkSession, d: String) => {
+      import graft.functions.ColumnFunctions.pround
+      BinaryOps.gifFeaturesBinary(s,
+          BinaryOps.syntheticGifCorpus(s, Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          pround(col("mean_r"), 6).as("mean_r"),
+          pround(col("mean_g"), 6).as("mean_g"),
+          pround(col("mean_b"), 6).as("mean_b"))
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(13 + doc_id % 20 AS INTEGER) AS w,
+               CAST(11 + (doc_id * 3) % 20 AS INTEGER) AS h
+        FROM documents),
+      px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM p),
+      v AS (SELECT doc_id, w, h,
+                   (doc_id + (i % w) * 7 + (i // w) * 31) % 64 AS ci
+            FROM px),
+      c AS (SELECT doc_id, w, h,
+                   (ci * 37 + 11) % 256 AS r,
+                   (ci * 73 + 29) % 256 AS g,
+                   (ci * 101 + 47) % 256 AS b
+            FROM v),
+      agg AS (SELECT doc_id, w, h,
+                     sum(r) AS sr, sum(g) AS sg, sum(b) AS sb
+              FROM c GROUP BY doc_id, w, h)
+      SELECT doc_id, w AS width, h AS height,
+             round(sr / (w * h * 255.0), 6) AS mean_r,
+             round(sg / (w * h * 255.0), 6) AS mean_g,
+             round(sb / (w * h * 255.0), 6) AS mean_b
+      FROM agg""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

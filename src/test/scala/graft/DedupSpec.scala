@@ -252,4 +252,28 @@ class DedupSpec extends AnyFunSuite {
     assert(j((0L, 1L)) === 1.0)
     assert(j((0L, 3L)) === 0.0)
   }
+
+  test("duplicatedSpans: maximal >=N-token duplicated runs, self-repeats " +
+      "count, unique text reports nothing") {
+    // a1..a9 is shared verbatim by docs 10/11 (length 9 = two overlapping
+    // 8-windows -> ONE maximal span 0..8); doc 12 repeats its own 8-token
+    // run b1..b8 at positions 0 and 9 with a breaker token between (gap 9
+    // > windowN -> TWO spans); doc 13 is unique
+    val docs = Seq(
+      (10L, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),
+      (11L, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),
+      (12L, "b1 b2 b3 b4 b5 b6 b7 b8 X b1 b2 b3 b4 b5 b6 b7 b8"),
+      (13L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", windowN = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans === Set(
+      (10L, 0L, 8L, 2L), // two windows (pos 0, 1) merged into one span
+      (11L, 0L, 8L, 2L),
+      (12L, 0L, 7L, 1L), // self-repeat: both copies reported...
+      (12L, 9L, 16L, 1L), // ...as separate spans (gap > windowN)
+    ))
+  }
 }

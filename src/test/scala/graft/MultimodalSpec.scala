@@ -640,6 +640,72 @@ class MultimodalSpec extends AnyFunSuite {
       .exists(u => ((v(u % cols, u / cols) - 128) & 1) == 1))
   }
 
+  test("GIF round-trips exactly, plain and interlaced; truncation is None") {
+    val w = 29; val h = 23
+    val pal = Array.tabulate(64)(i =>
+      ((i * 37 + 11) % 256, (i * 73 + 29) % 256, (i * 101 + 47) % 256))
+    def pix(x: Int, y: Int) = (x * 7 + y * 31) % 64
+    for (inter <- Seq(false, true)) {
+      val gif = BinaryOps.buildGif(w, h, pal, pix, interlace = inter)
+      val Some((gw, gh, ch, px)) = BinaryOps.decodeGifPixels(gif)
+      assert((gw, gh, ch) === ((w, h, 3)), s"interlace=$inter")
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = pal(pix(x, y))
+        val o = (y * w + x) * 3
+        assert(((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff)) ===
+          ((r, g, b)), s"pixel ($x,$y) interlace=$inter")
+      }
+      assert(BinaryOps.decodeGifPixels(gif.dropRight(6)).isEmpty,
+        "truncated stream must be rejected")
+      // the header parser reads the same dimensions
+      assert(BinaryOps.parseImageHeader(gif) === Some((w, h)))
+    }
+  }
+
+  test("GIF LZW survives dictionary growth to table-full and clear-reset; " +
+      "imageio agrees both directions") {
+    // a noisy 180x140 pattern defeats run compression, so the encoder
+    // genuinely fills the 4096-entry table and emits a mid-stream CLEAR
+    val w = 180; val h = 140
+    val pal = Array.tabulate(64)(i => (i * 4, 255 - i * 4, (i * 7) % 256))
+    def pix(x: Int, y: Int) = (x * 7 + y * 31 + x * y) % 64
+    val gif = BinaryOps.buildGif(w, h, pal, pix)
+    val Some((gw, gh, _, px)) = BinaryOps.decodeGifPixels(gif)
+    assert((gw, gh) === ((w, h)))
+    for (y <- 0 until h by 7; x <- 0 until w by 11) {
+      val (r, g, b) = pal(pix(x, y))
+      val o = (y * w + x) * 3
+      assert(((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff)) === ((r, g, b)))
+    }
+    // direction 1: the JDK reads OUR gif
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img != null && img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h by 7; x <- 0 until w by 11) {
+      val rgb = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert((((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)) ===
+        ((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff)), s"($x,$y)")
+    }
+    // direction 2: WE read the JDK's own GIF encoder output — the
+    // cross-codec check that pins the LZW width-bump schedule
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pal(pix(x, y))
+      bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", bos))
+    val Some((jw, jh, _, jpx)) = BinaryOps.decodeGifPixels(bos.toByteArray)
+    assert((jw, jh) === ((w, h)))
+    for (y <- 0 until h by 7; x <- 0 until w by 11) {
+      val rgb = bi.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert((((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)) ===
+        ((jpx(o) & 0xff, jpx(o + 1) & 0xff, jpx(o + 2) & 0xff)), s"jdk ($x,$y)")
+    }
+  }
+
   test("MJPEG MP4 round-trips: sample table resolves every frame, each " +
       "decodes to the source JPEG's exact pixels") {
     val w = 24; val h = 16
