@@ -551,9 +551,22 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       windowN: Int = 8): DataFrame = {
     require(windowN >= 2, "windowN must be >= 2")
-    val toks = docs.select(col(idCol).as("id"),
-      split(trim(col(textCol)), "\\s+").as("w"))
-    val wins = toks
+    val wins = windowRows(docs, idCol, textCol, windowN)
+    val hot = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .select(col("h"))
+    spansFromHits(wins.join(hot, Seq("h")), windowN)
+  }
+
+  /** One (id, pos, h) row per `windowN`-token sliding window of every
+    * document — the expansion both [[duplicatedSpans]] and the persisted
+    * [[SpanStore]] derive from. Computed INSIDE the row (transform over
+    * sequence + slice), so nothing shuffles until the consumer's groupBy. */
+  private[operators] def windowRows(docs: DataFrame, idCol: String,
+      textCol: String, windowN: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("w"))
       .filter(size(col("w")) >= windowN)
       .select(col("id"), explode(transform(
         sequence(lit(0), size(col("w")) - windowN),
@@ -562,11 +575,11 @@ object Dedup {
             .as("h")))).as("pw"))
       .select(col("id"), col("pw.pos").cast("long").as("pos"),
         col("pw.h").as("h"))
-    val hot = wins.groupBy(col("h"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2)
-      .select(col("h"))
-    val hits = wins.join(hot, Seq("h"))
+
+  /** (id, pos[, …]) hit windows → maximal per-document spans by
+    * gaps-and-islands over window start positions (break at gap >
+    * windowN — beyond that the coverage intervals no longer touch). */
+  private[operators] def spansFromHits(hits: DataFrame, windowN: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
     hits

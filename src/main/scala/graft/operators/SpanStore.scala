@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+
+/** Persisted EXACT-SUBSTRING state — the incremental half of
+  * [[Dedup.duplicatedSpans]] (Lee et al. 2022 ExactSubstr): the corpus's
+  * sliding-window hash counts live on disk so a new crawl batch finds its
+  * duplicated ≥N-token spans against a 100 TB corpus by probing the
+  * store, never by re-expanding the old corpus.
+  *
+  * Layout (the [[Generations]] manifest protocol shared by the index /
+  * ANN / LM / CC / SCD2 stores — atomic commit, reader grace, orphan
+  * sweep, snapshot history, enforced single writer):
+  *
+  *   _MANIFEST                   committed generation list
+  *   meta/                       one row (window_n, n_shards)
+  *   wins/gen=<g>/shard=<s>/     (h, c) — window-hash occurrence counts,
+  *       folded by sum across generations; sharded by pmod(h) so a
+  *       batch-bounded probe prunes to its touched shards
+  *   docreg/gen=<g>/             (id) — ingested-doc registry backing
+  *       the append-only contract
+  *
+  * Serving cost shape: a batch probe reads only the probed shard
+  * directories of the `wins` surface and joins on the 64-bit hash — the
+  * shuffle is batch-bound (the store side is filtered by the batch's
+  * broadcast hash set first), so scoring a fixed batch stays flat as
+  * the corpus grows, the same contract the scale probe pins for the
+  * other stores.
+  */
+object SpanStore {
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def shardOf(h: Column, nShards: Int) =
+    pmod(h, lit(nShards.toLong)).cast("int")
+
+  private def readMeta(spark: SparkSession, dir: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$dir/meta")
+      .select(col("window_n"), col("n_shards")).head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  private val surfaces = Seq("wins", "docreg")
+
+  private val winsSchema = new StructType()
+    .add("h", LongType).add("c", LongType)
+    .add("gen", StringType).add("shard", IntegerType)
+  private val docregSchema = new StructType()
+    .add("id", StringType).add("gen", StringType)
+
+  private def winsSurface(spark: SparkSession, dir: String,
+      gens: Seq[String]): DataFrame =
+    Generations.readSurfaceMixed(spark, dir, "wins", gens, winsSchema, "shard")
+
+  private def winsPruned(spark: SparkSession, dir: String,
+      gens: Seq[String], shards: Seq[Int]): DataFrame =
+    Generations.readSurfacePruned(spark, dir, "wins", gens, winsSchema,
+      "shard", shards)
+
+  private def docreg(spark: SparkSession, dir: String,
+      gens: Seq[String]): DataFrame =
+    Generations.readSurfaceAs(spark, dir, "docreg", gens, docregSchema)
+
+  /** One generation of both surfaces. Build/compaction generations are
+    * shard-directory-partitioned (one file per shard); batch appends are
+    * FLAT segments (shard stays a data column, file count tracks the
+    * batch) — the same Lucene segment split as the other stores. */
+  private def writeGeneration(wins: DataFrame, ids: DataFrame, dir: String,
+      gen: String, nShards: Int, segment: Boolean): Unit = {
+    val counts = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .withColumn("shard", shardOf(col("h"), nShards))
+    (if (segment)
+       counts.repartition(col("shard")).sortWithinPartitions(col("shard"), col("h"))
+         .write.mode("overwrite")
+     else
+       counts.repartition(col("shard"))
+         .write.mode("overwrite").partitionBy("shard"))
+      .parquet(s"$dir/wins/gen=$gen")
+    ids.select(col("id").cast("string").as("id"))
+      .write.mode("overwrite").parquet(s"$dir/docreg/gen=$gen")
+  }
+
+  /** Build a fresh persisted span store under `dir` (any previous store
+    * there is removed): the corpus's window-hash counts, sharded and
+    * manifest-committed. */
+  def spanStoreBuild(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, windowN: Int = 8, nShards: Int = 16): Unit = {
+    require(windowN >= 2 && nShards >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fsOf(spark, dir).delete(new Path(dir), true)
+    writeGeneration(Dedup.windowRows(docs, idCol, textCol, windowN),
+      docs.select(col(idCol).as("id")), dir, "g0", nShards, segment = false)
+    Seq((windowN, nShards)).toDF("window_n", "n_shards")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    Generations.commit(spark, dir, Seq("g0"))
+  }
+
+  /** Absorb a new batch's window counts as a flat segment generation —
+    * old files are never rewritten; readers fold. Append-only contract:
+    * a doc id enters the store exactly once (re-ingesting would double
+    * its window counts and fabricate duplicated spans). */
+  def spanStoreAppend(batch: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit =
+      Generations.withWriterLock(batch.sparkSession, dir) {
+    val spark = batch.sparkSession
+    val (windowN, nShards) = readMeta(spark, dir)
+    val dupe = docreg(spark, dir, Generations.live(spark, dir))
+      .join(batch.select(col(idCol).cast("string").as("id")),
+        Seq("id"), "left_semi")
+    require(dupe.isEmpty,
+      "spanStoreAppend: batch contains doc ids already in the store — " +
+        "the append-only contract forbids re-ingesting a document")
+    val gen = Generations.nextName(spark, dir, surfaces, 'g')
+    writeGeneration(Dedup.windowRows(batch, idCol, textCol, windowN),
+      batch.select(col(idCol).as("id")), dir, gen, nShards, segment = true)
+    Generations.add(spark, dir, gen)
+  }
+
+  /** The batch's duplicated spans against STORE ∪ BATCH, without
+    * re-expanding the stored corpus: a batch window is duplicated iff
+    * its hash occurs ≥ 2 times across the store's counts plus the
+    * batch's own — exactly [[Dedup.duplicatedSpans]] over the full
+    * corpus, restricted to the batch's documents (the incremental==batch
+    * law SpanStoreSpec pins). Serve-only: the store is not mutated —
+    * call [[spanStoreAppend]] to ingest the batch afterwards.
+    *
+    * Plan shape: the store read is path-pruned to the batch's touched
+    * shards, then semi-filtered by the batch's broadcast hash set BEFORE
+    * aggregation, so the join and shuffle are batch-bound; only the
+    * probed shards' scan grows with the corpus. */
+  def duplicatedSpansIncremental(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, dir: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val (windowN, nShards) = readMeta(spark, dir)
+    val bw = Dedup.windowRows(batch, idCol, textCol, windowN)
+      .localCheckpoint()
+    val probed = bw.select(shardOf(col("h"), nShards).as("s"))
+      .distinct().collect().map(_.getInt(0))
+    val gens = asOf.map(Generations.liveAt(spark, dir, _))
+      .getOrElse(Generations.live(spark, dir))
+    val stored = winsPruned(spark, dir, gens, probed.toIndexedSeq)
+      .join(broadcast(bw.select(col("h")).distinct()), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(sum(col("c")).as("c"))
+    val batchCnt = bw.groupBy(col("h")).agg(count(lit(1)).as("bc"))
+    val hot = batchCnt
+      .join(stored, Seq("h"), "left")
+      .filter(col("bc") + coalesce(col("c"), lit(0L)) >= 2)
+      .select(col("h"))
+    Dedup.spansFromHits(bw.join(hot, Seq("h")), windowN)
+  }
+
+  /** Fold the committed generations into one `c<n>` generation: window
+    * counts merge by sum, the doc registry passes through (disjoint by
+    * the append-only contract). Correctness never depends on compaction
+    * (readers fold); it bounds generation and file counts. */
+  def spanStoreCompact(spark: SparkSession, dir: String,
+      keepGens: Set[String] = Set.empty): Unit =
+      Generations.withWriterLock(spark, dir) {
+    Generations.sweepUnreferenced(spark, dir, surfaces, keepGens)
+    val liveGens = Generations.live(spark, dir)
+    val foldGens = liveGens.filterNot(keepGens)
+    if (foldGens.isEmpty ||
+      (foldGens.sizeIs == 1 && foldGens.head.startsWith("c"))) return
+    val cGen = Generations.nextName(spark, dir, surfaces, 'c')
+    winsSurface(spark, dir, foldGens).drop("gen")
+      .groupBy(col("shard"), col("h")).agg(sum(col("c")).as("c"))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dir/wins/gen=$cGen")
+    docreg(spark, dir, foldGens).drop("gen")
+      .write.mode("overwrite").parquet(s"$dir/docreg/gen=$cGen")
+    Generations.commit(spark, dir, cGen +: liveGens.filter(keepGens))
+  }
+}

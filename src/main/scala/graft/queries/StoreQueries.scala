@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{ClusterStore, Components, History, Indexing, LmStore, Retrieval, Similarity, VectorStore}
+import graft.operators.{ClusterStore, Components, History, Indexing, LmStore, Retrieval, Similarity, SpanStore, VectorStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -512,7 +512,60 @@ object StoreQueries {
       JOIN c1 USING (w1)
       CROSS JOIN v
       GROUP BY bg.doc_id""")),
+
+    // Incremental EXACT-SUBSTRING dedup served from the persisted span
+    // store (q150's lifecycle twin): the old corpus's window-hash counts
+    // are built in TWO generations (build + append, so the serve folds
+    // counts by sum across segments), then the %11 batch finds its
+    // duplicated >=8-token spans by probing the store — no old-corpus
+    // re-expansion. The oracle replays the FULL-corpus computation
+    // restricted to batch documents: a batch window is duplicated iff
+    // its hash count across store + batch is >= 2, which is exactly the
+    // incremental==batch law SpanStoreSpec pins.
+    ("q152_dup_spans_incr", (s: SparkSession, d: String) => {
+      val dir = spanStore(s, d)
+      SpanStore.duplicatedSpansIncremental(s,
+        Tables.documents(s, d).filter(col("doc_id") % 11 === 0),
+        "doc_id", "text", dir)
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                 FROM documents),
+      e AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 8)) AS pos
+            FROM t WHERE len(w) >= 8),
+      wn AS (SELECT doc_id, pos,
+                    md5(array_to_string(w[pos + 1 : pos + 8], ' ')) AS h
+             FROM e),
+      hot AS (SELECT h FROM wn GROUP BY h HAVING count(*) >= 2),
+      hits AS (SELECT doc_id, pos FROM wn JOIN hot USING (h)
+               WHERE doc_id % 11 = 0),
+      g AS (SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) > 8
+                        THEN 1 ELSE 0 END AS brk
+            FROM hits),
+      i AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM g)
+      SELECT doc_id, min(pos) AS span_start,
+             max(pos) + 7 AS span_end, count(*) AS n_windows
+      FROM i GROUP BY doc_id, island""")),
   )
+
+  private val builtSpan = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Span store over the NON-batch corpus (doc_id % 11 != 0), built in
+    * two generations so serving folds counts across segments. */
+  private def spanStore(s: SparkSession, d: String): String =
+    builtSpan.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_span_q").toString + "/store"
+      val old = Tables.documents(s, d).filter(col("doc_id") % 11 =!= 0)
+      SpanStore.spanStoreBuild(old.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dir, windowN = 8, nShards = 8)
+      SpanStore.spanStoreAppend(old.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", dir)
+      dir
+    })
 
   private def sqlOf(name: String): Option[String] = base.find(_._1 == name).flatMap(_._3)
 

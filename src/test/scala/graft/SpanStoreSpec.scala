@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{Dedup, Generations, SpanStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lifecycle laws for the persisted exact-substring (window-hash) store:
+  * serving the store must be indistinguishable from recomputing
+  * [[Dedup.duplicatedSpans]] over the full corpus — segmented, compacted,
+  * or at a retained snapshot.
+  */
+class SpanStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_span").toString + "/store"
+
+  // old corpus: two docs share a 9-token run (one maximal span); one doc
+  // carries a run the BATCH will duplicate; one unique doc
+  private lazy val oldDocs = Seq(
+    (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),
+    (2L, "a1 a2 a3 a4 a5 a6 a7 a8 a9"),
+    (3L, "s1 s2 s3 s4 s5 s6 s7 s8 tail1 tail2"),
+    (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+  ).toDF("doc_id", "text")
+
+  // batch: doc 22 duplicates doc 3's run; doc 33 self-repeats; doc 44 is
+  // novel (must report NOTHING even though the old corpus has dups)
+  private lazy val batch = Seq(
+    (22L, "pre1 s1 s2 s3 s4 s5 s6 s7 s8 post1"),
+    (33L, "b1 b2 b3 b4 b5 b6 b7 b8 Z b1 b2 b3 b4 b5 b6 b7 b8"),
+    (44L, "n1 n2 n3 n4 n5 n6 n7 n8 n9"),
+  ).toDF("doc_id", "text")
+
+  private def rows(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  private def fullRestricted(): Set[(Long, Long, Long, Long)] =
+    rows(Dedup.duplicatedSpans(oldDocs.unionByName(batch), "doc_id", "text",
+        windowN = 8)
+      .filter(col("doc_id").isin(22L, 33L, 44L)))
+
+  test("incremental == batch: spans vs the store equal the full-corpus " +
+      "recompute restricted to the batch, across two segments") {
+    val dir = tmp()
+    SpanStore.spanStoreBuild(oldDocs.filter($"doc_id" <= 2), "doc_id", "text",
+      dir, windowN = 8, nShards = 4)
+    SpanStore.spanStoreAppend(oldDocs.filter($"doc_id" > 2), "doc_id", "text",
+      dir)
+    val served = rows(SpanStore.duplicatedSpansIncremental(spark, batch,
+      "doc_id", "text", dir))
+    assert(served === fullRestricted())
+    // and the law is not vacuous: the cross-store dup and the self-repeat
+    // both report, the novel doc stays silent
+    assert(served.exists(_._1 == 22L))
+    assert(served.count(_._1 == 33L) === 2)
+    assert(!served.exists(_._1 == 44L))
+  }
+
+  test("append-only contract: re-ingesting a doc id fails fast") {
+    val dir = tmp()
+    SpanStore.spanStoreBuild(oldDocs, "doc_id", "text", dir,
+      windowN = 8, nShards = 4)
+    val e = intercept[IllegalArgumentException] {
+      SpanStore.spanStoreAppend(oldDocs.filter($"doc_id" === 1), "doc_id",
+        "text", dir)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("compaction is serve-invariant and the pre-compaction snapshot " +
+      "still answers") {
+    val dir = tmp()
+    SpanStore.spanStoreBuild(oldDocs.filter($"doc_id" <= 2), "doc_id", "text",
+      dir, windowN = 8, nShards = 4)
+    SpanStore.spanStoreAppend(oldDocs.filter($"doc_id" > 2), "doc_id", "text",
+      dir)
+    val before = rows(SpanStore.duplicatedSpansIncremental(spark, batch,
+      "doc_id", "text", dir))
+    SpanStore.spanStoreCompact(spark, dir)
+    val after = rows(SpanStore.duplicatedSpansIncremental(spark, batch,
+      "doc_id", "text", dir))
+    assert(after === before)
+    assert(after === fullRestricted())
+    // time travel: the newest RETAINED snapshot predates the compaction
+    // flip and must serve the identical (fold-by-read) answer
+    val snap = Generations.snapshotIds(spark, dir).max
+    val asOf = rows(SpanStore.duplicatedSpansIncremental(spark, batch,
+      "doc_id", "text", dir, asOf = Some(snap)))
+    assert(asOf === before)
+  }
+}
