@@ -121,6 +121,36 @@ object SpanStore {
     Generations.add(spark, dir, gen)
   }
 
+  /** Replay-safe append for STREAM-triggered ingestion
+    * ([[graft.streaming.SpanStream]]): both surface writes target
+    * `gen=<gen>` with OVERWRITE, so an at-least-once redelivery — even
+    * after a crash that committed only one of the two — rewrites the
+    * same directories and converges; doc ids already ingested by a
+    * DIFFERENT generation are genuine re-ingestion and fail fast. `gen`
+    * must not collide with the batch ("g<k>") or compaction ("c<n>")
+    * namespaces — use "b<batchId>".
+    */
+  def spanStoreAppendOrReplay(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, dir: String, gen: String): Unit =
+      Generations.withWriterLock(spark, dir) {
+    require(gen.nonEmpty &&
+      !(gen.length > 1 && (gen.head == 'g' || gen.head == 'c') &&
+        gen.tail.forall(_.isDigit)),
+      s"spanStoreAppendOrReplay: generation name '$gen' collides with the " +
+        "batch/compaction namespace — use a distinct prefix, e.g. b<batchId>")
+    val (windowN, nShards) = readMeta(spark, dir)
+    val others = docreg(spark, dir, Generations.live(spark, dir))
+      .filter(col("gen") =!= gen)
+      .join(batch.select(col(idCol).cast("string").as("id")),
+        Seq("id"), "left_semi")
+    require(others.isEmpty,
+      "spanStoreAppendOrReplay: batch contains doc ids already ingested " +
+        "by a DIFFERENT generation — genuine re-ingestion, not a replay")
+    writeGeneration(Dedup.windowRows(batch, idCol, textCol, windowN),
+      batch.select(col(idCol).as("id")), dir, gen, nShards, segment = true)
+    Generations.add(spark, dir, gen)
+  }
+
   /** The batch's duplicated spans against STORE ∪ BATCH, without
     * re-expanding the stored corpus: a batch window is duplicated iff
     * its hash occurs ≥ 2 times across the store's counts plus the

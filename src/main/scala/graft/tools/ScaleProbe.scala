@@ -134,6 +134,9 @@ object ScaleProbe {
     val ccDir = s"$tmpDir/cc_x$k"
     graft.operators.ClusterStore.ccBuild(docs, "doc_id", "text", ccDir,
       nBuckets = 8 * sizeK)
+    val spanDir = s"$tmpDir/span_x$k"
+    graft.operators.SpanStore.spanStoreBuild(docs, "doc_id", "text", spanDir,
+      windowN = 8, nShards = 4 * sizeK)
     // The fixed query set and the fixed batch are PINNED once per scale
     // (driver-sized: 3 and 50 rows). Deriving them inside the timed
     // thunks by filtering the scaled corpus parquet would put an O(k)
@@ -151,6 +154,7 @@ object ScaleProbe {
     var idxCompacted = false // postc probe folds the index store ONCE per k
     var lmCompacted = false
     var ccCompacted = false
+    var spanCompacted = false
     Seq(
       ("bm25_from_index", () =>
         graft.operators.Retrieval.bm25FromIndex(spark, queries,
@@ -234,6 +238,43 @@ object ScaleProbe {
           .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),
             col("text"))
         graft.operators.LmStore.lmAppend(spark, batch, "doc_id", "text", lmDir)
+        batch.count()
+      }),
+      // fixed probe batch (fresh ids, text duplicating 50 stored docs)
+      // against a growing span store: the store read is path-pruned to
+      // the batch's touched shards and semi-filtered by the batch's
+      // broadcast window-hash set BELOW the count fold, so probe cost
+      // must stay batch-shaped as the stored corpus grows
+      ("span_probe", () =>
+        graft.operators.SpanStore.duplicatedSpansIncremental(spark,
+          batchBase.select((-col("doc_id") - 1).as("doc_id"), col("text")),
+          "doc_id", "text", spanDir).count()),
+      // fixed-size batch appended as a flat segment: window expansion and
+      // counts cost the batch; the append-only guard reads the doc
+      // registry (corpus-sized ids, tiny rows)
+      ("span_append", () => {
+        seq += 1
+        val batch = batchBase
+          .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),
+            col("text"))
+        graft.operators.SpanStore.spanStoreAppend(batch, "doc_id", "text",
+          spanDir)
+        batch.count()
+      }),
+      // the compaction-isolation row (index_append_postc pattern): fold
+      // the accumulated span generations once, then time appends against
+      // the compacted store
+      ("span_append_postc", () => {
+        if (!spanCompacted) {
+          graft.operators.SpanStore.spanStoreCompact(spark, spanDir)
+          spanCompacted = true
+        }
+        seq += 1
+        val batch = batchBase
+          .select((-(lit(seq) * 1000 + col("doc_id")) - 1).as("doc_id"),
+            col("text"))
+        graft.operators.SpanStore.spanStoreAppend(batch, "doc_id", "text",
+          spanDir)
         batch.count()
       }),
       // fixed-size batch absorbed into the growing cluster store: edge

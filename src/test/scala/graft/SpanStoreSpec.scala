@@ -92,4 +92,56 @@ class SpanStoreSpec extends AnyFunSuite {
       "doc_id", "text", dir, asOf = Some(snap)))
     assert(asOf === before)
   }
+
+  test("replay-safe append converges: redelivery rewrites the same " +
+      "generation; a different generation re-ingesting fails fast") {
+    val dir = tmp()
+    SpanStore.spanStoreBuild(oldDocs.filter($"doc_id" <= 2), "doc_id", "text",
+      dir, windowN = 8, nShards = 4)
+    val tail = oldDocs.filter($"doc_id" > 2)
+    SpanStore.spanStoreAppendOrReplay(spark, tail, "doc_id", "text", dir, "b0")
+    val once = rows(SpanStore.duplicatedSpansIncremental(spark, batch,
+      "doc_id", "text", dir))
+    assert(once === fullRestricted())
+    // at-least-once redelivery of the SAME batch into the SAME generation
+    // rewrites the directories in place — counts must not double
+    SpanStore.spanStoreAppendOrReplay(spark, tail, "doc_id", "text", dir, "b0")
+    assert(rows(SpanStore.duplicatedSpansIncremental(spark, batch,
+      "doc_id", "text", dir)) === once)
+    // the same ids arriving under a DIFFERENT generation is genuine
+    // re-ingestion, not a replay
+    val e = intercept[IllegalArgumentException] {
+      SpanStore.spanStoreAppendOrReplay(spark, tail, "doc_id", "text", dir,
+        "b1")
+    }
+    assert(e.getMessage.contains("DIFFERENT generation"))
+  }
+
+  test("streaming span ingest maintains the store exactly-once") {
+    val srcDir =
+      java.nio.file.Files.createTempDirectory("graft_spanstream_src").toString
+    val dir = tmp()
+    def writeOne(df: DataFrame, dest: String, mtime: Long): Unit = {
+      val t = java.nio.file.Files.createTempDirectory("graft_spanstream_w")
+        .toString + "/o"
+      df.coalesce(1).write.parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Path.of(dest))
+      new java.io.File(dest).setLastModified(mtime)
+    }
+    SpanStore.spanStoreBuild(oldDocs.filter($"doc_id" <= 2), "doc_id", "text",
+      dir, windowN = 8, nShards = 4)
+    writeOne(oldDocs.filter($"doc_id" === 3), s"$srcDir/f1.parquet", 1000000L)
+    writeOne(oldDocs.filter($"doc_id" === 4), s"$srcDir/f2.parquet", 2000000L)
+    graft.streaming.SpanStream.spanIngestAvailableNow(spark, srcDir, dir)
+    val got = rows(SpanStore.duplicatedSpansIncremental(spark, batch,
+      "doc_id", "text", dir))
+    assert(got === fullRestricted(),
+      "streamed store must equal the batch recompute")
+    // re-running with the same checkpoint is a no-op
+    graft.streaming.SpanStream.spanIngestAvailableNow(spark, srcDir, dir)
+    assert(rows(SpanStore.duplicatedSpansIncremental(spark, batch,
+      "doc_id", "text", dir)) === got)
+  }
 }
