@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalysisQueries, CorpusQueries, CurationQueries, ExtendedQueries, PipelineQueries, RelationalQueries, StoreQueries, TextQueries}
+import graft.queries.{AnalysisQueries, ClassifyQueries, CorpusQueries, CurationQueries, ExtendedQueries, PipelineQueries, RelationalQueries, StoreQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,12 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++ PipelineQueries.queries ++
       ExtendedQueries.queries ++ CorpusQueries.queries ++ CurationQueries.queries ++
-      StoreQueries.queries ++ AnalysisQueries.queries
+      StoreQueries.queries ++ AnalysisQueries.queries ++ ClassifyQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++ PipelineQueries.oracles ++
       ExtendedQueries.oracles ++ CorpusQueries.oracles ++ CurationQueries.oracles ++
-      StoreQueries.oracles ++ AnalysisQueries.oracles
+      StoreQueries.oracles ++ AnalysisQueries.oracles ++ ClassifyQueries.oracles
 }

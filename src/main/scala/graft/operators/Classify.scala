@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.functions.ColumnFunctions.pround
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classification as pure DataFrame
+  * aggregations — the quality/domain classifier stage of a curation
+  * pipeline (CCNet/GPT-3-style source filtering), expressed closed-form so
+  * a SQL oracle replays train AND score exactly.
+  *
+  * Smoothing is fixed at Laplace α=1, deliberately: with ln(α)=0 the
+  * score of doc d under label ℓ decomposes as
+  *
+  *   score(d,ℓ) = ln d_ℓ − ln D − m_d·ln(N_ℓ + V)
+  *                + Σ_{(t,ℓ) seen in training} tf_{d,t}·ln(c_{t,ℓ} + 1)
+  *
+  * where m_d counts d's tokens that exist in the training vocabulary at
+  * all. Every unseen-(t,ℓ) pair contributes exactly 0, so scoring is ONE
+  * token-keyed join against the seen (label, token) counts plus broadcast
+  * per-label constants — the |labels|×|V| smoothed matrix is never
+  * materialized. That is the 100 TB shape: training is two hash
+  * aggregations over the token stream, scoring shuffles only on token.
+  *
+  * Argmax ties (after the 4-decimal parity round) break toward the
+  * lexicographically smallest label.
+  */
+object Classify {
+
+  /** (label, token) occurrence counts over the training docs. */
+  private def tokenCounts(train: DataFrame, textCol: String,
+      labelCol: String): DataFrame =
+    train.select(col(labelCol).as("label"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Per-label doc and token totals plus the global doc count and
+    * vocabulary size — a |labels|-row frame, always broadcast. */
+  private def labelStats(train: DataFrame, idCol: String, textCol: String,
+      labelCol: String, counts: DataFrame): DataFrame = {
+    val perLabel = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(counts.groupBy(col("label")).agg(sum(col("c")).as("n_tokens")),
+        Seq("label"))
+    val globals = perLabel.agg(sum(col("n_docs")).as("n_docs_total"))
+      .crossJoin(counts.select(col("token")).distinct()
+        .agg(count(lit(1)).as("v_size")))
+    perLabel.crossJoin(broadcast(globals))
+  }
+
+  /** Training inspection surface: per label the doc/token totals, the
+    * log-prior, and the top-`k` tokens by count (ties to the smaller
+    * token) with their smoothed log-likelihoods.
+    */
+  def nbTopTokens(train: DataFrame, idCol: String, textCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val counts = tokenCounts(train, textCol, labelCol)
+    val stats = labelStats(train, idCol, textCol, labelCol, counts)
+    counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("c").desc, col("token"))))
+      .filter(col("rank") <= k)
+      .join(broadcast(stats), Seq("label"))
+      .select(col("label"), col("rank"), col("n_docs"), col("n_tokens"),
+        col("v_size"),
+        pround(log(col("n_docs").cast("double") / col("n_docs_total")), 6)
+          .as("log_prior"),
+        col("token"), col("c"),
+        pround(log((col("c") + lit(1.0)) /
+          (col("n_tokens") + col("v_size")).cast("double")), 6)
+          .as("log_lik"))
+  }
+
+  /** Score `test` docs against the model trained on `train`; returns one
+    * row per test doc: the true label, the argmax prediction, its rounded
+    * score, and a correctness flag.
+    */
+  def nbClassify(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, labelCol: String): DataFrame = {
+    val counts = tokenCounts(train, textCol, labelCol)
+    val stats = labelStats(train, idCol, textCol, labelCol, counts)
+    val tf = test.select(col(idCol).as("id"), col(labelCol).as("true_label"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("id"), col("true_label"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // m_d: test tokens restricted to the training vocabulary (any label)
+    val vocab = counts.select(col("token")).distinct()
+    val mDoc = tf.join(vocab, Seq("token"), "left_semi")
+      .groupBy(col("id"), col("true_label")).agg(sum(col("tf")).as("m"))
+    // Σ tf·ln(c+1) over the SEEN (token, label) pairs — token-keyed join,
+    // the only corpus-shaped shuffle in scoring
+    val seen = tf.join(counts, Seq("token"))
+      .groupBy(col("id"), col("label"))
+      .agg(sum(col("tf") * log(col("c") + lit(1.0))).as("s_seen"))
+    val scored = mDoc.crossJoin(broadcast(stats))
+      .join(seen, Seq("id", "label"), "left")
+      .select(col("id"), col("true_label"), col("label"),
+        pround(log(col("n_docs").cast("double") / col("n_docs_total"))
+          - col("m") * log((col("n_tokens") + col("v_size")).cast("double"))
+          + coalesce(col("s_seen"), lit(0.0)), 4).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("score").desc, col("label"))))
+      .filter(col("rank") === 1)
+      .select(col("id").as("doc_id"), col("true_label"),
+        col("label").as("pred_label"), col("score"),
+        when(col("label") === col("true_label"), 1).otherwise(0)
+          .as("correct"))
+  }
+}

@@ -476,6 +476,46 @@ object Similarity {
     * (the test oracle for [[embeddingNearDupsBanded]], which is the
     * declared scale path).
     */
+  /** SemDeDup-shaped semantic dedup with a deterministic, replayable
+    * geometry: assign every vector to its nearest of the `k` seed
+    * centroids (the k smallest-id vectors — a fixed, engine-independent
+    * choice standing in for trained k-means centres, which are seeded and
+    * hence unreplayable; the TRAINED path is [[ivfBuild]]), then inside
+    * each cluster mark members whose cosine to the cluster exemplar (its
+    * smallest id) reaches `tau` as semantic duplicates. Assignment ranks
+    * on the 6-decimal parity round of cosine (ties to the smaller
+    * centroid id) so the argmax replays exactly.
+    *
+    * Scale shape: centroids and exemplars are k-row broadcasts; the corpus
+    * is touched in two broadcast-join passes plus one k-group aggregation
+    * with map-side partials — no corpus-sized shuffle, no self-join.
+    */
+  def semDedupExemplar(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, tau: Double): DataFrame = {
+    val c = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val cent = c.orderBy(col("id")).limit(k)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val assigned = c.crossJoin(broadcast(cent))
+      .withColumn("cos", graft.functions.ColumnFunctions.pround(
+        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cid").as("cluster_id"))
+    val exemplars = assigned.groupBy(col("cluster_id"))
+      .agg(min(col("id")).as("exemplar_id"))
+      .join(c.select(col("id").as("exemplar_id"), col("v").as("ev"),
+        col("nrm").as("enrm")), Seq("exemplar_id"))
+    assigned.join(broadcast(exemplars), Seq("cluster_id"))
+      .withColumn("cos_ex", graft.functions.ColumnFunctions.pround(
+        dot(col("v"), col("ev")) / (col("nrm") * col("enrm")), 6))
+      .select(col("id").as(idCol), col("cluster_id"), col("exemplar_id"),
+        col("cos_ex"),
+        when(col("cos_ex") >= tau && col("id") =!= col("exemplar_id"), 1)
+          .otherwise(0).as("is_dup"))
+  }
+
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))

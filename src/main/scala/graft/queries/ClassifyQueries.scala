@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Classify, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation wave 5 (round 11): supervised source classification
+  * (multinomial Naive Bayes trained and served as pure aggregations) and
+  * deterministic SemDeDup-style semantic dedup. Every entry is
+  * oracle-checked — α=1 smoothing and seed-id centroids are chosen
+  * exactly so both train and serve replay closed-form in DuckDB (the
+  * seeded/trained variants of both live in MLlib-land: q60 / q51).
+  */
+object ClassifyQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def trainDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+  private def testDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // NB training surface on the doc_id%5≠0 split: per-source totals,
+    // log-prior, and the top-5 tokens with smoothed log-likelihoods —
+    // the inspectable model a curation pipeline ships alongside its
+    // filter decisions. Hash-checks both aggregation passes and the
+    // smoothing arithmetic.
+    ("q153_nb_train", (s: SparkSession, d: String) =>
+      Classify.nbTopTokens(trainDocs(s, d), "doc_id", "text", "source",
+        k = 5),
+    Some("""
+      WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      tk AS (SELECT source AS label,
+                    unnest(string_split_regex(text, '\s+')) AS token
+             FROM train),
+      cnt AS (SELECT label, token, count(*) AS c FROM tk GROUP BY label, token),
+      lbl AS (SELECT source AS label, count(*) AS n_docs FROM train GROUP BY source),
+      tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS n_tokens FROM cnt GROUP BY label),
+      g AS (SELECT (SELECT count(*) FROM train) AS n_docs_total,
+                   (SELECT count(DISTINCT token) FROM cnt) AS v_size),
+      rk AS (SELECT label, token, c,
+                    row_number() OVER (PARTITION BY label
+                      ORDER BY c DESC, token) AS rank
+             FROM cnt)
+      SELECT rk.label, CAST(rk.rank AS INTEGER) AS rank, lbl.n_docs,
+             tot.n_tokens, CAST(g.v_size AS BIGINT) AS v_size,
+             round(ln(lbl.n_docs * 1.0 / g.n_docs_total), 6) AS log_prior,
+             rk.token, rk.c,
+             round(ln((rk.c + 1.0) / (tot.n_tokens + g.v_size)), 6) AS log_lik
+      FROM rk JOIN lbl USING (label) JOIN tot USING (label) CROSS JOIN g
+      WHERE rk.rank <= 5""")),
+
+    // Held-out classification (doc_id%5=0): one row per test doc with the
+    // argmax source under the α=1 decomposition — unseen (token,label)
+    // pairs contribute ln(1)=0, so scoring is one token-keyed join plus
+    // broadcast label constants and the label×vocabulary matrix is never
+    // built. Ranks on the 4-decimal parity round, ties to the smaller
+    // label.
+    ("q154_nb_classify", (s: SparkSession, d: String) =>
+      Classify.nbClassify(trainDocs(s, d), testDocs(s, d), "doc_id", "text",
+        "source"),
+    Some("""
+      WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+      tk AS (SELECT source AS label,
+                    unnest(string_split_regex(text, '\s+')) AS token
+             FROM train),
+      cnt AS (SELECT label, token, count(*) AS c FROM tk GROUP BY label, token),
+      lbl AS (SELECT source AS label, count(*) AS n_docs FROM train GROUP BY source),
+      tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS n_tokens FROM cnt GROUP BY label),
+      g AS (SELECT (SELECT count(*) FROM train) AS n_docs_total,
+                   (SELECT count(DISTINCT token) FROM cnt) AS v_size),
+      stats AS (SELECT lbl.label, lbl.n_docs, tot.n_tokens, g.n_docs_total,
+                       g.v_size
+                FROM lbl JOIN tot USING (label) CROSS JOIN g),
+      tf AS (SELECT doc_id, true_label, token, count(*) AS tf
+             FROM (SELECT doc_id, source AS true_label,
+                          unnest(string_split_regex(text, '\s+')) AS token
+                   FROM test)
+             GROUP BY doc_id, true_label, token),
+      vocab AS (SELECT DISTINCT token FROM cnt),
+      m AS (SELECT tf.doc_id, tf.true_label, CAST(sum(tf.tf) AS BIGINT) AS m
+            FROM tf JOIN vocab USING (token) GROUP BY tf.doc_id, tf.true_label),
+      seen AS (SELECT tf.doc_id, cnt.label,
+                      sum(tf.tf * ln(cnt.c + 1.0)) AS s_seen
+               FROM tf JOIN cnt USING (token) GROUP BY tf.doc_id, cnt.label),
+      sc AS (SELECT m.doc_id, m.true_label, s.label,
+                    round(ln(s.n_docs * 1.0 / s.n_docs_total)
+                      - m.m * ln((s.n_tokens + s.v_size) * 1.0)
+                      + coalesce(seen.s_seen, 0.0), 4) AS score
+             FROM m CROSS JOIN stats s
+             LEFT JOIN seen ON seen.doc_id = m.doc_id AND seen.label = s.label),
+      rk AS (SELECT doc_id, true_label, label, score,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, label) AS rk
+             FROM sc)
+      SELECT doc_id, true_label, label AS pred_label, score,
+             CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS INTEGER)
+               AS correct
+      FROM rk WHERE rk = 1""")),
+
+    // Deterministic SemDeDup over the embeddings table: nearest of the 8
+    // seed-id centroids, then cosine-to-exemplar ≥ 0.85 inside each
+    // cluster marks the semantic duplicates. Hash-checks assignment
+    // (rounded-cosine argmax), exemplar choice, and the dup gate.
+    ("q155_semdedup", (s: SparkSession, d: String) =>
+      Similarity.semDedupExemplar(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 8, tau = 0.85),
+    Some("""
+      WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM c ORDER BY vec_id LIMIT 8),
+      a AS (SELECT c.vec_id, c.v, cent.cid,
+                   round(list_cosine_similarity(c.v, cent.cv), 6) AS cos
+            FROM c CROSS JOIN cent),
+      asg AS (SELECT vec_id, v, cid AS cluster_id,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cid) AS rk
+              FROM a),
+      mem AS (SELECT vec_id, v, cluster_id FROM asg WHERE rk = 1),
+      ex AS (SELECT cluster_id, min(vec_id) AS exemplar_id
+             FROM mem GROUP BY cluster_id),
+      exv AS (SELECT ex.cluster_id, ex.exemplar_id, c.v AS ev
+              FROM ex JOIN c ON c.vec_id = ex.exemplar_id)
+      SELECT mem.vec_id, mem.cluster_id, exv.exemplar_id,
+             round(list_cosine_similarity(mem.v, exv.ev), 6) AS cos_ex,
+             CAST(CASE WHEN round(list_cosine_similarity(mem.v, exv.ev), 6)
+                            >= 0.85
+                        AND mem.vec_id <> exv.exemplar_id
+                  THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+      FROM mem JOIN exv USING (cluster_id)""")),
+  )
+
+  val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+  val oracles: Map[String, String] = entries.collect { case (n, _, Some(sql)) =>
+    n -> sql.stripMargin.trim.replace("round(", "round(1e-8 + ")
+  }.toMap
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Classify, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the closed-form classifier and the deterministic SemDeDup:
+  * the α=1 score decomposition must equal the dense smoothed-matrix
+  * computation, argmax ties must break to the smaller label, and the
+  * exemplar gate must mark exactly the within-cluster near-copies.
+  */
+class ClassifySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val train = Seq(
+    (1L, "alpha alpha shared", "A"),
+    (2L, "alpha shared shared", "A"),
+    (3L, "beta beta shared", "B"),
+    (4L, "beta shared gamma", "B"),
+  ).toDF("doc_id", "text", "source")
+
+  test("separable held-out docs classify to their source") {
+    val test = Seq(
+      (10L, "alpha alpha alpha", "A"),
+      (11L, "beta beta gamma", "B"),
+    ).toDF("doc_id", "text", "source")
+    val got = Classify.nbClassify(train, test, "doc_id", "text", "source")
+      .select("doc_id", "pred_label", "correct")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === Set((10L, "A", 1), (11L, "B", 1)))
+  }
+
+  test("score decomposition equals the dense smoothed-matrix score") {
+    val test = Seq((10L, "alpha beta shared novel", "A"))
+      .toDF("doc_id", "text", "source")
+    // dense computation: for each label walk EVERY vocabulary token with
+    // explicit Laplace smoothing (the formulation the decomposition is
+    // algebra over); `novel` is out-of-vocabulary and must be dropped
+    val docs = train.select(col("source"), explode(split(col("text"), "\\s+")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.map(_._2).distinct.sorted
+    val labels = docs.map(_._1).distinct.sorted
+    val dense = labels.map { l =>
+      val c = vocab.map(t => t -> docs.count(d => d == (l, t)).toDouble).toMap
+      val nTok = c.values.sum
+      val prior = math.log(2.0 / 4.0)
+      val score = prior + Seq("alpha", "beta", "shared")
+        .map(t => math.log((c(t) + 1.0) / (nTok + vocab.size))).sum
+      l -> BigDecimal(score + 1e-8)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = Classify.nbClassify(train, test, "doc_id", "text", "source")
+      .select("pred_label", "score").collect().head
+    assert(got.getDouble(1) === dense(got.getString(0)))
+    assert(got.getString(0) === dense.maxBy(_._2)._1)
+  }
+
+  test("exact score ties break to the lexicographically smaller label") {
+    val sym = Seq(
+      (1L, "x common", "B"), (2L, "x common", "A"),
+    ).toDF("doc_id", "text", "source")
+    val test = Seq((10L, "common common", "B")).toDF("doc_id", "text", "source")
+    val got = Classify.nbClassify(sym, test, "doc_id", "text", "source")
+      .collect().head
+    assert(got.getString(2) === "A")
+  }
+
+  test("semDedup: copies of the exemplar are dups, the exemplar and far " +
+      "members are not, clusters follow the nearest seed") {
+    val e1 = Array.tabulate(8)(i => if (i == 0) 1f else 0f)
+    val e2 = Array.tabulate(8)(i => if (i == 1) 1f else 0f)
+    val near1 = Array.tabulate(8)(i =>
+      if (i == 0) 1f else if (i == 7) 0.01f else 0f)
+    val far1 = Array.tabulate(8)(i => if (i == 0) 1f else 0.9f)
+    val emb = Seq(
+      (0L, e1), (1L, e2),        // seed centroids (two smallest ids)
+      (2L, e1), (3L, near1),     // copies/near-copies of exemplar 0
+      (4L, far1),                // cluster 0, but cos to exemplar < 0.85
+      (5L, e2),                  // copy of exemplar 1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedupExemplar(emb, "vec_id", "embedding",
+      k = 2, tau = 0.85)
+      .select("vec_id", "cluster_id", "exemplar_id", "is_dup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got === Set(
+      (0L, 0L, 0L, 0), (2L, 0L, 0L, 1), (3L, 0L, 0L, 1), (4L, 0L, 0L, 0),
+      (1L, 1L, 1L, 0), (5L, 1L, 1L, 1)))
+  }
+}
