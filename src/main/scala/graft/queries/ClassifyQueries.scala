@@ -131,6 +131,37 @@ object ClassifyQueries {
                         AND mem.vec_id <> exv.exemplar_id
                   THEN 1 ELSE 0 END AS INTEGER) AS is_dup
       FROM mem JOIN exv USING (cluster_id)""")),
+    // PII redaction round-trip: the corpus carries no PII, so the query
+    // injects a deterministic doc_id-derived email/URL/phone tail into
+    // every document and scrubs it with the production cascade
+    // ([[graft.functions.TextFunctions.scrubPii]]) — the oracle replays
+    // injection AND all three regex passes, so a drifting pattern or
+    // ordering bug (URLs contain '@') fails the hash. Pure per-row
+    // codegen'd regexp work, no shuffle.
+    ("q156_pii_scrub", (s: SparkSession, d: String) => {
+      val injected = concat(col("text"),
+        lit(" see http://ex.com/p/"), col("doc_id").cast("string"),
+        lit("?u=1 or mail u"), col("doc_id").cast("string"),
+        lit("@corp.example.org call +1 (555) 010-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now"))
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextFunctions.scrubPii(injected).as("scrubbed"))
+    },
+    Some("""
+      WITH inj AS (SELECT doc_id,
+                          concat(text, ' see http://ex.com/p/', doc_id,
+                                 '?u=1 or mail u', doc_id,
+                                 '@corp.example.org call +1 (555) 010-',
+                                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                                 ' now') AS t
+                   FROM documents)
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+      FROM inj""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
