@@ -354,6 +354,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
 
+  test("q154 NB scoring plans no cartesian product; per-label constants " +
+      "ride as broadcasts") {
+    // the α=1 decomposition's plan contract: the only corpus-shaped joins
+    // are hash equi-joins (token-keyed seen-counts, doc-keyed assembly);
+    // the |labels|-row stats frame crosses in as a BROADCAST nested loop
+    // (intentional — it is k rows), never a CartesianProduct
+    val p = plan("q154_nb_classify")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
+  test("q155 semDedup touches the corpus only via broadcast joins — no " +
+      "product, no corpus self-join") {
+    val p = plan("q155_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // centroid cross and exemplar join both build on the k-row side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
   test("q45 LSH band join is array-free (only ids and hashes shuffle)") {
     // the bucket self-join must see narrow (band, band_hash, id) inputs;
     // the shingle arrays may only appear in the later verify joins
