@@ -480,29 +480,38 @@ object Similarity {
     * geometry: assign every vector to its nearest of the `k` seed
     * centroids (the k smallest-id vectors — a fixed, engine-independent
     * choice standing in for trained k-means centres, which are seeded and
-    * hence unreplayable; the TRAINED path is [[ivfBuild]]), then inside
-    * each cluster mark members whose cosine to the cluster exemplar (its
-    * smallest id) reaches `tau` as semantic duplicates. Assignment ranks
-    * on the 6-decimal parity round of cosine (ties to the smaller
+    * hence unreplayable; the TRAINED path is [[semDedupTrained]]), then
+    * inside each cluster mark members whose cosine to the cluster exemplar
+    * (its smallest id) reaches `tau` as semantic duplicates. Assignment
+    * ranks on the 6-decimal parity round of cosine (ties to the smaller
     * centroid id) so the argmax replays exactly.
     *
-    * Scale shape: centroids and exemplars are k-row broadcasts; the corpus
-    * is touched in two broadcast-join passes plus one k-group aggregation
-    * with map-side partials — no corpus-sized shuffle, no self-join.
+    * Scale shape: the k centroids are a driver-sized collect shipped back
+    * as LITERALS (the [[VectorStore.annSearchSweep]] pattern), so
+    * assignment is a pure per-row codegen'd projection — an
+    * array-of-structs (−cos, cid) sorted and truncated to its head, zero
+    * joins, zero exchange. The only shuffle in the whole operator is the
+    * k-group exemplar aggregate (map-side combined, ≤k rows per task);
+    * exemplar vectors come back via one broadcast hash join. The corpus
+    * is scanned twice and shuffled never (PlanSpec pin).
     */
   def semDedupExemplar(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, tau: Double): DataFrame = {
     val c = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val cent = c.orderBy(col("id")).limit(k)
-      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val assigned = c.crossJoin(broadcast(cent))
-      .withColumn("cos", graft.functions.ColumnFunctions.pround(
-        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("cos").desc, col("cid"))))
-      .filter(col("rk") === 1)
-      .select(col("id"), col("v"), col("nrm"), col("cid").as("cluster_id"))
+      .select(col("id"), col("v"), col("nrm")).collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    markExemplarDups(c, assignExemplarCells(c, cent), idCol, tau)
+  }
+
+  /** The exemplar stage shared by both SemDeDup variants: per cluster the
+    * min-id member is the exemplar (a k-group aggregate with map-side
+    * partials — the operator's ONLY shuffle), its vector comes back via
+    * one corpus hash join, and members re-join the k-row exemplar frame by
+    * broadcast for the τ gate. */
+  private def markExemplarDups(c: DataFrame, assigned: DataFrame,
+      idCol: String, tau: Double): DataFrame = {
     val exemplars = assigned.groupBy(col("cluster_id"))
       .agg(min(col("id")).as("exemplar_id"))
       .join(c.select(col("id").as("exemplar_id"), col("v").as("ev"),
@@ -514,6 +523,61 @@ object Similarity {
         col("cos_ex"),
         when(col("cos_ex") >= tau && col("id") =!= col("exemplar_id"), 1)
           .otherwise(0).as("is_dup"))
+  }
+
+  /** Nearest-centroid assignment over a LITERAL centroid list (cid, cv,
+    * cnrm) by rounded cosine, ties to the smaller cid — the shuffle-free
+    * argmax shared by [[semDedupExemplar]] and [[semDedupTrained]]:
+    * (id, v, nrm) → (id, v, nrm, cluster_id), a narrow projection. The
+    * struct sorts ascending on (−cos, cid), so the head is the max-cosine
+    * centroid with deterministic tie-break — exactly the old
+    * row_number-over-Window ordering without its corpus×k exchange. */
+  private def assignExemplarCells(c: DataFrame,
+      cent: Array[(Any, Array[Double], Double)]): DataFrame = c
+    .withColumn("best", element_at(array_sort(array(cent.map {
+      case (cid, cv, cnrm) => struct(
+        (-graft.functions.ColumnFunctions.pround(
+          dot(col("v"), lit(cv)) / (col("nrm") * lit(cnrm)), 6)).as("nc"),
+        lit(cid).as("cid"))
+    }: _*)), 1))
+    .select(col("id"), col("v"), col("nrm"), col("best.cid").as("cluster_id"))
+
+  /** SemDeDup with TRAINED centroids — the production geometry: a k-means
+    * coarse quantizer (the [[ivfBuild]] recipe: seed 42, capped
+    * iterations, bounded fit sample) replaces the seed-id centroid draw,
+    * then the identical exemplar machinery runs — same shuffle-free
+    * literal-centroid argmax ([[assignExemplarCells]]), same min-id
+    * exemplar per cluster, same τ dup gate. `cluster_id` is the centroid
+    * INDEX (0..k−1) since trained centres are not corpus vectors.
+    *
+    * Seeded k-means is engine-native (no DuckDB oracle possible — the
+    * q51/q60 situation); [[semDedupExemplar]] is the oracle-green
+    * deterministic twin, and the q157 agreement row quantifies how far
+    * the trained geometry moves the dup verdicts (SimilaritySpec laws pin
+    * the structural invariants).
+    */
+  def semDedupTrained(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, tau: Double): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val fit = c.withColumn("features", array_to_vector(col("v")))
+    val km = new KMeans().setK(k).setSeed(42L)
+      .setMaxIter(8).setTol(1e-3).setInitMode("random")
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val fitCap = 100000L
+    val nCorpus = fit.count()
+    val fitSet =
+      if (nCorpus <= fitCap) fit.select(col("features"))
+      else fit.sample(withReplacement = false, fitCap.toDouble / nCorpus,
+        seed = 42L).select(col("features"))
+    val cent = km.fit(fitSet).clusterCenters.zipWithIndex.map {
+      case (ctr, i) =>
+        val a = ctr.toArray
+        (i: Any, a, math.sqrt(a.map(x => x * x).sum))
+    }
+    markExemplarDups(c, assignExemplarCells(c, cent), idCol, tau)
   }
 
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,

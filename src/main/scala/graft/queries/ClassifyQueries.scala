@@ -162,6 +162,31 @@ object ClassifyQueries {
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
       FROM inj""")),
+
+    // Trained-centroid SemDeDup vs the deterministic exemplar twin at the
+    // SAME (k, τ): one agreement row quantifying how far the k-means
+    // geometry moves the per-vector dup verdicts. Seeded k-means is not
+    // DuckDB-replayable (the q51/q60 situation) → rows-only; the
+    // structural laws live in SimilaritySpec and the exemplar twin q155
+    // stays fully oracle-checked.
+    ("q157_semdedup_agreement", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val ex = Similarity.semDedupExemplar(emb, "vec_id", "embedding",
+          k = 8, tau = 0.85)
+        .select(col("vec_id"), col("is_dup").as("dup_ex"))
+      val tr = Similarity.semDedupTrained(emb, "vec_id", "embedding",
+          k = 8, tau = 0.85)
+        .select(col("vec_id"), col("is_dup").as("dup_tr"))
+      ex.join(tr, Seq("vec_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("dup_ex")).cast("long").as("n_dup_exemplar"),
+          sum(col("dup_tr")).cast("long").as("n_dup_trained"),
+          sum(when(col("dup_ex") === col("dup_tr"), 1).otherwise(0))
+            .cast("long").as("n_verdict_agree"),
+          graft.functions.ColumnFunctions.pround(
+            avg(when(col("dup_ex") === col("dup_tr"), 1.0).otherwise(0.0)), 6)
+            .as("agreement"))
+    }, None),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -88,4 +88,27 @@ class ClassifySpec extends AnyFunSuite {
       (0L, 0L, 0L, 0), (2L, 0L, 0L, 1), (3L, 0L, 0L, 1), (4L, 0L, 0L, 0),
       (1L, 1L, 1L, 0), (5L, 1L, 1L, 1)))
   }
+
+  test("semDedupTrained: structural laws — every vector assigned exactly " +
+      "once, exemplars are their clusters' min ids and never dups, dup " +
+      "implies cos_ex >= tau") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+    val got = Similarity.semDedupTrained(emb, "vec_id", "embedding",
+      k = 8, tau = 0.85).cache()
+    try {
+      assert(got.count() === emb.count())
+      assert(got.select("vec_id").distinct().count() === emb.count())
+      // exemplar = min member id per cluster, and is never marked dup
+      val badEx = got.groupBy("cluster_id")
+        .agg(org.apache.spark.sql.functions.min("vec_id").as("m"),
+          org.apache.spark.sql.functions.first("exemplar_id").as("e"))
+        .filter($"m" =!= $"e")
+      assert(badEx.isEmpty)
+      assert(got.filter($"vec_id" === $"exemplar_id" && $"is_dup" === 1).isEmpty)
+      assert(got.filter($"is_dup" === 1 && $"cos_ex" < 0.85).isEmpty)
+      // trained centroids index 0..k-1
+      assert(got.agg(org.apache.spark.sql.functions.max("cluster_id"))
+        .head().getInt(0) < 8)
+    } finally { got.unpersist(); () }
+  }
 }

@@ -366,14 +366,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
   }
 
-  test("q155 semDedup touches the corpus only via broadcast joins — no " +
-      "product, no corpus self-join") {
+  test("q155 semDedup assignment is a per-row literal-centroid argmax — " +
+      "no Window, no corpus-sized exchange") {
     val p = plan("q155_semdedup")
     assert(!p.contains("CartesianProduct"), p.take(4000))
-    // centroid cross and exemplar join both build on the k-row side
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      p.take(4000))
     assert(!p.contains("SortMergeJoin"), p.take(4000))
+    // the r11 advisory finding: the old impl ranked the corpus×k cross
+    // join with row_number over Window.partitionBy(id) — a corpus-sized
+    // hash Exchange carrying the vectors. The rewrite computes the argmax
+    // inline (array-of-structs over broadcast-literal centroids), so the
+    // plan must carry NO Window at all and exactly one shuffle — the
+    // k-group exemplar aggregate (map-side combined)
+    assert(!p.contains("Window"), p.take(4000))
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 1, p.take(4000))
+    // exemplar vectors come back via broadcast joins, never shuffled
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
   }
 
   test("q45 LSH band join is array-free (only ids and hashes shuffle)") {
