@@ -189,10 +189,26 @@ object Similarity {
     * persisted-index [[ivfSearch]]: each query scans only its nProbe
     * nearest centroid cells (centroids are tiny — shipped as a literal
     * array), candidates meet in an equi-join on the cell id.
+    *
+    * The query batch is driver-sized by contract (every consumer
+    * broadcasts it), but its SOURCE may be a filter over a corpus-sized
+    * table read by many tasks — so the narrow (query_id, qv) projection
+    * is pinned FIRST (the scan stays parallel, the rows land on the
+    * driver) and the centroid-distance projection evaluates over the
+    * pinned rows in ONE task. That projection's expression tree carries
+    * nCells × dim literal doubles, and its per-TASK setup cost (~135 ms
+    * at 256×64 — plan deserialization/init, independent of row count)
+    * dominates a small batch: fanned across the source's partitions it
+    * made serve cost grow with the corpus partition count while serving
+    * 3 rows (the r11 fixed-geometry ann_search "knee": executor time
+    * 1.2→4.3 s as the query table's file count grew 16→32, rows
+    * constant at 3).
     */
-  private[operators] def probeSide(centroids: Array[Array[Double]], queries: DataFrame,
+  private[graft] def probeSide(centroids: Array[Array[Double]], queries: DataFrame,
       idCol: String, vecCol: String, nProbe: Int): DataFrame =
-    queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    graft.functions.Frames.pinLocal(
+        queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
+      .coalesce(1)
       .withColumn("qnrm", l2Norm(col("qv")))
       .withColumn("cellDists", array(centroids.zipWithIndex.map { case (ctr, i) =>
         struct(l2Sq(col("qv"), lit(ctr)).as("d"), lit(i).as("cell"))
@@ -201,7 +217,7 @@ object Similarity {
       .withColumn("cell", explode(col("probe.cell")))
       .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
 
-  private[operators] def scoreProbe(cells: DataFrame, q: DataFrame, k: Int): DataFrame =
+  private[graft] def scoreProbe(cells: DataFrame, q: DataFrame, k: Int): DataFrame =
     cells.join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))

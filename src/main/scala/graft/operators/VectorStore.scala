@@ -206,10 +206,16 @@ object VectorStore {
     val maxP = probes.max
     val gens = Generations.live(spark, dir)
     val centroids = loadCentroids(spark, dir)
-    // probeSide with the probe RANK kept (posexplode of the sorted slice)
+    // probeSide with the probe RANK kept (posexplode of the sorted slice);
+    // same two-step pin as probeSide — narrow projection pinned first,
+    // the nCells×dim-literal distance projection then runs in ONE task
+    // (its per-task setup cost must not fan across the query source's
+    // partition count — the r11 ann_search knee)
     val q = graft.functions.Frames.pinLocal(
-      queries.select(col(idCol).as("query_id"),
-          graft.functions.VectorFunctions.asDouble(col(vecCol)).as("qv"))
+      graft.functions.Frames.pinLocal(
+        queries.select(col(idCol).as("query_id"),
+          graft.functions.VectorFunctions.asDouble(col(vecCol)).as("qv")))
+        .coalesce(1)
         .withColumn("qnrm", graft.functions.VectorFunctions.l2Norm(col("qv")))
         .withColumn("cellDists", array(centroids.zipWithIndex.map {
           case (ctr, i) =>
