@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Parquet-pushable range predicates over a FINE CLUSTER KEY — the
+  * row-group/page-skipping primitive behind the persisted stores' serving
+  * scans. A store writes each row's `ck = hash(key) mod domain` and sorts
+  * files by it; a serving batch collects its own (bounded-by-domain) ck
+  * set and filters the scan with an OR of closed ranges. Ranges — not a
+  * large IN — because Spark's parquet pushdown converts a large `In` to a
+  * single min/max envelope (useless for a scattered hash set), while an
+  * OR of `[lo, hi]` conjunctions converts disjunct-by-disjunct, so sorted
+  * row groups and pages whose ck stats miss every range are skipped at
+  * the reader. The predicate is a SUPERSET filter by construction (every
+  * batch key's ck is in the set); exactness always comes from the join
+  * above it.
+  */
+object Pushdown {
+
+  /** Collapse a set of key values into at most `cap` closed ranges:
+    * adjacent values fuse into runs, then the runs with the SMALLEST gaps
+    * between them merge first until the cap holds — minimizing the extra
+    * covered width (false-positive ck values) the cap costs.
+    */
+  def ranges(values: Array[Int], cap: Int): Seq[(Int, Int)] = {
+    require(cap >= 1, s"ranges: cap must be >= 1, got $cap")
+    val vs = values.distinct.sorted
+    if (vs.isEmpty) return Seq.empty
+    // runs of consecutive values
+    val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var lo = vs.head
+    var hi = vs.head
+    for (v <- vs.tail) {
+      if (v == hi + 1) hi = v
+      else { runs += ((lo, hi)); lo = v; hi = v }
+    }
+    runs += ((lo, hi))
+    if (runs.length <= cap) return runs.toSeq
+    // merge across the (runs-cap) smallest inter-run gaps
+    val gaps = runs.indices.dropRight(1)
+      .map(i => (runs(i + 1)._1 - runs(i)._2, i))
+      .sorted.take(runs.length - cap).map(_._2).toSet
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var cur = runs.head
+    for (i <- runs.indices.dropRight(1)) {
+      if (gaps(i)) cur = (cur._1, runs(i + 1)._2)
+      else { out += cur; cur = runs(i + 1) }
+    }
+    out += cur
+    out.toSeq
+  }
+
+  /** The OR-of-closed-ranges predicate over `c`. Empty ranges (an empty
+    * batch) yield `false` — nothing can match. */
+  def inRanges(c: Column, rs: Seq[(Int, Int)]): Column =
+    if (rs.isEmpty) lit(false)
+    else rs.map { case (lo, hi) =>
+      if (lo == hi) c === lit(lo) else c >= lit(lo) && c <= lit(hi)
+    }.reduce(_ || _)
+}

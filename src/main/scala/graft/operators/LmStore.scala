@@ -55,7 +55,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType
   * batch-vocab-pruned membership probe; scoring prunes the count scans
   * to the shards of the scored batch's own vocab (probed driver-side,
   * bounded by nShards BY CONSTRUCTION); the shuffle in every stage is
-  * keyed by token text with map-side partial combine.
+  * keyed by token text with map-side partial combine. BELOW the shard
+  * directory, every keyed surface row carries a fine cluster key
+  * `ck = hash(key) mod 8192`, files are ck-sorted with 4 MB row groups /
+  * 64 KB pages, and serving/guard scans push an OR-of-ranges over the
+  * batch's own ck set — so even within a probed shard the bytes read are
+  * bounded by the batch's key footprint × skip granularity, not by the
+  * shard's corpus-grown size (the fixed-geometry scale-probe residual:
+  * path pruning bounds FILES, ck ranges bound BYTES).
   */
 object LmStore {
 
@@ -67,6 +74,38 @@ object LmStore {
 
   private def bucketOf(id: Column, nShards: Int) =
     pmod(xxhash64(id.cast("string")), lit(nShards.toLong)).cast("int")
+
+  /** The FINE CLUSTER KEY that bounds serving scans BELOW the shard
+    * directory: every bigram/token/registry row carries
+    * `ck = hash1(key) mod 8192` (seeded independently of the shard hash so
+    * the two don't correlate when nShards divides the domain), files are
+    * SORTED by it, and a serving batch filters the scan with the
+    * parquet-pushable OR-of-ranges over its own ck set
+    * ([[graft.functions.Pushdown]]). With sorted files the reader's
+    * row-group stats and page column indexes skip unprobed key ranges, so
+    * the bytes a fixed batch reads are bounded by its own vocabulary ×
+    * skip granularity — not by the shard's (corpus-growing) size. The ck
+    * set is driver-bounded by the domain (8192) BY CONSTRUCTION.
+    */
+  private val CkDomain = 8192L
+  private val CkRangeCap = 192
+  private def ckOf(k: Column) = pmod(xxhash64(lit(1L), k), lit(CkDomain)).cast("int")
+
+  /** One bounded driver job: the distinct (partition, ck) footprint of a
+    * keyed frame — partition values for PATH pruning, ck values for the
+    * in-file range pushdown. Both sets are domain-bounded (nShards / 8192),
+    * never batch-bounded. */
+  private def footprint(df: DataFrame, part: Column,
+      ck: Column): (Array[Int], Array[Int]) = {
+    val r = df.select(part.as("p"), ck.as("k"))
+      .agg(collect_set(col("p")).as("ps"), collect_set(col("k")).as("ks"))
+      .head()
+    (r.getSeq[Int](0).toArray, r.getSeq[Int](1).toArray)
+  }
+
+  private def ckFilter(cks: Array[Int]): Column =
+    graft.functions.Pushdown.inRanges(col("ck"),
+      graft.functions.Pushdown.ranges(cks, CkRangeCap))
 
   private def readMeta(spark: SparkSession, dir: String): Int =
     spark.read.parquet(s"$dir/meta").select(col("n_shards")).head().getInt(0)
@@ -80,14 +119,17 @@ object LmStore {
   // stored as strings so the registry schema is caller-type-free.
   private val bigramsSchema = new StructType()
     .add("w1", StringType).add("w2", StringType).add("c", LongType)
+    .add("ck", IntegerType)
     .add("gen", StringType).add("shard", IntegerType)
   private val unigramsSchema = new StructType()
     .add("w1", StringType).add("c", LongType)
     .add("gen", StringType).add("shard", IntegerType)
   private val tokensSchema = new StructType()
-    .add("w", StringType).add("gen", StringType).add("shard", IntegerType)
+    .add("w", StringType).add("ck", IntegerType)
+    .add("gen", StringType).add("shard", IntegerType)
   private val docregSchema = new StructType()
-    .add("id", StringType).add("gen", StringType).add("bucket", IntegerType)
+    .add("id", StringType).add("ck", IntegerType)
+    .add("gen", StringType).add("bucket", IntegerType)
   private val vstatSchema = new StructType()
     .add("shard", IntegerType).add("v", LongType).add("gen", StringType)
   private val schemaOf = Map("bigrams" -> bigramsSchema,
@@ -143,29 +185,42 @@ object LmStore {
       textCol: String, dir: String, gen: String, nShards: Int,
       priorGens: Seq[String], segment: Boolean): Unit = {
     val s = batch.sparkSession
-    def out(df: DataFrame, sub: String, pc: String): Unit =
-      if (segment)
-        df.repartition(col(pc)).sortWithinPartitions(col(pc))
-          .write.mode("overwrite").parquet(s"$dir/$sub/gen=$gen")
-      else
-        df.repartition(col(pc))
-          .write.mode("overwrite").partitionBy(pc)
-          .parquet(s"$dir/$sub/gen=$gen")
+    // every keyed surface is ck-SORTED inside its files and written with
+    // 4 MB row groups / 64 KB pages: the serve-optimized layout — range
+    // pushdown on ck then skips at ~page granularity, so a fixed batch's
+    // read is bounded by its vocab × 64 KB, not the shard's corpus-grown
+    // size. The metadata overhead is a few stats entries per page —
+    // noise against the count-table payload.
+    def out(df: DataFrame, sub: String, pc: String,
+        sorted: Boolean = true): Unit = {
+      val sortCols = if (sorted) Seq(col(pc), col("ck")) else Seq(col(pc))
+      val w = df.repartition(col(pc)).sortWithinPartitions(sortCols: _*)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 4L << 20)
+        .option("parquet.page.size", 64 << 10)
+        // dictionary-packed count tables hit parquet's 20k-row page cap
+        // long before 64 KB — the row cap is the real skip granularity
+        .option("parquet.page.row.count.limit", 2000)
+      (if (segment) w else w.partitionBy(pc)).parquet(s"$dir/$sub/gen=$gen")
+    }
     val bg = LanguageModel.bigramRows(batch, idCol, textCol)
       .withColumn("shard", shardOf(col("w1"), nShards))
       .localCheckpoint() // one tokenize+zip evaluation for the two count writes
     out(bg.groupBy(col("shard"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c")), "bigrams", "shard")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("ck", ckOf(col("w1"))), "bigrams", "shard")
     out(bg.groupBy(col("shard"), col("w1")).agg(count(lit(1)).as("c")),
-      "unigrams", "shard")
+      "unigrams", "shard", sorted = false) // scoring never opens unigrams
     bg.unpersist()
     val toks = batch.select(explode(split(col(textCol), "\\s+")).as("w"))
       .distinct()
       .withColumn("shard", shardOf(col("w"), nShards))
+      .withColumn("ck", ckOf(col("w")))
       .localCheckpoint() // one evaluation: token write + shard probe + novelty
     out(toks, "tokens", "shard")
     out(batch.select(col(idCol).cast("string").as("id")).distinct()
-      .withColumn("bucket", bucketOf(col("id"), nShards)), "docreg", "bucket")
+      .withColumn("bucket", bucketOf(col("id"), nShards))
+      .withColumn("ck", ckOf(col("id"))), "docreg", "bucket")
     // the write pays V's delta — and only the delta: the batch's tokens
     // probe membership against the shards THEY hash to (driver-side int
     // set, bounded by nShards by construction), never the whole register.
@@ -175,14 +230,15 @@ object LmStore {
     // map-side probe over the scan; its result is ≤ the batch vocab, so
     // broadcastable by construction), then novel anti-joins against that
     // broadcast. Two broadcast hash joins of batch-sized sides; zero
-    // exchange of the register.
+    // exchange of the register — and the scan itself is ck-range-bounded,
+    // so the bytes read track the batch vocabulary, not the stored vocab.
     val novel =
       if (priorGens.isEmpty) toks
       else {
-        val probed = toks.select(col("shard")).distinct().collect()
-          .map(_.getInt(0))
+        val (probed, cks) = footprint(toks, col("shard"), col("ck"))
         val known = surfacePruned(s, dir, "tokens", priorGens,
             probed.toIndexedSeq)
+          .filter(ckFilter(cks))
           .select(col("w"))
           .join(broadcast(toks.select(col("w"))), Seq("w"), "left_semi")
           .distinct()
@@ -229,9 +285,10 @@ object LmStore {
     val ids = batch.select(col(idCol).cast("string").as("id")).distinct()
       .localCheckpoint()
     try {
-      val buckets = ids.select(bucketOf(col("id"), nShards).as("b"))
-        .distinct().collect().map(_.getInt(0))
-      val dupe = docregPruned(spark, dir, committed, buckets).select(col("id"))
+      val (buckets, cks) = footprint(ids, bucketOf(col("id"), nShards),
+        ckOf(col("id")))
+      val dupe = docregPruned(spark, dir, committed, buckets)
+        .filter(ckFilter(cks)).select(col("id"))
         .join(ids, Seq("id"), "left_semi")
       require(dupe.isEmpty,
         "lmAppend: batch contains doc ids already in the register — " +
@@ -265,9 +322,10 @@ object LmStore {
     val ids = batch.select(col(idCol).cast("string").as("id")).distinct()
       .localCheckpoint()
     try {
-      val buckets = ids.select(bucketOf(col("id"), nShards).as("b"))
-        .distinct().collect().map(_.getInt(0))
+      val (buckets, cks) = footprint(ids, bucketOf(col("id"), nShards),
+        ckOf(col("id")))
       val others = docregPruned(spark, dir, committed, buckets)
+        .filter(ckFilter(cks))
         .filter(col("gen") =!= gen).select(col("id"))
         .join(ids, Seq("id"), "left_semi")
       require(others.isEmpty,
@@ -319,8 +377,11 @@ object LmStore {
     // by nShards BY CONSTRUCTION, never by the batch
     val bg = LanguageModel.bigramRows(docs, idCol, textCol)
       .localCheckpoint()
-    val probed = bg.select(shardOf(col("w1"), nShards).as("s"))
-      .distinct().collect().map(_.getInt(0))
+    // one driver job collects BOTH pruning footprints: the probed shard
+    // set (path-level pruning) and the batch's ck set (in-file range
+    // pushdown) — each bounded by its domain, never by the batch
+    val (probed, cks) = footprint(bg, shardOf(col("w1"), nShards),
+      ckOf(col("w1")))
     // one manifest resolution — all three surfaces score the same
     // snapshot; `asOf` pins a RETAINED snapshot manifest instead of the
     // live one ([[Generations.liveAt]] — time travel for debugging a
@@ -358,11 +419,20 @@ object LmStore {
     // touched-file count is what keeps the fixed-geometry lm_score probe
     // flat: at serving scale the cost is file opens + probed-shard scan,
     // and both now pay a single surface.)
+    // the ck-range filter rides BELOW the semi-join: it is the predicate
+    // that actually reaches parquet (the semi-join can only discard rows
+    // AFTER they are read), and with ck-sorted files it skips row
+    // groups/pages whose key range the batch never touches — the scan
+    // bound that keeps a fixed batch's read flat as shards grow. Superset
+    // by construction (every batch w1's ck is in the set); the semi-join
+    // above restores exactness. Corpus-scale batches skip both (their key
+    // set IS the register).
     val scan = pruned("bigrams")
     val filtered =
       if (smallBatch)
-        scan.join(broadcast(bg.select(col("w1")).distinct()),
-          Seq("w1"), "left_semi")
+        scan.filter(ckFilter(cks))
+          .join(broadcast(bg.select(col("w1")).distinct()),
+            Seq("w1"), "left_semi")
       else scan
     val c12 = filtered.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c")).as("c12"))
@@ -399,21 +469,34 @@ object LmStore {
     if (foldGens.isEmpty ||
       (foldGens.sizeIs == 1 && foldGens.head.startsWith("c"))) return
     val cGen = Generations.nextName(spark, dir, surfaces, 'c')
-    // one shuffle partition per shard value → one file per shard dir
-    def fold(sub: String, parts: Seq[String])(f: DataFrame => DataFrame): Unit = {
+    // one shuffle partition per shard value → one file per shard dir;
+    // keyed surfaces re-sort by ck so the compacted files keep the
+    // range-skippable layout the serving scans depend on
+    def fold(sub: String, parts: Seq[String], ckSort: Boolean = false)
+        (f: DataFrame => DataFrame): Unit = {
       val folded = f(surface(spark, dir, sub, foldGens).drop("gen"))
-      (if (parts.isEmpty) folded else folded.repartition(parts.map(col): _*))
-        .write.mode("overwrite")
+      val placed =
+        if (parts.isEmpty) folded
+        else {
+          val p = folded.repartition(parts.map(col): _*)
+          if (ckSort) p.sortWithinPartitions((parts.map(col) :+ col("ck")): _*)
+          else p
+        }
+      placed.write.mode("overwrite")
+        .option("parquet.block.size", 4L << 20)
+        .option("parquet.page.size", 64 << 10)
+        .option("parquet.page.row.count.limit", 2000)
         .partitionBy(parts: _*).parquet(s"$dir/$sub/gen=$cGen")
     }
-    fold("bigrams", Seq("shard")) {
+    fold("bigrams", Seq("shard"), ckSort = true) {
       _.groupBy(col("shard"), col("w1"), col("w2")).agg(sum(col("c")).as("c"))
+        .withColumn("ck", ckOf(col("w1")))
     }
     fold("unigrams", Seq("shard")) {
       _.groupBy(col("shard"), col("w1")).agg(sum(col("c")).as("c"))
     }
-    fold("tokens", Seq("shard"))(_.distinct())
-    fold("docreg", Seq("bucket"))(identity)
+    fold("tokens", Seq("shard"), ckSort = true)(_.distinct())
+    fold("docreg", Seq("bucket"), ckSort = true)(identity)
     fold("vstat", Nil) {
       _.groupBy(col("shard")).agg(sum(col("v")).as("v")).coalesce(1)
     }

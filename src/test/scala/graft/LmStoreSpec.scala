@@ -234,6 +234,49 @@ class LmStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("in-shard ck ranges bound the bigram rows a small batch reads") {
+    val dir = tmp()
+    // ONE shard, so directory pruning cannot help — the scan bound must
+    // come from the in-file ck-range pushdown over the ck-sorted file
+    // (64 KB pages): the reader's page column index skips key ranges the
+    // batch never touches. Synthetic corpus: ~44k distinct bigrams so the
+    // single shard file spans many pages.
+    val corpus = spark.range(0, 4000).select($"id".as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("tok"), pmod($"id" * 12 + lit(j), lit(40000)))): _*)
+        .as("text"))
+    LmStore.lmBuild(corpus, "doc_id", "text", dir, nShards = 1)
+    val total = spark.read.parquet(s"$dir/bigrams/gen=g0").count()
+    val batch = Seq((999999L, "tok17 tok18 tok19 tok20")).toDF("doc_id", "text")
+    val sc = LmStore.lmScore(spark, batch, "doc_id", "text", dir)
+    // collect() (not count()) so the inspected queryExecution is the one
+    // that actually ran and carries the scan metrics
+    assert(sc.collect().length === 1)
+    // the executed plan's bigram scan must have returned a small fraction
+    // of the register: pages outside the batch's ck ranges were skipped
+    // at the reader (without the pushed ranges this reads 100%)
+    val bigramScans = scans(sc.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "w2"))
+    assert(bigramScans.nonEmpty, sc.queryExecution.executedPlan.toString.take(3000))
+    // max, not sum: the c12/c1 rollup pair can surface the same scan
+    // subtree twice in the traversal
+    val readRows = bigramScans.map(_.metrics("numOutputRows").value).max
+    assert(readRows > 0 && readRows < total / 2,
+      s"ck ranges must skip most of the $total-row single-shard register, read $readRows")
+    // and the ranges are genuinely PUSHED, not a post-scan filter
+    val meta = bigramScans.head.metadata.getOrElse("PushedFilters", "")
+    assert(meta.contains("GreaterThanOrEqual(ck") || meta.contains("EqualTo(ck"),
+      s"ck ranges missing from PushedFilters: $meta")
+  }
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+
   test("scoring scans only the scored batch's shards") {
     val dir = tmp()
     LmStore.lmBuild(docs, "doc_id", "text", dir, nShards = 16)
