@@ -44,6 +44,17 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadAvg1
+    // re-time floor derived from the COMMITTED prior record (the sidecar
+    // is committed per round, so at bench time it holds last round's
+    // figures): 2× the prior max query min, clamped to [2 s, 8 s];
+    // missing/unreadable sidecar falls back to the historical 4 s
+    val floorSec: Double = try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Path.of("BENCH_DETAIL.json"))
+      val mins = """"min":([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(_.group(1).toDouble).toSeq
+      if (mins.isEmpty) 4.0 else math.min(8.0, math.max(2.0, 2.0 * mins.max))
+    } catch { case _: Throwable => 4.0 }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex.map { case ((name, fn), idx) =>
@@ -91,10 +102,11 @@ object Bench {
       // plan variant warms out within a few more executions when the cause
       // is a cold C2 tier (Q44Probe: spike-free once warm), while genuine
       // sustained interference keeps the extra runs slow and the min
-      // honestly stays high. No clean sf0.1 query exceeds ~3 s, so a
-      // min above 4 s is always worth re-timing; extra runs land in the
+      // honestly stays high. The floor tracks the committed profile
+      // (2× the prior round's max query min, via the sidecar) instead of
+      // hard-coding the current sf0.1 shape; extra runs land in the
       // sidecar and the `ext` guard field makes the retry visible.
-      while (times.min > 4.0 && extra < 6) {
+      while (times.min > floorSec && extra < 6) {
         times :+= timeOnce(); extra += 1
       }
       (name, times.min, times, extra)
@@ -128,12 +140,13 @@ object Bench {
     // line must stay compact: 2-decimal seconds, emitted after spark.stop()
     // so no shutdown logging can land between it and the end of output.
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    // Per-query seconds at ONE decimal, trailing ".0" trimmed, and the
-    // numeric query id without the leading "q" ("q44_..." → "44"): at 145+
-    // queries the two-decimal qNN map alone was ~1740 chars, within three
-    // queries of the ~1850-char tail ceiling — this shape keeps ≥300 chars
-    // of headroom. Full-precision per-query figures go to the sidecar
-    // below; the inline map is the driver's coarse record.
+    // The inline line carries only totals, the guard block, and the TEN
+    // slowest queries (one decimal): the full per-query map lives in the
+    // sidecar. The r11 line hit 1,577 chars with all 154 queries inline —
+    // within 300 chars of the driver's ~1850-char tail-parse ceiling, and
+    // growing with every query added; a bounded slowest-10 map keeps the
+    // line informative at ~600+ chars of headroom no matter how many
+    // queries the suite gains.
     def fmt1(v: Double): String = {
       val s = "%.1f".formatLocal(java.util.Locale.ROOT, v)
       if (s.endsWith(".0")) s.dropRight(2) else s
@@ -142,13 +155,15 @@ object Bench {
       val p = k.takeWhile(_ != '_')
       if (p.startsWith("q") && p.tail.forall(_.isDigit)) p.tail else p
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + shortName(k) + "\":" + fmt1(v) }
+    val qs = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _, _) => "\"" + shortName(k) + "\":" + fmt1(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // full-precision sidecar (3 decimals, full query names, all iterations)
-    // for humans and the per-round record; the inline line stays compact
-    val detail = results.map { case (k, v, ts, _) =>
-      s""""$k":{"min":${"%.3f".formatLocal(java.util.Locale.ROOT, v)},"runs":[${
+    // full-precision sidecar (3 decimals, full query names, all iterations,
+    // per-query extension counts) for humans and the per-round record; the
+    // inline line stays compact
+    val detail = results.map { case (k, v, ts, ext) =>
+      s""""$k":{"min":${"%.3f".formatLocal(java.util.Locale.ROOT, v)},"ext":$ext,"runs":[${
         ts.map("%.3f".formatLocal(java.util.Locale.ROOT, _)).mkString(",")}]}"""
     }.mkString("{\"total\":" + fmt(total) + ",\"queries\":{", ",", "}}")
     try java.nio.file.Files.writeString(
@@ -161,8 +176,10 @@ object Bench {
       s""""spr":${fmt(worstSpread)},"sprq":"${shortName(worstQ)}",""" +
       s""""nspr3":$nOver3,"ext":$nExtended,"contaminated":$contaminated"""
     val sfName = new java.io.File(sfDir).getName
+    // nq = total query count; "queries" holds only the 10 slowest (full
+    // map in BENCH_DETAIL.json)
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$guard,"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$guard,"nq":${results.length},"queries":$qs,"sf":"$sfName"}"""
     if (line.length > 1550)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — under 300 chars of tail headroom")
     spark.stop()

@@ -1145,7 +1145,11 @@ object BinaryOps {
                 }
                 if (kwk) { // emit the just-added entry: str(prev) + first
                   if (!emit(prev)) return None
-                  if (out < idx.length) { idx(out) = first; out += 1 }
+                  // the trailing first-byte is part of the KwKwK unit: no
+                  // room means the stream encodes more pixels than iw*ih —
+                  // malformed, rejected like emit()'s own overflow path
+                  if (out >= idx.length) return None
+                  idx(out) = first; out += 1
                 } else if (!emit(code)) return None
                 prev = code
               }

@@ -173,6 +173,19 @@ object SpanStore {
       .distinct().collect().map(_.getInt(0))
     val gens = asOf.map(Generations.liveAt(spark, dir, _))
       .getOrElse(Generations.live(spark, dir))
+    // serve-before-ingest contract, enforced like the append guard: a
+    // batch doc already in the store would meet its own stored window
+    // counts and every one of its windows would self-report as a
+    // duplicated span. The registry is id-only tiny rows — the check is
+    // one semi-join against the batch ids
+    val dupe = docreg(spark, dir, gens)
+      .join(batch.select(col(idCol).cast("string").as("id")),
+        Seq("id"), "left_semi")
+    require(dupe.isEmpty,
+      "duplicatedSpansIncremental: batch contains doc ids already in the " +
+        "store — a stored doc self-matches its own window counts and " +
+        "fabricates duplicated spans; probe BEFORE ingesting (serve-then-" +
+        "append), or probe only fresh ids")
     val stored = winsPruned(spark, dir, gens, probed.toIndexedSeq)
       .join(broadcast(bw.select(col("h")).distinct()), Seq("h"), "left_semi")
       .groupBy(col("h")).agg(sum(col("c")).as("c"))

@@ -71,6 +71,17 @@ class SpanStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("probing with already-stored ids fails fast (serve-before-ingest)") {
+    val dir = tmp()
+    SpanStore.spanStoreBuild(oldDocs, "doc_id", "text", dir,
+      windowN = 8, nShards = 4)
+    val e = intercept[IllegalArgumentException] {
+      SpanStore.duplicatedSpansIncremental(spark,
+        oldDocs.filter($"doc_id" === 1), "doc_id", "text", dir)
+    }
+    assert(e.getMessage.contains("self-match"))
+  }
+
   test("compaction is serve-invariant and the pre-compaction snapshot " +
       "still answers") {
     val dir = tmp()
