@@ -23,7 +23,7 @@ class ScaleProbeSpec extends AnyFunSuite {
     // regression — the law is about plan SHAPE, measured through wall time
     val probes = ScaleProbe.run(spark, base, baseEmb, Seq(2, 32), tmp, iters = 3)
     val byOp = probes.groupBy(_.op)
-    assert(byOp.size === 24, "every probed op must report both scales")
+    assert(byOp.size === 25, "every probed op must report both scales")
     // bm25 ranks a FIXED query set (output queries×k by design); the
     // store-serving probes run fixed queries / fixed-size batches against
     // a GROWING store — their output and, per the store sizing contract,
@@ -31,7 +31,8 @@ class ScaleProbeSpec extends AnyFunSuite {
     val fixedOutput = Set("bm25", "bm25_from_index", "index_append",
       "index_append_postc", "scd2_apply", "ann_search", "lm_score",
       "lm_append", "lm_append_postc", "cc_apply", "cc_apply_postc",
-      "cc_apply_5k", "span_probe", "span_append", "span_append_postc")
+      "cc_apply_5k", "span_probe", "span_append", "span_append_postc",
+      "span_compact")
     for ((op, ps) <- byOp) {
       val lo = ps.minBy(_.k)
       val hi = ps.maxBy(_.k)
