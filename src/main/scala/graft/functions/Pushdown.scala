@@ -18,6 +18,35 @@ import org.apache.spark.sql.functions._
   */
 object Pushdown {
 
+  /** The shared fine-cluster-key scheme: `ck = hash1(key) mod 8192`,
+    * seeded independently of the stores' shard hashes (which are
+    * `hash(key) mod nShards`) so the two don't correlate when nShards
+    * divides the domain. 8192 cells × the range cap of 192 keeps the
+    * pushed predicate small while a 50-doc batch's key set (a few
+    * thousand) still excludes most of the domain. */
+  val CkDomain = 8192L
+  val CkRangeCap = 192
+
+  def ckOf(key: Column): Column =
+    pmod(xxhash64(lit(1L), key), lit(CkDomain)).cast("int")
+
+  /** One bounded driver job: the distinct (partition, ck) footprint of a
+    * keyed frame — partition values for PATH pruning, ck values for the
+    * in-file range pushdown. Both sets are domain-bounded (nShards /
+    * CkDomain), never batch-bounded. */
+  def footprint(df: org.apache.spark.sql.DataFrame, part: Column,
+      ck: Column): (Array[Int], Array[Int]) = {
+    val r = df.select(part.as("p"), ck.as("k"))
+      .agg(collect_set(col("p")).as("ps"), collect_set(col("k")).as("ks"))
+      .head()
+    (r.getSeq[Int](0).toArray, r.getSeq[Int](1).toArray)
+  }
+
+  /** The pushable predicate over a stored `ck` column for a batch's ck
+    * set — superset semantics; join above for exactness. */
+  def ckFilter(cks: Array[Int]): Column =
+    inRanges(col("ck"), ranges(cks, CkRangeCap))
+
   /** Collapse a set of key values into at most `cap` closed ranges:
     * adjacent values fuse into runs, then the runs with the SMALLEST gaps
     * between them merge first until the cap holds — minimizing the extra

@@ -123,10 +123,10 @@ object Indexing {
   // generation's layout dictates, with no footer-based inference
   private val postingsSchema = new org.apache.spark.sql.types.StructType()
     .add("token", "string").add("id", "long").add("tf", "long")
-    .add("dl", "long").add("gen", "string").add("shard", "int")
+    .add("dl", "long").add("ck", "int").add("gen", "string").add("shard", "int")
   private val statsSchema = new org.apache.spark.sql.types.StructType()
     .add("token", "string").add("df", "long").add("ttf", "long")
-    .add("gen", "string").add("shard", "int")
+    .add("ck", "int").add("gen", "string").add("shard", "int")
   private val headsSchema = new org.apache.spark.sql.types.StructType()
     .add("token", "string").add("id", "long")
     .add("gen", "string").add("shard", "int")
@@ -151,6 +151,7 @@ object Indexing {
     val dl = pr.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
     pr.join(dl, "id")
       .withColumn("shard", shardOf(col("token"), nShards))
+      .withColumn("ck", graft.functions.Pushdown.ckOf(col("token")))
       .localCheckpoint()
   }
 
@@ -176,19 +177,29 @@ object Indexing {
     */
   private def writeGeneration(p: DataFrame, indexDir: String, gen: String,
       headCap: Int, segment: Boolean): Unit = {
-    def out(df: DataFrame, sub: String): Unit =
-      if (segment)
-        df.repartition(col("shard")).sortWithinPartitions(col("shard"))
-          .write.mode("overwrite").parquet(s"$indexDir/$sub/gen=$gen")
-      else
-        df.repartition(col("shard"))
-          .write.mode("overwrite").partitionBy("shard")
-          .parquet(s"$indexDir/$sub/gen=$gen")
-    out(p.select(col("token"), col("id"), col("tf"), col("dl"), col("shard")),
-      "postings")
+    // postings/stats are ck-SORTED inside their files (serve-optimized
+    // layout, 4 MB row groups / 2000-row pages): the serving paths push
+    // OR-of-ranges over a query batch's own ck set, so the reader's page
+    // column indexes skip token ranges the batch never touches — the
+    // in-shard scan bound the LM register established ([[graft.functions
+    // .Pushdown]]); heads keep the shard-only sort (whole-vocab serving)
+    def out(df: DataFrame, sub: String, ckSort: Boolean = true): Unit = {
+      val sortCols =
+        if (ckSort) Seq(col("shard"), col("ck")) else Seq(col("shard"))
+      val w = df.repartition(col("shard")).sortWithinPartitions(sortCols: _*)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 4L << 20)
+        .option("parquet.page.size", 64 << 10)
+        .option("parquet.page.row.count.limit", 2000)
+      (if (segment) w else w.partitionBy("shard"))
+        .parquet(s"$indexDir/$sub/gen=$gen")
+    }
+    out(p.select(col("token"), col("id"), col("tf"), col("dl"), col("ck"),
+      col("shard")), "postings")
     out(p.groupBy(col("shard"), col("token"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf")), "stats")
-    out(headRows(p, headCap), "heads")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
+      .withColumn("ck", graft.functions.Pushdown.ckOf(col("token"))), "stats")
+    out(headRows(p, headCap), "heads", ckSort = false)
     val dl = p.groupBy(col("id")).agg(max(col("dl")).as("dl"))
     dl.write.mode("overwrite").parquet(s"$indexDir/doclen/gen=$gen")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -365,16 +376,27 @@ object Indexing {
       (foldGens.sizeIs == 1 && foldGens.head.startsWith("c"))) return
     val cGen = Generations.nextName(spark, indexDir, surfaces, 'c')
     // one shuffle partition per shard value → one file per shard dir
-    def fold(sub: String, parts: Seq[String])(f: DataFrame => DataFrame): Unit = {
+    def fold(sub: String, parts: Seq[String], ckSort: Boolean = false)
+        (f: DataFrame => DataFrame): Unit = {
       val folded = f(surface(spark, indexDir, sub, foldGens).drop("gen"))
-      (if (parts.isEmpty) folded else folded.repartition(parts.map(col): _*))
-        .write.mode("overwrite")
+      val placed =
+        if (parts.isEmpty) folded
+        else {
+          val r = folded.repartition(parts.map(col): _*)
+          if (ckSort) r.sortWithinPartitions((parts.map(col) :+ col("ck")): _*)
+          else r
+        }
+      placed.write.mode("overwrite")
+        .option("parquet.block.size", 4L << 20)
+        .option("parquet.page.size", 64 << 10)
+        .option("parquet.page.row.count.limit", 2000)
         .partitionBy(parts: _*).parquet(s"$indexDir/$sub/gen=$cGen")
     }
-    fold("postings", Seq("shard"))(identity)
-    fold("stats", Seq("shard")) {
+    fold("postings", Seq("shard"), ckSort = true)(identity)
+    fold("stats", Seq("shard"), ckSort = true) {
       _.groupBy(col("shard"), col("token"))
         .agg(sum(col("df")).as("df"), sum(col("ttf")).as("ttf"))
+        .withColumn("ck", graft.functions.Pushdown.ckOf(col("token")))
     }
     fold("heads", Seq("shard"))(headRows(_, headCap))
     fold("doclen", Nil)(identity)
@@ -396,8 +418,8 @@ object Indexing {
     import spark.implicits._
     val (nShards, _) = readMeta(spark, indexDir)
     val t = tokens.toDF("token")
-    val shards = t.select(shardOf(col("token"), nShards).as("s"))
-      .distinct().collect().map(_.getInt(0))
+    val (shards, cks) = graft.functions.Pushdown.footprint(t,
+      shardOf(col("token"), nShards), graft.functions.Pushdown.ckOf(col("token")))
     // path-level pruning: the plan-time listing enumerates only the
     // probed shards' directories, O(gens + touched), never O(gens × nShards).
     // `asOf` resolves a RETAINED snapshot manifest instead of the live one
@@ -409,6 +431,9 @@ object Indexing {
           .getOrElse(Generations.live(spark, indexDir)),
         postingsSchema, "shard",
         shards.toIndexedSeq)
+      // ck ranges reach parquet (the joins above only discard AFTER the
+      // read); superset by construction, the token join restores exactness
+      .filter(graft.functions.Pushdown.ckFilter(cks))
       .join(broadcast(t), Seq("token"))
       .select(col("token"), col("id"), col("tf"))
   }

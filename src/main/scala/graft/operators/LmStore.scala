@@ -87,25 +87,11 @@ object LmStore {
     * skip granularity — not by the shard's (corpus-growing) size. The ck
     * set is driver-bounded by the domain (8192) BY CONSTRUCTION.
     */
-  private val CkDomain = 8192L
-  private val CkRangeCap = 192
-  private def ckOf(k: Column) = pmod(xxhash64(lit(1L), k), lit(CkDomain)).cast("int")
-
-  /** One bounded driver job: the distinct (partition, ck) footprint of a
-    * keyed frame — partition values for PATH pruning, ck values for the
-    * in-file range pushdown. Both sets are domain-bounded (nShards / 8192),
-    * never batch-bounded. */
-  private def footprint(df: DataFrame, part: Column,
-      ck: Column): (Array[Int], Array[Int]) = {
-    val r = df.select(part.as("p"), ck.as("k"))
-      .agg(collect_set(col("p")).as("ps"), collect_set(col("k")).as("ks"))
-      .head()
-    (r.getSeq[Int](0).toArray, r.getSeq[Int](1).toArray)
-  }
-
+  private def ckOf(k: Column) = graft.functions.Pushdown.ckOf(k)
+  private def footprint(df: DataFrame, part: Column, ck: Column) =
+    graft.functions.Pushdown.footprint(df, part, ck)
   private def ckFilter(cks: Array[Int]): Column =
-    graft.functions.Pushdown.inRanges(col("ck"),
-      graft.functions.Pushdown.ranges(cks, CkRangeCap))
+    graft.functions.Pushdown.ckFilter(cks)
 
   private def readMeta(spark: SparkSession, dir: String): Int =
     spark.read.parquet(s"$dir/meta").select(col("n_shards")).head().getInt(0)

@@ -115,16 +115,21 @@ object Retrieval {
         .select(col("n_shards"), col("head_cap")).head()
       (r.getInt(0), r.getInt(1))
     }
-    val shards = qterms.select(Indexing.shardOf(col("token"), nShards).as("s"))
-      .distinct().collect().map(_.getInt(0))
+    val (shards, cks) = graft.functions.Pushdown.footprint(qterms,
+      Indexing.shardOf(col("token"), nShards),
+      graft.functions.Pushdown.ckOf(col("token")))
     // one manifest resolution — all three surfaces score the same snapshot.
     // Indexing.surface folds both store layouts (dir-partitioned
     // build/compaction generations + flat append segments) behind the
     // same shard filter: directory pruning on the former, a batch-sized
-    // data filter on the latter
+    // data filter on the latter. BELOW the shard, the query terms' ck
+    // ranges push to parquet over the ck-sorted files, so even a probed
+    // shard is read only around the query tokens' key ranges ([[graft
+    // .functions.Pushdown]] — the joins in score() restore exactness)
     val gens = Generations.live(spark, indexDir)
     def pruned(sub: String) = Indexing.surface(spark, indexDir, sub, gens)
       .filter(col("shard").isin(shards.map(Integer.valueOf).toIndexedSeq: _*))
+      .filter(graft.functions.Pushdown.ckFilter(cks))
     val tf = pruned("postings")
       .select(col("id"), col("token"), col("tf"), col("dl"))
     val dfT = pruned("stats")

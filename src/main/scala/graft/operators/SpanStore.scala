@@ -47,7 +47,7 @@ object SpanStore {
   private val surfaces = Seq("wins", "docreg")
 
   private val winsSchema = new StructType()
-    .add("h", LongType).add("c", LongType)
+    .add("h", LongType).add("c", LongType).add("ck", IntegerType)
     .add("gen", StringType).add("shard", IntegerType)
   private val docregSchema = new StructType()
     .add("id", StringType).add("gen", StringType)
@@ -71,14 +71,19 @@ object SpanStore {
     * batch) — the same Lucene segment split as the other stores. */
   private def writeGeneration(wins: DataFrame, ids: DataFrame, dir: String,
       gen: String, nShards: Int, segment: Boolean): Unit = {
+    // ck-sorted files + small pages: probe scans push the batch's ck
+    // ranges so a probed shard is read only around the batch's own hash
+    // ranges (the [[graft.functions.Pushdown]] in-shard scan bound)
     val counts = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .withColumn("shard", shardOf(col("h"), nShards))
-    (if (segment)
-       counts.repartition(col("shard")).sortWithinPartitions(col("shard"), col("h"))
-         .write.mode("overwrite")
-     else
-       counts.repartition(col("shard"))
-         .write.mode("overwrite").partitionBy("shard"))
+      .withColumn("ck", graft.functions.Pushdown.ckOf(col("h")))
+    val w = counts.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ck"), col("h"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", 4L << 20)
+      .option("parquet.page.size", 64 << 10)
+      .option("parquet.page.row.count.limit", 2000)
+    (if (segment) w else w.partitionBy("shard"))
       .parquet(s"$dir/wins/gen=$gen")
     ids.select(col("id").cast("string").as("id"))
       .write.mode("overwrite").parquet(s"$dir/docreg/gen=$gen")
@@ -169,8 +174,8 @@ object SpanStore {
     val (windowN, nShards) = readMeta(spark, dir)
     val bw = Dedup.windowRows(batch, idCol, textCol, windowN)
       .localCheckpoint()
-    val probed = bw.select(shardOf(col("h"), nShards).as("s"))
-      .distinct().collect().map(_.getInt(0))
+    val (probed, cks) = graft.functions.Pushdown.footprint(bw,
+      shardOf(col("h"), nShards), graft.functions.Pushdown.ckOf(col("h")))
     val gens = asOf.map(Generations.liveAt(spark, dir, _))
       .getOrElse(Generations.live(spark, dir))
     // serve-before-ingest contract, enforced like the append guard: a
@@ -187,6 +192,9 @@ object SpanStore {
         "fabricates duplicated spans; probe BEFORE ingesting (serve-then-" +
         "append), or probe only fresh ids")
     val stored = winsPruned(spark, dir, gens, probed.toIndexedSeq)
+      // ck ranges reach parquet below the semi-join (which can only
+      // discard rows after they are read); superset by construction
+      .filter(graft.functions.Pushdown.ckFilter(cks))
       .join(broadcast(bw.select(col("h")).distinct()), Seq("h"), "left_semi")
       .groupBy(col("h")).agg(sum(col("c")).as("c"))
     val batchCnt = bw.groupBy(col("h")).agg(count(lit(1)).as("bc"))
@@ -212,8 +220,14 @@ object SpanStore {
     val cGen = Generations.nextName(spark, dir, surfaces, 'c')
     winsSurface(spark, dir, foldGens).drop("gen")
       .groupBy(col("shard"), col("h")).agg(sum(col("c")).as("c"))
+      .withColumn("ck", graft.functions.Pushdown.ckOf(col("h")))
       .repartition(col("shard"))
-      .write.mode("overwrite").partitionBy("shard")
+      .sortWithinPartitions(col("shard"), col("ck"), col("h"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", 4L << 20)
+      .option("parquet.page.size", 64 << 10)
+      .option("parquet.page.row.count.limit", 2000)
+      .partitionBy("shard")
       .parquet(s"$dir/wins/gen=$cGen")
     docreg(spark, dir, foldGens).drop("gen")
       .write.mode("overwrite").parquet(s"$dir/docreg/gen=$cGen")

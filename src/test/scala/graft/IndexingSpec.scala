@@ -322,4 +322,27 @@ class IndexingSpec extends AnyFunSuite {
     assert(scanned === 1L,
       s"one probed token must read exactly one (gen, shard) partition, read $scanned")
   }
+
+  test("in-shard ck ranges bound the postings rows a small lookup reads") {
+    // ONE shard, so directory pruning cannot help — the bound must come
+    // from the ck-range pushdown over the ck-sorted postings file
+    val big = spark.range(0, 4000).select($"id".as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("tok"), pmod($"id" * 12 + lit(j), lit(40000)))): _*)
+        .as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_ck").toString + "/idx"
+    Indexing.indexBuild(big, "doc_id", "text", dir, nShards = 1)
+    val total = spark.read.parquet(s"$dir/postings/gen=g0").count()
+    val got = Indexing.indexLookup(spark, dir, Seq("tok17", "tok18"))
+    assert(got.collect().length >= 2)
+    val postingScans = scans(got.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "tf"))
+    assert(postingScans.nonEmpty)
+    val readRows = postingScans.map(_.metrics("numOutputRows").value).max
+    assert(readRows > 0 && readRows < total / 2,
+      s"ck ranges must skip most of the $total-row single-shard postings, read $readRows")
+    val meta = postingScans.head.metadata.getOrElse("PushedFilters", "")
+    assert(meta.contains("GreaterThanOrEqual(ck") || meta.contains("EqualTo(ck"),
+      s"ck ranges missing from PushedFilters: $meta")
+  }
 }

@@ -155,4 +155,37 @@ class SpanStoreSpec extends AnyFunSuite {
     assert(rows(SpanStore.duplicatedSpansIncremental(spark, batch,
       "doc_id", "text", dir)) === got)
   }
+
+  test("in-shard ck ranges bound the window-count rows a probe reads") {
+    // ONE shard: the probe's scan bound must come from the ck-range
+    // pushdown over the ck-sorted wins file, not directory pruning
+    val big = spark.range(0, 3000).select($"id".as("doc_id"),
+      concat_ws(" ", (0 until 16).map(j =>
+        concat(lit("w"), $"id" * 16 + lit(j))): _*).as("text"))
+    val dir = tmp()
+    SpanStore.spanStoreBuild(big, "doc_id", "text", dir,
+      windowN = 8, nShards = 1)
+    val total = spark.read.parquet(s"$dir/wins/gen=g0").count()
+    // a fresh one-doc batch duplicating doc 7's text: its windows hit the
+    // store, everything else's key ranges must be skipped at the reader
+    val batch = big.filter($"doc_id" === 7)
+      .select(lit(999999L).as("doc_id"), $"text")
+    val probe = SpanStore.duplicatedSpansIncremental(spark, batch,
+      "doc_id", "text", dir)
+    assert(probe.collect().nonEmpty)
+    val winScans = scans(probe.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "c"))
+    assert(winScans.nonEmpty)
+    val readRows = winScans.map(_.metrics("numOutputRows").value).max
+    assert(readRows > 0 && readRows < total / 2,
+      s"ck ranges must skip most of the $total-row single-shard wins store, read $readRows")
+  }
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
 }
