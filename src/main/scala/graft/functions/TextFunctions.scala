@@ -188,6 +188,29 @@ object TextFunctions {
     regexp_replace(noEmail, "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>")
   }
 
+  /** The mojibake sequences [[fixMojibake]] repairs: UTF-8 bytes of a
+    * code point re-decoded as Latin-1/CP-1252 — the classic crawl
+    * double-encoding artifact ("café" → "cafÃ©"). No entry is a prefix
+    * of another and no replacement re-creates a later pattern, so the
+    * cascade is order-insensitive and idempotent on clean text. */
+  private[graft] val MojibakeMap: Seq[(String, String)] = Seq(
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó", "Ãº" -> "ú",
+    "Ã±" -> "ñ", "Ã¼" -> "ü", "Ã¶" -> "ö", "Ã¤" -> "ä", "Ã¯" -> "ï",
+    "Ã§" -> "ç", "â€™" -> "'", "â€œ" -> "\"", "â€“" -> "–", "â€”" -> "—",
+    "Â°" -> "°", "Â½" -> "½", "Â«" -> "«", "Â»" -> "»")
+
+  /** Mojibake repair: undo the most common UTF-8-as-Latin-1 double
+    * decodes with a literal replace cascade — pure codegen'd per-row
+    * string work, the encoding-hygiene pass a crawl corpus runs before
+    * tokenization (mojibake splinters tokens and poisons n-gram stats).
+    * Engine-replayable by construction: every step is a literal
+    * (non-regex) replace.
+    */
+  def fixMojibake(text: Column): Column =
+    MojibakeMap.foldLeft(text) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
+
   /** Duplicate-n-gram fraction (Rae et al. 2021 "repetition" quality
     * signal): 1 − |distinct n-grams| / |n-grams|; 0 for docs with a single
     * shingle. High values flag boilerplate/spam for curation filters.

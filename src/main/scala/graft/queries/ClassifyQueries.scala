@@ -163,6 +163,87 @@ object ClassifyQueries {
                '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
       FROM inj""")),
 
+    // Classifier EVALUATION surface — the confusion matrix over the
+    // held-out split: per (true, predicted) source pair, how many docs
+    // landed there. The standard gate before a trained quality/source
+    // filter is allowed to drop corpus data. Pure rollup of the q154
+    // serve (same α=1 decomposition, same 4-decimal argmax), so the
+    // oracle replays train + classify + the matrix aggregation.
+    ("q158_nb_confusion", (s: SparkSession, d: String) =>
+      Classify.nbClassify(trainDocs(s, d), testDocs(s, d), "doc_id", "text",
+          "source")
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n")),
+    Some("""
+      WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+      tk AS (SELECT source AS label,
+                    unnest(string_split_regex(text, '\s+')) AS token
+             FROM train),
+      cnt AS (SELECT label, token, count(*) AS c FROM tk GROUP BY label, token),
+      lbl AS (SELECT source AS label, count(*) AS n_docs FROM train GROUP BY source),
+      tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS n_tokens FROM cnt GROUP BY label),
+      g AS (SELECT (SELECT count(*) FROM train) AS n_docs_total,
+                   (SELECT count(DISTINCT token) FROM cnt) AS v_size),
+      stats AS (SELECT lbl.label, lbl.n_docs, tot.n_tokens, g.n_docs_total,
+                       g.v_size
+                FROM lbl JOIN tot USING (label) CROSS JOIN g),
+      tf AS (SELECT doc_id, true_label, token, count(*) AS tf
+             FROM (SELECT doc_id, source AS true_label,
+                          unnest(string_split_regex(text, '\s+')) AS token
+                   FROM test)
+             GROUP BY doc_id, true_label, token),
+      vocab AS (SELECT DISTINCT token FROM cnt),
+      m AS (SELECT tf.doc_id, tf.true_label, CAST(sum(tf.tf) AS BIGINT) AS m
+            FROM tf JOIN vocab USING (token) GROUP BY tf.doc_id, tf.true_label),
+      seen AS (SELECT tf.doc_id, cnt.label,
+                      sum(tf.tf * ln(cnt.c + 1.0)) AS s_seen
+               FROM tf JOIN cnt USING (token) GROUP BY tf.doc_id, cnt.label),
+      sc AS (SELECT m.doc_id, m.true_label, s.label,
+                    round(ln(s.n_docs * 1.0 / s.n_docs_total)
+                      - m.m * ln((s.n_tokens + s.v_size) * 1.0)
+                      + coalesce(seen.s_seen, 0.0), 4) AS score
+             FROM m CROSS JOIN stats s
+             LEFT JOIN seen ON seen.doc_id = m.doc_id AND seen.label = s.label),
+      rk AS (SELECT doc_id, true_label, label, score,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, label) AS rk
+             FROM sc)
+      SELECT true_label, label AS pred_label, count(*) AS n
+      FROM rk WHERE rk = 1
+      GROUP BY true_label, label""")),
+
+    // Mojibake repair round-trip: the corpus is clean, so the query
+    // injects a deterministic UTF-8-as-Latin-1 tail (the classic crawl
+    // double-encoding artifact) and repairs it with the production
+    // literal-replace cascade ([[graft.functions.TextFunctions
+    // .fixMojibake]]). The oracle replays injection AND every replace,
+    // so a drifting sequence map fails the hash. Pure per-row codegen'd
+    // string work, no shuffle.
+    ("q159_fix_mojibake", (s: SparkSession, d: String) => {
+      val injected = concat(col("text"),
+        lit(" cafÃ© â€œnaÃ¯veâ€“style donâ€™t 25Â½Â° no."),
+        col("doc_id").cast("string"))
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextFunctions.fixMojibake(injected).as("fixed"))
+    },
+    Some("""
+      WITH inj AS (SELECT doc_id,
+                          concat(text,
+                                 ' cafÃ© â€œnaÃ¯veâ€“style donâ€™t 25Â½Â° no.',
+                                 doc_id) AS t
+                   FROM documents)
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(replace(replace(
+             replace(replace(replace(replace(replace(replace(replace(replace(
+             replace(replace(replace(t,
+               'Ã©', 'é'), 'Ã¨', 'è'), 'Ã¡', 'á'), 'Ã³', 'ó'), 'Ãº', 'ú'),
+               'Ã±', 'ñ'), 'Ã¼', 'ü'), 'Ã¶', 'ö'), 'Ã¤', 'ä'), 'Ã¯', 'ï'),
+               'Ã§', 'ç'), 'â€™', ''''), 'â€œ', '"'), 'â€“', '–'),
+               'â€”', '—'), 'Â°', '°'), 'Â½', '½'), 'Â«', '«'), 'Â»', '»')
+               AS fixed
+      FROM inj""")),
+
     // Trained-centroid SemDeDup vs the deterministic exemplar twin at the
     // SAME (k, τ): one agreement row quantifying how far the k-means
     // geometry moves the per-vector dup verdicts. Seeded k-means is not

@@ -52,4 +52,21 @@ class TextScrubSpec extends AnyFunSuite {
   test("repetitionRatio: short docs (<= n tokens) score 0") {
     assert(rep("just two") === 0.0)
   }
+
+  private def moji(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t")
+      .select(TextFunctions.fixMojibake(col("t"))).head().getString(0)
+  }
+
+  test("fixMojibake repairs double-encoded sequences") {
+    assert(moji("cafÃ© donâ€™t naÃ¯ve 25Â½Â°") === "café don't naïve 25½°")
+  }
+
+  test("fixMojibake is identity on clean text and idempotent") {
+    val clean = "café don't naïve — \"quoted\" 25½° plain ascii."
+    assert(moji(clean) === clean)
+    val dirty = "cafÃ© â€œxâ€“y"
+    assert(moji(moji(dirty)) === moji(dirty))
+  }
 }
