@@ -20,8 +20,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType
   *   wins/gen=<g>/shard=<s>/     (h, c) — window-hash occurrence counts,
   *       folded by sum across generations; sharded by pmod(h) so a
   *       batch-bounded probe prunes to its touched shards
-  *   docreg/gen=<g>/             (id) — ingested-doc registry backing
-  *       the append-only contract
+  *   docreg/gen=<g>/bucket=<b>/  (id, ck) — ingested-doc registry
+  *       backing the append-only and serve-before-ingest contracts,
+  *       bucketed by id hash and ck-sorted so the guards read only the
+  *       batch ids' buckets and key ranges
   *
   * Serving cost shape: a batch probe reads only the probed shard
   * directories of the `wins` surface and joins on the 64-bit hash — the
@@ -38,6 +40,9 @@ object SpanStore {
   private def shardOf(h: Column, nShards: Int) =
     pmod(h, lit(nShards.toLong)).cast("int")
 
+  private def bucketOf(id: Column, nShards: Int) =
+    pmod(xxhash64(id.cast("string")), lit(nShards.toLong)).cast("int")
+
   private def readMeta(spark: SparkSession, dir: String): (Int, Int) = {
     val r = spark.read.parquet(s"$dir/meta")
       .select(col("window_n"), col("n_shards")).head()
@@ -50,7 +55,8 @@ object SpanStore {
     .add("h", LongType).add("c", LongType).add("ck", IntegerType)
     .add("gen", StringType).add("shard", IntegerType)
   private val docregSchema = new StructType()
-    .add("id", StringType).add("gen", StringType)
+    .add("id", StringType).add("ck", IntegerType)
+    .add("gen", StringType).add("bucket", IntegerType)
 
   private def winsSurface(spark: SparkSession, dir: String,
       gens: Seq[String]): DataFrame =
@@ -61,9 +67,15 @@ object SpanStore {
     Generations.readSurfacePruned(spark, dir, "wins", gens, winsSchema,
       "shard", shards)
 
-  private def docreg(spark: SparkSession, dir: String,
-      gens: Seq[String]): DataFrame =
-    Generations.readSurfaceAs(spark, dir, "docreg", gens, docregSchema)
+  /** The doc registry pruned to the given id buckets — the LM registry
+    * discipline: the append-only and serve-before-ingest guards read a
+    * batch-shaped slice (probed buckets at the path level, the batch
+    * ids' ck ranges at the reader) no matter how much was ever
+    * ingested. */
+  private def docregPruned(spark: SparkSession, dir: String,
+      gens: Seq[String], buckets: Seq[Int]): DataFrame =
+    Generations.readSurfacePruned(spark, dir, "docreg", gens, docregSchema,
+      "bucket", buckets)
 
   /** One generation of both surfaces. Build/compaction generations are
     * shard-directory-partitioned (one file per shard); batch appends are
@@ -85,8 +97,15 @@ object SpanStore {
       .option("parquet.page.row.count.limit", 2000)
     (if (segment) w else w.partitionBy("shard"))
       .parquet(s"$dir/wins/gen=$gen")
-    ids.select(col("id").cast("string").as("id"))
-      .write.mode("overwrite").parquet(s"$dir/docreg/gen=$gen")
+    val reg = ids.select(col("id").cast("string").as("id"))
+      .withColumn("bucket", bucketOf(col("id"), nShards))
+      .withColumn("ck", graft.functions.Pushdown.ckOf(col("id")))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("ck"))
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", 2000)
+    (if (segment) reg else reg.partitionBy("bucket"))
+      .parquet(s"$dir/docreg/gen=$gen")
   }
 
   /** Build a fresh persisted span store under `dir` (any previous store
@@ -114,9 +133,13 @@ object SpanStore {
       Generations.withWriterLock(batch.sparkSession, dir) {
     val spark = batch.sparkSession
     val (windowN, nShards) = readMeta(spark, dir)
-    val dupe = docreg(spark, dir, Generations.live(spark, dir))
-      .join(batch.select(col(idCol).cast("string").as("id")),
-        Seq("id"), "left_semi")
+    val ids = batch.select(col(idCol).cast("string").as("id"))
+    val (buckets, idCks) = graft.functions.Pushdown.footprint(ids,
+      bucketOf(col("id"), nShards), graft.functions.Pushdown.ckOf(col("id")))
+    val dupe = docregPruned(spark, dir, Generations.live(spark, dir),
+        buckets.toIndexedSeq)
+      .filter(graft.functions.Pushdown.ckFilter(idCks))
+      .join(ids, Seq("id"), "left_semi")
     require(dupe.isEmpty,
       "spanStoreAppend: batch contains doc ids already in the store — " +
         "the append-only contract forbids re-ingesting a document")
@@ -144,10 +167,14 @@ object SpanStore {
       s"spanStoreAppendOrReplay: generation name '$gen' collides with the " +
         "batch/compaction namespace — use a distinct prefix, e.g. b<batchId>")
     val (windowN, nShards) = readMeta(spark, dir)
-    val others = docreg(spark, dir, Generations.live(spark, dir))
+    val ids = batch.select(col(idCol).cast("string").as("id"))
+    val (buckets, idCks) = graft.functions.Pushdown.footprint(ids,
+      bucketOf(col("id"), nShards), graft.functions.Pushdown.ckOf(col("id")))
+    val others = docregPruned(spark, dir, Generations.live(spark, dir),
+        buckets.toIndexedSeq)
+      .filter(graft.functions.Pushdown.ckFilter(idCks))
       .filter(col("gen") =!= gen)
-      .join(batch.select(col(idCol).cast("string").as("id")),
-        Seq("id"), "left_semi")
+      .join(ids, Seq("id"), "left_semi")
     require(others.isEmpty,
       "spanStoreAppendOrReplay: batch contains doc ids already ingested " +
         "by a DIFFERENT generation — genuine re-ingestion, not a replay")
@@ -181,11 +208,14 @@ object SpanStore {
     // serve-before-ingest contract, enforced like the append guard: a
     // batch doc already in the store would meet its own stored window
     // counts and every one of its windows would self-report as a
-    // duplicated span. The registry is id-only tiny rows — the check is
-    // one semi-join against the batch ids
-    val dupe = docreg(spark, dir, gens)
-      .join(batch.select(col(idCol).cast("string").as("id")),
-        Seq("id"), "left_semi")
+    // duplicated span. Bucket-pruned + ck-bounded like every registry
+    // read — a batch-shaped slice, never the whole corpus id list
+    val pids = batch.select(col(idCol).cast("string").as("id"))
+    val (pBuckets, pCks) = graft.functions.Pushdown.footprint(pids,
+      bucketOf(col("id"), nShards), graft.functions.Pushdown.ckOf(col("id")))
+    val dupe = docregPruned(spark, dir, gens, pBuckets.toIndexedSeq)
+      .filter(graft.functions.Pushdown.ckFilter(pCks))
+      .join(pids, Seq("id"), "left_semi")
     require(dupe.isEmpty,
       "duplicatedSpansIncremental: batch contains doc ids already in the " +
         "store — a stored doc self-matches its own window counts and " +
@@ -229,8 +259,14 @@ object SpanStore {
       .option("parquet.page.row.count.limit", 2000)
       .partitionBy("shard")
       .parquet(s"$dir/wins/gen=$cGen")
-    docreg(spark, dir, foldGens).drop("gen")
-      .write.mode("overwrite").parquet(s"$dir/docreg/gen=$cGen")
+    Generations.readSurfaceMixed(spark, dir, "docreg", foldGens,
+        docregSchema, "bucket").drop("gen")
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("ck"))
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", 2000)
+      .partitionBy("bucket")
+      .parquet(s"$dir/docreg/gen=$cGen")
     Generations.commit(spark, dir, cGen +: liveGens.filter(keepGens))
   }
 }
