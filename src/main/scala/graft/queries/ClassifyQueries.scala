@@ -244,6 +244,56 @@ object ClassifyQueries {
                AS fixed
       FROM inj""")),
 
+    // Source-level boilerplate removal round-trip (CCNet/RefinedWeb-style
+    // line-frequency filtering): the corpus has no line structure, so the
+    // query injects a deterministic template around every document — a
+    // NAV header and FOOT footer in 100% of each source's docs (must be
+    // stripped), a PROMO line in 25% (below the 0.5 threshold — must
+    // survive), the original text and a RARE per-doc line (unique — must
+    // survive). The oracle replays injection, line-frequency detection,
+    // the threshold, and order-preserving reconstruction.
+    ("q160_boilerplate", (s: SparkSession, d: String) => {
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        col("source"),
+        concat(
+          lit("NAV "), col("source"), lit(" menu home about\n"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("PROMO "), col("source"), lit(" sale\n")))
+            .otherwise(lit("")),
+          col("text"),
+          lit("\nRARE "), col("doc_id").cast("string"),
+          lit("\nFOOT "), col("source"), lit(" copyright")).as("text"))
+      graft.operators.Boilerplate.stripBoilerplate(injected, "doc_id",
+        "text", "source", minFrac = 0.5)
+    },
+    Some("""
+      WITH inj AS (SELECT doc_id, source,
+                          concat('NAV ', source, ' menu home about', chr(10),
+                                 CASE WHEN doc_id % 4 = 0
+                                      THEN concat('PROMO ', source, ' sale',
+                                                  chr(10))
+                                      ELSE '' END,
+                                 text,
+                                 chr(10), 'RARE ', doc_id,
+                                 chr(10), 'FOOT ', source, ' copyright') AS t
+                   FROM documents),
+      l AS (SELECT source, doc_id,
+                   unnest(list_distinct(string_split(t, chr(10)))) AS line
+            FROM inj),
+      nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs
+             FROM inj GROUP BY source),
+      b AS (SELECT l.source, l.line
+            FROM l JOIN nd ON nd.source = l.source
+            GROUP BY l.source, l.line, nd.n_docs
+            HAVING count(*) >= nd.n_docs * 0.5),
+      bl AS (SELECT source, list(line) AS blines FROM b GROUP BY source)
+      SELECT i.doc_id,
+             array_to_string(
+               list_filter(string_split(i.t, chr(10)),
+                 x -> NOT coalesce(list_contains(bl.blines, x), false)),
+               chr(10)) AS clean_text
+      FROM inj i LEFT JOIN bl ON bl.source = i.source""")),
+
     // Trained-centroid SemDeDup vs the deterministic exemplar twin at the
     // SAME (k, τ): one agreement row quantifying how far the k-means
     // geometry moves the per-vector dup verdicts. Seeded k-means is not
