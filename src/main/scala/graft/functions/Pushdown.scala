@@ -43,9 +43,24 @@ object Pushdown {
   }
 
   /** The pushable predicate over a stored `ck` column for a batch's ck
-    * set — superset semantics; join above for exactness. */
-  def ckFilter(cks: Array[Int]): Column =
-    inRanges(col("ck"), ranges(cks, CkRangeCap))
+    * set — superset semantics; join above for exactness. ADAPTIVE: range
+    * pruning only pays when the key set is SELECTIVE. A large batch (a
+    * few thousand distinct keys) hash-scatters over most of the domain,
+    * so its capped range cover approaches the whole domain — the
+    * predicate then skips nothing while costing an N-disjunct evaluation
+    * on every scanned row (measured: the span probe's 50-doc batch went
+    * LINEAR in the corpus, 2.7→32 s per 32×, purely from this term).
+    * When the coalesced ranges cover more than 1/8 of the domain the
+    * filter degrades to `true` (Catalyst eliminates it) and the serving
+    * plan is exactly the broadcast-join gate alone — point lookups and
+    * small probes keep the page-skipping win, dense batches keep the
+    * old flat plan. */
+  def ckFilter(cks: Array[Int]): Column = {
+    val rs = ranges(cks, CkRangeCap)
+    val covered = rs.map { case (lo, hi) => hi.toLong - lo + 1 }.sum
+    if (covered * 8 > CkDomain) lit(true)
+    else inRanges(col("ck"), rs)
+  }
 
   /** Collapse a set of key values into at most `cap` closed ranges:
     * adjacent values fuse into runs, then the runs with the SMALLEST gaps

@@ -209,8 +209,11 @@ object SpanStore {
     // batch doc already in the store would meet its own stored window
     // counts and every one of its windows would self-report as a
     // duplicated span. Bucket-pruned + ck-bounded like every registry
-    // read — a batch-shaped slice, never the whole corpus id list
-    val pids = batch.select(col(idCol).cast("string").as("id"))
+    // read — a batch-shaped slice, never the whole corpus id list. Ids
+    // come from the CHECKPOINTED window rows (no batch-source re-scan);
+    // only window-bearing docs can self-match, and a doc too short to
+    // window is registered but can never fabricate a span
+    val pids = bw.select(col("id").cast("string").as("id")).distinct()
     val (pBuckets, pCks) = graft.functions.Pushdown.footprint(pids,
       bucketOf(col("id"), nShards), graft.functions.Pushdown.ckOf(col("id")))
     val dupe = docregPruned(spark, dir, gens, pBuckets.toIndexedSeq)
