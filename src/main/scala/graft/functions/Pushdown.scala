@@ -22,10 +22,44 @@ object Pushdown {
     * seeded independently of the stores' shard hashes (which are
     * `hash(key) mod nShards`) so the two don't correlate when nShards
     * divides the domain. 8192 cells × the range cap of 192 keeps the
-    * pushed predicate small while a 50-doc batch's key set (a few
-    * thousand) still excludes most of the domain. */
+    * pushed predicate small. The pushdown is ADAPTIVE (see [[ckFilter]]):
+    * it applies only to SELECTIVE key sets — roughly up to a few hundred
+    * distinct cks, where the capped range cover stays under 1/8 of the
+    * domain. Denser batches hash-scatter past the cover threshold and
+    * intentionally fall back to the plain broadcast-join plan (`true`),
+    * which was already flat before this primitive existed. */
   val CkDomain = 8192L
   val CkRangeCap = 192
+
+  /** On-disk LAYOUT VERSION of the ck-clustered store file format,
+    * stamped into each ck-carrying store's meta at build time and
+    * REQUIRED at read ([[requireLayout]]). The ck column arrived in
+    * layout 2: a generation written before it reads `ck` as null under
+    * the stores' explicit surface schemas, and [[ckFilter]]'s range
+    * predicate evaluates null as drop-row — serving reads would silently
+    * lose every old-generation row, and the append-only guards would
+    * silently PASS for already-ingested ids (double ingestion). Failing
+    * loudly on the version mismatch turns that silent corruption into an
+    * instruction to rebuild. */
+  val LayoutVersion = 2
+
+  /** Require a store's meta frame to carry the CURRENT layout version —
+    * called by every readMeta of a ck-carrying store, so a store built
+    * by an older layout fails loudly at open instead of silently losing
+    * rows behind the range pushdown. */
+  def requireLayout(meta: org.apache.spark.sql.DataFrame,
+      storeDir: String): Unit = {
+    require(meta.columns.contains("layout_version"),
+      s"store $storeDir was built by a pre-ck layout (meta has no " +
+        s"layout_version; current is $LayoutVersion): its generations " +
+        "read ck as null and would silently vanish behind the ck range " +
+        "pushdown (and the append-only guards would pass for " +
+        "already-ingested ids). Rebuild the store with the current code.")
+    val v = meta.select(col("layout_version")).head().getInt(0)
+    require(v == LayoutVersion,
+      s"store $storeDir carries layout_version $v but this code reads " +
+        s"layout $LayoutVersion — rebuild the store with the current code")
+  }
 
   def ckOf(key: Column): Column =
     pmod(xxhash64(lit(1L), key), lit(CkDomain)).cast("int")

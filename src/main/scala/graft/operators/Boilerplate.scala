@@ -21,12 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Boilerplate {
 
-  /** (source, line) frequencies over distinct per-doc lines. */
+  /** (source, line) frequencies over distinct per-doc lines. Counts
+    * DISTINCT doc ids — not rows — so duplicate rows for the same doc id
+    * can't inflate a unique line past the minFrac threshold (the
+    * denominator below is countDistinct(id) too; both sides must agree). */
   private def lineCounts(docs: DataFrame, idCol: String, textCol: String,
       srcCol: String): DataFrame =
     docs.select(col(srcCol).as("src"), col(idCol).as("id"),
         explode(array_distinct(split(col(textCol), "\n"))).as("line"))
-      .groupBy(col("src"), col("line")).agg(count(lit(1)).as("n_docs_with"))
+      .groupBy(col("src"), col("line"))
+      .agg(countDistinct(col("id")).as("n_docs_with"))
 
   /** The detected boilerplate lines per source:
     * (source, line, n_docs_with, n_docs) for lines present in ≥ minFrac

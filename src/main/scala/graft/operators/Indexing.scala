@@ -110,8 +110,11 @@ object Indexing {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def readMeta(spark: SparkSession, indexDir: String): (Int, Int) = {
-    val r = spark.read.parquet(s"$indexDir/meta")
-      .select(col("n_shards"), col("head_cap")).head()
+    val m = spark.read.parquet(s"$indexDir/meta")
+    // pre-ck stores fail LOUDLY here instead of silently losing rows
+    // behind the ck range pushdown ([[graft.functions.Pushdown]])
+    graft.functions.Pushdown.requireLayout(m, indexDir)
+    val r = m.select(col("n_shards"), col("head_cap")).head()
     (r.getInt(0), r.getInt(1))
   }
 
@@ -232,7 +235,8 @@ object Indexing {
     val p = prepared(docs, idCol, textCol, nShards)
     writeGeneration(p, indexDir, "g0", headCap, segment = false)
     p.unpersist()
-    Seq((nShards, headCap)).toDF("n_shards", "head_cap")
+    Seq((nShards, headCap, graft.functions.Pushdown.LayoutVersion))
+      .toDF("n_shards", "head_cap", "layout_version")
       .write.mode("overwrite").parquet(s"$indexDir/meta")
     // the manifest flip COMMITS the build — a crash anywhere above leaves
     // an unreadable (never-committed) directory, not a half-built store

@@ -93,8 +93,13 @@ object LmStore {
   private def ckFilter(cks: Array[Int]): Column =
     graft.functions.Pushdown.ckFilter(cks)
 
-  private def readMeta(spark: SparkSession, dir: String): Int =
-    spark.read.parquet(s"$dir/meta").select(col("n_shards")).head().getInt(0)
+  private def readMeta(spark: SparkSession, dir: String): Int = {
+    val m = spark.read.parquet(s"$dir/meta")
+    // pre-ck stores fail LOUDLY here instead of silently losing rows
+    // behind the ck range pushdown ([[graft.functions.Pushdown]])
+    graft.functions.Pushdown.requireLayout(m, dir)
+    m.select(col("n_shards")).head().getInt(0)
+  }
 
   private val surfaces = Seq("bigrams", "unigrams", "tokens", "docreg", "vstat")
 
@@ -247,7 +252,8 @@ object LmStore {
     fsOf(spark, dir).delete(new Path(dir), true)
     writeGeneration(trainDocs, idCol, textCol, dir, "g0", nShards, Nil,
       segment = false)
-    Seq(nShards).toDF("n_shards")
+    Seq((nShards, graft.functions.Pushdown.LayoutVersion))
+      .toDF("n_shards", "layout_version")
       .write.mode("overwrite").parquet(s"$dir/meta")
     // the manifest flip commits the build ([[Generations]])
     Generations.commit(spark, dir, Seq("g0"))

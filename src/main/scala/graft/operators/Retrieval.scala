@@ -111,8 +111,10 @@ object Retrieval {
       toks(queries, idCol, textCol)
         .select(col("id").as("query_id"), col("token")).distinct())
     val (nShards, _) = {
-      val r = spark.read.parquet(s"$indexDir/meta")
-        .select(col("n_shards"), col("head_cap")).head()
+      val m = spark.read.parquet(s"$indexDir/meta")
+      // pre-ck indexes fail LOUDLY instead of losing rows behind ckFilter
+      graft.functions.Pushdown.requireLayout(m, indexDir)
+      val r = m.select(col("n_shards"), col("head_cap")).head()
       (r.getInt(0), r.getInt(1))
     }
     val (shards, cks) = graft.functions.Pushdown.footprint(qterms,

@@ -44,8 +44,11 @@ object SpanStore {
     pmod(xxhash64(id.cast("string")), lit(nShards.toLong)).cast("int")
 
   private def readMeta(spark: SparkSession, dir: String): (Int, Int) = {
-    val r = spark.read.parquet(s"$dir/meta")
-      .select(col("window_n"), col("n_shards")).head()
+    val m = spark.read.parquet(s"$dir/meta")
+    // pre-ck stores fail LOUDLY here instead of silently losing rows
+    // behind the ck range pushdown ([[graft.functions.Pushdown]])
+    graft.functions.Pushdown.requireLayout(m, dir)
+    val r = m.select(col("window_n"), col("n_shards")).head()
     (r.getInt(0), r.getInt(1))
   }
 
@@ -119,7 +122,8 @@ object SpanStore {
     fsOf(spark, dir).delete(new Path(dir), true)
     writeGeneration(Dedup.windowRows(docs, idCol, textCol, windowN),
       docs.select(col(idCol).as("id")), dir, "g0", nShards, segment = false)
-    Seq((windowN, nShards)).toDF("window_n", "n_shards")
+    Seq((windowN, nShards, graft.functions.Pushdown.LayoutVersion))
+      .toDF("window_n", "n_shards", "layout_version")
       .write.mode("overwrite").parquet(s"$dir/meta")
     Generations.commit(spark, dir, Seq("g0"))
   }

@@ -285,7 +285,7 @@ object ClassifyQueries {
       b AS (SELECT l.source, l.line
             FROM l JOIN nd ON nd.source = l.source
             GROUP BY l.source, l.line, nd.n_docs
-            HAVING count(*) >= nd.n_docs * 0.5),
+            HAVING count(DISTINCT l.doc_id) >= nd.n_docs * 0.5),
       bl AS (SELECT source, list(line) AS blines FROM b GROUP BY source)
       SELECT i.doc_id,
              array_to_string(

@@ -61,4 +61,24 @@ class BoilerplateSpec extends AnyFunSuite {
       ("srcA", "menu", 3L, 4L), ("srcA", "footer", 4L, 4L),
       ("srcB", "menu", 3L, 3L)))
   }
+
+  test("duplicate rows for one doc id cannot inflate its unique lines " +
+      "into boilerplate") {
+    // both counters key on DISTINCT doc ids: a doc delivered twice (e.g.
+    // an at-least-once upstream) contributes its lines once, so its
+    // doc-specific line stays below minFrac no matter how often the row
+    // repeats
+    val dup = Seq(
+      (1L, "s", "menu\nonly in doc1"),
+      (1L, "s", "menu\nonly in doc1"),
+      (1L, "s", "menu\nonly in doc1"),
+      (2L, "s", "menu\nonly in doc2"),
+      (3L, "s", "menu\nonly in doc3"),
+    ).toDF("doc_id", "source", "text")
+    val b = Boilerplate.boilerplateLines(dup, "doc_id", "text", "source",
+      minFrac = 0.5)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(b === Set(("menu", 3L, 3L)),
+      s"doc1's unique line must not cross the threshold: $b")
+  }
 }

@@ -315,4 +315,30 @@ class LmStoreSpec extends AnyFunSuite {
     graft.streaming.LmStream.lmIngestAvailableNow(spark, srcDir, dir)
     assert(canon(LmStore.lmScore(spark, docs, "doc_id", "text", dir)) === got)
   }
+
+  test("a pre-ck store (no layout_version in meta) fails loudly at open") {
+    val dir = tmp()
+    LmStore.lmBuild(docs, "doc_id", "text", dir, nShards = 8)
+    // simulate a store built before the ck layout: meta without the
+    // version stamp. Reads must fail LOUDLY — under the explicit surface
+    // schemas such a store's generations read ck as null and the range
+    // pushdown would silently drop every old row (and the append-only
+    // guard would silently pass for already-ingested ids).
+    Seq(8).toDF("n_shards").write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] {
+      LmStore.lmScore(spark, docs.limit(5), "doc_id", "text", dir).collect()
+    }
+    assert(e.getMessage.contains("pre-ck layout"), e.getMessage)
+    // and a FUTURE version is equally refused (forward compat is not
+    // silently assumed)
+    Seq((8, graft.functions.Pushdown.LayoutVersion + 1))
+      .toDF("n_shards", "layout_version")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val e2 = intercept[IllegalArgumentException] {
+      LmStore.lmAppend(spark,
+        docs.limit(3).select(($"doc_id" + 100000).as("doc_id"), $"text"),
+        "doc_id", "text", dir)
+    }
+    assert(e2.getMessage.contains("layout_version"), e2.getMessage)
+  }
 }
