@@ -44,17 +44,27 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadStart = loadAvg1
-    // re-time floor derived from the COMMITTED prior record (the sidecar
-    // is committed per round, so at bench time it holds last round's
-    // figures): 2× the prior max query min, clamped to [2 s, 8 s];
-    // missing/unreadable sidecar falls back to the historical 4 s
-    val floorSec: Double = try {
+    // PER-QUERY re-time floors derived from the COMMITTED prior record
+    // (the sidecar is committed per round, so at bench time it holds last
+    // round's figures): each query floors at 2× ITS OWN prior min,
+    // clamped to [2 s, 8 s]. One global floor (2× the slowest query's
+    // min) let a sustained-interference run of a normally-sub-2 s query
+    // into the r12 record with ext:0 — the suite's one legitimately-slow
+    // query had pushed the shared floor to 8 s, stripping every fast
+    // query of its re-time protection. Queries absent from the prior
+    // record (new this round) fall back to the global rule; a
+    // missing/unreadable sidecar falls back to the historical 4 s.
+    val priorMins: Map[String, Double] = try {
       val txt = java.nio.file.Files.readString(
         java.nio.file.Path.of("BENCH_DETAIL.json"))
-      val mins = """"min":([0-9.]+)""".r.findAllMatchIn(txt)
-        .map(_.group(1).toDouble).toSeq
-      if (mins.isEmpty) 4.0 else math.min(8.0, math.max(2.0, 2.0 * mins.max))
-    } catch { case _: Throwable => 4.0 }
+      """"(q[A-Za-z0-9_]+)":\{"min":([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    def clampFloor(m: Double): Double = math.min(8.0, math.max(2.0, 2.0 * m))
+    val globalFloor: Double =
+      if (priorMins.isEmpty) 4.0 else clampFloor(priorMins.values.max)
+    def floorFor(name: String): Double =
+      priorMins.get(name).map(clampFloor).getOrElse(globalFloor)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex.map { case ((name, fn), idx) =>
@@ -103,10 +113,10 @@ object Bench {
       // is a cold C2 tier (Q44Probe: spike-free once warm), while genuine
       // sustained interference keeps the extra runs slow and the min
       // honestly stays high. The floor tracks the committed profile
-      // (2× the prior round's max query min, via the sidecar) instead of
-      // hard-coding the current sf0.1 shape; extra runs land in the
-      // sidecar and the `ext` guard field makes the retry visible.
-      while (times.min > floorSec && extra < 6) {
+      // PER QUERY (2× this query's own prior min, via the sidecar)
+      // instead of hard-coding the current sf0.1 shape; extra runs land
+      // in the sidecar and the `ext` guard field makes the retry visible.
+      while (times.min > floorFor(name) && extra < 6) {
         times :+= timeOnce(); extra += 1
       }
       (name, times.min, times, extra)

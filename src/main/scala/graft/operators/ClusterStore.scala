@@ -17,7 +17,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType
   * invisible rather than half-visible, and compaction never deletes what
   * a concurrent reader's resolved manifest references.
   *
-  * Layout under `path`:
+  * Layout under `path` (build/compaction generations directory-partition
+  * by shard/bucket; batch APPLIES write FLAT segments whose file count
+  * tracks the batch, never the bucket fan-out — the Lucene segment split
+  * shared with the index/LM/span stores; compaction folds segments back
+  * into the directories):
   *  - `hubs/gen=<g>/__shard=<s>/` (w, fp, dst): one representative doc id
   *    per (window, fingerprint) ever seen, sharded by a hash of the
   *    fingerprint — a batch's hub lookup prunes to the shards of its own
@@ -104,6 +108,14 @@ object ClusterStore {
         "__bucket", buckets.toIndexedSeq)
       .select(col("id"), col("cluster_id"))
 
+  /** The hub surface folded whole across the given generations (both
+    * layouts — partitioned build/compaction dirs and flat apply
+    * segments): the inspection read the specs pin invariants on. */
+  private[graft] def hubsRead(spark: SparkSession, path: String,
+      gens: Seq[String]): DataFrame =
+    Generations.readSurfaceMixed(spark, path, "hubs", gens, hubSchema,
+      "__shard").select(col("w"), col("fp"), col("dst"))
+
   /** The current merge ledger: the LAST committed generation's remap (each
     * apply rewrites the full ledger, so only the newest copy is live). */
   private def readRemap(spark: SparkSession, path: String,
@@ -111,17 +123,40 @@ object ClusterStore {
     Generations.readSurfaceAs(spark, path, "remap", Seq(gens.last), remapSchema)
       .select(col("old_label"), col("new_label"))
 
+  /** One generation of all three surfaces. Two layouts — the Lucene
+    * segment split the index/LM/span stores already carry:
+    *
+    *  - `segment = false` (corpus-sized builds; compaction writes its own
+    *    fold): `__shard`/`__bucket`-DIRECTORY-partitioned, repartitioned
+    *    first so each dir holds ONE file — the layout the pruned serving
+    *    reads path-prune.
+    *  - `segment = true` (batch applies): a FLAT generation — the
+    *    shard/bucket stays a DATA column, rows sorted by it for row-group
+    *    locality, and the FILE count tracks the batch, never the store's
+    *    corpus-scaled bucket fan-out. A batch apply that mirrors the full
+    *    fan-out pays O(nBuckets) file creates per surface per apply — at
+    *    contract sizing (nBuckets = 8k) that per-directory constant is
+    *    exactly the geometry-proportional ramp the r12 contract probe
+    *    measured on cc_apply_5k (2.4→10.7 s per 32×) while the
+    *    fixed-geometry control stayed flat. Readers fold both layouts
+    *    behind the same filters ([[Generations.readSurfacePruned]] /
+    *    [[Generations.readSurfaceMixed]]); flat-segment total size is
+    *    bounded by the compaction cadence, which folds them back into
+    *    the bucket directories.
+    *
+    * A TINY batch (the driver apply path) additionally skips the layout
+    * shuffle: one task writes the whole segment (one file per surface).
+    */
   private def writeGeneration(path: String, gen: String, hubs: DataFrame,
       labels: DataFrame, remap: DataFrame, nBuckets: Int,
-      tiny: Boolean = false): Unit = {
-    // repartition before each partitioned write: ONE file per non-empty
-    // shard/bucket dir per generation (otherwise each upstream task
-    // writes into every dir it holds rows for — O(tasks x nBuckets) tiny
-    // files per apply; the extra shuffle is batch-sized). A TINY batch
-    // (the driver apply path) skips the shuffle entirely: one task's
-    // dynamic-partition write produces the same one-file-per-dir layout.
-    def laidOut(df: DataFrame, pc: org.apache.spark.sql.Column) =
-      if (tiny) df.coalesce(1) else df.repartition(pc)
+      segment: Boolean, tiny: Boolean = false): Unit = {
+    def laidOut(df: DataFrame, pc: String) =
+      if (tiny) df.coalesce(1).sortWithinPartitions(col(pc))
+      else df.repartition(col(pc)).sortWithinPartitions(col(pc))
+    def out(df: DataFrame, pc: String, sub: String): Unit = {
+      val w = laidOut(df, pc).write.mode("overwrite")
+      (if (segment) w else w.partitionBy(pc)).parquet(s"$path/$sub/gen=$gen")
+    }
     // the three surface writes are independent until the manifest flip —
     // run them concurrently so a batch apply pays max(write), not
     // sum(writes); each is its own job, the session is thread-safe.
@@ -135,18 +170,14 @@ object ClusterStore {
     val writes = Seq(
       Future {
         blocking {
-          laidOut(hubs.withColumn("__shard", shardOf(col("fp"), nBuckets)),
-              col("__shard"))
-            .write.mode("overwrite").partitionBy("__shard")
-            .parquet(s"$path/hubs/gen=$gen")
+          out(hubs.withColumn("__shard", shardOf(col("fp"), nBuckets)),
+            "__shard", "hubs")
         }
       },
       Future {
         blocking {
-          laidOut(labels.withColumn("__bucket", bucketOf(col("id"), nBuckets)),
-              col("__bucket"))
-            .write.mode("overwrite").partitionBy("__bucket")
-            .parquet(s"$path/labels/gen=$gen")
+          out(labels.withColumn("__bucket", bucketOf(col("id"), nBuckets)),
+            "__bucket", "labels")
         }
       },
       Future {
@@ -181,7 +212,8 @@ object ClusterStore {
     val labels = Components.connectedComponents(
       docs.select(col(idCol).cast("long").as("id")), edges)
     writeGeneration(path, "g0", hubs, labels,
-      Seq.empty[(Long, Long)].toDF("old_label", "new_label"), nBuckets)
+      Seq.empty[(Long, Long)].toDF("old_label", "new_label"), nBuckets,
+      segment = false)
     fps.unpersist()
     hubs.unpersist()
     Seq((nBuckets, windowsTag(windows))).toDF("n_buckets", "windows")
@@ -356,7 +388,8 @@ object ClusterStore {
             coalesce(col("d_new"), remap("new_label")).as("new_label"))
           .unionByName(delta.select(col("d_old").as("old_label"),
             col("d_new").as("new_label")))
-        writeGeneration(path, gen, newHubs, batchLabels, newRemap, nBuckets)
+        writeGeneration(path, gen, newHubs, batchLabels, newRemap, nBuckets,
+          segment = true)
         // single filesystem op commits hubs + labels + remap together
         Generations.add(spark, path, gen)
       } finally sub.unpersist()
@@ -452,10 +485,10 @@ object ClusterStore {
         coalesce(col("d_new"), remap("new_label")).as("new_label"))
       .unionByName(deltaDf.select(col("d_old").as("old_label"),
         col("d_new").as("new_label")))
-    // single-task writes only while the frames are genuinely tiny; a
-    // 200k-doc driver-path batch still wants the one-file-per-dir shuffle
+    // single-task segment writes only while the frames are genuinely
+    // tiny; a 200k-doc driver-path batch still wants the layout shuffle
     writeGeneration(path, gen, newHubs, batchLabels, newRemap, nBuckets,
-      tiny = nDocs <= 20000)
+      segment = true, tiny = nDocs <= 20000)
     Generations.add(spark, path, gen)
   }
 
@@ -508,8 +541,9 @@ object ClusterStore {
       asOf: Option[Int] = None): DataFrame = {
     val committed = asOf.map(Generations.liveAt(spark, path, _))
       .getOrElse(Generations.live(spark, path))
-    val labels = Generations.readSurfaceAs(spark, path, "labels", committed,
-      labelSchema).select(col("id"), col("cluster_id"))
+    val labels = Generations.readSurfaceMixed(spark, path, "labels",
+        committed, labelSchema, "__bucket")
+      .select(col("id"), col("cluster_id"))
     val remap = readRemap(spark, path, committed)
     labels.join(remap, labels("cluster_id") === remap("old_label"), "left_outer")
       .select(col("id"),
@@ -536,11 +570,13 @@ object ClusterStore {
     val (nBuckets, _) = readMeta(spark, path)
     val cGen = Generations.nextName(spark, path, surfaces, 'c')
     import spark.implicits._
-    val hubs = Generations.readSurfaceAs(spark, path, "hubs", committed,
-      hubSchema).select(col("w"), col("fp"), col("dst"))
-    // writeGeneration repartitions by shard/bucket — one file per dir
+    val hubs = Generations.readSurfaceMixed(spark, path, "hubs", committed,
+      hubSchema, "__shard").select(col("w"), col("fp"), col("dst"))
+    // compaction folds the flat apply segments back into the bucket
+    // directories — one file per dir
     writeGeneration(path, cGen, hubs, ccRead(spark, path),
-      Seq.empty[(Long, Long)].toDF("old_label", "new_label"), nBuckets)
+      Seq.empty[(Long, Long)].toDF("old_label", "new_label"), nBuckets,
+      segment = false)
     Generations.commit(spark, path, Seq(cGen))
   }
 }

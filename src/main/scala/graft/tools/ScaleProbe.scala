@@ -22,7 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  final case class Probe(op: String, k: Int, rows: Long, sec: Double)
+  /** One probe row. `ld0`/`ld1` stamp the host's 1-min loadavg at the
+    * start and end of the row's timed iterations: a contaminated rung
+    * (ambient load inflating the min) is then machine-detectable in the
+    * committed artifact instead of being excused by prose — on this
+    * 32-core box the probe itself holds loadavg well under ~1.5× cores,
+    * so a start value far above that means another process owned the
+    * machine when the row began. */
+  final case class Probe(op: String, k: Int, rows: Long, sec: Double,
+      ld0: Double, ld1: Double)
+
+  private def loadAvg1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
 
   def scaledCorpus(docs: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>
@@ -384,18 +397,21 @@ object ScaleProbe {
         // resident service would schedule exactly this housekeeping
         // off-path)
         System.gc()
+        // loadavg at row start/end: the machine-checkable contamination
+        // evidence the artifact carries per row (see [[Probe]])
+        val ld0 = loadAvg1()
         var rows = 0L
         val secs = (1 to iters).map { _ =>
           val t0 = System.nanoTime()
           rows = op()
           (System.nanoTime() - t0) / 1e9
         }
-        Probe(name, k, rows, secs.min)
+        Probe(name, k, rows, secs.min, ld0, loadAvg1())
       }
     }
 
   def jsonLine(p: Probe): String =
-    f"""{"probe":"${p.op}","k":${p.k},"rows":${p.rows},"sec":${p.sec}%.2f}"""
+    f"""{"probe":"${p.op}","k":${p.k},"rows":${p.rows},"sec":${p.sec}%.2f,"ld":[${p.ld0}%.2f,${p.ld1}%.2f]}"""
 
   /** One summary line per op: wall-time ratio between the largest and
     * smallest probed scale vs the data ratio — sub-linear means

@@ -20,8 +20,7 @@ class ClusterStoreSpec extends AnyFunSuite {
     df.select("id", "cluster_id").as[(Long, Long)].collect().toSet
 
   private def hubsOf(dir: String) =
-    Generations.readSurface(spark, dir, "hubs", Generations.live(spark, dir))
-      .select("w", "fp", "dst")
+    ClusterStore.hubsRead(spark, dir, Generations.live(spark, dir))
 
   private def genDirs(dir: String, surface: String): Seq[String] = {
     val d = new java.io.File(s"$dir/$surface")
@@ -259,5 +258,47 @@ class ClusterStoreSpec extends AnyFunSuite {
         "doc_id", "text", windows = Seq((1, 4)))
     }
     assert(e2.getMessage.contains("scheme"))
+  }
+
+  test("applies land as FLAT segments; compaction folds them back to " +
+      "bucket dirs") {
+    // a batch apply's file count must track the BATCH, never the store's
+    // bucket fan-out: at contract sizing (nBuckets grows with the corpus)
+    // one-file-per-touched-dir applies pay a geometry-proportional
+    // per-file constant (the r12 contract probe's cc_apply_5k ramp);
+    // flat segments bound it, and compaction restores the pruned layout
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccstore_seg")
+      .toString + "/store"
+    ClusterStore.ccBuild(docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      dir, nBuckets = 64)
+    ClusterStore.ccApply(spark, dir, docs.filter($"doc_id" % 2 =!= 0),
+      "doc_id", "text")
+    def entries(sub: String, gen: String): Seq[String] = {
+      val d = new java.io.File(s"$dir/$sub/gen=$gen")
+      if (d.exists()) d.listFiles().toSeq.map(_.getName) else Nil
+    }
+    // build generation: directory-partitioned
+    assert(entries("labels", "g0").exists(_.startsWith("__bucket=")))
+    assert(entries("hubs", "g0").exists(_.startsWith("__shard=")))
+    // apply generation: FLAT — parquet files only, count << nBuckets
+    val segLabels = entries("labels", "g1")
+    assert(segLabels.nonEmpty && !segLabels.exists(_.startsWith("__bucket=")),
+      s"apply must write a flat segment: $segLabels")
+    assert(segLabels.count(_.endsWith(".parquet")) <= 8,
+      s"segment file count must track the batch, not the 64-bucket " +
+        s"fan-out: $segLabels")
+    assert(!entries("hubs", "g1").exists(_.startsWith("__shard=")))
+    // serving folds both layouts
+    val served = labelsOf(ClusterStore.ccRead(spark, dir))
+    val rebuilt = labelsOf(Components.connectedComponents(
+      docs.select($"doc_id".as("id")),
+      Components.fingerprintEdges(docs, "doc_id", "text")))
+    assert(served === rebuilt)
+    // compaction folds the segment back into bucket directories
+    ClusterStore.ccCompact(spark, dir)
+    assert(entries("labels", "c0").exists(_.startsWith("__bucket=")))
+    assert(entries("hubs", "c0").exists(_.startsWith("__shard=")))
+    assert(labelsOf(ClusterStore.ccRead(spark, dir)) === rebuilt)
   }
 }
