@@ -1007,6 +1007,430 @@ object BinaryOps {
       .toDF("doc_id", "payload")
   }
 
+  // ───────────────────────── H.264 header parse ─────────────────────────
+  //
+  // A real crawl's MP4s are overwhelmingly H.264, and inter-frame DECODE
+  // genuinely needs a codec library (documented stub). What a curation
+  // pipeline's metadata queries actually need — codec, profile, level,
+  // coded dimensions, frame/keyframe counts — lives in container headers
+  // this walk reads for real: the avc1 sample entry's
+  // AVCDecoderConfigurationRecord (ISO/IEC 14496-15 §5.3.3.1), the first
+  // SequenceParameterSet inside it (ITU-T H.264 §7.3.2.1.1 — Exp-Golomb
+  // bitstream with emulation-prevention bytes removed per §7.4.1), and
+  // the sync-sample table (14496-12 §8.6.2).
+
+  /** MSB-first bit reader over an RBSP byte array with Exp-Golomb
+    * decoding (H.264 §9.1). Reads past the end set `ok` false instead of
+    * throwing — a truncated SPS is rejected, never an exception. */
+  private final class BitReader(d: Array[Byte]) {
+    private var pos = 0
+    var ok = true
+    def u1(): Int =
+      if (pos >= d.length * 8) { ok = false; 0 }
+      else { val b = (d(pos >> 3) >> (7 - (pos & 7))) & 1; pos += 1; b }
+    def u(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | u1(); i += 1 }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (ok && u1() == 0 && zeros < 31) zeros += 1
+      if (!ok || zeros >= 31) { ok = false; 0 }
+      else ((1 << zeros) - 1) + u(zeros)
+    }
+    def se(): Int = {
+      val k = ue()
+      if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+    }
+  }
+
+  /** NAL payload → RBSP: strip emulation-prevention bytes (§7.4.1 — an
+    * encoder inserts 0x03 after any 0x0000 so start codes can't appear
+    * inside a NAL; the 00 00 03 sequence decodes back to 00 00). */
+  private[graft] def rbspOf(nal: Array[Byte], from: Int): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](nal.length)
+    var zeros = 0
+    var i = from
+    while (i < nal.length) {
+      val b = nal(i)
+      if (zeros >= 2 && b == 3) zeros = 0 // emulation-prevention byte
+      else { out += b; zeros = if (b == 0) zeros + 1 else 0 }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** The inverse of [[rbspOf]]: insert 0x03 after every 00 00 that would
+    * otherwise be followed by 00/01/02/03 (§7.4.1's encoder rule). */
+  private[graft] def epbInsert(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](rbsp.length)
+    var zeros = 0
+    for (b <- rbsp) {
+      if (zeros >= 2 && (b & 0xff) <= 3) { out += 3; zeros = 0 }
+      out += b
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toArray
+  }
+
+  /** §7.3.2.1.1 scaling_list: consumed for position only (a present
+    * scaling matrix shifts every later field). */
+  private def skipScalingList(r: BitReader, size: Int): Unit = {
+    var lastScale = 8
+    var nextScale = 8
+    var j = 0
+    while (j < size && r.ok) {
+      if (nextScale != 0) nextScale = ((lastScale + r.se()) % 256 + 256) % 256
+      if (nextScale != 0) lastScale = nextScale
+      j += 1
+    }
+  }
+
+  /** REAL SequenceParameterSet parse (H.264 §7.3.2.1.1) over a full SPS
+    * NAL (header byte + EPB-coded payload): profile_idc, level_idc, and
+    * the display dimensions — coded macroblock grid minus the frame-crop
+    * offsets in chroma-dependent crop units (§7.4.2.1.1: CropUnitX/Y from
+    * SubWidthC/SubHeightC and frame_mbs_only_flag). The high-profile
+    * branch (chroma_format_idc, bit depths, scaling matrix) is parsed for
+    * position so Main/High streams read identically to Baseline. None on
+    * anything truncated, non-SPS, or with hostile field values. */
+  private[graft] def parseSps(nal: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (nal.length < 4 || (nal(0) & 0x1f) != 7) return None
+    val r = new BitReader(rbspOf(nal, 1))
+    val profile = r.u(8)
+    r.u(8) // constraint_set flags + reserved_zero_2bits
+    val level = r.u(8)
+    r.ue() // seq_parameter_set_id
+    var chroma = 1 // 4:2:0 is implied outside the high-profile branch
+    var separateColour = 0
+    if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128,
+        138, 139, 134, 135)(profile)) {
+      chroma = r.ue()
+      if (chroma > 3) return None
+      if (chroma == 3) separateColour = r.u1()
+      r.ue(); r.ue() // bit_depth_{luma,chroma}_minus8
+      r.u1() // qpprime_y_zero_transform_bypass_flag
+      if (r.u1() == 1) { // seq_scaling_matrix_present_flag
+        val n = if (chroma != 3) 8 else 12
+        var i = 0
+        while (i < n && r.ok) {
+          if (r.u1() == 1) skipScalingList(r, if (i < 6) 16 else 64)
+          i += 1
+        }
+      }
+    }
+    r.ue() // log2_max_frame_num_minus4
+    val pocType = r.ue()
+    if (pocType == 0) r.ue() // log2_max_pic_order_cnt_lsb_minus4
+    else if (pocType == 1) {
+      r.u1(); r.se(); r.se()
+      val nRef = r.ue()
+      if (nRef > 255) return None
+      var i = 0
+      while (i < nRef && r.ok) { r.se(); i += 1 }
+    }
+    r.ue() // max_num_ref_frames
+    r.u1() // gaps_in_frame_num_value_allowed_flag
+    val wMbs = r.ue() + 1
+    val hUnits = r.ue() + 1
+    val frameMbsOnly = r.u1()
+    if (frameMbsOnly == 0) r.u1() // mb_adaptive_frame_field_flag
+    r.u1() // direct_8x8_inference_flag
+    var cl = 0; var cr = 0; var ct = 0; var cb = 0
+    if (r.u1() == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+    if (!r.ok || wMbs > (1 << 14) || hUnits > (1 << 14)) return None
+    // §7.4.2.1.1: ChromaArrayType is 0 for monochrome or separate colour
+    // planes (crop counts luma samples); else crop units are the chroma
+    // subsampling factors, height additionally doubled for field coding
+    val chromaArrayType = if (separateColour == 1) 0 else chroma
+    val (subW, subH) = chroma match {
+      case 1 => (2, 2)
+      case 2 => (2, 1)
+      case _ => (1, 1)
+    }
+    val cropX = if (chromaArrayType == 0) 1 else subW
+    val cropY =
+      (if (chromaArrayType == 0) 1 else subH) * (2 - frameMbsOnly)
+    val width = wMbs * 16 - cropX * (cl + cr)
+    val height = (2 - frameMbsOnly) * hUnits * 16 - cropY * (ct + cb)
+    if (width <= 0 || height <= 0) None
+    else Some((profile, level, width, height))
+  }
+
+  /** H.264 track header metadata: stsd fourcc, SPS profile/level, SPS
+    * display dimensions, and the container's frame / sync-sample
+    * (keyframe) counts. */
+  case class H264Meta(codec: String, profile: Int, level: Int,
+      width: Int, height: Int, nFrames: Long, nKeyframes: Long)
+
+  /** REAL H.264 header parse over an ISO-BMFF payload: walk to the first
+    * trak whose stsd entry is `avc1`/`avc3`, read the `avcC` box nested
+    * inside the VisualSampleEntry (14496-15 §5.3.3.1: config version,
+    * then SPS count + length-prefixed SPS NALs), parse the first SPS for
+    * profile/level/dimensions ([[parseSps]]), and count frames (stsz) and
+    * keyframes — `stss` entry_count when present; absent stss means every
+    * sample is a sync sample (14496-12 §8.6.2), so the keyframe count is
+    * the frame count. Frame DECODE stays a documented codec-requiring
+    * stub; every byte of the metadata surface is read for real. */
+  def parseH264Meta(p: Array[Byte]): Option[H264Meta] = {
+    if (p.length < 16) return None
+    val sz0 = be32(p, 0)
+    if (sz0 < 8 || sz0 > p.length || p(4) != 'f' || p(5) != 't'
+        || p(6) != 'y' || p(7) != 'p') return None
+    def u32(i: Int): Long = be32(p, i) & 0xffffffffL
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    var fourcc = ""
+    var sps: Array[Byte] = null
+    var frames = -1L
+    var keys = -1L
+    // per-trak candidates, committed when a trak closes with an avc entry
+    var tFcc = ""; var tSps: Array[Byte] = null
+    var tFrames = -1L; var tKeys = -1L
+    def walk(from: Int, to: Int, depth: Int): Boolean = {
+      var off = from
+      while (off + 8 <= to) {
+        var size = u32(off)
+        var hdr = 8
+        if (size == 0L) size = (to - off).toLong
+        else if (size == 1L) {
+          if (off + 16 > to) return false
+          size = u64(off + 8); hdr = 16
+        }
+        if (size < hdr || off + size > to || depth > 8) return false
+        val typ = new String(p, off + 4, 4, "US-ASCII")
+        val body = off + hdr
+        val end = (off + size).toInt
+        typ match {
+          case "moov" | "mdia" | "minf" | "stbl" =>
+            if (!walk(body, end, depth + 1)) return false
+          case "trak" =>
+            tFcc = ""; tSps = null; tFrames = -1L; tKeys = -1L
+            if (!walk(body, end, depth + 1)) return false
+            if (tSps != null && fourcc.isEmpty) {
+              fourcc = tFcc; sps = tSps; frames = tFrames; keys = tKeys
+            }
+          case "stsd" =>
+            // ver/flags(4) entry_count(4), then sample entry 1: box
+            // header (size + fourcc), 78 VisualSampleEntry bytes, then
+            // nested config boxes (avcC among them) to the entry's end
+            if (body + 16 > end || u32(body + 4) < 1) return false
+            val eSize = u32(body + 8)
+            val eFcc = new String(p, body + 12, 4, "US-ASCII")
+            if ((eFcc == "avc1" || eFcc == "avc3") &&
+                eSize >= 86 && body + 8 + eSize <= end) {
+              tFcc = eFcc
+              val eEnd = (body + 8 + eSize).toInt
+              var at = body + 8 + 86 // past the fixed VisualSampleEntry
+              while (at + 8 <= eEnd && tSps == null) {
+                val bsz = u32(at)
+                if (bsz < 8 || at + bsz > eEnd) return false
+                if (new String(p, at + 4, 4, "US-ASCII") == "avcC") {
+                  // configVersion(1) profile(1) compat(1) level(1)
+                  // reserved|lengthSizeMinusOne(1) reserved|numSPS(1)
+                  // then per SPS: u16 length + NAL bytes
+                  val cb = at + 8
+                  if (cb + 8 > eEnd || (p(cb) & 0xff) != 1) return false
+                  val nSps = p(cb + 5) & 0x1f
+                  if (nSps < 1) return false
+                  val ln = ((p(cb + 6) & 0xff) << 8) | (p(cb + 7) & 0xff)
+                  if (cb + 8 + ln > eEnd) return false
+                  tSps = java.util.Arrays.copyOfRange(p, cb + 8, cb + 8 + ln)
+                }
+                at = (at + bsz).toInt
+              }
+            }
+          case "stsz" =>
+            if (body + 12 > end) return false
+            tFrames = u32(body + 8)
+          case "stss" =>
+            if (body + 8 > end) return false
+            tKeys = u32(body + 4)
+          case _ => ()
+        }
+        off = (off + size).toInt
+      }
+      off == to || from == to
+    }
+    if (!walk(0, p.length, 0)) return None
+    if (sps == null || frames < 0L) return None
+    parseSps(sps).map { case (profile, level, w, h) =>
+      H264Meta(fourcc, profile, level, w, h, frames,
+        if (keys >= 0L) keys else frames)
+    }
+  }
+
+  /** MSB-first bit writer with Exp-Golomb encoding — the [[parseSps]]
+    * inverse for the round-trip law and the q161 fixture. */
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nbits = 0
+    def u1(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nbits += 1
+      if (nbits == 8) { buf += cur.toByte; cur = 0; nbits = 0 }
+    }
+    def u(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { u1((v >> i) & 1); i -= 1 }
+    }
+    def ue(v: Int): Unit = {
+      val k = v + 1
+      val bits = 32 - Integer.numberOfLeadingZeros(k)
+      u(0, bits - 1); u(k, bits)
+    }
+    def rbspTrailing(): Array[Byte] = {
+      u1(1) // rbsp_stop_one_bit
+      while (nbits != 0) u1(0)
+      buf.toArray
+    }
+  }
+
+  /** Serialize a real SPS NAL (§7.3.2.1.1, frame_mbs_only, 4:2:0, POC
+    * type 0; the high-profile chroma branch when profile requires it),
+    * emulation-prevention-coded (§7.4.1). */
+  private[graft] def buildSps(profile: Int, level: Int, wMbs: Int,
+      hUnits: Int, cropRight: Int, cropBottom: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.u(profile, 8)
+    w.u(0, 8) // constraint flags
+    w.u(level, 8)
+    w.ue(0) // sps id
+    if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128,
+        138, 139, 134, 135)(profile)) {
+      w.ue(1) // chroma_format_idc: 4:2:0
+      w.ue(0); w.ue(0) // bit depths
+      w.u1(0) // transform bypass
+      w.u1(0) // no scaling matrix
+    }
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(0) // pic_order_cnt_type 0
+    w.ue(0) // log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1) // max_num_ref_frames
+    w.u1(0) // gaps allowed
+    w.ue(wMbs - 1)
+    w.ue(hUnits - 1)
+    w.u1(1) // frame_mbs_only
+    w.u1(1) // direct_8x8_inference
+    if (cropRight > 0 || cropBottom > 0) {
+      w.u1(1); w.ue(0); w.ue(cropRight); w.ue(0); w.ue(cropBottom)
+    } else w.u1(0)
+    Array[Byte](0x67) ++ epbInsert(w.rbspTrailing()) // 0x67: ref-idc 3, type 7
+  }
+
+  /** Serialize a minimal-but-well-formed H.264 MP4: avc1 sample entry
+    * with a nested avcC carrying the SPS, stsz frame count, stss sync
+    * table (every `keyEvery`-th frame), an mdat stub (frame PAYLOADS need
+    * a codec — the decode stub; this file carries every header byte the
+    * metadata surface reads). The inverse of [[parseH264Meta]]. */
+  def buildAvcMp4(profile: Int, level: Int, wMbs: Int, hUnits: Int,
+      cropRight: Int, cropBottom: Int, nFrames: Int,
+      keyEvery: Int): Array[Byte] = {
+    def box(typ: String, bodyBytes: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + bodyBytes.length)
+      b.putInt(8 + bodyBytes.length).put(typ.getBytes("US-ASCII"))
+        .put(bodyBytes)
+      b.array()
+    }
+    val width = wMbs * 16 - 2 * cropRight
+    val height = hUnits * 16 - 2 * cropBottom
+    val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(8)
+      .put("isom".getBytes("US-ASCII")).putInt(0x200).array())
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(600).putInt(25 * nFrames)
+      b.array()
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(0).putInt(0).putInt(0).putInt(1)
+      b.position(76)
+      b.putInt(width << 16).putInt(height << 16)
+      b.array()
+    }
+    val sps = buildSps(profile, level, wMbs, hUnits, cropRight, cropBottom)
+    val avcC = {
+      val b = java.nio.ByteBuffer.allocate(8 + sps.length + 1)
+      b.put(1.toByte).put(profile.toByte).put(0.toByte).put(level.toByte)
+      b.put(0xff.toByte) // reserved | lengthSizeMinusOne = 3
+      b.put(0xe1.toByte) // reserved | numSPS = 1
+      b.putShort(sps.length.toShort).put(sps)
+      b.put(0.toByte) // numPPS = 0 (header-only fixture)
+      box("avcC", b.array())
+    }
+    val stsd = {
+      val e = java.nio.ByteBuffer.allocate(86 + avcC.length)
+      e.putInt(86 + avcC.length).put("avc1".getBytes("US-ASCII"))
+      e.position(14); e.putShort(1) // data_reference_index
+      e.position(32)
+      e.putShort(width.toShort).putShort(height.toShort)
+      e.putInt(0x00480000).putInt(0x00480000).putInt(0)
+      e.putShort(1)
+      e.position(82); e.putShort(24).putShort(-1)
+      e.position(86); e.put(avcC)
+      box("stsd", java.nio.ByteBuffer.allocate(8)
+        .putInt(0).putInt(1).array() ++ e.array())
+    }
+    val stsz = box("stsz", java.nio.ByteBuffer.allocate(12)
+      .putInt(0).putInt(1).putInt(nFrames).array()) // uniform size 1
+    val stss = {
+      val syncs = (1 to nFrames by keyEvery).toArray // 1-based sample ids
+      val b = java.nio.ByteBuffer.allocate(8 + 4 * syncs.length)
+      b.putInt(0).putInt(syncs.length)
+      syncs.foreach(b.putInt)
+      box("stss", b.array())
+    }
+    val trak = box("trak", box("tkhd", tkhd) ++
+      box("mdia", box("minf", box("stbl", stsd ++ stsz ++ stss))))
+    val moov = box("moov", box("mvhd", mvhd) ++ trak)
+    val mdat = box("mdat", Array[Byte](0, 0, 0, 1)) // codec-requiring stub
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Deterministic H.264 fixture per document (the q143 twin for avc1):
+    * profile/level/macroblock grid/crop/frame count are integer
+    * arithmetic on doc_id — the Spark side serializes the avcC + SPS
+    * bit-exactly and re-parses its own bytes, the oracle derives the
+    * same values from the formula. Profiles cycle Baseline/Main/High so
+    * the high-profile SPS branch is exercised through the oracle gate;
+    * crops exercise the §7.4.2.1.1 crop-unit arithmetic. */
+  def syntheticAvcCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val profile = (id % 3) match {
+          case 0 => 66; case 1 => 77; case _ => 100
+        }
+        val level = (id % 3) match {
+          case 0 => 30; case 1 => 31; case _ => 41
+        }
+        val wMbs = (1 + id % 8).toInt
+        val hUnits = (1 + id % 6).toInt
+        val cropR = (id % 2).toInt
+        val cropB = if (id % 3 == 0) 1 else 0
+        val nf = (10 + id % 20).toInt
+        (id, buildAvcMp4(profile, level, wMbs, hUnits, cropR, cropB, nf,
+          keyEvery = 5))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** H.264 header extraction over a (doc_id, payload binary) frame —
+    * mapPartitions over the binary column (no shuffle, the featurizer
+    * plan shape); non-BMFF / non-avc payloads are dropped. */
+  def h264MetaBinary(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseH264Meta(bytes).map(m => (id, m.codec, m.profile, m.level,
+          m.width, m.height, m.nFrames, m.nKeyframes))
+      })
+      .toDF("doc_id", "codec", "profile_idc", "level_idc", "width",
+        "height", "n_frames", "n_keyframes")
+  }
+
   /** REAL GIF decode — JDK-only, the PNG/JPEG discipline applied to
     * GIF87a/89a: header + logical-screen-descriptor walk, global/local
     * color tables, extension-block skipping (GCE/comment/application),

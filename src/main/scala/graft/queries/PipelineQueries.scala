@@ -475,6 +475,38 @@ object PipelineQueries {
              round(sg / (w * h * 255.0), 6) AS mean_g,
              round(sb / (w * h * 255.0), 6) AS mean_b
       FROM agg""")),
+
+    // REAL H.264 header parse through the oracle gate (the q143 pattern
+    // for the codec a real crawl's MP4s actually carry): each document
+    // gets a deterministic avc1 MP4 — profile (Baseline/Main/High
+    // cycling, so the high-profile SPS chroma branch is exercised),
+    // level, macroblock grid, frame-crop offsets and frame count are
+    // integer arithmetic on doc_id. The Spark side serializes the avcC
+    // record and the SPS BIT-EXACTLY (Exp-Golomb writer + emulation-
+    // prevention bytes) and re-parses its own bytes (BinaryOps
+    // .parseH264Meta: BMFF walk → avc1 sample entry → nested avcC → SPS
+    // bitstream incl. the §7.4.2.1.1 crop-unit arithmetic; stss sync
+    // count); the oracle derives the same values from the formula. Frame
+    // DECODE stays the documented codec-requiring stub — this is the
+    // metadata surface a curation pipeline's video queries actually run.
+    ("q161_h264_meta", (s: SparkSession, d: String) =>
+      BinaryOps.h264MetaBinary(s,
+        BinaryOps.syntheticAvcCorpus(s, Tables.documents(s, d))),
+    Some("""
+      SELECT doc_id,
+             'avc1' AS codec,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77
+                  ELSE 100 END AS INTEGER) AS profile_idc,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 30 WHEN 1 THEN 31
+                  ELSE 41 END AS INTEGER) AS level_idc,
+             CAST(16 * (1 + doc_id % 8) - 2 * (doc_id % 2) AS INTEGER)
+               AS width,
+             CAST(16 * (1 + doc_id % 6)
+                  - 2 * (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                  AS INTEGER) AS height,
+             CAST(10 + doc_id % 20 AS BIGINT) AS n_frames,
+             CAST((10 + doc_id % 20 + 4) // 5 AS BIGINT) AS n_keyframes
+      FROM documents""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
