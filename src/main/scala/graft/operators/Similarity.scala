@@ -573,16 +573,26 @@ object Similarity {
     * the structural invariants).
     */
   def semDedupTrained(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, tau: Double): DataFrame = {
+      k: Int, tau: Double, fitCap: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(fitCap >= k, s"fitCap $fitCap must be >= k $k")
     val c = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
+    // k = 1: every vector lands in the single cluster no matter where
+    // the centroid sits (an argmax over one candidate), so no fit is
+    // needed — and MLlib's KMeans refuses k < 2. The exemplar machinery
+    // below is unchanged, which is what makes the k=1 sweep row an exact
+    // self-check against the deterministic twin.
+    if (k == 1) {
+      val assigned = c.withColumn("cluster_id", lit(0))
+        .select(col("id"), col("v"), col("nrm"), col("cluster_id"))
+      return markExemplarDups(c, assigned, idCol, tau)
+    }
     val fit = c.withColumn("features", array_to_vector(col("v")))
     val km = new KMeans().setK(k).setSeed(42L)
       .setMaxIter(8).setTol(1e-3).setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
-    val fitCap = 100000L
     val nCorpus = fit.count()
     val fitSet =
       if (nCorpus <= fitCap) fit.select(col("features"))
@@ -594,6 +604,37 @@ object Similarity {
         (i: Any, a, math.sqrt(a.map(x => x * x).sum))
     }
     markExemplarDups(c, assignExemplarCells(c, cent), idCol, tau)
+  }
+
+  /** Sensitivity sweep for the trained SemDeDup path — the record a team
+    * reads BEFORE trusting trained centroids on a real corpus: one row
+    * per (k, fit_cap) with the per-vector dup-verdict agreement between
+    * [[semDedupTrained]] and the deterministic oracle-green twin
+    * [[semDedupExemplar]] at the same (k, τ). `fit_cap` bounds the
+    * k-means fit sample, so the sweep separates centroid-COUNT
+    * sensitivity (vary k) from fit-SAMPLE sensitivity (vary cap at fixed
+    * k). At k = 1 both paths collapse to the identical single-exemplar
+    * geometry, so that row's agreement is exactly 1.0 — the sweep's
+    * built-in self-check (law in ClassifySpec). */
+  def semDedupTrainedSweep(emb: DataFrame, idCol: String, vecCol: String,
+      ks: Seq[Int], tau: Double,
+      fitCaps: Seq[Long] = Seq(100000L)): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = for (k <- ks; cap <- fitCaps) yield {
+      val ex = semDedupExemplar(emb, idCol, vecCol, k, tau)
+        .select(col(idCol).as("id"), col("is_dup").as("de"))
+      val tr = semDedupTrained(emb, idCol, vecCol, k, tau, cap)
+        .select(col(idCol).as("id"), col("is_dup").as("dt"))
+      val r = ex.join(tr, Seq("id"))
+        .agg(count(lit(1)), sum(col("de")), sum(col("dt")),
+          avg(when(col("de") === col("dt"), 1.0).otherwise(0.0)))
+        .head()
+      (k, cap, r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e6) / 1e6)
+    }
+    rows.toDF("k", "fit_cap", "n", "n_dup_exemplar", "n_dup_trained",
+      "agreement")
   }
 
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,

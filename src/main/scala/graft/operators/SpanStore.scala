@@ -205,8 +205,23 @@ object SpanStore {
     val (windowN, nShards) = readMeta(spark, dir)
     val bw = Dedup.windowRows(batch, idCol, textCol, windowN)
       .localCheckpoint()
-    val (probed, cks) = graft.functions.Pushdown.footprint(bw,
-      shardOf(col("h"), nShards), graft.functions.Pushdown.ckOf(col("h")))
+    // ONE driver job collects all FOUR pruning footprints from the
+    // checkpointed window rows — the wins scan's (shard, window-hash ck)
+    // sets AND the serve guard's (bucket, id ck) sets. The guard then
+    // costs only the registry read it must do; the r12 probe charged a
+    // ~0.6 s/probe constant for running these as two separate jobs.
+    // Every set is domain-bounded (nShards / CkDomain), never batch-bound.
+    val fp = bw.select(shardOf(col("h"), nShards).as("s"),
+        graft.functions.Pushdown.ckOf(col("h")).as("hk"),
+        bucketOf(col("id"), nShards).as("b"),
+        graft.functions.Pushdown.ckOf(col("id").cast("string")).as("ik"))
+      .agg(collect_set(col("s")), collect_set(col("hk")),
+        collect_set(col("b")), collect_set(col("ik")))
+      .head()
+    val probed = fp.getSeq[Int](0).toArray
+    val cks = fp.getSeq[Int](1).toArray
+    val pBuckets = fp.getSeq[Int](2).toArray
+    val pCks = fp.getSeq[Int](3).toArray
     val gens = asOf.map(Generations.liveAt(spark, dir, _))
       .getOrElse(Generations.live(spark, dir))
     // serve-before-ingest contract, enforced like the append guard: a
@@ -218,8 +233,6 @@ object SpanStore {
     // only window-bearing docs can self-match, and a doc too short to
     // window is registered but can never fabricate a span
     val pids = bw.select(col("id").cast("string").as("id")).distinct()
-    val (pBuckets, pCks) = graft.functions.Pushdown.footprint(pids,
-      bucketOf(col("id"), nShards), graft.functions.Pushdown.ckOf(col("id")))
     val dupe = docregPruned(spark, dir, gens, pBuckets.toIndexedSeq)
       .filter(graft.functions.Pushdown.ckFilter(pCks))
       .join(pids, Seq("id"), "left_semi")

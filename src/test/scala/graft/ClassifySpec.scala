@@ -111,4 +111,25 @@ class ClassifySpec extends AnyFunSuite {
         .head().getInt(0) < 8)
     } finally { got.unpersist(); () }
   }
+
+  test("semDedupTrainedSweep records centroid-geometry sensitivity; the " +
+      "k=1 row agrees exactly with the deterministic twin") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+    val n = emb.count()
+    val sweep = Similarity.semDedupTrainedSweep(emb, "vec_id", "embedding",
+        ks = Seq(1, 4, 8), tau = 0.85, fitCaps = Seq(60L, 100000L))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(sweep.size === 6) // one row per (k, fit_cap)
+    for (((k, cap), (cnt, de, dt, agree)) <- sweep) {
+      assert(cnt === n, s"k=$k cap=$cap must cover the corpus")
+      assert(agree >= 0.0 && agree <= 1.0)
+      assert(de >= 0L && dt >= 0L)
+      // at k=1 both paths collapse to the identical single-exemplar
+      // geometry (same min-id exemplar, same cosines) — agreement is
+      // EXACTLY 1 regardless of the fit sample; anything else means the
+      // trained path diverged structurally, not geometrically
+      if (k == 1) assert(agree === 1.0, s"k=1 cap=$cap agreement $agree")
+    }
+  }
 }
