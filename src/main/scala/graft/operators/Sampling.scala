@@ -208,4 +208,82 @@ object Sampling {
     */
   def frequentItems(df: DataFrame, cols: Seq[String], support: Double): DataFrame =
     df.stat.freqItems(cols.toArray, support)
+
+  /** The hashed-ngram bucket stream behind [[dsirWeights]]: one row per
+    * (carried columns, bucket) for every unigram AND bigram of `textCol`,
+    * bucketed by the first 4 hex chars of md5 mod `nBuckets` — md5 so the
+    * ENTIRE computation (hashing included) replays verbatim in any engine
+    * (the [[deterministicSamplePortable]] portability discipline). */
+  private def ngramBuckets(df: DataFrame, textCol: String, nBuckets: Int,
+      carry: org.apache.spark.sql.Column*): DataFrame = {
+    val t = split(col(textCol), "\\s+")
+    // slice lengths are size-1 (0 for a one-token doc → empty bigram list)
+    val bi = zip_with(slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1), (a, b) => concat(a, lit(" "), b))
+    df.select((carry :+ explode(concat(t, bi)).as("g")): _*)
+      .withColumn("b", expr(
+        s"""CAST(pmod(
+           (instr('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 4096 +
+           (instr('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 256 +
+           (instr('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 16 +
+           (instr('0123456789abcdef', substr(md5(g), 4, 1)) - 1),
+           $nBuckets) AS INT)"""))
+      .drop("g")
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much its hashed n-gram bag looks drawn from the
+    * TARGET domain rather than from the raw pool — the standard
+    * data-selection step between crawl cleaning and pretraining. Features
+    * are unigrams + bigrams hashed into `nBuckets` md5 buckets
+    * (engine-portable, so the hashing itself replays in the oracle);
+    * bucket distributions are Laplace-smoothed (+`alpha`), and a
+    * document's weight is log w(x) = Σ_ngrams [ln p̂_target(b) −
+    * ln p̂_raw(b)], rounded to the 4-decimal parity round (a sum of
+    * hundreds of ln terms — the q154 NB-score precision convention).
+    *
+    * Scale shape: two bucket-keyed count aggregations with map-side
+    * partials (target + raw — the raw pass and the per-doc pass share
+    * one ngram expansion), an nBuckets-row log-ratio table BROADCAST
+    * back (bounded by construction, never by data), and one doc-keyed
+    * aggregation. Nothing is all-pairs; no global sort. Selection at
+    * scale thresholds on the weight or takes a distributed top-k
+    * ([[dsirSelect]] — TakeOrderedAndProject, never a single-partition
+    * window). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 256, alpha: Double = 1.0): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 65536,
+      s"nBuckets must be in [2, 65536]: $nBuckets")
+    require(alpha > 0, s"alpha must be > 0: $alpha")
+    val perDoc = ngramBuckets(raw, textCol, nBuckets, col(idCol))
+    val cr = perDoc.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val ct = ngramBuckets(target, textCol, nBuckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val tot = cr.agg(sum(col("cr")).as("tr")).crossJoin(
+      ct.agg(sum(col("ct")).as("tt")))
+    // every bucket a raw doc can hit appears in cr, so the left join
+    // covers the per-doc probe; target-absent buckets smooth to α
+    val wt = cr.join(ct, Seq("b"), "left_outer").crossJoin(tot)
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + alpha) /
+            (col("tt") + alpha * nBuckets)) -
+          log((col("cr") + alpha) / (col("tr") + alpha * nBuckets)))
+          .as("lr"))
+    perDoc.join(broadcast(wt), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.ColumnFunctions.pround(sum(col("lr")), 4)
+        .as("log_weight"))
+  }
+
+  /** The `k` raw documents most target-like under [[dsirWeights]] —
+    * deterministic resampling (weight desc, id asc): planned as a
+    * distributed TakeOrderedAndProject, never a global window. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, nBuckets: Int = 256,
+      alpha: Double = 1.0): DataFrame = {
+    require(k >= 1)
+    dsirWeights(raw, target, idCol, textCol, nBuckets, alpha)
+      .orderBy(col("log_weight").desc, col(idCol)).limit(k)
+  }
 }

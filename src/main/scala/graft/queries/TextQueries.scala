@@ -711,6 +711,48 @@ object TextQueries {
       SELECT doc_id, n_tok, CAST(floor(start / 512.0) AS BIGINT) AS seq_id,
              CAST(start % 512 AS BIGINT) AS offset_in_seq
       FROM c""")),
+
+    // DSIR-style importance weights (Xie et al. 2023) — the standard
+    // data-SELECTION step between crawl cleaning and pretraining: every
+    // document scored by how much its hashed unigram+bigram bag looks
+    // drawn from the target domain (here src0's documents) rather than
+    // from the raw pool. Features hash through md5, so the oracle
+    // replays the ENTIRE computation — tokenization, bigram formation,
+    // bucketing, Laplace smoothing, the log-likelihood-ratio sum. Plan:
+    // two bucket-keyed count aggs, a 256-row broadcast weight table, one
+    // doc-keyed agg; no all-pairs, no global sort.
+    ("q162_dsir_weights", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      operators.Sampling.dsirWeights(docs,
+        docs.filter(col("source") === "src0"), "doc_id", "text",
+        nBuckets = 256, alpha = 1.0)
+    }, Some("""
+      WITH tok AS (SELECT doc_id, source,
+                          string_split_regex(text, '\s+') AS t
+                   FROM documents),
+      g AS (SELECT doc_id, source,
+                   unnest(list_concat(t,
+                     list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1]))) AS g
+            FROM tok),
+      b AS (SELECT doc_id, source,
+                   ((instr('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 4096 +
+                    (instr('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 256 +
+                    (instr('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 16 +
+                    (instr('0123456789abcdef', substr(md5(g), 4, 1)) - 1)) % 256
+                     AS b
+            FROM g),
+      ct AS (SELECT b, count(*) AS ct FROM b WHERE source = 'src0' GROUP BY b),
+      cr AS (SELECT b, count(*) AS cr FROM b GROUP BY b),
+      tot AS (SELECT (SELECT sum(ct) FROM ct) AS tt,
+                     (SELECT sum(cr) FROM cr) AS tr),
+      wt AS (SELECT cr.b,
+                    ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + 256.0))
+                  - ln((cr.cr + 1.0) / (tot.tr + 256.0)) AS lr
+             FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot)
+      SELECT b.doc_id, round(sum(wt.lr), 4) AS log_weight
+      FROM b JOIN wt USING (b)
+      GROUP BY b.doc_id""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -132,4 +132,34 @@ class SamplingSpec extends AnyFunSuite {
       .head().getAs[scala.collection.Seq[String]](0)
     assert(freq.contains("common"))
   }
+
+  test("dsirWeights ranks target-like documents above off-domain ones; " +
+      "dsirSelect takes them; weights cover the pool") {
+    // target domain: medical-ish vocabulary; the raw pool mixes docs
+    // written in that vocabulary with docs written in a disjoint one —
+    // the in-domain docs must receive strictly larger importance weights
+    val target = Seq(
+      (100L, "dose trial patient dose outcome trial patient"),
+      (101L, "patient outcome dose trial dose patient outcome"),
+      (102L, "trial dose outcome patient trial dose outcome"),
+    ).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "dose trial patient outcome dose trial"),    // in-domain
+      (2L, "patient dose outcome trial patient dose"),  // in-domain
+      (3L, "goal match striker goal keeper match"),     // off-domain
+      (4L, "keeper striker match goal striker keeper"), // off-domain
+    ).toDF("doc_id", "text")
+    val w = Sampling.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.keySet === Set(1L, 2L, 3L, 4L), "weights cover the raw pool")
+    assert(math.min(w(1L), w(2L)) > math.max(w(3L), w(4L)),
+      s"in-domain docs must outscore off-domain: $w")
+    val kept = Sampling.dsirSelect(raw, target, "doc_id", "text", k = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+    // the selection plan is a distributed top-k, not a global window
+    val plan = Sampling.dsirSelect(raw, target, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
 }
