@@ -576,6 +576,44 @@ object Dedup {
       .select(col("id"), col("pw.pos").cast("long").as("pos"),
         col("pw.h").as("h"))
 
+  /** Corpus-wide EXACT PARAGRAPH dedup, keep-first (the Falcon /
+    * RefinedWeb "exact deduplication at the paragraph level" recipe,
+    * distinct from [[graft.operators.Boilerplate]]'s per-source
+    * line-frequency threshold and from [[duplicatedSpans]]' token
+    * windows): a paragraph occurring in more than one document survives
+    * ONLY in the smallest-id document carrying it; every other
+    * occurrence is removed, paragraph order is preserved, and a document
+    * whose every paragraph lost comes back as the empty string (kept —
+    * dropping is quality-gate policy, not cleaning). A paragraph
+    * repeated WITHIN one document is untouched by this pass
+    * (cross-document dedup; in-doc repetition is the q84 signal).
+    *
+    * Scale shape: paragraphs explode in-row with their positions; the
+    * keeper per paragraph is one paragraph-keyed min aggregation with
+    * map-side partials; the verdict returns by the SAME paragraph-keyed
+    * shuffle (unlike Boilerplate's broadcast-back, the duplicate set
+    * here is corpus-sized by construction — a keyed shuffle is the
+    * honest plan, and it reuses the aggregation's exchange); rebuild is
+    * a doc-keyed collect_list sorted by stored position. No all-pairs
+    * work, no global sort. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "p")))
+    val keeper = paras.groupBy(col("p")).agg(min(col("id")).as("keep_id"))
+    val cleaned = paras.join(keeper, Seq("p"))
+      .filter(col("id") === col("keep_id"))
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("p")))),
+        s => s.getField("p")), sep).as("clean_text"))
+    docs.select(col(idCol).as("id"))
+      .join(cleaned, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** (id, pos[, …]) hit windows → maximal per-document spans by
     * gaps-and-islands over window start positions (break at gap >
     * windowN — beyond that the coverage intervals no longer touch). */

@@ -243,14 +243,16 @@ object Sampling {
     * ln p̂_raw(b)], rounded to the 4-decimal parity round (a sum of
     * hundreds of ln terms — the q154 NB-score precision convention).
     *
-    * Scale shape: two bucket-keyed count aggregations with map-side
-    * partials (target + raw — the raw pass and the per-doc pass share
-    * one ngram expansion), an nBuckets-row log-ratio table BROADCAST
-    * back (bounded by construction, never by data), and one doc-keyed
-    * aggregation. Nothing is all-pairs; no global sort. Selection at
-    * scale thresholds on the weight or takes a distributed top-k
-    * ([[dsirSelect]] — TakeOrderedAndProject, never a single-partition
-    * window). */
+    * Scale shape: bucket-keyed count aggregations with map-side partials
+    * over target and raw (the classic two-pass DSIR recipe — the raw
+    * corpus is scanned once to FIT the bucket distribution and once to
+    * SCORE; at 100 TB a deployment would persist the nBuckets-row fit
+    * and score many batches against it), an nBuckets-row log-ratio table
+    * BROADCAST back (bounded by construction, never by data), and one
+    * doc-keyed aggregation. Nothing is all-pairs; no global sort.
+    * Selection at scale thresholds on the weight or takes a distributed
+    * top-k ([[dsirSelect]] — TakeOrderedAndProject, never a
+    * single-partition window). */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, nBuckets: Int = 256, alpha: Double = 1.0): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 65536,

@@ -294,6 +294,48 @@ object ClassifyQueries {
                chr(10)) AS clean_text
       FROM inj i LEFT JOIN bl ON bl.source = i.source""")),
 
+    // Corpus-wide EXACT PARAGRAPH dedup, keep-first (Falcon/RefinedWeb
+    // recipe; distinct from q160's per-source frequency threshold —
+    // here ANY cross-document repeat loses all but its smallest-id
+    // occurrence, regardless of how few docs share it). The corpus has
+    // no line structure, so the query injects one: a paragraph shared
+    // by every 3rd doc (keeper: doc 0), one of five rotating footers
+    // (keepers: docs 0–4), the original text and a unique per-doc line.
+    // The oracle replays injection, keeper election, keep-first
+    // filtering, and order-preserving reconstruction.
+    ("q163_paragraph_dedup", (s: SparkSession, d: String) => {
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0,
+            lit("SHARED_A common paragraph\n")).otherwise(lit("")),
+          col("text"),
+          lit("\nSHARED_B_"), (col("doc_id") % 5).cast("string"),
+          lit("\nUNIQ "), col("doc_id").cast("string")).as("text"))
+      graft.operators.Dedup.paragraphDedup(injected, "doc_id", "text")
+    },
+    Some("""
+      WITH inj AS (SELECT doc_id,
+                          concat(CASE WHEN doc_id % 3 = 0
+                                      THEN concat('SHARED_A common paragraph',
+                                                  chr(10))
+                                      ELSE '' END,
+                                 text,
+                                 chr(10), 'SHARED_B_', doc_id % 5,
+                                 chr(10), 'UNIQ ', doc_id) AS t
+                   FROM documents),
+      ps AS (SELECT doc_id, string_split(t, chr(10)) AS ps FROM inj),
+      e AS (SELECT doc_id, unnest(ps) AS p,
+                   unnest(generate_series(1, len(ps))) AS pos
+            FROM ps),
+      k AS (SELECT p, min(doc_id) AS keep_id FROM e GROUP BY p),
+      c AS (SELECT e.doc_id, e.pos, e.p
+            FROM e JOIN k USING (p) WHERE e.doc_id = k.keep_id),
+      r AS (SELECT doc_id, string_agg(p, chr(10) ORDER BY pos, p)
+                     AS clean_text
+            FROM c GROUP BY doc_id)
+      SELECT i.doc_id, coalesce(r.clean_text, '') AS clean_text
+      FROM inj i LEFT JOIN r USING (doc_id)""")),
+
     // Trained-centroid SemDeDup vs the deterministic exemplar twin at the
     // SAME (k, τ): one agreement row quantifying how far the k-means
     // geometry moves the per-vector dup verdicts. Seeded k-means is not

@@ -276,4 +276,21 @@ class DedupSpec extends AnyFunSuite {
       (12L, 9L, 16L, 1L), // ...as separate spans (gap > windowN)
     ))
   }
+
+  test("paragraphDedup: keep-first across docs, order preserved, in-doc " +
+      "repeats untouched, all-duplicate docs kept empty") {
+    val docs = Seq(
+      (5L, "shared one\nalpha\nshared two"),
+      (2L, "beta\nshared one\nbeta"),   // keeper of "shared one" + in-doc repeat
+      (7L, "shared two\ngamma"),
+      (9L, "shared one\nshared two"),    // loses everything -> empty, kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      2L -> "beta\nshared one\nbeta", // min id keeps it; its repeat survives
+      5L -> "alpha\nshared two",       // "shared one" lost to doc 2; first occurrence of "shared two" (min id 5 < 7)
+      7L -> "gamma",
+      9L -> ""))                       // kept, not dropped
+  }
 }
