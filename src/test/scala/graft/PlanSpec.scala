@@ -396,4 +396,16 @@ class PlanSpec extends AnyFunSuite {
         !a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
     assert(bandJoin.nonEmpty, "expected the band-bucket join to carry no array columns")
   }
+
+  test("q162 DSIR scoring probes a BROADCAST weight table; totals cross " +
+      "in as one-row broadcast loops, never a CartesianProduct") {
+    // the per-doc ngram stream hash-joins the nBuckets-row log-ratio
+    // table as the build side (bounded by construction); the two
+    // one-row totals frames cross in as broadcast nested loops
+    val p = plan("q162_dsir_weights")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+  }
 }
