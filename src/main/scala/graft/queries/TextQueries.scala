@@ -753,6 +753,47 @@ object TextQueries {
       SELECT b.doc_id, round(sum(wt.lr), 4) AS log_weight
       FROM b JOIN wt USING (b)
       GROUP BY b.doc_id""")),
+
+    // The DSIR SELECTION stage end-to-end: the 50 documents most
+    // target-like under q162's weights, deterministic resampling
+    // (weight desc, id asc — ties break identically on both sides
+    // because both rank the 4-decimal parity round). Planned as a
+    // distributed TakeOrderedAndProject (PlanSpec-adjacent law in
+    // SamplingSpec), never a single-partition window.
+    ("q164_dsir_select", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      operators.Sampling.dsirSelect(docs,
+        docs.filter(col("source") === "src0"), "doc_id", "text", k = 50,
+        nBuckets = 256, alpha = 1.0)
+    }, Some("""
+      WITH tok AS (SELECT doc_id, source,
+                          string_split_regex(text, '\s+') AS t
+                   FROM documents),
+      g AS (SELECT doc_id, source,
+                   unnest(list_concat(t,
+                     list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1]))) AS g
+            FROM tok),
+      b AS (SELECT doc_id, source,
+                   ((instr('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 4096 +
+                    (instr('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 256 +
+                    (instr('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 16 +
+                    (instr('0123456789abcdef', substr(md5(g), 4, 1)) - 1)) % 256
+                     AS b
+            FROM g),
+      ct AS (SELECT b, count(*) AS ct FROM b WHERE source = 'src0' GROUP BY b),
+      cr AS (SELECT b, count(*) AS cr FROM b GROUP BY b),
+      tot AS (SELECT (SELECT sum(ct) FROM ct) AS tt,
+                     (SELECT sum(cr) FROM cr) AS tr),
+      wt AS (SELECT cr.b,
+                    ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + 256.0))
+                  - ln((cr.cr + 1.0) / (tot.tr + 256.0)) AS lr
+             FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot),
+      w AS (SELECT b.doc_id, round(sum(wt.lr), 4) AS log_weight
+            FROM b JOIN wt USING (b)
+            GROUP BY b.doc_id)
+      SELECT doc_id, log_weight FROM w
+      ORDER BY log_weight DESC, doc_id LIMIT 50""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
