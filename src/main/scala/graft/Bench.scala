@@ -39,10 +39,7 @@ object Bench {
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // comma-separated allowlist for focused iteration; unset = all queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    def loadAvg1: Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+    def loadAvg1: Double = graft.functions.HostStats.loadAvg1
     val loadStart = loadAvg1
     // PER-QUERY re-time floors derived from the COMMITTED prior record
     // (the sidecar is committed per round, so at bench time it holds last
@@ -61,10 +58,12 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
     def clampFloor(m: Double): Double = math.min(8.0, math.max(2.0, 2.0 * m))
-    val globalFloor: Double =
-      if (priorMins.isEmpty) 4.0 else clampFloor(priorMins.values.max)
+    // NEW queries (absent from the prior record) take the historical 4 s
+    // floor, NOT a max-derived global: deriving their floor from the
+    // suite's slowest query would re-open the r12 hole for exactly the
+    // queries that have no history to protect them
     def floorFor(name: String): Double =
-      priorMins.get(name).map(clampFloor).getOrElse(globalFloor)
+      priorMins.get(name).map(clampFloor).getOrElse(4.0)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex.map { case ((name, fn), idx) =>

@@ -50,11 +50,14 @@ object Pushdown {
   def requireLayout(meta: org.apache.spark.sql.DataFrame,
       storeDir: String): Unit = {
     require(meta.columns.contains("layout_version"),
-      s"store $storeDir was built by a pre-ck layout (meta has no " +
-        s"layout_version; current is $LayoutVersion): its generations " +
-        "read ck as null and would silently vanish behind the ck range " +
-        "pushdown (and the append-only guards would pass for " +
-        "already-ingested ids). Rebuild the store with the current code.")
+      s"store $storeDir carries no layout_version stamp in meta (current " +
+        s"layout is $LayoutVersion). Either it predates the ck layout — " +
+        "its generations then read ck as null and silently vanish behind " +
+        "the ck range pushdown while the append-only guards pass for " +
+        "already-ingested ids — or it was built by ck-era code from " +
+        "before the stamp existed and only the stamp is missing. The " +
+        "stamp is what makes the two distinguishable from here on; " +
+        "rebuild the store with the current code.")
     val v = meta.select(col("layout_version")).head().getInt(0)
     require(v == LayoutVersion,
       s"store $storeDir carries layout_version $v but this code reads " +

@@ -1045,6 +1045,13 @@ object BinaryOps {
     }
   }
 
+  /** profile_idc values whose SPS carries the chroma/bit-depth/scaling
+    * branch (§7.3.2.1.1's `if (profile_idc == 100 || …)` list) — ONE
+    * definition shared by [[parseSps]] and [[buildSps]], since a parse/
+    * build disagreement here shifts every later Exp-Golomb field. */
+  private val HighProfileIdcs = Set(100, 110, 122, 244, 44, 83, 86, 118,
+    128, 138, 139, 134, 135)
+
   /** NAL payload → RBSP: strip emulation-prevention bytes (§7.4.1 — an
     * encoder inserts 0x03 after any 0x0000 so start codes can't appear
     * inside a NAL; the 00 00 03 sequence decodes back to 00 00). */
@@ -1104,8 +1111,7 @@ object BinaryOps {
     r.ue() // seq_parameter_set_id
     var chroma = 1 // 4:2:0 is implied outside the high-profile branch
     var separateColour = 0
-    if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128,
-        138, 139, 134, 135)(profile)) {
+    if (HighProfileIdcs(profile)) {
       chroma = r.ue()
       if (chroma > 3) return None
       if (chroma == 3) separateColour = r.u1()
@@ -1296,8 +1302,7 @@ object BinaryOps {
     w.u(0, 8) // constraint flags
     w.u(level, 8)
     w.ue(0) // sps id
-    if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128,
-        138, 139, 134, 135)(profile)) {
+    if (HighProfileIdcs(profile)) {
       w.ue(1) // chroma_format_idc: 4:2:0
       w.ue(0); w.ue(0) // bit depths
       w.u1(0) // transform bypass
@@ -1325,7 +1330,7 @@ object BinaryOps {
     * metadata surface reads). The inverse of [[parseH264Meta]]. */
   def buildAvcMp4(profile: Int, level: Int, wMbs: Int, hUnits: Int,
       cropRight: Int, cropBottom: Int, nFrames: Int,
-      keyEvery: Int): Array[Byte] = {
+      keyEvery: Int, withStss: Boolean = true): Array[Byte] = {
     def box(typ: String, bodyBytes: Array[Byte]): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(8 + bodyBytes.length)
       b.putInt(8 + bodyBytes.length).put(typ.getBytes("US-ASCII"))
@@ -1374,13 +1379,18 @@ object BinaryOps {
     }
     val stsz = box("stsz", java.nio.ByteBuffer.allocate(12)
       .putInt(0).putInt(1).putInt(nFrames).array()) // uniform size 1
-    val stss = {
-      val syncs = (1 to nFrames by keyEvery).toArray // 1-based sample ids
-      val b = java.nio.ByteBuffer.allocate(8 + 4 * syncs.length)
-      b.putInt(0).putInt(syncs.length)
-      syncs.foreach(b.putInt)
-      box("stss", b.array())
-    }
+    // `withStss = false` omits the sync table entirely — the 14496-12
+    // §8.6.2 "no stss means every sample is sync" case, so the parser's
+    // fallback is buildable and testable, not just claimed
+    val stss =
+      if (!withStss) Array.empty[Byte]
+      else {
+        val syncs = (1 to nFrames by keyEvery).toArray // 1-based sample ids
+        val b = java.nio.ByteBuffer.allocate(8 + 4 * syncs.length)
+        b.putInt(0).putInt(syncs.length)
+        syncs.foreach(b.putInt)
+        box("stss", b.array())
+      }
     val trak = box("trak", box("tkhd", tkhd) ++
       box("mdia", box("minf", box("stbl", stsd ++ stsz ++ stss))))
     val moov = box("moov", box("mvhd", mvhd) ++ trak)

@@ -601,9 +601,14 @@ object Dedup {
     val paras = docs.select(col(idCol).as("id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "p")))
-    val keeper = paras.groupBy(col("p")).agg(min(col("id")).as("keep_id"))
-    val cleaned = paras.join(keeper, Seq("p"))
-      .filter(col("id") === col("keep_id"))
+    // EMPTY segments (blank lines / consecutive separators) are document
+    // STRUCTURE, not content — they are exempt from keeper election and
+    // survive verbatim everywhere (deduping them would strip every blank
+    // line from all but one document corpus-wide)
+    val keeper = paras.filter(col("p") =!= "")
+      .groupBy(col("p")).agg(min(col("id")).as("keep_id"))
+    val cleaned = paras.join(keeper, Seq("p"), "left_outer")
+      .filter(col("p") === "" || col("id") === col("keep_id"))
       .groupBy(col("id"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("p")))),

@@ -621,20 +621,25 @@ object Similarity {
       fitCaps: Seq[Long] = Seq(100000L)): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val rows = for (k <- ks; cap <- fitCaps) yield {
-      val ex = semDedupExemplar(emb, idCol, vecCol, k, tau)
-        .select(col(idCol).as("id"), col("is_dup").as("de"))
-      val tr = semDedupTrained(emb, idCol, vecCol, k, tau, cap)
-        .select(col(idCol).as("id"), col("is_dup").as("dt"))
-      val r = ex.join(tr, Seq("id"))
-        .agg(count(lit(1)), sum(col("de")), sum(col("dt")),
-          avg(when(col("de") === col("dt"), 1.0).otherwise(0.0)))
-        .head()
-      (k, cap, r.getLong(0), r.getLong(1), r.getLong(2),
-        math.rint(r.getDouble(3) * 1e6) / 1e6)
+    val rows = for (k <- ks) yield {
+      // the exemplar twin depends on k alone — compute it once per k and
+      // pin it locally, not once per (k, fitCap)
+      val ex = graft.functions.Frames.pinLocal(
+        semDedupExemplar(emb, idCol, vecCol, k, tau)
+          .select(col(idCol).as("id"), col("is_dup").as("de")))
+      for (cap <- fitCaps) yield {
+        val tr = semDedupTrained(emb, idCol, vecCol, k, tau, cap)
+          .select(col(idCol).as("id"), col("is_dup").as("dt"))
+        val r = ex.join(tr, Seq("id"))
+          .agg(count(lit(1)), sum(col("de")), sum(col("dt")),
+            avg(when(col("de") === col("dt"), 1.0).otherwise(0.0)))
+          .head()
+        (k, cap, r.getLong(0), r.getLong(1), r.getLong(2),
+          math.rint(r.getDouble(3) * 1e6) / 1e6)
+      }
     }
-    rows.toDF("k", "fit_cap", "n", "n_dup_exemplar", "n_dup_trained",
-      "agreement")
+    rows.flatten.toDF("k", "fit_cap", "n", "n_dup_exemplar",
+      "n_dup_trained", "agreement")
   }
 
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,

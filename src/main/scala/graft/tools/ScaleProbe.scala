@@ -32,10 +32,7 @@ object ScaleProbe {
   final case class Probe(op: String, k: Int, rows: Long, sec: Double,
       ld0: Double, ld1: Double)
 
-  private def loadAvg1(): Double =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString
-      .split(" ")(0).toDouble
-    catch { case _: Throwable => -1.0 }
+  private def loadAvg1(): Double = graft.functions.HostStats.loadAvg1
 
   def scaledCorpus(docs: DataFrame, k: Int): DataFrame =
     (0 until k).map { i =>

@@ -284,6 +284,8 @@ class DedupSpec extends AnyFunSuite {
       (2L, "beta\nshared one\nbeta"),   // keeper of "shared one" + in-doc repeat
       (7L, "shared two\ngamma"),
       (9L, "shared one\nshared two"),    // loses everything -> empty, kept
+      (3L, "delta\n\nepsilon"),          // blank line: STRUCTURE, never deduped
+      (4L, "zeta\n\neta"),               // second doc with a blank line
     ).toDF("doc_id", "text")
     val got = Dedup.paragraphDedup(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -291,6 +293,11 @@ class DedupSpec extends AnyFunSuite {
       2L -> "beta\nshared one\nbeta", // min id keeps it; its repeat survives
       5L -> "alpha\nshared two",       // "shared one" lost to doc 2; first occurrence of "shared two" (min id 5 < 7)
       7L -> "gamma",
-      9L -> ""))                       // kept, not dropped
+      9L -> "",                        // kept, not dropped
+      // empty segments are exempt from keeper election: BOTH docs keep
+      // their blank line (deduping "" would strip paragraph separation
+      // from every doc but one corpus-wide)
+      3L -> "delta\n\nepsilon",
+      4L -> "zeta\n\neta"))
   }
 }

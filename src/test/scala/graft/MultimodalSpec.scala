@@ -973,9 +973,12 @@ class MultimodalSpec extends AnyFunSuite {
       keyEvery = 5)
     val m = BinaryOps.parseH264Meta(p).get
     assert(m === BinaryOps.H264Meta("avc1", 100, 41, 126, 94, 23L, 5L))
-    // absent stss => every sample is sync (14496-12 §8.6.2): strip the
-    // stss box by rebuilding through the plain builder's box model —
-    // easiest faithful variant: a fixture whose stss says all frames
+    // absent stss => every sample is sync (14496-12 §8.6.2): a file
+    // genuinely WITHOUT the box must fall back to nKeyframes == nFrames
+    val noStss = BinaryOps.buildAvcMp4(66, 30, 2, 2, 0, 0, nFrames = 7,
+      keyEvery = 3, withStss = false)
+    assert(BinaryOps.parseH264Meta(noStss).get.nKeyframes === 7L)
+    // and a present stss listing all frames reads through the normal path
     val all = BinaryOps.buildAvcMp4(66, 30, 2, 2, 0, 0, nFrames = 7,
       keyEvery = 1)
     assert(BinaryOps.parseH264Meta(all).get.nKeyframes === 7L)
