@@ -328,7 +328,7 @@ class LmStoreSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       LmStore.lmScore(spark, docs.limit(5), "doc_id", "text", dir).collect()
     }
-    assert(e.getMessage.contains("pre-ck layout"), e.getMessage)
+    assert(e.getMessage.contains("no layout_version stamp"), e.getMessage)
     // and a FUTURE version is equally refused (forward compat is not
     // silently assumed)
     Seq((8, graft.functions.Pushdown.LayoutVersion + 1))
