@@ -84,7 +84,13 @@ object ScaleProbe {
     ("novelty", () =>
       graft.operators.Decontaminate.crossSplitNovelty(
         docs.filter(col("doc_id") % 11 === 0),
-        docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text", n = 3).count()))
+        docs.filter(col("doc_id") % 11 =!= 0), "doc_id", "text", n = 3).count()),
+    // DSIR weights: both passes (fit + score) grow with the corpus; the
+    // broadcast weight table is nBuckets-bounded, so growth here measures
+    // the two bucket-keyed aggs and the doc-keyed sum (q162 shape)
+    ("dsir_weights", () =>
+      graft.operators.Sampling.dsirWeights(docs,
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text").count()))
 
   /** K vocabulary-disjoint embedding shards: ids offset collision-free,
     * replicas scaled by (1 + i/100) — a deterministic perturbation that
