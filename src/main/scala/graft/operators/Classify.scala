@@ -112,4 +112,59 @@ object Classify {
         when(col("label") === col("true_label"), 1).otherwise(0)
           .as("correct"))
   }
+
+  /** Binary NB LOG-ODDS — the fastText-style quality-classifier score
+    * every curation pipeline thresholds on (GPT-3 §2.2, CCNet): for a
+    * two-label training set, score(d, pos) − score(d, neg) under the α=1
+    * decomposition above. The per-label terms telescope into ONE
+    * token-keyed pass:
+    *
+    *   log_odds(d) = ln(d₊/d₋) − m_d·[ln(N₊+V) − ln(N₋+V)]
+    *                 + Σ_t tf_{d,t}·[ln(c_{t,+}+1) − ln(c_{t,−}+1)]
+    *
+    * with c = 0 for the label that never saw the token (its ln(0+1)
+    * contributes 0 — exactly nbClassify's unseen-pair semantics), so the
+    * sum runs over the test doc's vocabulary-joined tokens only. One
+    * (token → c₊,c₋) hash join plus a 1-row broadcast of the label
+    * constants; `test` needs no label column. 4-decimal parity round
+    * (the summed-ln convention). Output: (idCol, nb_log_odds).
+    */
+  def nbLogOdds(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, labelCol: String, posLabel: String): DataFrame = {
+    val counts = tokenCounts(train, textCol, labelCol)
+    // bounded driver collect BY CONSTRUCTION: one row per training label,
+    // and the contract is exactly two of them
+    val labels = train.select(col(labelCol)).distinct().collect()
+      .map(_.getString(0)).sorted
+    require(labels.length == 2 && labels.contains(posLabel),
+      s"nbLogOdds needs exactly two training labels incl. '$posLabel': " +
+        labels.mkString(", "))
+    val wide = counts.groupBy(col("token")).agg(
+      sum(when(col("label") === posLabel, col("c")).otherwise(0L))
+        .as("c_pos"),
+      sum(when(col("label") =!= posLabel, col("c")).otherwise(0L))
+        .as("c_neg"))
+    val consts = wide.agg(sum(col("c_pos")).as("n_pos"),
+        sum(col("c_neg")).as("n_neg"), count(lit(1)).as("v_size"))
+      .crossJoin(train.agg(
+        sum(when(col(labelCol) === posLabel, 1L).otherwise(0L)).as("d_pos"),
+        sum(when(col(labelCol) =!= posLabel, 1L).otherwise(0L)).as("d_neg")))
+    val tf = test.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(wide, Seq("token"), "left_outer")
+      .groupBy(col("id"))
+      .agg(
+        // m_d: test tokens present in the training vocabulary (any label)
+        sum(when(col("c_pos").isNotNull, col("tf")).otherwise(0L)).as("m"),
+        sum(col("tf") * (log(coalesce(col("c_pos"), lit(0L)) + lit(1.0)) -
+          log(coalesce(col("c_neg"), lit(0L)) + lit(1.0)))).as("s"))
+      .crossJoin(broadcast(consts))
+      .select(col("id").as(idCol),
+        pround(log(col("d_pos").cast("double") / col("d_neg"))
+          - col("m") * (log((col("n_pos") + col("v_size")).cast("double"))
+            - log((col("n_neg") + col("v_size")).cast("double")))
+          + col("s"), 4).as("nb_log_odds"))
+  }
 }

@@ -214,8 +214,8 @@ object Sampling {
     * bucketed by the first 4 hex chars of md5 mod `nBuckets` — md5 so the
     * ENTIRE computation (hashing included) replays verbatim in any engine
     * (the [[deterministicSamplePortable]] portability discipline). */
-  private def ngramBuckets(df: DataFrame, textCol: String, nBuckets: Int,
-      carry: org.apache.spark.sql.Column*): DataFrame = {
+  private[operators] def ngramBuckets(df: DataFrame, textCol: String,
+      nBuckets: Int, carry: org.apache.spark.sql.Column*): DataFrame = {
     val t = split(col(textCol), "\\s+")
     // slice lengths are size-1 (0 for a one-token doc → empty bigram list)
     val bi = zip_with(slice(t, lit(1), size(t) - 1),

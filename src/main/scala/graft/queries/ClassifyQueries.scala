@@ -300,9 +300,12 @@ object ClassifyQueries {
     // occurrence, regardless of how few docs share it). The corpus has
     // no line structure, so the query injects one: a paragraph shared
     // by every 3rd doc (keeper: doc 0), one of five rotating footers
-    // (keepers: docs 0–4), the original text and a unique per-doc line.
-    // The oracle replays injection, keeper election, keep-first
-    // filtering, and order-preserving reconstruction.
+    // (keepers: docs 0–4), a BLANK line in every 4th doc (structure —
+    // exempt from keeper election, must survive verbatim in ALL
+    // carriers, not just the smallest-id one), the original text and a
+    // unique per-doc line. The oracle replays injection, keeper
+    // election (excluding empties), keep-first filtering (empties pass
+    // unconditionally), and order-preserving reconstruction.
     ("q163_paragraph_dedup", (s: SparkSession, d: String) => {
       val injected = Tables.documents(s, d).select(col("doc_id"),
         concat(
@@ -310,6 +313,7 @@ object ClassifyQueries {
             lit("SHARED_A common paragraph\n")).otherwise(lit("")),
           col("text"),
           lit("\nSHARED_B_"), (col("doc_id") % 5).cast("string"),
+          when(col("doc_id") % 4 === 0, lit("\n")).otherwise(lit("")),
           lit("\nUNIQ "), col("doc_id").cast("string")).as("text"))
       graft.operators.Dedup.paragraphDedup(injected, "doc_id", "text")
     },
@@ -321,20 +325,148 @@ object ClassifyQueries {
                                       ELSE '' END,
                                  text,
                                  chr(10), 'SHARED_B_', doc_id % 5,
+                                 CASE WHEN doc_id % 4 = 0 THEN chr(10)
+                                      ELSE '' END,
                                  chr(10), 'UNIQ ', doc_id) AS t
                    FROM documents),
       ps AS (SELECT doc_id, string_split(t, chr(10)) AS ps FROM inj),
       e AS (SELECT doc_id, unnest(ps) AS p,
                    unnest(generate_series(1, len(ps))) AS pos
             FROM ps),
-      k AS (SELECT p, min(doc_id) AS keep_id FROM e GROUP BY p),
+      k AS (SELECT p, min(doc_id) AS keep_id FROM e
+            WHERE p <> '' GROUP BY p),
       c AS (SELECT e.doc_id, e.pos, e.p
-            FROM e JOIN k USING (p) WHERE e.doc_id = k.keep_id),
+            FROM e LEFT JOIN k USING (p)
+            WHERE e.p = '' OR e.doc_id = k.keep_id),
       r AS (SELECT doc_id, string_agg(p, chr(10) ORDER BY pos, p)
                      AS clean_text
             FROM c GROUP BY doc_id)
       SELECT i.doc_id, coalesce(r.clean_text, '') AS clean_text
       FROM inj i LEFT JOIN r USING (doc_id)""")),
+
+    // The COMPOSITE quality gate (CCNet/GPT-3/RefinedWeb recipe,
+    // [[graft.operators.QualityGate]]): repetition + OOV + boilerplate
+    // fraction + NB quality log-odds cascaded into one verdict frame
+    // with per-reason drop attribution. The corpus has no line
+    // structure, so the query injects a footer into every 10th doc
+    // (boilerplate at minFrac 0.08); hi-quality label = src0 (the DSIR
+    // target convention). The oracle replays all four signal
+    // computations, the quantile calibration, and the cascade — every
+    // drop is hash-checked to its attributed reason.
+    ("q167_quality_gate_composite", (s: SparkSession, d: String) => {
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 10 === 0,
+            concat(lit("\nFOOTER_"), col("source"))).otherwise(lit("")))
+          .as("text"))
+      graft.operators.QualityGate.qualityGate(injected, "doc_id", "text",
+        "source", hiQuality = col("source") === "src0",
+        repQ = 0.97, oovQ = 0.97, nbQ = 0.10, boilerMax = 0.4,
+        vocabK = 1000, boilerMinFrac = 0.08)
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source,
+                        concat(text, CASE WHEN doc_id % 10 = 0
+                                          THEN concat(chr(10), 'FOOTER_',
+                                                      source)
+                                          ELSE '' END) AS text
+                 FROM documents),
+      t AS (SELECT doc_id, string_split_regex(text, '\s+') AS tok FROM d),
+      rep AS (SELECT doc_id,
+                     round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / len(grams), 4) AS rep_ratio
+              FROM (SELECT doc_id,
+                           list_transform(
+                             generate_series(1, greatest(1, len(tok) - 2)),
+                             i -> concat_ws(' ', tok[i], tok[i+1], tok[i+2]))
+                             AS grams
+                    FROM t)),
+      tk AS (SELECT doc_id, unnest(tok) AS token FROM t),
+      vc AS (SELECT token FROM (
+               SELECT token, count(*) AS c FROM tk GROUP BY token
+               ORDER BY c DESC, token LIMIT 1000)),
+      oov AS (SELECT tk.doc_id,
+                     round(1.0 - sum(CASE WHEN v.token IS NULL THEN 0
+                                          ELSE 1 END) * 1.0 / count(*), 4)
+                       AS oov_rate
+              FROM tk LEFT JOIN vc v USING (token) GROUP BY tk.doc_id),
+      dl AS (SELECT source AS src, doc_id,
+                    unnest(list_distinct(string_split(text, chr(10))))
+                      AS line
+             FROM d),
+      nd AS (SELECT source AS src, count(DISTINCT doc_id) AS n_docs
+             FROM d GROUP BY source),
+      bl AS (SELECT dl.src, dl.line
+             FROM dl JOIN nd USING (src)
+             GROUP BY dl.src, dl.line, nd.n_docs
+             HAVING count(DISTINCT dl.doc_id) >= nd.n_docs * 0.08),
+      bset AS (SELECT src, list(line) AS blines FROM bl GROUP BY src),
+      boil AS (SELECT d.doc_id,
+                      round(CAST(len(list_filter(
+                              string_split(d.text, chr(10)),
+                              x -> coalesce(list_contains(b.blines, x),
+                                            false))) AS DOUBLE)
+                            / len(string_split(d.text, chr(10))), 4)
+                        AS boiler_frac
+               FROM d LEFT JOIN bset b ON b.src = d.source),
+      lb AS (SELECT doc_id,
+                    CASE WHEN source = 'src0' THEN 'hi' ELSE 'lo' END
+                      AS label, text
+             FROM d),
+      cnt AS (SELECT label, token, count(*) AS c
+              FROM (SELECT label,
+                           unnest(string_split_regex(text, '\s+')) AS token
+                    FROM lb)
+              GROUP BY label, token),
+      wide AS (SELECT token,
+                      sum(CASE WHEN label = 'hi' THEN c ELSE 0 END) AS c_pos,
+                      sum(CASE WHEN label <> 'hi' THEN c ELSE 0 END) AS c_neg
+               FROM cnt GROUP BY token),
+      g AS (SELECT (SELECT sum(c_pos) FROM wide) AS n_pos,
+                   (SELECT sum(c_neg) FROM wide) AS n_neg,
+                   (SELECT count(*) FROM wide) AS v,
+                   (SELECT count(*) FROM lb WHERE label = 'hi') AS d_pos,
+                   (SELECT count(*) FROM lb WHERE label <> 'hi') AS d_neg),
+      tf AS (SELECT doc_id, token, count(*) AS tf
+             FROM (SELECT doc_id,
+                          unnest(string_split_regex(text, '\s+')) AS token
+                   FROM lb)
+             GROUP BY doc_id, token),
+      nbagg AS (SELECT tf.doc_id,
+                       sum(CASE WHEN w.token IS NOT NULL THEN tf.tf
+                                ELSE 0 END) AS m,
+                       sum(tf.tf * (ln(coalesce(w.c_pos, 0) + 1.0)
+                                  - ln(coalesce(w.c_neg, 0) + 1.0))) AS s
+                FROM tf LEFT JOIN wide w USING (token)
+                GROUP BY tf.doc_id),
+      nb AS (SELECT doc_id,
+                    round(ln(g.d_pos * 1.0 / g.d_neg)
+                        - m * (ln((g.n_pos + g.v) * 1.0)
+                             - ln((g.n_neg + g.v) * 1.0))
+                        + s, 4) AS nb_log_odds
+             FROM nbagg CROSS JOIN g),
+      sig AS (SELECT r.doc_id, r.rep_ratio, o.oov_rate, b.boiler_frac,
+                     n.nb_log_odds
+              FROM rep r JOIN oov o USING (doc_id)
+              JOIN boil b USING (doc_id) JOIN nb n USING (doc_id)),
+      cut AS (SELECT quantile_cont(rep_ratio, 0.97) AS rep_cut,
+                     quantile_cont(oov_rate, 0.97) AS oov_cut,
+                     quantile_cont(nb_log_odds, 0.10) AS nb_cut
+              FROM sig)
+      SELECT s.doc_id, s.rep_ratio, s.oov_rate, s.boiler_frac,
+             s.nb_log_odds,
+             CASE WHEN s.rep_ratio > c.rep_cut THEN 'repetition'
+                  WHEN s.oov_rate > c.oov_cut THEN 'oov'
+                  WHEN s.boiler_frac > 0.4 THEN 'boilerplate'
+                  WHEN s.nb_log_odds < c.nb_cut THEN 'nb_quality'
+                  ELSE 'kept' END AS drop_reason,
+             (CASE WHEN s.rep_ratio > c.rep_cut THEN 'repetition'
+                   WHEN s.oov_rate > c.oov_cut THEN 'oov'
+                   WHEN s.boiler_frac > 0.4 THEN 'boilerplate'
+                   WHEN s.nb_log_odds < c.nb_cut THEN 'nb_quality'
+                   ELSE 'kept' END = 'kept') AS kept
+      FROM sig s CROSS JOIN cut c""")),
 
     // Trained-centroid SemDeDup vs the deterministic exemplar twin at the
     // SAME (k, τ): one agreement row quantifying how far the k-means

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{ClusterStore, Components, History, Indexing, LmStore, Retrieval, Similarity, SpanStore, VectorStore}
+import graft.operators.{ClusterStore, Components, DsirStore, History, Indexing, LmStore, Retrieval, Similarity, SpanStore, VectorStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -93,6 +93,23 @@ object StoreQueries {
         dir, nShards = 8)
       LmStore.lmAppend(s, docs.filter(col("doc_id") % 2 =!= 0), "doc_id",
         "text", dir)
+      dir
+    })
+
+  private val builtDsir = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Persisted DSIR fit: target = src0's documents, raw pool = the full
+    * corpus ingested in two generations (even ids at build, odd ids
+    * appended — counts fold by sum, so the fit equals one built on the
+    * whole pool). */
+  private def dsirStore(s: SparkSession, d: String): String =
+    builtDsir.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dsir_q").toString + "/store"
+      val docs = Tables.documents(s, d)
+      DsirStore.dsirBuild(docs.filter(col("source") === "src0"),
+        docs.filter(col("doc_id") % 2 === 0), "text", dir, nBuckets = 256)
+      DsirStore.dsirAppend(s, docs.filter(col("doc_id") % 2 =!= 0), "text",
+        dir, DsirStore.SideRaw)
       dir
     })
 
@@ -550,6 +567,47 @@ object StoreQueries {
       SELECT doc_id, min(pos) AS span_start,
              max(pos) + 7 AS span_end, count(*) AS n_windows
       FROM i GROUP BY doc_id, island""")),
+
+    // DSIR SERVED from the persisted fit (q162's deployment shape —
+    // [[graft.operators.DsirStore]]): the bucket distributions are fit
+    // once (target = src0, raw pool = the whole corpus in two folded
+    // generations) and a batch (every 7th doc) is scored against the
+    // store — one pass over the batch plus a 256-row broadcast, never a
+    // re-scan of the fit inputs. The oracle recomputes the full fit and
+    // scores the same batch: serving a persisted fit must be
+    // indistinguishable from refitting (the store-lifecycle law). The
+    // md5 bucketing keeps the whole computation engine-portable.
+    ("q165_dsir_store_score", (s: SparkSession, d: String) => {
+      val batch = Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+      DsirStore.dsirScore(s, batch, "doc_id", "text", dsirStore(s, d))
+    }, Some("""
+      WITH tok AS (SELECT doc_id, source,
+                          string_split_regex(text, '\s+') AS t
+                   FROM documents),
+      g AS (SELECT doc_id, source,
+                   unnest(list_concat(t,
+                     list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1]))) AS g
+            FROM tok),
+      b AS (SELECT doc_id, source,
+                   ((instr('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 4096 +
+                    (instr('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 256 +
+                    (instr('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 16 +
+                    (instr('0123456789abcdef', substr(md5(g), 4, 1)) - 1)) % 256
+                     AS b
+            FROM g),
+      ct AS (SELECT b, count(*) AS ct FROM b WHERE source = 'src0' GROUP BY b),
+      cr AS (SELECT b, count(*) AS cr FROM b GROUP BY b),
+      tot AS (SELECT (SELECT sum(ct) FROM ct) AS tt,
+                     (SELECT sum(cr) FROM cr) AS tr),
+      wt AS (SELECT cr.b,
+                    ln((coalesce(ct.ct, 0) + 1.0) / (tot.tt + 256.0))
+                  - ln((cr.cr + 1.0) / (tot.tr + 256.0)) AS lr
+             FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot)
+      SELECT b.doc_id, round(sum(wt.lr), 4) AS log_weight
+      FROM b JOIN wt USING (b)
+      WHERE b.doc_id % 7 = 0
+      GROUP BY b.doc_id""")),
   )
 
   private val builtSpan = scala.collection.concurrent.TrieMap[String, String]()
@@ -622,6 +680,13 @@ object StoreQueries {
       LmStore.lmScore(s, Tables.documents(s, d), "doc_id", "text", dir)
         .withColumnRenamed("id", "doc_id")
     }, sqlOf("q135_lm_served")),
+
+    ("q166_dsir_compacted", (s: SparkSession, d: String) => {
+      val dir = dsirStore(s, d)
+      DsirStore.dsirCompact(s, dir)
+      val batch = Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+      DsirStore.dsirScore(s, batch, "doc_id", "text", dir)
+    }, sqlOf("q165_dsir_store_score")),
   )
 
   val entries: Seq[(String, Q, Option[String])] = base ++ compacted

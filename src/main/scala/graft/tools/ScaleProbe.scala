@@ -153,6 +153,13 @@ object ScaleProbe {
     val spanDir = s"$tmpDir/span_x$k"
     graft.operators.SpanStore.spanStoreBuild(docs, "doc_id", "text", spanDir,
       windowN = 8, nShards = 4 * sizeK)
+    val dsirDir = s"$tmpDir/dsir_x$k"
+    // the fit's "geometry" is its bucket count — scaled like the other
+    // stores' shard counts so both probe modes exercise it, though the
+    // persisted state stays ≤ 2·nBuckets rows by construction
+    graft.operators.DsirStore.dsirBuild(
+      docs.filter(col("doc_id") % 7 === 0), docs, "text", dsirDir,
+      nBuckets = 64 * sizeK)
     // The fixed query set and the fixed batch are PINNED once per scale
     // (driver-sized: 3 and 50 rows). Deriving them inside the timed
     // thunks by filtering the scaled corpus parquet would put an O(k)
@@ -220,6 +227,14 @@ object ScaleProbe {
         graft.operators.VectorStore.annSearch(spark,
           embQueries, "vec_id", "embedding", annDir,
           k = 10, nProbe = 4).count()),
+      // fixed batch scored against the persisted DSIR fit: one pass over
+      // the batch plus a broadcast of the nBuckets-row weight table —
+      // batch-bound in BOTH regimes (the fit inputs are never re-read,
+      // and the stored state is ≤ 2·nBuckets rows regardless of how much
+      // text was fitted)
+      ("dsir_score", () =>
+        graft.operators.DsirStore.dsirScore(spark, batchBase,
+          "doc_id", "text", dsirDir).count()),
       // fixed scored batch against a growing register: count scans prune
       // to the batch's vocab shards (constant data per shard by the same
       // contract); V sums the per-generation vstat novelty rows

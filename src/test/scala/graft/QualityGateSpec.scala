@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.QualityGate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the composite quality gate: per-reason drop counts sum to
+  * total drops (the attribution is a partition — every dropped doc is
+  * charged to exactly one reason), the cascade replays from the
+  * published signals (reason = first failing gate under the quantile
+  * cuts recomputed from the output itself), precedence charges a
+  * multi-failing doc to the earliest gate, and the verdict frame is
+  * total (one row per input doc).
+  */
+class QualityGateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** The q167 fixture: sf0.001 docs with the footer injection. */
+  private def injected = {
+    Tables.documents(spark, TestSpark.sf0001).select(col("doc_id"),
+      col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("\nFOOTER_"), col("source"))).otherwise(lit("")))
+        .as("text"))
+  }
+
+  private lazy val out = QualityGate.qualityGate(injected, "doc_id",
+    "text", "source", hiQuality = col("source") === "src0",
+    repQ = 0.97, oovQ = 0.97, nbQ = 0.10, boilerMax = 0.4,
+    vocabK = 1000, boilerMinFrac = 0.08).collect()
+
+  /** Spark's exact interpolated percentile (index = q·(n−1)). */
+  private def pct(vs: Array[Double], q: Double): Double = {
+    val s = vs.sorted
+    val idx = q * (s.length - 1)
+    val lo = idx.toInt
+    if (lo == s.length - 1) s(lo)
+    else s(lo) + (idx - lo) * (s(lo + 1) - s(lo))
+  }
+
+  test("verdict frame is total and attribution partitions the drops") {
+    val n = injected.count()
+    assert(out.length.toLong === n, "one verdict row per input doc")
+    val byReason = out.groupBy(_.getString(5)).map { case (r, rows) =>
+      r -> rows.length
+    }
+    val drops = out.count(!_.getBoolean(6))
+    assert(byReason.filterNot(_._1 == "kept").values.sum === drops,
+      "per-reason counts must sum to total drops")
+    assert(byReason.getOrElse("kept", 0) === out.length - drops)
+    // non-vacuity at this fixture: the gate drops SOMETHING from every
+    // tail it calibrates, keeps the majority, and the injected footer
+    // makes the boilerplate reason live
+    assert(drops > 0 && drops < out.length / 2)
+    assert(byReason.contains("boilerplate"),
+      s"footer injection must fire the boilerplate gate: $byReason")
+    assert(byReason.contains("nb_quality"),
+      s"the p10 log-odds tail must fire the classifier gate: $byReason")
+  }
+
+  test("cascade replays from the published signals and quantile cuts") {
+    val rep = out.map(_.getDouble(1))
+    val oov = out.map(_.getDouble(2))
+    val nb = out.map(_.getDouble(4))
+    val (repCut, oovCut, nbCut) = (pct(rep, 0.97), pct(oov, 0.97),
+      pct(nb, 0.10))
+    val eps = 1e-9 // skip rows within an ulp-slop of a recomputed cut
+    for (r <- out) {
+      val (rr, ov, bf, lo) = (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))
+      if (math.abs(rr - repCut) > eps && math.abs(ov - oovCut) > eps &&
+          math.abs(lo - nbCut) > eps) {
+        val expect =
+          if (rr > repCut) "repetition"
+          else if (ov > oovCut) "oov"
+          else if (bf > 0.4) "boilerplate"
+          else if (lo < nbCut) "nb_quality"
+          else "kept"
+        assert(r.getString(5) === expect,
+          s"doc ${r.getLong(0)}: signals ($rr,$ov,$bf,$lo) vs cuts " +
+            s"($repCut,$oovCut,$nbCut)")
+        assert(r.getBoolean(6) === (expect == "kept"))
+      }
+    }
+  }
+
+  test("precedence charges a multi-failing doc to the earliest gate") {
+    // a synthetic doc failing repetition AND oov AND boilerplate: 35
+    // identical tokens (rep_ratio ≈ 1, all tokens out of any vocab drawn
+    // from the normal docs) — must be charged to 'repetition'
+    val weird = (1 to 35).map(_ => "zzqx").mkString(" ")
+    val base = injected.limit(200)
+      .select(col("doc_id") + 1000000, col("source"), col("text"))
+      .toDF("doc_id", "source", "text")
+    val spiked = base.unionByName(
+      Seq((1L, "src1", weird)).toDF("doc_id", "source", "text"))
+    val v = QualityGate.qualityGate(spiked, "doc_id", "text", "source",
+      hiQuality = col("source") === "src0", repQ = 0.97, oovQ = 0.97,
+      nbQ = 0.10, boilerMax = 0.4, vocabK = 100, boilerMinFrac = 0.08)
+      .filter(col("doc_id") === 1L).collect()
+    assert(v.length === 1)
+    assert(v.head.getString(5) === "repetition",
+      s"multi-failure must attribute to the first gate: ${v.head}")
+  }
+}
