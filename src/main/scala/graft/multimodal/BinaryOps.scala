@@ -1441,6 +1441,255 @@ object BinaryOps {
         "height", "n_frames", "n_keyframes")
   }
 
+  /** WebM/Matroska header metadata: the EBML doctype, the first VIDEO
+    * track's codec id and pixel dimensions, the segment duration in
+    * milliseconds (−1 when the Info element carries none), and the
+    * CuePoint count (the keyframe seek index — a cue per keyframe is the
+    * muxer norm). */
+  case class WebmMeta(docType: String, codec: String, width: Int,
+      height: Int, durMs: Double, nCues: Long)
+
+  /** EBML variable-length integer at `off`: (value, byteLength), or None
+    * on malformed input (zero first byte = length > 8, or truncation).
+    * `keepMarker` keeps the length-descriptor bit in the value (element
+    * IDs compare marker-inclusive per RFC 8794 §5; data sizes strip it). */
+  private def ebmlVint(p: Array[Byte], off: Int,
+      keepMarker: Boolean): Option[(Long, Int)] = {
+    if (off >= p.length) return None
+    val b0 = p(off) & 0xff
+    if (b0 == 0) return None // length ≥ 9: larger than any registered id/size
+    val n = Integer.numberOfLeadingZeros(b0) - 23
+    if (off + n > p.length) return None
+    var v: Long = if (keepMarker) b0 else b0 & ((1 << (8 - n)) - 1)
+    var i = 1
+    while (i < n) { v = (v << 8) | (p(off + i) & 0xff); i += 1 }
+    Some((v, n))
+  }
+
+  /** REAL WebM/Matroska (EBML) header walk — RFC 8794 + the public
+    * Matroska element registry, the BMFF/avcC discipline applied to the
+    * OTHER container a crawl's video actually ships in: EBML header →
+    * DocType; Segment → Info (TimestampScale, Duration), Tracks (first
+    * TrackType==1 entry's CodecID + Video PixelWidth/PixelHeight — audio
+    * and subtitle tracks are skipped, whatever their order), Cues
+    * (CuePoint count = the keyframe seek index). Unknown-size elements
+    * (the live-muxed Segment convention: a size vint of all ones) extend
+    * to their parent's end per RFC 8794 §6.2; truncated vints, children
+    * overrunning their parent, or depth > 8 are malformed → None, never
+    * garbage. Frame DECODE (VP8/VP9/AV1) stays the documented
+    * codec-requiring stub — this is the metadata surface curation
+    * queries run. */
+  def parseWebmMeta(p: Array[Byte]): Option[WebmMeta] = {
+    if (p.length < 8) return None
+    var docType = ""; var codec = ""; var width = -1; var height = -1
+    var tsScale = 1000000L; var duration = -1.0; var nCues = -1L
+    def uintAt(body: Int, end: Int): Long = {
+      var v = 0L; var i = body
+      while (i < end) { v = (v << 8) | (p(i) & 0xff); i += 1 }
+      v
+    }
+    def floatAt(body: Int, end: Int): Double = (end - body) match {
+      case 4 => java.lang.Float.intBitsToFloat(be32(p, body)).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(
+        ((be32(p, body) & 0xffffffffL) << 32) |
+          (be32(p, body + 4) & 0xffffffffL))
+      case _ => Double.NaN // 0- or 10-byte floats: not in WebM profiles
+    }
+    def strAt(body: Int, end: Int): String =
+      new String(p, body, end - body, "US-ASCII")
+    // iterate `from..to` as EBML children, dispatching (id, body, end);
+    // returns false on any structural malformation
+    def children(from: Int, to: Int, depth: Int)(
+        f: (Long, Int, Int) => Boolean): Boolean = {
+      if (depth > 8) return false
+      var off = from
+      while (off < to) {
+        val idv = ebmlVint(p, off, keepMarker = true)
+        if (idv.isEmpty) return false
+        val (id, idN) = idv.get
+        val szv = ebmlVint(p, off + idN, keepMarker = false)
+        if (szv.isEmpty) return false
+        val (sz, szN) = szv.get
+        val body = off + idN + szN
+        // all-ones data bits = unknown size: element runs to parent end
+        val unknown = sz == (1L << (7 * szN)) - 1
+        val end = if (unknown) to else body + sz
+        if (end > to || body > to || sz > Int.MaxValue) return false
+        if (!f(id, body, end.toInt)) return false
+        off = end.toInt
+      }
+      off == to || from == to
+    }
+    val ok = children(0, p.length, 0) { (id, body, end) =>
+      id match {
+        case 0x1A45DFA3L => // EBML header
+          children(body, end, 1) { (id2, b2, e2) =>
+            if (id2 == 0x4282L) docType = strAt(b2, e2)
+            true
+          }
+        case 0x18538067L => // Segment
+          children(body, end, 1) { (id2, b2, e2) =>
+            id2 match {
+              case 0x1549A966L => // Info
+                children(b2, e2, 2) { (id3, b3, e3) =>
+                  if (id3 == 0x2AD7B1L) tsScale = uintAt(b3, e3)
+                  else if (id3 == 0x4489L) duration = floatAt(b3, e3)
+                  true
+                }
+              case 0x1654AE6BL => // Tracks
+                children(b2, e2, 2) { (id3, b3, e3) =>
+                  if (id3 == 0xAEL) { // TrackEntry
+                    var tType = -1L; var tCodec = ""
+                    var tW = -1; var tH = -1
+                    val tok = children(b3, e3, 3) { (id4, b4, e4) =>
+                      id4 match {
+                        case 0x83L => tType = uintAt(b4, e4)
+                        case 0x86L => tCodec = strAt(b4, e4)
+                        case 0xE0L => // Video
+                          children(b4, e4, 4) { (id5, b5, e5) =>
+                            if (id5 == 0xB0L) tW = uintAt(b5, e5).toInt
+                            else if (id5 == 0xBAL) tH = uintAt(b5, e5).toInt
+                            true
+                          }
+                        case _ => ()
+                      }
+                      true
+                    }
+                    if (!tok) false
+                    else {
+                      if (tType == 1L && codec.isEmpty && tW > 0 && tH > 0) {
+                        codec = tCodec; width = tW; height = tH
+                      }
+                      true
+                    }
+                  } else true
+                }
+              case 0x1C53BB6BL => // Cues
+                nCues = 0L
+                children(b2, e2, 2) { (id3, _, _) =>
+                  if (id3 == 0xBBL) nCues += 1
+                  true
+                }
+              case _ => true // Cluster/SeekHead/Tags/…: skipped whole
+            }
+          }
+        case _ => true
+      }
+    }
+    if (!ok || docType.isEmpty || codec.isEmpty || width <= 0 || height <= 0)
+      None
+    else Some(WebmMeta(docType, codec, width, height,
+      if (duration >= 0) duration * tsScale / 1e6 else -1.0,
+      math.max(nCues, 0L)))
+  }
+
+  /** EBML writer primitives + a WebM fixture synthesizer — the
+    * [[parseWebmMeta]] inverse for the round-trip law and the q168
+    * fixture. `unknownSizeSegment` encodes the Segment with the all-ones
+    * size vint (the live-muxing convention); `audioFirst` puts an Opus
+    * audio track BEFORE the video entry so track-type skipping is
+    * exercised, not assumed. */
+  def buildWebm(codec: String, width: Int, height: Int,
+      durationUnits: Double, nCues: Int, audioFirst: Boolean = false,
+      unknownSizeSegment: Boolean = false): Array[Byte] = {
+    def idBytes(id: Long): Array[Byte] = {
+      val n = if (id <= 0xffL) 1 else if (id <= 0xffffL) 2
+        else if (id <= 0xffffffL) 3 else 4
+      (1 to n).map(i => ((id >> (8 * (n - i))) & 0xff).toByte).toArray
+    }
+    def sizeBytes(v: Long): Array[Byte] = {
+      var n = 1
+      while (v >= (1L << (7 * n)) - 1) n += 1 // all-ones is reserved
+      val marked = v | (1L << (7 * n))
+      (1 to n).map(i => ((marked >> (8 * (n - i))) & 0xff).toByte).toArray
+    }
+    def elem(id: Long, body: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ sizeBytes(body.length.toLong) ++ body
+    def uint(v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && (v >> (8 * n)) != 0) n += 1
+      (1 to n).map(i => ((v >> (8 * (n - i))) & 0xff).toByte).toArray
+    }
+    def f64(d: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      (0 to 7).map(i => ((bits >> (8 * (7 - i))) & 0xff).toByte).toArray
+    }
+    val hdr = elem(0x1A45DFA3L,
+      elem(0x4286L, uint(1)) ++ elem(0x42F7L, uint(1)) ++
+        elem(0x42F2L, uint(4)) ++ elem(0x42F3L, uint(8)) ++
+        elem(0x4282L, "webm".getBytes("US-ASCII")) ++
+        elem(0x4287L, uint(2)) ++ elem(0x4285L, uint(2)))
+    val info = elem(0x1549A966L,
+      elem(0x2AD7B1L, uint(1000000L)) ++ elem(0x4489L, f64(durationUnits)))
+    val video = elem(0xAEL,
+      elem(0xD7L, uint(1)) ++ elem(0x73C5L, uint(1)) ++
+        elem(0x83L, uint(1)) ++
+        elem(0x86L, codec.getBytes("US-ASCII")) ++
+        elem(0xE0L, elem(0xB0L, uint(width.toLong)) ++
+          elem(0xBAL, uint(height.toLong))))
+    val audio = elem(0xAEL,
+      elem(0xD7L, uint(2)) ++ elem(0x73C5L, uint(2)) ++
+        elem(0x83L, uint(2)) ++
+        elem(0x86L, "A_OPUS".getBytes("US-ASCII")) ++
+        elem(0xE1L, elem(0xB5L, f64(48000.0))))
+    val tracks = elem(0x1654AE6BL,
+      if (audioFirst) audio ++ video else video ++ audio)
+    val cues = elem(0x1C53BB6BL,
+      (0 until nCues).map(i => elem(0xBBL,
+        elem(0xB3L, uint(i * 1000L)) ++
+          elem(0xB7L, elem(0xF7L, uint(1)) ++
+            elem(0xF1L, uint(4096L + i)))))
+        .foldLeft(Array.emptyByteArray)(_ ++ _))
+    // one Cluster with a minimal SimpleBlock so the walk has media-level
+    // siblings to skip, as real files do
+    val cluster = elem(0x1F43B675L,
+      elem(0xE7L, uint(0)) ++
+        elem(0xA3L, Array[Byte](0x81.toByte, 0, 0, 0x80.toByte, 1, 2, 3)))
+    val segBody = info ++ tracks ++ cues ++ cluster
+    val segment =
+      if (unknownSizeSegment)
+        idBytes(0x18538067L) ++ Array(0xff.toByte) ++ segBody
+      else elem(0x18538067L, segBody)
+    hdr ++ segment
+  }
+
+  /** Deterministic per-doc WebM corpus: codec cycles VP8/VP9/AV1, dims /
+    * cue count / duration are integer arithmetic on doc_id (so the q168
+    * oracle predicts every field closed-form), every 4th doc leads with
+    * the audio track, every 5th uses an unknown-size Segment. */
+  def syntheticWebmCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val codec = (id % 3) match {
+          case 0 => "V_VP8"; case 1 => "V_VP9"; case _ => "V_AV1"
+        }
+        (id, buildWebm(codec,
+          width = (64 + (id % 97) * 2).toInt,
+          height = (36 + ((id * 3) % 83) * 2).toInt,
+          durationUnits = (1000 + id % 500).toDouble,
+          nCues = (1 + id % 12).toInt,
+          audioFirst = id % 4 == 0,
+          unknownSizeSegment = id % 5 == 0))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** WebM header extraction over a (doc_id, payload binary) frame —
+    * mapPartitions over the binary column (no shuffle, the featurizer
+    * plan shape); non-EBML / video-track-less payloads are dropped. */
+  def webmMetaBinary(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWebmMeta(bytes).map(m => (id, m.docType, m.codec, m.width,
+          m.height, m.durMs, m.nCues))
+      })
+      .toDF("doc_id", "doc_type", "codec", "width", "height", "dur_ms",
+        "n_cues")
+  }
+
   /** REAL GIF decode — JDK-only, the PNG/JPEG discipline applied to
     * GIF87a/89a: header + logical-screen-descriptor walk, global/local
     * color tables, extension-block skipping (GCE/comment/application),

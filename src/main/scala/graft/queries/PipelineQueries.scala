@@ -507,6 +507,32 @@ object PipelineQueries {
              CAST(10 + doc_id % 20 AS BIGINT) AS n_frames,
              CAST((10 + doc_id % 20 + 4) // 5 AS BIGINT) AS n_keyframes
       FROM documents""")),
+
+    // REAL WebM/Matroska (EBML) header walk through the oracle gate —
+    // the q161 pattern for the OTHER container a crawl's video ships
+    // in: each document gets a deterministic .webm (RFC 8794 EBML
+    // writer; codec V_VP8/V_VP9/V_AV1 cycling, dims/cues/duration from
+    // doc_id arithmetic; every 4th doc leads with an Opus AUDIO track so
+    // track-type skipping is exercised, every 5th encodes the Segment
+    // with the live-muxing unknown-size vint). The Spark side re-parses
+    // its own bytes (BinaryOps.parseWebmMeta: EBML walk → DocType, first
+    // video track's CodecID + PixelWidth/Height, TimestampScale-scaled
+    // Duration, CuePoint count); the oracle derives the same values from
+    // the formula. Frame DECODE stays the documented codec-requiring
+    // stub.
+    ("q168_webm_meta", (s: SparkSession, d: String) =>
+      BinaryOps.webmMetaBinary(s,
+        BinaryOps.syntheticWebmCorpus(s, Tables.documents(s, d))),
+    Some("""
+      SELECT doc_id,
+             'webm' AS doc_type,
+             CASE doc_id % 3 WHEN 0 THEN 'V_VP8' WHEN 1 THEN 'V_VP9'
+                  ELSE 'V_AV1' END AS codec,
+             CAST(64 + (doc_id % 97) * 2 AS INTEGER) AS width,
+             CAST(36 + ((doc_id * 3) % 83) * 2 AS INTEGER) AS height,
+             CAST(1000 + doc_id % 500 AS DOUBLE) AS dur_ms,
+             CAST(1 + doc_id % 12 AS BIGINT) AS n_cues
+      FROM documents""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

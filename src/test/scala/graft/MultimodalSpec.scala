@@ -1009,4 +1009,61 @@ class MultimodalSpec extends AnyFunSuite {
         nf, (nf + 4) / 5)), s"doc $id")
     }
   }
+
+  test("WebM/EBML: round-trip across codecs/dims/cues, unknown-size " +
+      "segment, audio-track skipping, malformed rejection") {
+    // round-trip grid: every field survives build → parse
+    for (codec <- Seq("V_VP8", "V_VP9", "V_AV1"); (w, h) <- Seq((64, 36),
+           (1920, 1080), (256, 144)); cues <- Seq(0, 1, 12);
+         audioFirst <- Seq(false, true); unk <- Seq(false, true)) {
+      val p = BinaryOps.buildWebm(codec, w, h, durationUnits = 1234.0,
+        nCues = cues, audioFirst = audioFirst, unknownSizeSegment = unk)
+      val got = BinaryOps.parseWebmMeta(p)
+      assert(got === Some(BinaryOps.WebmMeta("webm", codec, w, h, 1234.0,
+        cues.toLong)),
+        s"codec=$codec w=$w h=$h cues=$cues af=$audioFirst unk=$unk -> $got")
+    }
+    // the known-size and unknown-size encodings of the SAME segment must
+    // parse identically (RFC 8794 §6.2: unknown size runs to parent end)
+    val known = BinaryOps.buildWebm("V_VP9", 640, 360, 500.0, 3)
+    val unknown = BinaryOps.buildWebm("V_VP9", 640, 360, 500.0, 3,
+      unknownSizeSegment = true)
+    assert(BinaryOps.parseWebmMeta(known) === BinaryOps.parseWebmMeta(unknown))
+    // a file whose only track is audio carries no video metadata: None,
+    // not a half-filled row (synthesize by asking for an impossible
+    // video: strip it via a direct two-audio-track build is not exposed,
+    // so check the weaker but real law — the audio entry NEVER leaks
+    // into the parsed codec even when it comes first)
+    assert(BinaryOps.parseWebmMeta(BinaryOps.buildWebm("V_AV1", 32, 32,
+      0.0, 1, audioFirst = true)).get.codec === "V_AV1")
+    // truncation is None, never an exception — every prefix length
+    for (cut <- 0 until known.length)
+      assert(!BinaryOps.parseWebmMeta(known.take(cut))
+        .exists(_ != BinaryOps.parseWebmMeta(known).get), s"cut=$cut")
+    // foreign payloads are dropped, not misparsed: MP4, JPEG, text
+    assert(BinaryOps.parseWebmMeta(BinaryOps.buildMp4(16, 8, 600, 100L,
+      5)).isEmpty)
+    assert(BinaryOps.parseWebmMeta("not a webm at all".getBytes).isEmpty)
+    // a zero first size/id byte (vint length > 8) is malformed
+    assert(BinaryOps.parseWebmMeta(Array[Byte](0, 0, 0, 0, 0, 0, 0, 0,
+      0)).isEmpty)
+  }
+
+  test("webmMetaBinary == the q168 oracle formula on the synthetic corpus") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(60)
+    val got = BinaryOps.webmMetaBinary(spark,
+        BinaryOps.syntheticWebmCorpus(spark, docs))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    assert(got.size === 60)
+    for ((id, v) <- got) {
+      val codec = (id % 3) match {
+        case 0 => "V_VP8"; case 1 => "V_VP9"; case _ => "V_AV1"
+      }
+      assert(v === (("webm", codec, (64 + (id % 97) * 2).toInt,
+        (36 + ((id * 3) % 83) * 2).toInt, (1000 + id % 500).toDouble,
+        1 + id % 12)), s"doc $id")
+    }
+  }
 }
