@@ -13,6 +13,38 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune projections away).
   */
 object Bench {
+
+  /** Per-query prior minima for the re-time floors, from BOTH sidecar
+    * copies — the working-tree file and the committed one — taking the
+    * per-query MIN: the working-tree sidecar can be overwritten by an
+    * external contaminated run between commits (observed r13: a
+    * loaded-host run left q44 min=5.29 on disk vs 1.874 committed, which
+    * would have floored q44 at 8 s instead of 3.75 s — stripping re-time
+    * protection from exactly the query that needed it), and symmetric
+    * protection holds when the contaminated copy is the COMMITTED one.
+    * Exposed for the BenchFloorSpec law. */
+  private[graft] def parseMins(txt: String): Map[String, Double] =
+    """"(q[A-Za-z0-9_]+)":\{"min":([0-9.]+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  private[graft] def mergedMins(disk: Map[String, Double],
+      committed: Map[String, Double]): Map[String, Double] =
+    (disk.keySet ++ committed.keySet).map { k =>
+      k -> math.min(disk.getOrElse(k, Double.MaxValue),
+                    committed.getOrElse(k, Double.MaxValue))
+    }.toMap
+
+  private[graft] def clampFloor(m: Double): Double =
+    math.min(8.0, math.max(2.0, 2.0 * m))
+
+  /** NEW queries (absent from both prior records) take the historical
+    * 4 s floor, NOT a max-derived global: deriving their floor from the
+    * suite's slowest query would re-open the r12 hole for exactly the
+    * queries that have no history to protect them. */
+  private[graft] def floorFor(priorMins: Map[String, Double],
+      name: String): Double =
+    priorMins.get(name).map(clampFloor).getOrElse(4.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,16 +83,7 @@ object Bench {
     // query of its re-time protection. Queries absent from the prior
     // record (new this round) fall back to the global rule; a
     // missing/unreadable sidecar falls back to the historical 4 s.
-    // Two sources, per-query MIN of both: the working-tree sidecar can be
-    // overwritten by an external contaminated run between commits (observed
-    // r13: a loaded-host run left q44 min=5.29 on disk vs 1.874 committed,
-    // which would have floored q44 at 8 s instead of 3.75 s — stripping
-    // re-time protection from exactly the query that needed it). The
-    // committed copy is the clean record of this round's shipping code;
-    // taking the min per query keeps whichever figure is honest.
-    def parseMins(txt: String): Map[String, Double] =
-      """"(q[A-Za-z0-9_]+)":\{"min":([0-9.]+)""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // both sidecar copies, per-query MIN (see mergedMins)
     val diskMins: Map[String, Double] = try {
       parseMins(java.nio.file.Files.readString(
         java.nio.file.Path.of("BENCH_DETAIL.json")))
@@ -71,18 +94,7 @@ object Bench {
       val txt = new String(p.getInputStream.readAllBytes(), "UTF-8")
       if (p.waitFor() == 0) parseMins(txt) else Map.empty
     } catch { case _: Throwable => Map.empty }
-    val priorMins: Map[String, Double] =
-      (diskMins.keySet ++ committedMins.keySet).map { k =>
-        k -> math.min(diskMins.getOrElse(k, Double.MaxValue),
-                      committedMins.getOrElse(k, Double.MaxValue))
-      }.toMap
-    def clampFloor(m: Double): Double = math.min(8.0, math.max(2.0, 2.0 * m))
-    // NEW queries (absent from the prior record) take the historical 4 s
-    // floor, NOT a max-derived global: deriving their floor from the
-    // suite's slowest query would re-open the r12 hole for exactly the
-    // queries that have no history to protect them
-    def floorFor(name: String): Double =
-      priorMins.get(name).map(clampFloor).getOrElse(4.0)
+    val priorMins = mergedMins(diskMins, committedMins)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex.map { case ((name, fn), idx) =>
@@ -134,7 +146,7 @@ object Bench {
       // PER QUERY (2× this query's own prior min, via the sidecar)
       // instead of hard-coding the current sf0.1 shape; extra runs land
       // in the sidecar and the `ext` guard field makes the retry visible.
-      while (times.min > floorFor(name) && extra < 6) {
+      while (times.min > floorFor(priorMins, name) && extra < 6) {
         times :+= timeOnce(); extra += 1
       }
       (name, times.min, times, extra)
