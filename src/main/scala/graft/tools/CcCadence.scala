@@ -59,9 +59,10 @@ object CcCadence {
     var seq = 0L
     val lines = Seq.newBuilder[String]
     lines += ("""{"mode":"cc-cadence","k":%d,"nBuckets":%d,"batch":5000,""" +
-      """"note":"per-apply wall time vs committed generation count - """ +
-      """the touched-file read ceiling grows with gens between """ +
-      """compactions and compaction resets it"}""").format(k, 8 * k)
+      """"note":"per-apply wall time vs committed generation count, """ +
+      """JIT-warm in both phases - the touched-file read ceiling grows """ +
+      """with gens between compactions and compaction resets it"}""")
+      .format(k, 8 * k)
     def applyOnce(phase: String, i: Int): Unit = {
       System.gc() // untimed housekeeping between timed ops (probe convention)
       val gens = graft.operators.Generations.live(spark, ccDir).size
@@ -74,12 +75,22 @@ object CcCadence {
       graft.operators.ClusterStore.ccApply(spark, ccDir, batch,
         "doc_id", "text")
       val sec = (System.nanoTime() - t0) / 1e9
-      val line =
-        f"""{"phase":"$phase","apply":$i,"gens_before":$gens,"sec":$sec%.2f,"ld":[$ld0%.2f,${graft.functions.HostStats.loadAvg1}%.2f]}"""
-      println(line); lines += line
+      if (phase != "warmup") {
+        val line =
+          f"""{"phase":"$phase","apply":$i,"gens_before":$gens,"sec":$sec%.2f,"ld":[$ld0%.2f,${graft.functions.HostStats.loadAvg1}%.2f]}"""
+        println(line); lines += line
+      }
     }
-    // phase 1: accumulate generations — per-apply cost may climb with the
-    // committed generation count (the documented ceiling)
+    // UNTIMED warmup: the apply path's generated code is cold for the
+    // first few executions (the r14 first cut showed 9.9→7.5 s of pure
+    // JIT warm-down masking the generation ramp) — run three applies and
+    // a compaction off the record so BOTH timed phases start warm, at one
+    // committed generation, with the same plan variants compiled
+    for (i <- 1 to 3) applyOnce("warmup", i)
+    graft.operators.ClusterStore.ccCompact(spark, ccDir)
+    Thread.sleep(3000) // let the compaction's page writeback settle
+    // phase 1: accumulate generations — the per-apply read term may climb
+    // with the committed generation count (the documented ceiling)
     for (i <- 1 to nApplies) applyOnce("accumulate", i)
     // the cadence event itself, timed for completeness (store-sized by
     // design — it rewrites surviving state; off the serving path)
@@ -87,6 +98,7 @@ object CcCadence {
     graft.operators.ClusterStore.ccCompact(spark, ccDir)
     val compactLine = f"""{"phase":"compact","sec":${(System.nanoTime() - tc0) / 1e9}%.2f}"""
     println(compactLine); lines += compactLine
+    Thread.sleep(3000) // same settle so phase 2's first row is comparable
     // phase 2: the reset — applies against the freshly folded store must
     // return to the low-generation-count cost
     for (i <- 1 to nApplies) applyOnce("post-compact", i)
