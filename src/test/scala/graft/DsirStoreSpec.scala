@@ -136,6 +136,39 @@ class DsirStoreSpec extends AnyFunSuite {
       "an unseen ngram must contribute the smoothing floor")
   }
 
+  test("streaming ingest maintains the fit exactly-once (stream == batch)") {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_dsirstream_src").toString
+    val dir = tmp()
+    def writeOne(df: org.apache.spark.sql.DataFrame, dest: String,
+        mtime: Long): Unit = {
+      val t = java.nio.file.Files.createTempDirectory("graft_dsirstream_w")
+        .toString + "/o"
+      df.coalesce(1).write.parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Path.of(dest))
+      new java.io.File(dest).setLastModified(mtime)
+    }
+    // fit starts from a third of the raw pool; the stream drains the rest
+    DsirStore.dsirBuild(target, docs.filter(col("doc_id") % 3 === 0),
+      "text", dir, nBuckets = 256)
+    writeOne(docs.filter(col("doc_id") % 3 === 1), s"$srcDir/f1.parquet",
+      1000000L)
+    writeOne(docs.filter(col("doc_id") % 3 === 2), s"$srcDir/f2.parquet",
+      2000000L)
+    graft.streaming.DsirStream.dsirIngestAvailableNow(spark, srcDir, dir)
+    val got = canon(DsirStore.dsirScore(spark, docs, "doc_id", "text", dir))
+    assert(got === canon(Sampling.dsirWeights(docs, target, "doc_id",
+      "text", nBuckets = 256, alpha = 1.0)),
+      "streamed fit must equal the one-shot recompute")
+    assert(Generations.live(spark, dir).toSet === Set("g0", "b0", "b1"))
+    // replay with the same checkpoint: nothing new, fit unchanged
+    graft.streaming.DsirStream.dsirIngestAvailableNow(spark, srcDir, dir)
+    assert(canon(DsirStore.dsirScore(spark, docs, "doc_id", "text", dir))
+      === got)
+  }
+
   test("a store without the format stamp fails loudly at open") {
     val dir = tmp()
     buildSplit(dir)
