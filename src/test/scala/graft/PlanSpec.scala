@@ -408,4 +408,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
     assert(!p.contains("Window"), p.take(4000))
   }
+
+  test("q165 store-served DSIR scoring keeps the q162 discipline: " +
+      "broadcast weight table, no cartesian, no sort-merge") {
+    // the persisted fit folds to ≤ 2·nBuckets rows and broadcasts; the
+    // scored batch is the only corpus-shaped side and it never shuffles
+    // except for its own doc-keyed aggregation
+    val p = plan("q165_dsir_store_score")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+  }
+
+  test("q167 quality gate: the verdict stage broadcasts the 1-row cuts " +
+      "frame over the checkpointed signals; no cartesian, no window") {
+    // the signal joins (vocab/boiler-set/NB broadcasts) materialize
+    // INSIDE the eager localCheckpoint, so the visible plan is the
+    // verdict stage: checkpoint scan × broadcast 1-row cuts — which must
+    // be a broadcast nested loop, never a CartesianProduct, with no
+    // global-order window in the cascade or calibration
+    val p = plan("q167_quality_gate_composite")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+  }
 }
