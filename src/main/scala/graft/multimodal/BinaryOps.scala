@@ -1512,9 +1512,13 @@ object BinaryOps {
         val (sz, szN) = szv.get
         val body = off + idN + szN
         // all-ones data bits = unknown size: element runs to parent end
+        // (any vint LENGTH is legal for the marker — libavformat's
+        // live-muxed Segments carry the canonical 8-byte form, whose
+        // 2^56−1 value must not trip the size-sanity guard below)
         val unknown = sz == (1L << (7 * szN)) - 1
-        val end = if (unknown) to else body + sz
-        if (end > to || body > to || sz > Int.MaxValue) return false
+        val end = if (unknown) to.toLong else body + sz
+        if (end > to || body > to || (!unknown && sz > Int.MaxValue))
+          return false
         if (!f(id, body, end.toInt)) return false
         off = end.toInt
       }
@@ -1543,17 +1547,16 @@ object BinaryOps {
                     var tW = -1; var tH = -1
                     val tok = children(b3, e3, 3) { (id4, b4, e4) =>
                       id4 match {
-                        case 0x83L => tType = uintAt(b4, e4)
-                        case 0x86L => tCodec = strAt(b4, e4)
-                        case 0xE0L => // Video
+                        case 0x83L => tType = uintAt(b4, e4); true
+                        case 0x86L => tCodec = strAt(b4, e4); true
+                        case 0xE0L => // Video — malformation PROPAGATES
                           children(b4, e4, 4) { (id5, b5, e5) =>
                             if (id5 == 0xB0L) tW = uintAt(b5, e5).toInt
                             else if (id5 == 0xBAL) tH = uintAt(b5, e5).toInt
                             true
                           }
-                        case _ => ()
+                        case _ => true
                       }
-                      true
                     }
                     if (!tok) false
                     else {
@@ -1646,9 +1649,13 @@ object BinaryOps {
       elem(0xE7L, uint(0)) ++
         elem(0xA3L, Array[Byte](0x81.toByte, 0, 0, 0x80.toByte, 1, 2, 3)))
     val segBody = info ++ tracks ++ cues ++ cluster
+    // the canonical 8-byte all-ones marker (0x01FFFFFFFFFFFFFF) — what
+    // live muxers actually write; its 2^56−1 value exercises the
+    // unknown-size branch of the parser's size-sanity guard
     val segment =
       if (unknownSizeSegment)
-        idBytes(0x18538067L) ++ Array(0xff.toByte) ++ segBody
+        idBytes(0x18538067L) ++
+          (Array(0x01) ++ Array.fill(7)(0xff)).map(_.toByte) ++ segBody
       else elem(0x18538067L, segBody)
     hdr ++ segment
   }

@@ -48,6 +48,21 @@ object Boilerplate {
         col("n_docs"))
   }
 
+  /** The detected boilerplate set folded per source: one (src, blines)
+    * row per source — bounded by construction (see [[boilerplateLines]]),
+    * always broadcast by its consumers. Shared by [[stripBoilerplate]]
+    * and [[QualityGate.qualityGate]]'s boiler-fraction signal so the two
+    * can never diverge on what counts as a boilerplate line. */
+  private[operators] def boilerplateSets(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String, minFrac: Double): DataFrame =
+    boilerplateLines(docs, idCol, textCol, srcCol, minFrac)
+      .groupBy(col(srcCol).as("src"))
+      .agg(collect_set(col("line")).as("blines"))
+
+  /** Null-safe membership in a (possibly absent) broadcast line set. */
+  private[operators] val isBoiler: (Column, Column) => Column = (bl, l) =>
+    coalesce(array_contains(bl, l), lit(false))
+
   /** Documents with their sources' boilerplate lines removed: (id,
     * cleaned text). Line order is preserved; a document that was ALL
     * boilerplate comes back as the empty string (kept, so the caller
@@ -55,11 +70,7 @@ object Boilerplate {
     * not a cleaning one). */
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
       srcCol: String, minFrac: Double = 0.5): DataFrame = {
-    val perSource = boilerplateLines(docs, idCol, textCol, srcCol, minFrac)
-      .groupBy(col(srcCol).as("src"))
-      .agg(collect_set(col("line")).as("blines"))
-    val isBoiler: (Column, Column) => Column = (bl, l) =>
-      coalesce(array_contains(bl, l), lit(false))
+    val perSource = boilerplateSets(docs, idCol, textCol, srcCol, minFrac)
     docs.join(broadcast(perSource), docs(srcCol) === col("src"), "left")
       .select(col(idCol),
         array_join(

@@ -40,7 +40,10 @@ object QualityGate {
     * nb_log_odds, drop_reason ∈ {repetition, oov, boilerplate,
     * nb_quality, kept}, kept). `hiQuality` is the boolean training label
     * for the classifier (e.g. `col("source") === "curated"`), evaluated
-    * over `docs` itself — the self-scored closed form, like the DSIR fit.
+    * over `docs` itself — the self-scored closed form, like the DSIR
+    * fit. It must split the corpus: a batch where every document labels
+    * the same way has no quality contrast for the classifier and fails
+    * fast with a gate-level message.
     */
   def qualityGate(docs: DataFrame, idCol: String, textCol: String,
       srcCol: String, hiQuality: Column, repQ: Double = 0.97,
@@ -62,19 +65,27 @@ object QualityGate {
       .agg(pround(lit(1.0) -
         sum(coalesce(col("iv"), lit(0L))).cast("double") / count(lit(1)), 4)
         .as("oov_rate"))
-    val bset = Boilerplate
-      .boilerplateLines(docs, idCol, textCol, srcCol, boilerMinFrac)
-      .groupBy(col(srcCol).as("src")).agg(collect_set(col("line")).as("blines"))
-    val inSet: (Column, Column) => Column = (bl, l) =>
-      coalesce(array_contains(bl, l), lit(false))
+    val bset = Boilerplate.boilerplateSets(docs, idCol, textCol, srcCol,
+      boilerMinFrac)
     val boiler = docs
       .join(broadcast(bset), docs(srcCol) === col("src"), "left_outer")
       .select(col(idCol).as("id"),
         pround(size(filter(split(col(textCol), "\n"),
-            l => inSet(col("blines"), l))).cast("double") /
+            l => Boilerplate.isBoiler(col("blines"), l))).cast("double") /
           size(split(col(textCol), "\n")), 4).as("boiler_frac"))
     val labeled = docs.withColumn("qlabel",
       when(hiQuality, "hi").otherwise("lo"))
+    // the classifier needs BOTH classes in the corpus being gated — a
+    // uniformly-labeled batch has no quality contrast to learn, which is
+    // a caller configuration error, not a degradable case (one bounded
+    // driver aggregate: two booleans)
+    val sides = labeled.agg(
+      max(when(col("qlabel") === "hi", true).otherwise(false)),
+      max(when(col("qlabel") === "lo", true).otherwise(false))).head()
+    require(sides.getBoolean(0) && sides.getBoolean(1),
+      "qualityGate: the hiQuality predicate labels every document the " +
+        "same way — the NB quality signal needs both hi and lo examples " +
+        "in the gated corpus (check the predicate against this batch)")
     val nb = Classify.nbLogOdds(labeled, labeled, idCol, textCol,
       "qlabel", "hi").withColumnRenamed(idCol, "id")
     val signals = rep.join(oov, Seq("id")).join(boiler, Seq("id"))

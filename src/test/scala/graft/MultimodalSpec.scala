@@ -1047,6 +1047,16 @@ class MultimodalSpec extends AnyFunSuite {
     // a zero first size/id byte (vint length > 8) is malformed
     assert(BinaryOps.parseWebmMeta(Array[Byte](0, 0, 0, 0, 0, 0, 0, 0,
       0)).isEmpty)
+    // malformation INSIDE a Video element propagates to a None verdict
+    // (the sub-walk's result must not be swallowed): find the Video
+    // element (0xE0) and corrupt its PixelWidth child's size vint to
+    // declare more bytes than the parent holds
+    val vic = BinaryOps.buildWebm("V_VP9", 640, 360, 500.0, 2)
+    val vAt = vic.indices.find(i => vic(i) == 0xE0.toByte &&
+      i + 2 < vic.length && vic(i + 2) == 0xB0.toByte).get
+    vic(vAt + 3) = 0xC0.toByte // PixelWidth size: 2 bytes -> 64 bytes
+    assert(BinaryOps.parseWebmMeta(vic).isEmpty,
+      "a corrupt Video body must reject the file, not skip the track")
   }
 
   test("webmMetaBinary == the q168 oracle formula on the synthetic corpus") {

@@ -86,6 +86,16 @@ class QualityGateSpec extends AnyFunSuite {
     }
   }
 
+  test("a uniformly-labeled corpus fails fast with a gate-level message") {
+    val uniform = injected.limit(50)
+    val e = intercept[IllegalArgumentException] {
+      QualityGate.qualityGate(uniform, "doc_id", "text", "source",
+        hiQuality = lit(true)).collect()
+    }
+    assert(e.getMessage.contains("labels every document the same way"),
+      e.getMessage)
+  }
+
   test("precedence charges a multi-failing doc to the earliest gate") {
     // a synthetic doc failing repetition AND oov AND boilerplate: 35
     // identical tokens (rep_ratio ≈ 1, all tokens out of any vocab drawn
