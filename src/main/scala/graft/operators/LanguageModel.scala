@@ -75,6 +75,33 @@ object LanguageModel {
     scoreTail(bigramRows(docs, idCol, textCol), c12, c1, vocab, k)
   }
 
+  /** CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020 §4.3): score
+    * every document with the corpus bigram LM ([[bigramLogProb]] — the
+    * q98 statistic) and split each SOURCE into head / middle / tail by
+    * its own avg-log-prob terciles — most-fluent third first, the
+    * standard keep-head / sample-middle / drop-tail curation policy.
+    * Per-source cuts because fluency distributions differ wildly across
+    * sources (the q130 per-source-threshold discipline); cuts are exact
+    * interpolated percentiles over the 6-decimal-rounded scores (counts
+    * map bounded by the rounding grid), broadcast back as a
+    * sources-sized frame. Documents with fewer than 2 tokens have no
+    * bigrams and are omitted, as in [[bigramLogProb]]. Returns (id, src,
+    * n_bigrams, avg_logprob, bucket ∈ {head, middle, tail}). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, k: Double = 1.0): DataFrame = {
+    val scored = bigramLogProb(docs, idCol, textCol, k)
+      .join(docs.select(col(idCol).as("id"), col(srcCol).as("src")),
+        Seq("id"))
+    val cuts = scored.groupBy(col("src")).agg(
+      expr("percentile(avg_logprob, 0.3333333333333333)").as("t1"),
+      expr("percentile(avg_logprob, 0.6666666666666666)").as("t2"))
+    scored.join(broadcast(cuts), Seq("src"))
+      .select(col("id"), col("src"), col("n_bigrams"), col("avg_logprob"),
+        when(col("avg_logprob") >= col("t2"), "head")
+          .when(col("avg_logprob") >= col("t1"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** One (id, w1, w2) row per bigram occurrence: the token array zipped
     * with its own shift. Documents with fewer than 2 tokens yield none. */
   private[operators] def bigramRows(df: DataFrame, idCol: String,

@@ -672,6 +672,39 @@ object TextQueries {
       CROSS JOIN v
       GROUP BY bg.doc_id""")),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): the q98
+    // bigram-LM score split into per-source head/middle/tail terciles —
+    // the keep-head curation policy as one verdict frame. The oracle
+    // replays the LM arithmetic and the per-source quantile cuts.
+    ("q169_perplexity_buckets", (s: SparkSession, d: String) => {
+      operators.LanguageModel.perplexityBuckets(Tables.documents(s, d),
+        "doc_id", "text", "source")
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("src", "source")
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+             FROM t WHERE len(w) >= 2),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM t)),
+      s AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+                   round(avg(ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v))), 6)
+                     AS avg_logprob
+            FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+            GROUP BY bg.doc_id),
+      ss AS (SELECT s.doc_id, d.source, s.n_bigrams, s.avg_logprob
+             FROM s JOIN documents d USING (doc_id)),
+      cut AS (SELECT source,
+                     quantile_cont(avg_logprob, 0.3333333333333333) AS t1,
+                     quantile_cont(avg_logprob, 0.6666666666666666) AS t2
+              FROM ss GROUP BY source)
+      SELECT ss.doc_id, ss.source, ss.n_bigrams, ss.avg_logprob,
+             CASE WHEN ss.avg_logprob >= c.t2 THEN 'head'
+                  WHEN ss.avg_logprob >= c.t1 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ss JOIN cut c USING (source)""")),
+
     // Context-window chunking: split each doc's token stream into 32-token
     // windows with 8-token overlap — the dual of q96's packing (that
     // concatenates short docs; this splits long ones). Narrow per-row

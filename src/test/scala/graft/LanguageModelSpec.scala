@@ -45,4 +45,34 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(g.getDouble(2) < corpusAvg,
       s"gibberish ${g.getDouble(2)} should sit below the corpus mean $corpusAvg")
   }
+
+  test("perplexityBuckets: per-source terciles order head ≥ middle ≥ tail " +
+      "and partition every scored doc") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val out = LanguageModel.perplexityBuckets(docs, "doc_id", "text",
+      "source").collect()
+    // every bigram-scored doc lands in exactly one bucket
+    val scored = LanguageModel.bigramLogProb(docs, "doc_id", "text").count()
+    assert(out.length.toLong === scored)
+    for ((src, rows) <- out.groupBy(_.getString(1))) {
+      val byBucket = rows.groupBy(_.getString(4))
+        .view.mapValues(_.map(_.getDouble(3))).toMap
+      assert(byBucket.keySet === Set("head", "middle", "tail"),
+        s"$src must populate all three buckets: ${byBucket.keySet}")
+      // ordering: the buckets are half-open score intervals (head ≥ t2,
+      // t1 ≤ middle < t2, tail < t1), so the worst head outscores the
+      // best middle, which outscores the best tail — the CCNet policy
+      // invariant per source
+      assert(byBucket("head").min >= byBucket("middle").max,
+        s"$src: a middle doc outscored a head doc")
+      assert(byBucket("middle").min >= byBucket("tail").max,
+        s"$src: a tail doc outscored a middle doc")
+      // terciles: no bucket swallows the source (ties can skew the
+      // thirds, but an empty or >60% bucket means the cuts are wrong)
+      val n = rows.length.toDouble
+      for ((b, vs) <- byBucket)
+        assert(vs.length > 0 && vs.length < n * 0.6,
+          s"$src bucket $b holds ${vs.length} of $n")
+    }
+  }
 }
