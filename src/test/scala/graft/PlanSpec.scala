@@ -421,6 +421,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(4000))
   }
 
+  test("q169 perplexity bucketing: per-source cuts broadcast back, no " +
+      "window, no cartesian over data") {
+    // the LM scoring is bigram-keyed aggregation + joins; the tercile
+    // cuts come back as a sources-sized broadcast, and the bucket CASE
+    // is per-row — a global-order Window here would serialize the corpus
+    val p = plan("q169_perplexity_buckets")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
   test("q167 quality gate: the verdict stage broadcasts the 1-row cuts " +
       "frame over the checkpointed signals; no cartesian, no window") {
     // the signal joins (vocab/boiler-set/NB broadcasts) materialize
