@@ -105,4 +105,58 @@ object QualityGate {
         col("boiler_frac"), col("nb_log_odds"),
         reason.as("drop_reason"), (reason === "kept").as("kept"))
   }
+
+  /** Gopher's filter word list (Rae et al. 2021, A1.1): a document must
+    * contain at least `minStopWords` of these to count as running text. */
+  private val GopherStopWords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER QUALITY RULES (Rae et al. 2021, Appendix A1.1) — the
+    * rule-based document filter every large-scale curation pipeline runs
+    * BEFORE any learned scorer, as one verdict frame with independent
+    * per-rule flags (Gopher applies the rules conjunctively, so
+    * `gopher_pass` is their AND — no cascade, unlike [[qualityGate]]'s
+    * attributed drops):
+    *
+    *   r_word_count    word count in [minWords, maxWords]
+    *   r_mean_word_len mean word length in [3, 10]
+    *   r_symbol_ratio  '#'-or-'…'-carrying words ≤ 10% of words
+    *   r_alpha_frac    words containing an alphabetic char ≥ 80%
+    *   r_stop_words    ≥ minStopWords hits from Gopher's 8-word list
+    *
+    * Entirely per-row codegen'd expressions over the split token array —
+    * no join, no shuffle, no state: the 100 TB shape is a bare projection
+    * over the scan. Word-count bounds are parameters (Gopher's 50 min is
+    * tuned to web pages; short-document corpora gate lower). Ratios are
+    * 4-decimal parity-rounded so the verdict replays in any engine. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStopWords: Int = 2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords && minStopWords >= 0)
+    val w = split(col(textCol), "\\s+")
+    val n = size(w)
+    val meanLen = pround(
+      aggregate(w, lit(0.0), (acc, x) => acc + length(x)) / n, 4)
+    val symRatio = pround(
+      size(filter(w, x => x.contains("#") || x.contains("...")))
+        .cast("double") / n, 4)
+    val alphaFrac = pround(
+      size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / n, 4)
+    val nStop = size(filter(w,
+      x => x.isInCollection(GopherStopWords))).cast("long")
+    docs.select(col(idCol), n.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
+        alphaFrac.as("alpha_frac"), nStop.as("n_stop_words"))
+      .withColumn("r_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mean_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_symbol_ratio", col("symbol_ratio") <= 0.1)
+      .withColumn("r_alpha_frac", col("alpha_frac") >= 0.8)
+      .withColumn("r_stop_words", col("n_stop_words") >= minStopWords)
+      .withColumn("gopher_pass",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_alpha_frac") &&
+          col("r_stop_words"))
+  }
 }

@@ -468,6 +468,73 @@ object ClassifyQueries {
                    ELSE 'kept' END = 'kept') AS kept
       FROM sig s CROSS JOIN cut c""")),
 
+    // GOPHER RULES (Rae et al. 2021 A1.1) — the rule-based pre-filter as
+    // an oracle-checked verdict frame. Three rules are dead on clean
+    // synthetic text, so the query injects doc_id-keyed pathologies
+    // (the q156 discipline): every 11th doc gets 15 '#' tokens (symbol
+    // ratio), every 13th a 3000-char word (mean word length), every
+    // 17th thirty numeric tokens (alphabetic fraction); word-count and
+    // stop-word rules are live on the natural distribution. The oracle
+    // replays injection, tokenization, all five rule statistics and the
+    // conjunctive verdict.
+    ("q170_gopher_rules", (s: SparkSession, d: String) => {
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0,
+            lit(" " + "### " * 14 + "###")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" " + "z" * 3000)).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit(" " + "12345 " * 29 + "12345")).otherwise(lit("")))
+          .as("text"))
+      graft.operators.QualityGate.gopherRules(injected, "doc_id", "text",
+        minWords = 15, maxWords = 100000, minStopWords = 2)
+    },
+    Some("""
+      WITH inj AS (SELECT doc_id,
+                          concat(text,
+                            CASE WHEN doc_id % 11 = 0
+                                 THEN concat(' ', repeat('### ', 14), '###')
+                                 ELSE '' END,
+                            CASE WHEN doc_id % 13 = 0
+                                 THEN concat(' ', repeat('z', 3000))
+                                 ELSE '' END,
+                            CASE WHEN doc_id % 17 = 0
+                                 THEN concat(' ', repeat('12345 ', 29),
+                                             '12345')
+                                 ELSE '' END) AS t
+                   FROM documents),
+      w AS (SELECT doc_id, string_split_regex(t, '\s+') AS w FROM inj),
+      s AS (SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   round(list_sum(list_transform(w,
+                           x -> CAST(len(x) AS DOUBLE))) / len(w), 4)
+                     AS mean_word_len,
+                   round(len(list_filter(w,
+                           x -> contains(x, '#') OR contains(x, '...')))
+                         * 1.0 / len(w), 4) AS symbol_ratio,
+                   round(len(list_filter(w,
+                           x -> regexp_matches(x, '[A-Za-z]')))
+                         * 1.0 / len(w), 4) AS alpha_frac,
+                   CAST(len(list_filter(w,
+                           x -> x IN ('the','be','to','of','and','that',
+                                      'have','with'))) AS BIGINT)
+                     AS n_stop_words
+            FROM w)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+             n_stop_words,
+             (n_words >= 15 AND n_words <= 100000) AS r_word_count,
+             (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+               AS r_mean_word_len,
+             (symbol_ratio <= 0.1) AS r_symbol_ratio,
+             (alpha_frac >= 0.8) AS r_alpha_frac,
+             (n_stop_words >= 2) AS r_stop_words,
+             (n_words >= 15 AND n_words <= 100000
+              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+              AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+              AND n_stop_words >= 2) AS gopher_pass
+      FROM s""")),
+
     // Trained-centroid SemDeDup vs the deterministic exemplar twin at the
     // SAME (k, τ): one agreement row quantifying how far the k-means
     // geometry moves the per-vector dup verdicts. Seeded k-means is not

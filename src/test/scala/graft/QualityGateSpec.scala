@@ -86,6 +86,36 @@ class QualityGateSpec extends AnyFunSuite {
     }
   }
 
+  test("gopherRules: each rule trips on its hand-built pathology and " +
+      "only there; the verdict is their conjunction") {
+    val good = "the cat sat of the mat and dogs ran that way have fun " +
+      "with words here now then" // 18 words, all alpha, stops, len 3-5
+    val docs = Seq(
+      (1L, good),
+      (2L, "the of and that have"), // 5 words: word-count fails
+      (3L, good + " " + "z" * 500), // one giant word: mean length fails
+      (4L, good + " " + "# # #"), // 3 '#' of 21 words: symbol fails
+      // 9 five-char numerics of 27 words: alpha fails, mean length holds
+      (5L, good + " 11111 22222 33333 44444 55555 66666 77777 88888 99999"),
+      (6L, "cat sat mat dog ran way fun words here now then hop " +
+        "top pop got hot lot not")) // 18 words, zero stop hits
+      .toDF("doc_id", "text")
+    val out = QualityGate.gopherRules(docs, "doc_id", "text",
+        minWords = 15, maxWords = 100000, minStopWords = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // schema: 0=id 1=n_words 2=mwl 3=sym 4=alpha 5=nstop then 5 flags + pass
+    def flags(id: Long): Seq[Boolean] = (6 to 11).map(out(id).getBoolean)
+    assert(flags(1L) === Seq(true, true, true, true, true, true))
+    assert(flags(2L) === Seq(false, true, true, true, true, false))
+    assert(flags(3L) === Seq(true, false, true, true, true, false))
+    assert(flags(4L) === Seq(true, true, false, true, true, false))
+    assert(flags(5L) === Seq(true, true, true, false, true, false))
+    assert(flags(6L) === Seq(true, true, true, true, false, false))
+    // exact statistics on the clean doc: 18 words, 2+ stop hits
+    assert(out(1L).getLong(1) === 18L)
+    assert(out(1L).getDouble(4) === 1.0)
+  }
+
   test("a uniformly-labeled corpus fails fast with a gate-level message") {
     val uniform = injected.limit(50)
     val e = intercept[IllegalArgumentException] {
