@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Decontaminate, History, Indexing, Retrieval, Sampling}
+import graft.operators.{Decontaminate, History, Indexing, Retrieval, Sampling, UrlOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -188,6 +188,147 @@ object CurationQueries {
                * exp(-((m.ms_max - epoch_ms(ts)) / 86400000.0) / 7.0)), 4)
                AS decayed_value
       FROM events CROSS JOIN m GROUP BY user_id""")),
+
+    // URL CANONICALIZATION (CCNet/C4/RefinedWeb stage zero) — documents
+    // carry no URL, so each doc gets a deterministic one exercising every
+    // branch: uppercase scheme/host, "WWW." prefix, a ccTLD needing the
+    // three-label registrable rule, default vs non-default ports crossed
+    // against both schemes, a trailing slash, tracking params out of
+    // order, a fragment. The Spark side genuinely parses the string
+    // (UrlOps.canonicalize — pure codegen'd Column ops); the oracle
+    // derives the canonical form from the formula, q161-style.
+    ("q171_url_canon", (s: SparkSession, d: String) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+        when(id % 7 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Sub"), (id % 3).cast("string"),
+        lit(".site"), (id % 10).cast("string"),
+        when(id % 6 === 0, lit(".CO.UK")).otherwise(lit(".com")),
+        when(id % 5 === 0, lit(":80"))
+          .when(id % 5 === 1, lit(":443"))
+          .when(id % 5 === 2, lit(":8080")).otherwise(lit("")),
+        lit("/Dir/"), (id % 40).cast("string"),
+        when(id % 4 === 0, lit("/")).otherwise(lit("")),
+        when(id % 3 === 0, lit("?utm_source=rss&b=2&a=1"))
+          .when(id % 3 === 1, lit("?z=9&a=1&gclid=x")).otherwise(lit("")),
+        when(id % 4 === 0, lit("#Sec")).otherwise(lit("")))
+      Tables.documents(s, d).select(id, url.as("url"))
+        .select(id, col("url"),
+          UrlOps.canonicalize(col("url")).as("canon_url"),
+          UrlOps.hostOf(col("url")).as("host"),
+          UrlOps.registrableDomain(UrlOps.hostOf(col("url"))).as("domain"))
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END ||
+                 '://' ||
+                 CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END ||
+                 'Sub' || CAST(doc_id % 3 AS VARCHAR) ||
+                 '.site' || CAST(doc_id % 10 AS VARCHAR) ||
+                 CASE WHEN doc_id % 6 = 0 THEN '.CO.UK' ELSE '.com' END ||
+                 CASE WHEN doc_id % 5 = 0 THEN ':80'
+                         WHEN doc_id % 5 = 1 THEN ':443'
+                         WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END ||
+                 '/Dir/' || CAST(doc_id % 40 AS VARCHAR) ||
+                 CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+                 CASE WHEN doc_id % 3 = 0 THEN '?utm_source=rss&b=2&a=1'
+                         WHEN doc_id % 3 = 1 THEN '?z=9&a=1&gclid=x'
+                         ELSE '' END ||
+                 CASE WHEN doc_id % 4 = 0 THEN '#Sec' ELSE '' END AS url,
+               'sub' || CAST(doc_id % 3 AS VARCHAR) ||
+                 '.site' || CAST(doc_id % 10 AS VARCHAR) ||
+                 CASE WHEN doc_id % 6 = 0 THEN '.co.uk' ELSE '.com' END
+                 AS host
+        FROM documents)
+      SELECT doc_id, url,
+             CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END ||
+               '://' || host ||
+               CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 1 THEN ':80'
+                       WHEN doc_id % 5 = 1 AND doc_id % 2 = 0 THEN ':443'
+                       WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END ||
+               '/Dir/' || CAST(doc_id % 40 AS VARCHAR) ||
+               CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2'
+                       WHEN doc_id % 3 = 1 THEN '?a=1&z=9' ELSE '' END
+               AS canon_url,
+             host,
+             'site' || CAST(doc_id % 10 AS VARCHAR) ||
+               CASE WHEN doc_id % 6 = 0 THEN '.co.uk' ELSE '.com' END
+               AS domain
+      FROM u""")),
+
+    // CANONICAL-URL DEDUP (re-crawl collapse): five fetches per resource
+    // (scheme varies, a unique utm_ param varies, "www." varies — all
+    // canonicalized away), one survivor per scheme-relative resource key,
+    // https preferred, then first fetch. The oracle replays the election.
+    ("q172_url_dedup", (s: SparkSession, d: String) => {
+      val id = col("doc_id")
+      // Collision key is id % 100 (via %4 × %25); scheme rides id % 3 so
+      // every group mixes https and http and the preference is live.
+      val url = concat(
+        when(id % 3 === 0, lit("https")).otherwise(lit("http")), lit("://"),
+        when(id % 7 === 0, lit("www.")).otherwise(lit("")),
+        lit("d"), (id % 4).cast("string"), lit(".example.com/p/"),
+        (id % 25).cast("string"),
+        when(id % 2 === 0,
+          concat(lit("?utm_campaign=c"), id.cast("string")))
+          .otherwise(lit("")))
+      UrlOps.urlDedup(
+        Tables.documents(s, d).select(id, url.as("url")), "url", "doc_id")
+        .withColumnRenamed("kept_id", "kept_doc_id")
+        .orderBy(col("resource_key"))
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END AS scheme,
+               'd' || CAST(doc_id % 4 AS VARCHAR) || '.example.com/p/' ||
+                 CAST(doc_id % 25 AS VARCHAR) AS rkey
+        FROM documents),
+      r AS (SELECT doc_id, rkey,
+                   row_number() OVER (PARTITION BY rkey
+                     ORDER BY CASE WHEN scheme = 'https' THEN 1 ELSE 0 END DESC,
+                              doc_id) AS rn,
+                   count(*) OVER (PARTITION BY rkey) AS n_dups
+            FROM u)
+      SELECT rkey AS resource_key, doc_id AS kept_doc_id, n_dups
+      FROM r WHERE rn = 1 ORDER BY resource_key""")),
+
+    // PER-DOMAIN CAP (RefinedWeb's anti-SEO share bound): hosts fan out
+    // over 13 subdomains of 6 registrable domains (two needing the
+    // three-label ccTLD rule), keep the first 20 docs per domain. The
+    // oracle replays the registrable-domain fold and the ranked keep.
+    ("q173_domain_cap", (s: SparkSession, d: String) => {
+      val id = col("doc_id")
+      val base = when(id % 6 === 0, lit("alpha.co.uk"))
+        .when(id % 6 === 1, lit("beta.com"))
+        .when(id % 6 === 2, lit("gamma.net"))
+        .when(id % 6 === 3, lit("delta.org"))
+        .when(id % 6 === 4, lit("epsilon.ac.jp"))
+        .otherwise(lit("zeta.io"))
+      val url = concat(lit("https://h"), (id % 13).cast("string"), lit("."),
+        base, lit("/x/"), id.cast("string"))
+      UrlOps.domainCap(
+        Tables.documents(s, d).select(id, url.as("url")), "url", "doc_id",
+        maxDocs = 20)
+        .withColumn("domain_rank", col("domain_rank").cast("int"))
+        .orderBy(col("domain"), col("domain_rank"))
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 6 = 0 THEN 'alpha.co.uk'
+                    WHEN doc_id % 6 = 1 THEN 'beta.com'
+                    WHEN doc_id % 6 = 2 THEN 'gamma.net'
+                    WHEN doc_id % 6 = 3 THEN 'delta.org'
+                    WHEN doc_id % 6 = 4 THEN 'epsilon.ac.jp'
+                    ELSE 'zeta.io' END AS domain
+        FROM documents),
+      r AS (SELECT doc_id, domain,
+                   row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+                     AS domain_rank
+            FROM u)
+      SELECT doc_id, domain, CAST(domain_rank AS INTEGER) AS domain_rank
+      FROM r WHERE domain_rank <= 20
+      ORDER BY domain, domain_rank""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
