@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions.shingles
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination for training corpora: flag (and drop)
@@ -136,5 +136,104 @@ object Decontaminate {
       .filter(col("contaminated_frac") > maxFrac)
       .select(col(idCol))
     corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  // ---------------------------------------------------------------------
+  // Bloom-prefiltered decontamination — the 100 TB regime of
+  // contaminationReport. When the benchmark union is large (every eval
+  // suite ever published: ~1e8 distinct 8-grams × ~60 bytes ≈ 6 GB of
+  // strings), broadcasting the gram SET no longer fits; a Bloom filter at
+  // ~14 bits/element is ~170 MB — broadcastable. The filter kills
+  // (1 - fpp) of the corpus grams MAP-SIDE so only true hits plus a fpp
+  // sliver reach the exact verify join; the final report stays EXACT
+  // because every bloom survivor is re-checked against the real gram set
+  // (false positives die in the inner join, and a Bloom filter has no
+  // false negatives).
+  //
+  // The filter is plain Column arithmetic end to end — double hashing
+  // h1 + i·h2 (Kirsch–Mitzenmacher) over xxhash64, bit_or-packed into
+  // m/64 longs — so build, probe and verify all stay inside whole-stage
+  // codegen: no UDFs, no non-codegen expressions on the hot path.
+  // ---------------------------------------------------------------------
+
+  private def bloomH1(g: Column): Column = xxhash64(lit("bloom_h1"), g)
+  private def bloomH2(g: Column): Column = xxhash64(lit("bloom_h2"), g)
+
+  /** Bit positions (k probes, Kirsch–Mitzenmacher double hashing) of one
+    * gram in an `mBits`-bit filter. Both hashes are reduced mod mBits
+    * BEFORE the probe arithmetic so `h1 + i·h2` stays ≤ (k+1)·mBits —
+    * no long overflow under ANSI mode for any realistic geometry.
+    */
+  private def bloomPositions(g: Column, mBits: Long, k: Int): Seq[Column] = {
+    val h1 = pmod(bloomH1(g), lit(mBits))
+    val h2 = pmod(bloomH2(g), lit(mBits))
+    (0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(mBits)))
+  }
+
+  /** Build the packed filter words from a single-column frame of grams
+    * (`gramCol`). Distributed build: positions explode, bit_or packs per
+    * 64-bit word, and only the ≤ mBits/64 aggregated words reach the
+    * driver — the collect is bounded by the filter geometry, never by
+    * the gram count.
+    */
+  def bloomBuild(grams: DataFrame, gramCol: String, mBits: Long,
+      k: Int): Array[Long] = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64: $mBits")
+    val nWords = (mBits / 64).toInt
+    val words = grams
+      .select(explode(array(bloomPositions(col(gramCol), mBits, k): _*)).as("p"))
+      .select(shiftright(col("p"), 6).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), pmod(col("p"), lit(64L)).cast("int")).as("m"))
+      .groupBy(col("w")).agg(call_function("bit_or", col("m")).as("bits"))
+      .collect()
+    val arr = new Array[Long](nWords)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Membership probe against packed filter words: k codegen'd bit tests
+    * over an array literal (element_at is O(1)). At this scale the words
+    * ship inside the plan; past ~2^27 bits swap the literal for a
+    * broadcast-variable-backed Expression — the probe arithmetic is
+    * unchanged.
+    */
+  def bloomMightContain(g: Column, words: Seq[Long], mBits: Long,
+      k: Int): Column = {
+    val lw = typedLit(words)
+    bloomPositions(g, mBits, k).map { p =>
+      val word = element_at(lw, shiftright(p, 6).cast("int") + 1)
+      word.bitwiseAND(
+        call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  /** [[contaminationReport]] with a Bloom prefilter on the corpus-gram
+    * stream: identical output (exact — survivors are verified against
+    * the true gram set), but the only UNCONDITIONAL broadcast is the
+    * mBits/8-byte filter; the verify join's bench side goes through
+    * [[sizeBoundedBench]] (broadcast when it fits, shuffle when it
+    * doesn't — and post-prefilter the corpus side of that shuffle is the
+    * fpp sliver, not the corpus). Sizing: mBits ≈ 1.44 · |bench grams| ·
+    * log2(1/fpp), k ≈ 0.7 · mBits / |bench grams|.
+    */
+  def bloomContaminationReport(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      mBits: Long = 1L << 20, k: Int = 5): DataFrame = {
+    val benchGrams = bench
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("g"))
+      .distinct()
+    val words = bloomBuild(benchGrams, "g", mBits, k)
+    val grams = corpus
+      .select(col(idCol), array_distinct(shingles(col(textCol), n)).as("gs"))
+      .withColumn("n_grams", size(col("gs")))
+      .select(col(idCol), col("n_grams"), explode(col("gs")).as("g"))
+      .filter(bloomMightContain(col("g"), words, mBits, k))
+    grams
+      .join(sizeBoundedBench(benchGrams), Seq("g"))
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("contaminated_frac",
+        graft.functions.ColumnFunctions.pround(
+          col("n_hits").cast("double") / col("n_grams"), 4))
   }
 }

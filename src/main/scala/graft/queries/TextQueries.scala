@@ -650,6 +650,35 @@ object TextQueries {
       FROM cg JOIN bg USING (g)
       GROUP BY cg.doc_id""")),
 
+    // Bloom-prefiltered decontamination — q95's report in the regime
+    // where the benchmark gram set is too big to broadcast as strings:
+    // the corpus gram stream is killed map-side by a 2^17-bit / k=5
+    // Bloom filter (pure Column double-hash bit tests), survivors are
+    // exact-verified. The result is EXACT (no false negatives; false
+    // positives die in the verify join), so the oracle is the same
+    // replay as q95 with the denser doc_id % 17 bench slice — DuckDB
+    // never needs to model the filter at all.
+    ("q174_bloom_decontaminate", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      operators.Decontaminate.bloomContaminationReport(
+        docs, docs.filter(col("doc_id") % 17 === 0), "doc_id", "text",
+        n = 8, mBits = 1L << 17, k = 5)
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(w) <= 8 THEN [array_to_string(w, ' ')]
+                    ELSE [array_to_string(w[i+1:i+8], ' ')
+                          for i in generate_series(0, len(w)-8)]
+               END) AS gs
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)),
+      cg AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM sh),
+      bg AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % 17 = 0)
+      SELECT cg.doc_id, CAST(any_value(cg.n_grams) AS INTEGER) AS n_grams,
+             count(*) AS n_hits,
+             round(count(*) * 1.0 / any_value(cg.n_grams), 4) AS contaminated_frac
+      FROM cg JOIN bg USING (g)
+      GROUP BY cg.doc_id""")),
+
     // Corpus-trained bigram language-model scoring (add-1 smoothing) —
     // the classic statistical quality signal before any neural scorer;
     // pure count arithmetic, so the DuckDB twin replays it exactly
