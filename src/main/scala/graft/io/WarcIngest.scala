@@ -1,0 +1,188 @@
+package graft.io
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** WARC ingestion — the container web crawls actually arrive in
+  * (ISO 28500 / WARC 1.1; Common Crawl's WARC/WET drops). The reference
+  * ingests CSV weather drops only (SURVEY.md §2.1), so this is north-star
+  * crawl capability: read archive blobs as a binary column, split records
+  * by Content-Length FRAMING (never by delimiter scanning — response
+  * payloads may legally contain "WARC/1.0"), keep the response records,
+  * and surface (target URI, HTTP status, payload) as ordinary columns for
+  * the curation operators downstream.
+  *
+  * Scale shape: parse is a per-blob mapPartitions — no shuffle, no
+  * driver state; a 100 TB crawl is millions of ~1 GiB WARC files, and
+  * each task owns whole files (the format is not splittable mid-record —
+  * the same contract real WARC readers on Hadoop use). The synthetic
+  * builder groups documents into files with one keyed exchange; group
+  * size is a file-sizing knob, exactly like production segment sizing.
+  */
+object WarcIngest {
+
+  /** One parsed response record: id recovered from the record id URN,
+    * the WARC header fields a curation pipeline keys on, the HTTP status
+    * from the enclosed message, and the decoded body.
+    */
+  final case class WarcResponse(docId: Long, targetUri: String,
+      httpStatus: Int, contentLength: Long, payload: String)
+
+  private val CRLF = "\r\n"
+
+  private def httpBlock(text: String): Array[Byte] = {
+    val body = text.getBytes(UTF_8)
+    val head = s"HTTP/1.1 200 OK${CRLF}Content-Type: text/plain$CRLF" +
+      s"Content-Length: ${body.length}$CRLF$CRLF"
+    head.getBytes(ISO_8859_1) ++ body
+  }
+
+  /** Serialize one WARC record (version line, named headers, blank line,
+    * `Content-Length` octets of payload, record separator).
+    */
+  private def record(headers: Seq[(String, String)],
+      payload: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder("WARC/1.0").append(CRLF)
+    headers.foreach { case (k, v) => head.append(s"$k: $v").append(CRLF) }
+    head.append(s"Content-Length: ${payload.length}").append(CRLF).append(CRLF)
+    head.toString.getBytes(ISO_8859_1) ++ payload ++
+      (CRLF + CRLF).getBytes(ISO_8859_1)
+  }
+
+  /** One WARC file: a warcinfo record (exercises type skipping in every
+    * parse) followed by a response record per document, id order.
+    */
+  def buildWarcFile(fileId: Long, docs: Seq[(Long, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:graft:info:$fileId>",
+      "Content-Type" -> "application/warc-fields"),
+      s"software: graft$CRLF".getBytes(ISO_8859_1)))
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      out.write(record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:graft:$id>",
+        "WARC-Target-URI" -> s"https://h${id % 13}.example.com/d/$id",
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpBlock(text)))
+    }
+    out.toByteArray
+  }
+
+  /** Parse every record of a WARC blob; return the responses. Framing is
+    * Content-Length only: after the header block, exactly that many
+    * octets are payload, then the CRLF CRLF separator — a payload
+    * containing "WARC/1.0" or header-shaped lines cannot desync the
+    * walk. Header names are case-insensitive per the spec. Malformed
+    * blobs return what parsed cleanly before the fault (drop-bad-record,
+    * the DROPMALFORMED discipline of the CSV path).
+    */
+  def parseWarc(bytes: Array[Byte]): Seq[WarcResponse] = {
+    val out = ArrayBuffer.empty[WarcResponse]
+    var pos = 0
+
+    def line(): Option[String] = {
+      var i = pos
+      while (i + 1 < bytes.length &&
+        !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 >= bytes.length) None
+      else {
+        val s = new String(bytes, pos, i - pos, ISO_8859_1)
+        pos = i + 2
+        Some(s)
+      }
+    }
+
+    while (pos < bytes.length) {
+      // Tolerate extra separators between records.
+      while (pos + 1 < bytes.length && bytes(pos) == '\r' && bytes(pos + 1) == '\n')
+        pos += 2
+      if (pos >= bytes.length) return out.toSeq
+      line() match {
+        case Some(v) if v.startsWith("WARC/") =>
+          val headers = scala.collection.mutable.Map.empty[String, String]
+          var h = line()
+          while (h.exists(_.nonEmpty)) {
+            val s = h.get
+            val c = s.indexOf(':')
+            if (c > 0) headers(s.substring(0, c).trim.toLowerCase) =
+              s.substring(c + 1).trim
+            h = line()
+          }
+          if (h.isEmpty) return out.toSeq // EOF inside headers
+          val len = headers.get("content-length").flatMap(_.toLongOption)
+          len match {
+            case Some(n) if pos + n <= bytes.length =>
+              val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt)
+              pos += n.toInt
+              if (headers.get("warc-type").contains("response")) {
+                parseResponse(headers, payload).foreach(out += _)
+              }
+            case _ => return out.toSeq // bad/truncated record
+          }
+        case Some(_) => () // skip junk line
+        case None    => return out.toSeq
+      }
+    }
+    out.toSeq
+  }
+
+  /** Inner HTTP message: status from the first line, body after the
+    * first CRLF CRLF (headers are opaque here — curation keys on the
+    * WARC fields).
+    */
+  private def parseResponse(headers: collection.Map[String, String],
+      payload: Array[Byte]): Option[WarcResponse] = {
+    val docId = headers.get("warc-record-id")
+      .map(_.stripPrefix("<urn:graft:").stripSuffix(">"))
+      .flatMap(_.toLongOption)
+    val uri = headers.get("warc-target-uri")
+    val clen = headers.get("content-length").flatMap(_.toLongOption)
+    var i = 0
+    while (i + 3 < payload.length &&
+      !(payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n')) i += 1
+    val eol = payload.indexOf('\r'.toByte)
+    if (i + 3 >= payload.length || eol < 0) None
+    else {
+      val statusLine = new String(payload, 0, eol, ISO_8859_1)
+      val status = statusLine.split(" ").lift(1).flatMap(_.toIntOption)
+      val body = new String(payload, i + 4, payload.length - i - 4, UTF_8)
+      for (d <- docId; u <- uri; s <- status; l <- clen)
+        yield WarcResponse(d, u, s, l, body)
+    }
+  }
+
+  /** Synthetic crawl: documents grouped into `nFiles` WARC blobs
+    * (file = doc_id mod nFiles; one keyed exchange, then a per-group
+    * serialize — group size IS the file-size knob, so memory per task is
+    * the file size, same as any archive writer).
+    */
+  def syntheticWarcFiles(spark: SparkSession, docs: DataFrame,
+      nFiles: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 % nFiles)
+      .mapGroups((fid, it) => (fid, buildWarcFile(fid, it.toSeq)))
+      .toDF("file_id", "payload")
+  }
+
+  /** Parse a frame of WARC blobs into response rows: the mapPartitions
+    * ingest stage (no shuffle; each task walks whole files).
+    */
+  def warcResponsesBinary(spark: SparkSession, files: DataFrame): DataFrame = {
+    import spark.implicits._
+    files.select(col("file_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (_, bytes) =>
+        parseWarc(bytes).map(r =>
+          (r.docId, r.targetUri, r.httpStatus, r.contentLength, r.payload))
+      })
+      .toDF("doc_id", "target_uri", "http_status", "content_length", "payload")
+  }
+}

@@ -533,6 +533,33 @@ object PipelineQueries {
              CAST(1000 + doc_id % 500 AS DOUBLE) AS dur_ms,
              CAST(1 + doc_id % 12 AS BIGINT) AS n_cues
       FROM documents""")),
+
+    // WARC ROUND-TRIP (ISO 28500 — the container crawls arrive in):
+    // documents serialize into 16 WARC blobs (warcinfo + one HTTP
+    // response record each, Content-Length framing), then the binary
+    // ingest walks the blobs back to rows. The oracle derives every
+    // field from ground truth: URI from the id formula, the WARC
+    // record's Content-Length from the HTTP block arithmetic
+    // (63 fixed header octets + digits of the body length + body
+    // octets), and the payload md5 proves byte-exact body recovery
+    // (UTF-8 both sides). Parser correctness under adversarial payloads
+    // (bodies containing "WARC/1.0" / header-shaped lines) is pinned in
+    // WarcIngestSpec — framing, never delimiter scanning.
+    ("q175_warc_roundtrip", (s: SparkSession, d: String) => {
+      val files = graft.io.WarcIngest.syntheticWarcFiles(
+        s, Tables.documents(s, d), nFiles = 16)
+      graft.io.WarcIngest.warcResponsesBinary(s, files)
+        .select(col("doc_id"), col("target_uri"), col("http_status"),
+          col("content_length"), md5(col("payload")).as("payload_md5"))
+    }, Some("""
+      SELECT doc_id,
+             'https://h' || CAST(doc_id % 13 AS VARCHAR) ||
+               '.example.com/d/' || CAST(doc_id AS VARCHAR) AS target_uri,
+             CAST(200 AS INTEGER) AS http_status,
+             CAST(63 + length(CAST(octet_length(encode(text)) AS VARCHAR))
+                  + octet_length(encode(text)) AS BIGINT) AS content_length,
+             md5(text) AS payload_md5
+      FROM documents""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

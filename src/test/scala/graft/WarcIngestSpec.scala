@@ -1,0 +1,66 @@
+package graft
+
+import graft.io.WarcIngest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the WARC walk: byte-exact body round-trip (including
+  * multi-byte UTF-8), Content-Length framing under adversarial payloads
+  * (bodies that contain "WARC/1.0" and header-shaped lines must not
+  * desync the record walk), non-response skipping, header
+  * case-insensitivity, and drop-bad-record on truncation.
+  */
+class WarcIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def roundTrip(docs: Seq[(Long, String)]): Seq[WarcIngest.WarcResponse] =
+    WarcIngest.parseWarc(WarcIngest.buildWarcFile(0L, docs)).sortBy(_.docId)
+
+  test("round-trip recovers every body byte-exactly, UTF-8 included") {
+    val docs = Seq(1L -> "plain ascii", 2L -> "naïve — déjà vu ✓",
+      3L -> "", 4L -> "line1\nline2\n")
+    val out = roundTrip(docs)
+    assert(out.map(r => r.docId -> r.payload) === docs)
+    assert(out.forall(_.httpStatus == 200))
+  }
+
+  test("framing survives payloads containing WARC and HTTP header shapes") {
+    val poison = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 99999\r\n\r\nHTTP/1.1 500 FAKE\r\n\r\nnot a record"
+    val out = roundTrip(Seq(7L -> poison, 8L -> "after the poison"))
+    assert(out.map(_.docId) === Seq(7L, 8L))
+    assert(out.head.payload === poison)
+    assert(out.head.httpStatus === 200) // the REAL status, not the embedded 500
+  }
+
+  test("warcinfo records are skipped; URI and record id parse back") {
+    val out = roundTrip(Seq(26L -> "x"))
+    assert(out.length === 1)
+    assert(out.head.targetUri === "https://h0.example.com/d/26")
+  }
+
+  test("header names are case-insensitive") {
+    val raw = new String(WarcIngest.buildWarcFile(0L, Seq(5L -> "body")), "ISO-8859-1")
+      .replace("Content-Length:", "CONTENT-LENGTH:")
+      .replace("WARC-Type:", "warc-type:")
+    val out = WarcIngest.parseWarc(raw.getBytes("ISO-8859-1"))
+    assert(out.map(_.docId) === Seq(5L))
+  }
+
+  test("truncated trailing record drops; clean prefix survives") {
+    val full = WarcIngest.buildWarcFile(0L, Seq(1L -> "first", 2L -> "second"))
+    val cut = full.dropRight(12)
+    val out = WarcIngest.parseWarc(cut)
+    assert(out.map(_.docId) === Seq(1L))
+  }
+
+  test("distributed build+parse covers all docs exactly once") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val files = WarcIngest.syntheticWarcFiles(spark, docs, nFiles = 4)
+    assert(files.count() === 4L)
+    val out = WarcIngest.warcResponsesBinary(spark, files)
+    val ids = out.select("doc_id").as[Long].collect().sorted
+    val want = docs.select("doc_id").as[Long].collect().sorted
+    assert(ids === want)
+  }
+}
