@@ -28,10 +28,14 @@ object WarcIngest {
 
   /** One parsed response record: id recovered from the record id URN,
     * the WARC header fields a curation pipeline keys on, the HTTP status
-    * from the enclosed message, and the decoded body.
+    * from the enclosed message, the decoded body, and the record's byte
+    * span inside its file (`offset`, `recordLength` — version line
+    * through trailing separator), the coordinates a CDX index serves
+    * range reads by.
     */
   final case class WarcResponse(docId: Long, targetUri: String,
-      httpStatus: Int, contentLength: Long, payload: String)
+      httpStatus: Int, contentLength: Long, payload: String,
+      offset: Long, recordLength: Long)
 
   private val CRLF = "\r\n"
 
@@ -104,6 +108,7 @@ object WarcIngest {
       while (pos + 1 < bytes.length && bytes(pos) == '\r' && bytes(pos + 1) == '\n')
         pos += 2
       if (pos >= bytes.length) return out.toSeq
+      val recStart = pos
       line() match {
         case Some(v) if v.startsWith("WARC/") =>
           val headers = scala.collection.mutable.Map.empty[String, String]
@@ -121,8 +126,12 @@ object WarcIngest {
             case Some(n) if pos + n <= bytes.length =>
               val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt)
               pos += n.toInt
+              // Span includes the CRLF CRLF separator — the unit a CDX
+              // range read fetches.
+              val recLen = (pos + 4).toLong - recStart
               if (headers.get("warc-type").contains("response")) {
-                parseResponse(headers, payload).foreach(out += _)
+                parseResponse(headers, payload, recStart.toLong, recLen)
+                  .foreach(out += _)
               }
             case _ => return out.toSeq // bad/truncated record
           }
@@ -138,7 +147,7 @@ object WarcIngest {
     * WARC fields).
     */
   private def parseResponse(headers: collection.Map[String, String],
-      payload: Array[Byte]): Option[WarcResponse] = {
+      payload: Array[Byte], offset: Long, recLen: Long): Option[WarcResponse] = {
     val docId = headers.get("warc-record-id")
       .map(_.stripPrefix("<urn:graft:").stripSuffix(">"))
       .flatMap(_.toLongOption)
@@ -155,7 +164,7 @@ object WarcIngest {
       val status = statusLine.split(" ").lift(1).flatMap(_.toIntOption)
       val body = new String(payload, i + 4, payload.length - i - 4, UTF_8)
       for (d <- docId; u <- uri; s <- status; l <- clen)
-        yield WarcResponse(d, u, s, l, body)
+        yield WarcResponse(d, u, s, l, body, offset, recLen)
     }
   }
 
@@ -184,5 +193,28 @@ object WarcIngest {
           (r.docId, r.targetUri, r.httpStatus, r.contentLength, r.payload))
       })
       .toDF("doc_id", "target_uri", "http_status", "content_length", "payload")
+  }
+
+  /** CDX index over a frame of WARC blobs: one row per response record
+    * with its SURT key and byte span — what a 100 TB crawl store serves
+    * random access from (look up the SURT key, range-read
+    * [offset, offset+record_length) out of one file). Same no-shuffle
+    * walk as [[warcResponsesBinary]]; the SURT key is pure Column
+    * arithmetic on the parsed URI. A deployment sorts/partitions this
+    * frame by `surt_key` (the Z-order/ck layout machinery in `io.Layout`
+    * applies unchanged); kept unsorted here so the oracle checks the
+    * walk, not a sort.
+    */
+  def warcCdx(spark: SparkSession, files: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = files.select(col("file_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (fid, bytes) =>
+        parseWarc(bytes).map(r =>
+          (r.docId, fid, r.targetUri, r.offset, r.recordLength))
+      })
+      .toDF("doc_id", "file_id", "target_uri", "offset", "record_length")
+    rows.withColumn("surt_key",
+      graft.operators.UrlOps.surtKey(col("target_uri")))
   }
 }

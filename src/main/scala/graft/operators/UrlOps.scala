@@ -104,6 +104,29 @@ object UrlOps {
       when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
   }
 
+  /** Path component of a URL (no query, no fragment), "/" when absent.
+    * Case preserved — paths are case-sensitive.
+    */
+  def pathOf(url: Column): Column = {
+    val afterScheme =
+      when(url.contains("://"), substring_index(url, "://", -1)).otherwise(url)
+    val noFrag = substring_index(afterScheme, "#", 1)
+    val slash = locate("/", noFrag)
+    val rest = when(slash > 0, noFrag.substr(slash, length(noFrag)))
+      .otherwise(lit(""))
+    val pathOnly = substring_index(rest, "?", 1)
+    when(pathOnly === "", lit("/")).otherwise(pathOnly)
+  }
+
+  /** SURT key (Sort-friendly URI Reordering Transform — the key CDX
+    * indexes sort by, so one domain's records cluster): host labels
+    * reversed and comma-joined, then ")" and the lowercased path.
+    * "https://H3.Example.com/D/9" → "com,example,h3)/d/9".
+    */
+  def surtKey(url: Column): Column =
+    concat(array_join(reverse(split(hostOf(url), "\\.")), ","),
+      lit(")"), lower(pathOf(url)))
+
   /** Second-level labels under which a two-letter ccTLD still needs three
     * labels for the registrable domain (simplified public-suffix rule:
     * "example.co.uk" registers at "example", not "co"). A real deployment

@@ -560,6 +560,67 @@ object PipelineQueries {
                   + octet_length(encode(text)) AS BIGINT) AS content_length,
              md5(text) AS payload_md5
       FROM documents""")),
+
+    // CDX INDEX over the WARC blobs — the random-access coordinates a
+    // crawl store serves range reads by: SURT key (reversed host labels,
+    // so one domain clusters under a sort) plus the record's byte span.
+    // Offsets and lengths come from the REAL walk's byte accounting; the
+    // oracle re-derives every span from first principles (fixed header
+    // octets + digit widths of id/uri/length fields + body octets, and
+    // offset = warcinfo length + running sum of earlier records in the
+    // file) — one digit-width slip anywhere in serializer or parser and
+    // every downstream offset hash-mismatches.
+    ("q176_warc_cdx", (s: SparkSession, d: String) => {
+      val files = graft.io.WarcIngest.syntheticWarcFiles(
+        s, Tables.documents(s, d), nFiles = 16)
+      graft.io.WarcIngest.warcCdx(s, files)
+        .select(col("doc_id"), col("file_id"), col("surt_key"),
+          col("offset"), col("record_length"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, doc_id % 16 AS file_id,
+                        octet_length(encode(text)) AS n FROM documents),
+      r AS (SELECT doc_id, file_id,
+                   63 + length(CAST(n AS VARCHAR)) + n AS L FROM d),
+      l AS (SELECT doc_id, file_id,
+                   178 + 2 * length(CAST(doc_id AS VARCHAR)) +
+                   length(CAST(doc_id % 13 AS VARCHAR)) +
+                   length(CAST(L AS VARCHAR)) + L AS rec_len FROM r),
+      o AS (SELECT doc_id, file_id, rec_len,
+                   148 + length(CAST(file_id AS VARCHAR)) +
+                   COALESCE(sum(rec_len) OVER (PARTITION BY file_id
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS off
+            FROM l)
+      SELECT doc_id, file_id,
+             'com,example,h' || CAST(doc_id % 13 AS VARCHAR) || ')/d/' ||
+               CAST(doc_id AS VARCHAR) AS surt_key,
+             CAST(off AS BIGINT) AS "offset",
+             CAST(rec_len AS BIGINT) AS record_length
+      FROM o""")),
+
+    // HTML MAIN-CONTENT EXTRACTION (jusText/boilerpipe/trafilatura
+    // stage): each document renders as a full page — head/title/style/
+    // script chrome (with '<' inside the code), a nav, the text as main
+    // <p> blocks (entity-escaped), a link-farm "related" div at ~0.9
+    // link density, a footer — and the extractor walks it back: chrome
+    // subtrees dropped, blocks segmented, the link-density gate firing
+    // on exactly the related div. Lossless by construction, so the
+    // oracle is ground truth: kept blocks = the text's line count, one
+    // density-dropped block, md5(main_text) = md5(text) — byte-exact
+    // escape/decode round-trip.
+    ("q177_html_extract", (s: SparkSession, d: String) => {
+      val pages = graft.operators.HtmlExtract.syntheticHtmlCorpus(
+        s, Tables.documents(s, d))
+      graft.operators.HtmlExtract.extractMainContent(s, pages, "doc_id", "html")
+        .select(col("doc_id"), col("n_kept_blocks"), col("n_dropped_blocks"),
+          md5(col("main_text")).as("main_md5"))
+    }, Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, chr(10))) AS INTEGER) AS n_kept_blocks,
+             CAST(1 AS INTEGER) AS n_dropped_blocks,
+             md5(text) AS main_md5
+      FROM documents""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -444,4 +444,46 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
     assert(!p.contains("Window"), p.take(4000))
   }
+
+  test("q171 URL canonicalization is a shuffle-free projection") {
+    // pure Column arithmetic per row: any Exchange here means a regression
+    // materialized a shuffle into what must stay a map-only stage
+    val p = plan("q171_url_canon")
+    assert(!p.contains("Exchange"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q172 URL dedup pays exactly one shuffle: the resource-key window") {
+    // count + row_number share the partitioning, so one hash exchange
+    // serves both Window operators; the output orderBy adds range
+    // partitioning but no second hash of the corpus
+    val p = plan("q172_url_dedup")
+    assert(countOccurrences(p, "Exchange hashpartitioning") === 1, p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
+  test("q174 bloom decontamination: filter words ride the projection; the " +
+      "verify join broadcasts at bench scale; nothing cartesian") {
+    val p = plan("q174_bloom_decontaminate")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
+  test("q176 WARC CDX: one build exchange (file grouping); the walk and " +
+      "SURT projection add no shuffle") {
+    val p = plan("q176_warc_cdx")
+    assert(countOccurrences(p, "Exchange hashpartitioning") === 1, p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q177 HTML extraction: one build exchange feeds two map-only " +
+      "stages (render, extract) — no joins, no windows") {
+    val p = plan("q177_html_extract")
+    assert(!p.contains("Join"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
 }

@@ -54,6 +54,12 @@ class UrlOpsSpec extends AnyFunSuite {
       "epsilon.ac.jp", "localhost"))
   }
 
+  test("surtKey reverses host labels and lowercases the path only") {
+    val out = Seq("https://H3.Example.com/D/9?x=1#f", "http://a.co.uk")
+      .toDF("u").select(UrlOps.surtKey(col("u"))).as[String].collect()
+    assert(out === Seq("com,example,h3)/d/9", "uk,co,a)/"))
+  }
+
   test("urlDedup: scheme-relative key, https wins, then first id") {
     val df = Seq(
       (1L, "http://www.a.com/p?utm_x=1"), // same resource, http, first

@@ -54,6 +54,26 @@ class WarcIngestSpec extends AnyFunSuite {
     assert(out.map(_.docId) === Seq(1L))
   }
 
+  test("CDX law: the [offset, offset+length) slice re-parses as that record") {
+    val file = WarcIngest.buildWarcFile(3L, Seq(10L -> "alpha", 11L -> "beta — γ", 12L -> ""))
+    val recs = WarcIngest.parseWarc(file)
+    assert(recs.length === 3)
+    recs.foreach { r =>
+      val slice = java.util.Arrays.copyOfRange(file,
+        r.offset.toInt, (r.offset + r.recordLength).toInt)
+      val re = WarcIngest.parseWarc(slice)
+      assert(re.map(x => (x.docId, x.payload, x.contentLength)) ===
+        Seq((r.docId, r.payload, r.contentLength)))
+    }
+    // spans tile the file exactly: next offset = prev offset + length
+    val sorted = recs.sortBy(_.offset)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(b.offset === a.offset + a.recordLength)
+      case _         => ()
+    }
+    assert(sorted.last.offset + sorted.last.recordLength === file.length.toLong)
+  }
+
   test("distributed build+parse covers all docs exactly once") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val files = WarcIngest.syntheticWarcFiles(spark, docs, nFiles = 4)
