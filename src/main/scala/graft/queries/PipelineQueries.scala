@@ -621,6 +621,80 @@ object PipelineQueries {
              CAST(1 AS INTEGER) AS n_dropped_blocks,
              md5(text) AS main_md5
       FROM documents""")),
+
+    // CONTENT-TYPE SNIFFING (the WHATWG magic-number dispatch a crawl
+    // runs before any typed decode): a 7-way mixed corpus where every
+    // payload is built by the SAME real serializer its dedicated fixture
+    // uses (full JPEG/GIF/WAV/avc-MP4/WebM/WARC/HTML bodies, not magic
+    // stubs), sniffed back from first bytes alone. Oracle = the class
+    // formula.
+    ("q178_media_sniff", (s: SparkSession, d: String) =>
+      graft.multimodal.Sniff.sniffBinary(s,
+        graft.multimodal.Sniff.syntheticMixedCorpus(s, Tables.documents(s, d))),
+    Some("""
+      SELECT doc_id,
+             CASE doc_id % 7 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'gif'
+                  WHEN 2 THEN 'wav' WHEN 3 THEN 'mp4' WHEN 4 THEN 'webm'
+                  WHEN 5 THEN 'warc' ELSE 'html' END AS format
+      FROM documents""")),
+
+    // CRAWL FRONT-END CAPSTONE — the stages chained end to end exactly
+    // as a real ingest runs them: render pages (text → entity-escaped
+    // HTML with chrome), pack into WARC blobs, walk the blobs back,
+    // extract main content through the link-density gate, then the
+    // Gopher rule verdict on the EXTRACTED text plus the registrable
+    // domain of the WARC target URI. Because every stage is lossless on
+    // the main path, the oracle derives it all from ground truth: the
+    // md5 proves byte-exact text survival through render → WARC → walk →
+    // extract; the Gopher stats replay q170's arithmetic on the raw
+    // text; the domain folds the h{id%13} subdomains to one registrable
+    // domain.
+    ("q179_crawl_extract_pipeline", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val pages = graft.operators.HtmlExtract.syntheticHtmlCorpus(s, docs)
+      val files = graft.io.WarcIngest.syntheticWarcFiles(s,
+        pages.select(col("doc_id"), col("html").as("text")), nFiles = 16)
+      val fetched = graft.io.WarcIngest.warcResponsesBinary(s, files)
+      val main = graft.operators.HtmlExtract.extractMainContent(s,
+        fetched.select(col("doc_id"), col("payload")), "doc_id", "payload")
+      val verdict = graft.operators.QualityGate.gopherRules(
+        main.select(col("doc_id"), col("main_text").as("text")),
+        "doc_id", "text", minWords = 15, maxWords = 100000, minStopWords = 2)
+      val sidecar = main
+        .join(fetched.select(col("doc_id"), col("target_uri")), Seq("doc_id"))
+        .select(col("doc_id"), md5(col("main_text")).as("main_md5"),
+          graft.operators.UrlOps.registrableDomain(
+            graft.operators.UrlOps.hostOf(col("target_uri"))).as("domain"))
+      verdict.select(col("doc_id"), col("n_words"), col("gopher_pass"))
+        .join(sidecar, Seq("doc_id"))
+        .select(col("doc_id"), col("domain"), col("n_words"),
+          col("gopher_pass"), col("main_md5"))
+    }, Some("""
+      WITH w AS (SELECT doc_id, text,
+                        string_split_regex(text, '\s+') AS w FROM documents),
+      s AS (SELECT doc_id, text,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   round(list_sum(list_transform(w,
+                           x -> CAST(len(x) AS DOUBLE))) / len(w), 4)
+                     AS mean_word_len,
+                   round(len(list_filter(w,
+                           x -> contains(x, '#') OR contains(x, '...')))
+                         * 1.0 / len(w), 4) AS symbol_ratio,
+                   round(len(list_filter(w,
+                           x -> regexp_matches(x, '[A-Za-z]')))
+                         * 1.0 / len(w), 4) AS alpha_frac,
+                   CAST(len(list_filter(w,
+                           x -> x IN ('the','be','to','of','and','that',
+                                      'have','with'))) AS BIGINT)
+                     AS n_stop_words
+            FROM w)
+      SELECT doc_id, 'example.com' AS domain, n_words,
+             (n_words >= 15 AND n_words <= 100000
+              AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+              AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+              AND n_stop_words >= 2) AS gopher_pass,
+             md5(text) AS main_md5
+      FROM s""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

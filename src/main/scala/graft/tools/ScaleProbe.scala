@@ -90,7 +90,30 @@ object ScaleProbe {
     // the two bucket-keyed aggs and the doc-keyed sum (q162 shape)
     ("dsir_weights", () =>
       graft.operators.Sampling.dsirWeights(docs,
-        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text").count()))
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text").count()),
+    // Bloom-prefiltered twin of the `decontaminate` row (same bench
+    // slice, same n): the ratio between the two rows at each k is the
+    // prefilter's dividend; growth must stay the exact row's or better
+    ("bloom_decon", () =>
+      graft.operators.Decontaminate.bloomContaminationReport(
+        docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        n = 8, mBits = 1L << 20, k = 5).count()),
+    // WARC build+walk round-trip: 64 blobs regardless of k, so blob SIZE
+    // grows with the corpus — parse throughput per task is what's probed
+    // (the crawl-file contract: tasks own whole files)
+    ("warc_pipeline", () => {
+      val s = docs.sparkSession
+      graft.io.WarcIngest.warcResponsesBinary(s,
+        graft.io.WarcIngest.syntheticWarcFiles(s, docs, nFiles = 64)).count()
+    }),
+    // HTML render+extract: two map-only stages, no shuffle — the
+    // per-page tag-walk throughput curve
+    ("html_extract", () => {
+      val s = docs.sparkSession
+      graft.operators.HtmlExtract.extractMainContent(s,
+        graft.operators.HtmlExtract.syntheticHtmlCorpus(s, docs),
+        "doc_id", "html").count()
+    }))
 
   /** K vocabulary-disjoint embedding shards: ids offset collision-free,
     * replicas scaled by (1 + i/100) — a deterministic perturbation that
