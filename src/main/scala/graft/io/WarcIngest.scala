@@ -60,8 +60,13 @@ object WarcIngest {
 
   /** One WARC file: a warcinfo record (exercises type skipping in every
     * parse) followed by a response record per document, id order.
+    * `uriOf` overrides the target URI per id (default: the fixture
+    * formula the q175/q176 oracles derive from) — crawl-dedup fixtures
+    * need re-fetches of ONE resource under different ids.
     */
-  def buildWarcFile(fileId: Long, docs: Seq[(Long, String)]): Array[Byte] = {
+  def buildWarcFile(fileId: Long, docs: Seq[(Long, String)],
+      uriOf: Long => String = id => s"https://h${id % 13}.example.com/d/$id")
+      : Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(record(Seq(
       "WARC-Type" -> "warcinfo",
@@ -72,7 +77,7 @@ object WarcIngest {
       out.write(record(Seq(
         "WARC-Type" -> "response",
         "WARC-Record-ID" -> s"<urn:graft:$id>",
-        "WARC-Target-URI" -> s"https://h${id % 13}.example.com/d/$id",
+        "WARC-Target-URI" -> uriOf(id),
         "Content-Type" -> "application/http; msgtype=response"),
         httpBlock(text)))
     }

@@ -186,6 +186,122 @@ object HtmlExtract {
     out.toSeq
   }
 
+  /** Attributes of one tag body (name stripped): `key="v"` / `key='v'` /
+    * bare `key=v` / valueless flags, keys lowercased. Quote-aware so a
+    * '>' never reaches here split mid-value in practice and spaces
+    * inside quoted values survive.
+    */
+  private[operators] def parseAttrs(body: String): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    val n = body.length
+    while (i < n) {
+      while (i < n && (body.charAt(i).isWhitespace || body.charAt(i) == '/')) i += 1
+      val ks = i
+      while (i < n && !body.charAt(i).isWhitespace &&
+        body.charAt(i) != '=' && body.charAt(i) != '/') i += 1
+      val key = body.substring(ks, i).toLowerCase
+      while (i < n && body.charAt(i).isWhitespace) i += 1
+      if (i < n && body.charAt(i) == '=') {
+        i += 1
+        while (i < n && body.charAt(i).isWhitespace) i += 1
+        if (i < n && (body.charAt(i) == '"' || body.charAt(i) == '\'')) {
+          val q = body.charAt(i); i += 1
+          val vs = i
+          while (i < n && body.charAt(i) != q) i += 1
+          if (key.nonEmpty) out(key) = body.substring(vs, i)
+          if (i < n) i += 1
+        } else {
+          val vs = i
+          while (i < n && !body.charAt(i).isWhitespace) i += 1
+          if (key.nonEmpty) out(key) = body.substring(vs, i)
+        }
+      } else if (key.nonEmpty) out(key) = ""
+    }
+    out.toMap
+  }
+
+  /** Page-level metadata: `<title>` text (entity-decoded), the
+    * description `<meta>` content, and the page's total `<a>` count
+    * (chrome INCLUDED — link count is a page feature, not a content
+    * feature; nav-heavy pages are what it flags). One scan, same
+    * comment/raw-text skipping as [[blocks]].
+    */
+  final case class PageMeta(title: Option[String], metaDesc: Option[String],
+      nLinks: Int)
+
+  def pageMeta(html: String): PageMeta = {
+    var title: Option[String] = None
+    var desc: Option[String] = None
+    var links = 0
+    var i = 0
+    val n = html.length
+    val lower = html.toLowerCase
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { i = n }
+      else if (html.startsWith("<!--", lt)) {
+        val e = html.indexOf("-->", lt + 4)
+        i = if (e < 0) n else e + 3
+      } else {
+        val gt = html.indexOf('>', lt)
+        if (gt < 0) { i = n }
+        else {
+          val raw = html.substring(lt + 1, gt).trim
+          val closing = raw.startsWith("/")
+          val body = (if (closing) raw.drop(1) else raw).trim
+          val name = body.takeWhile(ch => !ch.isWhitespace && ch != '/').toLowerCase
+          i = gt + 1
+          if (!closing) name match {
+            case "a" => links += 1
+            case "title" if title.isEmpty =>
+              val close = lower.indexOf("</title", i)
+              if (close > i) {
+                // RCDATA: entities decode, tags don't nest
+                val sb = new StringBuilder
+                var j = i
+                while (j < close) {
+                  if (html.charAt(j) == '&') {
+                    val semi = html.indexOf(';', j)
+                    val d = if (semi > j && semi - j <= 10)
+                      decodeEntity(html.substring(j + 1, semi)) else None
+                    d match {
+                      case Some(s) => sb ++= s; j = semi + 1
+                      case None    => sb += '&'; j += 1
+                    }
+                  } else { sb += html.charAt(j); j += 1 }
+                }
+                title = Some(sb.toString)
+                i = close
+              }
+            case "meta" =>
+              val attrs = parseAttrs(body.drop(name.length))
+              if (attrs.get("name").exists(_.equalsIgnoreCase("description"))
+                && desc.isEmpty) desc = attrs.get("content")
+            case "script" | "style" =>
+              val close = lower.indexOf(s"</$name", i)
+              i = if (close < 0) n
+              else { val g = html.indexOf('>', close); if (g < 0) n else g + 1 }
+            case _ => ()
+          }
+        }
+      }
+    }
+    PageMeta(title, desc, links)
+  }
+
+  /** Distributed page-metadata stage: (id, title, meta_desc, n_links). */
+  def pageMetaContent(spark: SparkSession, pages: DataFrame, idCol: String,
+      htmlCol: String): DataFrame = {
+    import spark.implicits._
+    pages.select(col(idCol).cast("long"), col(htmlCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, html) =>
+        val m = pageMeta(html)
+        (id, m.title.orNull, m.metaDesc.orNull, m.nLinks)
+      })
+      .toDF(idCol, "title", "meta_desc", "n_links")
+  }
+
   /** Main text of a page: blocks surviving the link-density gate, joined
     * with newlines. Returns (main_text, n_kept, n_dropped); whitespace-
     * only container flushes never existed as blocks, so the counts
@@ -212,7 +328,9 @@ object HtmlExtract {
       .mapPartitions(_.map { case (id, text) =>
         val paras = text.split("\n", -1)
         val sb = new StringBuilder
-        sb ++= s"<html><head><title>Doc $id</title><style>.m{color:#000}</style>"
+        sb ++= s"<html><head><title>Doc $id</title>"
+        sb ++= s"""<meta name="description" content="Summary of document $id">"""
+        sb ++= "<style>.m{color:#000}</style>"
         sb ++= "<script>var x=1;if(x<2){x=3}</script></head><body>"
         sb ++= "<nav><a href=\"/\">Home</a><a href=\"/about\">About</a>" +
           "<a href=\"/contact\">Contact</a></nav><div id=\"main\">"

@@ -695,6 +695,41 @@ object PipelineQueries {
               AND n_stop_words >= 2) AS gopher_pass,
              md5(text) AS main_md5
       FROM s""")),
+
+    // PAGE METADATA (the head-side complement of q177's body
+    // extraction): title (RCDATA, entity-decoded), description meta
+    // content through the quote-aware attribute parser, and the page's
+    // total link count (chrome included — nav-heavy pages are what the
+    // feature flags). The synthesized chrome makes every field a
+    // formula: 'Doc N', 'Summary of document N', and 3 nav + 2 related +
+    // 1 footer = 6 links.
+    ("q180_html_meta", (s: SparkSession, d: String) => {
+      val pages = graft.operators.HtmlExtract.syntheticHtmlCorpus(
+        s, Tables.documents(s, d))
+      graft.operators.HtmlExtract.pageMetaContent(s, pages, "doc_id", "html")
+    }, Some("""
+      SELECT doc_id,
+             'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+             'Summary of document ' || CAST(doc_id AS VARCHAR) AS meta_desc,
+             CAST(6 AS INTEGER) AS n_links
+      FROM documents""")),
+
+    // CHARSET DETECTION + DECODE (between the WARC payload's octets and
+    // any text operator — crawl pipelines sniff bytes because HTTP
+    // headers lie): BOM wins, else strict UTF-8 validation, else the
+    // Latin-1 fallback. A three-way mixed-encoding corpus (bare UTF-8,
+    // BOM'd UTF-16LE/BE — all lossless) decodes back; the oracle checks
+    // the detected class by formula and byte-exact text recovery by md5.
+    ("q181_charset_decode", (s: SparkSession, d: String) =>
+      graft.io.CharsetDetect.decodeBinary(s,
+        graft.io.CharsetDetect.syntheticEncodedCorpus(s, Tables.documents(s, d)))
+        .select(col("doc_id"), col("charset"), md5(col("text")).as("text_md5")),
+    Some("""
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+                  ELSE 'utf-16be' END AS charset,
+             md5(text) AS text_md5
+      FROM documents""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

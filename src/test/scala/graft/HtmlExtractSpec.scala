@@ -49,6 +49,25 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(main("<!DOCTYPE html><body><!-- <p>no</p> --><p>yes</p></body>") === "yes")
   }
 
+  test("pageMeta: title RCDATA, quoted attrs, link count incl. chrome") {
+    val html = "<html><head><title>A &amp; B</title>" +
+      "<meta name='description' content=\"desc with spaces\">" +
+      "<script>var t='<title>no</title>'</script></head>" +
+      "<body><nav><a href='/'>x</a></nav><p><a>y</a></p>" +
+      "<!-- <a>comment link</a> --></body></html>"
+    val m = HtmlExtract.pageMeta(html)
+    assert(m.title === Some("A & B"))
+    assert(m.metaDesc === Some("desc with spaces"))
+    assert(m.nLinks === 2)
+  }
+
+  test("pageMeta: absent fields are None; bare attr values parse") {
+    val m = HtmlExtract.pageMeta("<body><meta name=description content=one></body>")
+    assert(m.title === None)
+    assert(m.metaDesc === Some("one"))
+    assert(m.nLinks === 0)
+  }
+
   test("builder ∘ extractor is the identity on corpus text") {
     val texts = Seq("one line", "two\nlines", "trailing\n", "", "a & b < c",
       "unicode — déjà ✓\nsecond")
