@@ -730,6 +730,39 @@ object PipelineQueries {
                   ELSE 'utf-16be' END AS charset,
              md5(text) AS text_md5
       FROM documents""")),
+
+    // ROBOTS.TXT ACCESS EVALUATION (RFC 9309 — the politeness gate ahead
+    // of every fetch): one site policy whose rules exercise specific-
+    // group selection (graftbot's group vs `*`, never merged), wildcard
+    // and `$`-anchored patterns, longest-match precedence with Allow
+    // beating Disallow, and the no-match default-allow. ua alternates,
+    // the path class cycles over five shapes hitting every rule, so the
+    // oracle replays each verdict by formula — a regression anywhere in
+    // parse, group choice, match, or precedence flips a verdict class
+    // and hash-mismatches.
+    ("q182_robots_gate", (s: SparkSession, d: String) =>
+      graft.operators.Robots.evalBinary(s,
+        graft.operators.Robots.syntheticRobotsCorpus(s, Tables.documents(s, d))),
+    Some("""
+      SELECT doc_id,
+             CASE doc_id % 2 WHEN 0 THEN 'GraftBot' ELSE 'FetchKit' END AS ua,
+             CASE doc_id % 5
+               WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/private/pub' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/files/r' || CAST(doc_id AS VARCHAR) || '.pdf'
+               WHEN 3 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+               ELSE '/index' || CAST(doc_id AS VARCHAR) || '.html' END AS path,
+             CASE WHEN doc_id % 2 = 0 THEN
+               CASE doc_id % 5 WHEN 0 THEN false WHEN 2 THEN false
+                    ELSE true END
+             ELSE doc_id % 5 <> 3 END AS allowed,
+             CASE WHEN doc_id % 2 = 0 THEN
+               CASE doc_id % 5 WHEN 0 THEN '/private/'
+                    WHEN 1 THEN '/private/pub*' WHEN 2 THEN '/*.pdf$'
+                    ELSE '' END
+             ELSE CASE doc_id % 5 WHEN 3 THEN '/tmp/' ELSE '/' END
+             END AS rule
+      FROM documents""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

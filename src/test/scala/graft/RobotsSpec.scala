@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.Robots
+import graft.operators.Robots.Rule
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for RFC 9309 robots evaluation: tolerant parsing (comments,
+  * case-insensitive fields, consecutive User-agent lines sharing a group,
+  * empty Disallow contributing no rule, group closure once rules start),
+  * the wildcard/anchor path matcher, specific-group-over-`*` selection
+  * without merging, longest-match precedence with Allow beating Disallow
+  * on ties, the no-match default-allow, and the distributed verdict
+  * frame agreeing with the scalar evaluator row by row.
+  */
+class RobotsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val policy =
+    """# comment line
+      |USER-AGENT: GraftBot   # trailing comment
+      |Disallow: /private/
+      |Allow: /private/pub*
+      |disallow: /*.pdf$
+      |
+      |User-agent: a
+      |User-agent: b
+      |Disallow: /shared/
+      |
+      |User-agent: *
+      |Disallow:
+      |Disallow: /tmp/
+      |Allow: /
+      |Unknown-field: ignored
+      |""".stripMargin
+
+  test("parse: groups, comments, case-insensitive fields, shared UA run") {
+    val g = Robots.parseRobots(policy)
+    assert(g("graftbot") === Seq(Rule(false, "/private/"),
+      Rule(true, "/private/pub*"), Rule(false, "/*.pdf$")))
+    // consecutive User-agent lines share one rule block
+    assert(g("a") === g("b"))
+    assert(g("a") === Seq(Rule(false, "/shared/")))
+    // empty Disallow contributes no rule
+    assert(g("*") === Seq(Rule(false, "/tmp/"), Rule(true, "/")))
+  }
+
+  test("parse: a rule line closes the UA run; a later UA opens a new group") {
+    val g = Robots.parseRobots(
+      "User-agent: x\nDisallow: /a\nUser-agent: y\nDisallow: /b\n")
+    assert(g("x") === Seq(Rule(false, "/a")))
+    assert(g("y") === Seq(Rule(false, "/b")))
+  }
+
+  test("matches: prefix, wildcard spans, end anchor") {
+    assert(Robots.matches("/p", "/page"))
+    assert(!Robots.matches("/page", "/p"))
+    assert(Robots.matches("/*.pdf$", "/a/b/c.pdf"))
+    assert(!Robots.matches("/*.pdf$", "/a/b/c.pdfx"))
+    assert(Robots.matches("/a*c*e", "/abcde"))
+    assert(!Robots.matches("/a*c*e", "/abcd"))
+    assert(Robots.matches("/x$", "/x"))
+    assert(!Robots.matches("/x$", "/xy"))
+    // '*' may span zero octets; trailing '*' is a plain prefix
+    assert(Robots.matches("/a*b", "/ab"))
+    assert(Robots.matches("/a*", "/a"))
+  }
+
+  test("group selection: exact token over *, groups never merge") {
+    val g = Robots.parseRobots(policy)
+    // GraftBot's group has no /tmp/ rule — the * group must NOT leak in
+    val (allowed, rule) = Robots.evaluate(Robots.groupFor(g, "GraftBot"), "/tmp/x")
+    assert(allowed && rule === "")
+    // unknown agent falls back to *
+    val (a2, r2) = Robots.evaluate(Robots.groupFor(g, "NoSuchBot"), "/tmp/x")
+    assert(!a2 && r2 === "/tmp/")
+  }
+
+  test("precedence: longest pattern wins; Allow beats Disallow on ties") {
+    val g = Robots.parseRobots(policy)("graftbot")
+    assert(Robots.evaluate(g, "/private/doc1") === ((false, "/private/")))
+    assert(Robots.evaluate(g, "/private/pub1") === ((true, "/private/pub*")))
+    val tie = Seq(Rule(false, "/a/b"), Rule(true, "/a/c"), Rule(true, "/a/b"))
+    assert(Robots.evaluate(tie, "/a/b") === ((true, "/a/b")))
+    // no matching rule → allowed with empty rule
+    assert(Robots.evaluate(g, "/open") === ((true, "")))
+  }
+
+  test("distributed verdict frame agrees with the scalar evaluator") {
+    import spark.implicits._
+    val docs = spark.range(0, 40).select(
+      org.apache.spark.sql.functions.col("id").as("doc_id"),
+      org.apache.spark.sql.functions.lit("t").as("text"))
+    val rows = Robots.evalBinary(spark,
+        Robots.syntheticRobotsCorpus(spark, docs))
+      .as[(Long, String, String, Boolean, String)].collect()
+    assert(rows.length === 40)
+    rows.foreach { case (id, ua, path, allowed, rule) =>
+      val g = Robots.parseRobots(Robots.fixturePolicy)
+      val (a, r) = Robots.evaluate(Robots.groupFor(g, ua), path)
+      assert(a === allowed, s"doc $id")
+      assert(r === rule, s"doc $id")
+      // every path class appears and uas alternate
+      assert(path.contains(id.toString) || path == s"/index$id.html")
+      assert(ua === (if (id % 2 == 0) "GraftBot" else "FetchKit"))
+    }
+    // both verdict classes present in the fixture
+    assert(rows.exists(!_._4) && rows.exists(_._4))
+  }
+}
