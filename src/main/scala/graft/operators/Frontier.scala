@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL-frontier scheduling — the politeness stage between discovery
+  * ([[Sitemap]] explode, [[LinkGraph]] out-links) and fetch: a crawler
+  * may hit one host only every `delaySec` seconds (robots crawl-delay /
+  * default politeness), so the frontier orders each host's queue by
+  * descending priority and assigns slot k the fetch offset k·delaySec.
+  * Deterministic tie-break by URL so replays schedule identically.
+  *
+  * Scale shape: ONE shuffle keyed by host (the scheduler's intrinsic
+  * partitioning — per-host queues are sequential by definition), then a
+  * per-partition window walk; no global sort, no driver state. Host
+  * skew (one domain with millions of URLs) stays a single partition's
+  * sequential queue — which is exactly the politeness semantics: a
+  * million-URL host IS fetched serially, the skew is the schedule.
+  */
+object Frontier {
+
+  /** (input columns…, host, slot, offset_sec): slot = position in the
+    * host's priority-ordered queue (0-based), offset_sec = slot·delay.
+    */
+  def schedule(links: DataFrame, urlCol: String, priorityCol: String,
+      delaySec: Double): DataFrame = {
+    val w = Window.partitionBy("host")
+      .orderBy(col(priorityCol).desc, col(urlCol))
+    links.withColumn("host", UrlOps.hostOf(col(urlCol)))
+      .withColumn("slot", row_number().over(w).cast("long") - 1)
+      .withColumn("offset_sec", col("slot") * lit(delaySec))
+  }
+
+  /** Adaptive revisit policy (Cho & Garcia-Molina): from a fetch history
+    * of (url, fetch_seq, content_hash), estimate each URL's change rate
+    * — the fraction of consecutive fetch pairs whose hash differed — and
+    * schedule the next interval as baseHours/(1+9·rate), parity-rounded:
+    * a never-changing page waits the full base, a page changing every
+    * fetch waits base/10. Output one row per URL:
+    * (url, n_fetches, n_changes, change_rate, next_interval_hours).
+    *
+    * Scale shape: one shuffle keyed by URL serving both the lag walk and
+    * the aggregation (the window's partitioning is reused by the
+    * groupBy — no second shuffle); output is URLs-sized.
+    */
+  /** Deterministic fetch-history fixture over the documents table: four
+    * fetches per URL whose content hash changes every 1+doc_id%4 fetches
+    * — so the corpus spans change-every-fetch (rate 1), two mid rates,
+    * and never-changes (rate 0), and the oracle replays the hash stream
+    * by formula.
+    */
+  def syntheticFetchHistory(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("url", concat(lit("https://h"), col("doc_id") % 13,
+        lit(".example.com/d/"), col("doc_id")))
+      .withColumn("fetch_seq",
+        explode(array(lit(0), lit(1), lit(2), lit(3))))
+      .withColumn("k", (col("doc_id") % 4 + 1).cast("int"))
+      .withColumn("content_hash", md5(concat(col("text"), lit("#"),
+        (col("fetch_seq") / col("k")).cast("int"))))
+      .select("doc_id", "url", "fetch_seq", "content_hash")
+
+  def adaptiveSchedule(history: DataFrame, urlCol: String, seqCol: String,
+      hashCol: String, baseHours: Double): DataFrame = {
+    val w = Window.partitionBy(col(urlCol)).orderBy(col(seqCol))
+    val prev = lag(col(hashCol), 1).over(w)
+    val changed = when(prev.isNull, lit(0))
+      .when(col(hashCol) === prev, lit(0)).otherwise(lit(1))
+    history
+      .withColumn("chg", changed)
+      .groupBy(col(urlCol))
+      .agg(count(lit(1)).as("n_fetches"),
+        sum(col("chg")).as("n_changes"))
+      .withColumn("change_rate",
+        graft.functions.ColumnFunctions.pround(
+          col("n_changes") / (col("n_fetches") - 1), 4))
+      .withColumn("next_interval_hours",
+        graft.functions.ColumnFunctions.pround(
+          lit(baseHours) / (lit(1.0) + lit(9.0) * col("n_changes") /
+            (col("n_fetches") - 1)), 2))
+  }
+}

@@ -763,6 +763,176 @@ object PipelineQueries {
              ELSE CASE doc_id % 5 WHEN 3 THEN '/tmp/' ELSE '/' END
              END AS rule
       FROM documents""")),
+
+    // SITEMAP PARSE (sitemaps.org — the discovery side of the crawl
+    // front-end, feeding the URL frontier the robots gate then filters):
+    // each doc renders a urlset of 1+doc_id%4 formula entries (locs
+    // carrying a query string whose '&' is entity-escaped in the XML, so
+    // the hash proves the decode round-trip; lastmod/changefreq/priority
+    // cycle by entry index) and the tolerant tag walk explodes it back.
+    // The oracle regenerates every exploded row from the same formulas.
+    ("q183_sitemap_parse", (s: SparkSession, d: String) =>
+      graft.operators.Sitemap.parseBinary(s,
+        graft.operators.Sitemap.syntheticSitemapCorpus(s, Tables.documents(s, d))),
+    Some("""
+      WITH e AS (SELECT doc_id,
+                        CAST(unnest(generate_series(0,
+                          CAST(doc_id % 4 AS INT))) AS INT) AS j
+                 FROM documents)
+      SELECT doc_id, j AS seq, 'url' AS kind,
+             'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/d/' ||
+               CAST(doc_id AS VARCHAR) || '/p' || CAST(j AS VARCHAR) ||
+               '?q=a&r=' || CAST(j AS VARCHAR) AS loc,
+             '2024-' || lpad(CAST(1 + j % 12 AS VARCHAR), 2, '0') || '-' ||
+               lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod,
+             CASE j % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                  ELSE 'monthly' END AS changefreq,
+             (10 - j) / 10.0 AS priority
+      FROM e""")),
+
+    // OUT-LINK EXTRACTION (the link-graph feed between HTML ingest and
+    // PageRank/anchor retrieval): every synthesized page carries exactly
+    // six anchors — 3 nav, 2 related-article, 1 footer — with formula
+    // hrefs and anchor texts; the tag walk extracts them in document
+    // order and resolves each against the page's WARC-formula base URI
+    // (host-relative '/x' paths → the page's host). The oracle
+    // regenerates all six resolved rows per doc.
+    ("q184_outlinks", (s: SparkSession, d: String) => {
+      val pages = graft.operators.HtmlExtract.syntheticHtmlCorpus(
+        s, Tables.documents(s, d))
+        .withColumn("base_uri", concat(lit("https://h"),
+          col("doc_id") % 13, lit(".example.com/d/"), col("doc_id")))
+      graft.operators.LinkGraph.outLinksBinary(
+        s, pages, "doc_id", "html", "base_uri")
+    }, Some("""
+      WITH e AS (SELECT doc_id,
+                        CAST(unnest(generate_series(0, 5)) AS INT) AS seq
+                 FROM documents)
+      SELECT doc_id, seq,
+             'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' ||
+               CASE seq WHEN 0 THEN '/' WHEN 1 THEN '/about'
+                    WHEN 2 THEN '/contact'
+                    WHEN 3 THEN '/p/' || CAST(doc_id AS VARCHAR) || 'a'
+                    WHEN 4 THEN '/p/' || CAST(doc_id AS VARCHAR) || 'b'
+                    ELSE '/terms' END AS target,
+             CASE seq WHEN 0 THEN 'Home' WHEN 1 THEN 'About'
+                  WHEN 2 THEN 'Contact'
+                  WHEN 3 THEN 'Related article number ' ||
+                              CAST(doc_id AS VARCHAR) || ' part one'
+                  WHEN 4 THEN 'Related article number ' ||
+                              CAST(doc_id AS VARCHAR) || ' part two'
+                  ELSE 'Terms' END AS anchor
+      FROM e""")),
+
+    // ANCHOR-TEXT INDEX (the retrieval signal built FROM the link graph:
+    // per resolved target, in-link count, distinct referring pages,
+    // distinct anchor strings, and the lexicographically-first
+    // representative anchor). Chrome targets aggregate one row per host
+    // shard (all docs with the same doc_id%13), article targets stay
+    // singletons — the oracle replays the same GROUP BY over the
+    // formula-generated link rows. One corpus-wide hash agg, map-side
+    // partials, output targets-sized.
+    ("q185_anchor_index", (s: SparkSession, d: String) => {
+      val pages = graft.operators.HtmlExtract.syntheticHtmlCorpus(
+        s, Tables.documents(s, d))
+        .withColumn("base_uri", concat(lit("https://h"),
+          col("doc_id") % 13, lit(".example.com/d/"), col("doc_id")))
+      graft.operators.LinkGraph.anchorIndex(
+        graft.operators.LinkGraph.outLinksBinary(
+          s, pages, "doc_id", "html", "base_uri"), "doc_id")
+    }, Some("""
+      WITH e AS (SELECT doc_id,
+                        CAST(unnest(generate_series(0, 5)) AS INT) AS seq
+                 FROM documents),
+      l AS (SELECT doc_id,
+             'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' ||
+               CASE seq WHEN 0 THEN '/' WHEN 1 THEN '/about'
+                    WHEN 2 THEN '/contact'
+                    WHEN 3 THEN '/p/' || CAST(doc_id AS VARCHAR) || 'a'
+                    WHEN 4 THEN '/p/' || CAST(doc_id AS VARCHAR) || 'b'
+                    ELSE '/terms' END AS target,
+             CASE seq WHEN 0 THEN 'Home' WHEN 1 THEN 'About'
+                  WHEN 2 THEN 'Contact'
+                  WHEN 3 THEN 'Related article number ' ||
+                              CAST(doc_id AS VARCHAR) || ' part one'
+                  WHEN 4 THEN 'Related article number ' ||
+                              CAST(doc_id AS VARCHAR) || ' part two'
+                  ELSE 'Terms' END AS anchor
+            FROM e)
+      SELECT target, count(*) AS n_refs,
+             count(DISTINCT doc_id) AS n_pages,
+             count(DISTINCT anchor) AS n_anchors,
+             min(anchor) AS rep_anchor
+      FROM l GROUP BY target""")),
+
+    // FRONTIER SCHEDULING (politeness: one fetch per host per 5 s):
+    // the sitemap-exploded URLs queue per host ordered by priority
+    // descending (URL tie-break), slot k fetches at offset 5k. One
+    // shuffle keyed by host — per-host queues are sequential by
+    // definition, so the window partitioning IS the semantics. The
+    // oracle replays the explode and the same window arithmetic.
+    ("q186_frontier_schedule", (s: SparkSession, d: String) =>
+      graft.operators.Frontier.schedule(
+        graft.operators.Sitemap.parseBinary(s,
+          graft.operators.Sitemap.syntheticSitemapCorpus(
+            s, Tables.documents(s, d))),
+        "loc", "priority", delaySec = 5.0)
+        .select(col("doc_id"), col("seq"), col("loc"), col("host"),
+          col("slot"), col("offset_sec")),
+    Some("""
+      WITH e AS (SELECT doc_id,
+                        CAST(unnest(generate_series(0,
+                          CAST(doc_id % 4 AS INT))) AS INT) AS j
+                 FROM documents),
+      l AS (SELECT doc_id, j AS seq,
+             'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/d/' ||
+               CAST(doc_id AS VARCHAR) || '/p' || CAST(j AS VARCHAR) ||
+               '?q=a&r=' || CAST(j AS VARCHAR) AS loc,
+             'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host,
+             (10 - j) / 10.0 AS priority
+            FROM e)
+      SELECT doc_id, seq, loc, host,
+             CAST(row_number() OVER (PARTITION BY host
+               ORDER BY priority DESC, loc) - 1 AS BIGINT) AS slot,
+             (row_number() OVER (PARTITION BY host
+               ORDER BY priority DESC, loc) - 1) * 5.0 AS offset_sec
+      FROM l""")),
+
+    // ADAPTIVE RECRAWL (Cho & Garcia-Molina revisit policy): from a
+    // four-fetch history per URL whose content hash flips every
+    // 1+doc_id%4 fetches (the corpus spans rate 1 → rate 0), estimate
+    // the change rate from consecutive-pair hash diffs and schedule
+    // next_interval = 24h/(1+9·rate). One URL-keyed shuffle serves both
+    // the lag walk and the aggregation. The oracle replays the hash
+    // stream by formula and the same window + groupBy arithmetic.
+    ("q187_recrawl_policy", (s: SparkSession, d: String) =>
+      graft.operators.Frontier.adaptiveSchedule(
+        graft.operators.Frontier.syntheticFetchHistory(Tables.documents(s, d)),
+        "url", "fetch_seq", "content_hash", baseHours = 24.0),
+    Some("""
+      WITH h AS (SELECT doc_id, text,
+                        'https://h' || CAST(doc_id % 13 AS VARCHAR) ||
+                          '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+                        CAST(unnest(generate_series(0, 3)) AS INT) AS j,
+                        CAST(1 + doc_id % 4 AS INT) AS k
+                 FROM documents),
+      c AS (SELECT url, j,
+                   md5(text || '#' || CAST(j // k AS VARCHAR)) AS hash
+            FROM h),
+      g AS (SELECT url, hash,
+                   lag(hash) OVER (PARTITION BY url ORDER BY j) AS prev
+            FROM c)
+      SELECT url, count(*) AS n_fetches,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND hash <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+             round(sum(CASE WHEN prev IS NOT NULL AND hash <> prev
+                            THEN 1 ELSE 0 END) * 1.0 / (count(*) - 1), 4)
+               AS change_rate,
+             round(24.0 / (1.0 + 9.0 *
+               sum(CASE WHEN prev IS NOT NULL AND hash <> prev
+                        THEN 1 ELSE 0 END) / (count(*) - 1)), 2)
+               AS next_interval_hours
+      FROM g GROUP BY url""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.{Frontier, Sitemap}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the politeness scheduler: per-host slots are a dense 0-based
+  * sequence, priority is non-increasing along each host's queue, the
+  * offset is slot·delay, ties break deterministically by URL, and a
+  * replay schedules identically.
+  */
+class FrontierSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def scheduled() = {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.range(0, 60).select(col("id").as("doc_id"),
+      org.apache.spark.sql.functions.lit("t").as("text"))
+    Frontier.schedule(
+      Sitemap.parseBinary(spark, Sitemap.syntheticSitemapCorpus(spark, docs)),
+      "loc", "priority", delaySec = 5.0)
+  }
+
+  test("per-host slots are dense, priority-ordered, offset = slot·delay") {
+    import spark.implicits._
+    val rows = scheduled()
+      .select("host", "slot", "priority", "offset_sec", "loc")
+      .as[(String, Long, Double, Double, String)].collect()
+    rows.groupBy(_._1).foreach { case (host, q) =>
+      val byProto = q.sortBy(_._2)
+      assert(byProto.map(_._2).toSeq === (0L until q.length).toSeq, host)
+      // priority never increases along the queue; URL breaks ties upward
+      byProto.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._5 < b._5), host)
+        case _ => ()
+      }
+      byProto.foreach(r => assert(r._4 === r._2 * 5.0))
+    }
+  }
+
+  test("replay schedules identically (deterministic tie-break)") {
+    val a = scheduled().orderBy("host", "slot").collect().toSeq
+    val b = scheduled().orderBy("host", "slot").collect().toSeq
+    assert(a === b)
+  }
+}
