@@ -486,4 +486,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(4000))
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
+
+  test("q182 robots gate is map-only: no exchange, join, or window") {
+    val p = plan("q182_robots_gate")
+    assert(!p.contains("Exchange"), p.take(4000))
+    assert(!p.contains("Join"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+  }
+
+  test("q185 anchor index: exactly the exact-multi-distinct two-phase — " +
+      "two target-prefixed exchanges of PARTIALLY-AGGREGATED rows, no join") {
+    // two countDistincts rewrite to Expand(gid) + two aggregations; both
+    // exchanges carry post-partial-agg rows (targets-sized ×3, never raw
+    // links), and extraction itself adds no exchange
+    val p = plan("q185_anchor_index")
+    assert(countOccurrences(p, "Exchange hashpartitioning") === 2, p.take(4000))
+    assert(p.contains("Expand"), p.take(4000))
+    assert(!p.contains("Join"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q186 frontier schedule: one host-keyed exchange serves the " +
+      "politeness window — no joins, nothing cartesian") {
+    val p = plan("q186_frontier_schedule")
+    assert(countOccurrences(p, "Exchange hashpartitioning") === 1, p.take(4000))
+    assert(p.contains("Window"), p.take(4000))
+    assert(!p.contains("Join"), p.take(4000))
+  }
+
+  test("q187 recrawl policy: the URL-keyed exchange is paid once — the " +
+      "lag window's partitioning is reused by the aggregation") {
+    val p = plan("q187_recrawl_policy")
+    assert(countOccurrences(p, "Exchange hashpartitioning") === 1, p.take(4000))
+    assert(p.contains("Window"), p.take(4000))
+    assert(!p.contains("Join"), p.take(4000))
+  }
 }
