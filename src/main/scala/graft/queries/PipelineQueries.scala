@@ -933,6 +933,32 @@ object PipelineQueries {
                         THEN 1 ELSE 0 END) / (count(*) - 1)), 2)
                AS next_interval_hours
       FROM g GROUP BY url""")),
+
+    // REDIRECT-CHAIN RESOLUTION (301/302 fetch rows → final destination
+    // by POINTER DOUBLING — ⌈log₂ 32⌉ = 5 self-joins resolve every chain
+    // up to 32 hops, never a per-hop loop): each doc owns a chain of
+    // 1+doc_id%4 fetch rows, so hop counts span 0..3 and every position
+    // resolves to the chain's terminal. The oracle derives (final_url,
+    // n_hops) from the position formula — any slip in the doubling
+    // composition (hop arithmetic, done propagation, dangling handling)
+    // shifts a count or endpoint and hash-mismatches.
+    ("q188_redirect_resolve", (s: SparkSession, d: String) =>
+      graft.operators.Redirects.resolve(
+        graft.operators.Redirects.syntheticFetchLog(s, Tables.documents(s, d)),
+        "url", "location"),
+    Some("""
+      WITH e AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS l,
+                        CAST(unnest(generate_series(0,
+                          CAST(doc_id % 4 AS INT))) AS INT) AS p
+                 FROM documents)
+      SELECT 'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/r/' ||
+               CAST(doc_id AS VARCHAR) || '/' || CAST(p AS VARCHAR) AS url,
+             'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/r/' ||
+               CAST(doc_id AS VARCHAR) || '/' || CAST(l AS VARCHAR)
+               AS final_url,
+             CAST(l - p AS BIGINT) AS n_hops,
+             true AS terminal
+      FROM e""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
