@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** robots.txt parsing + access evaluation (RFC 9309) — the crawl
@@ -136,6 +136,35 @@ object Robots {
         (id, policy, ua, path)
       })
       .toDF("doc_id", "robots_txt", "ua", "path")
+  }
+
+  /** RFC 9309 pattern → anchored Java regex: literal segments quoted,
+    * `*` spans any octets, trailing `$` keeps its anchor; the leading
+    * `^` makes the no-anchor case a prefix match, per the RFC.
+    */
+  private[graft] def toRegex(pattern: String): String = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    val body = pat.split("\\*", -1)
+      .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
+      .mkString(".*")
+    "^" + body + (if (anchored) "$" else "")
+  }
+
+  /** COMPILE a constant policy into a codegen'd boolean Column over a URL
+    * column — the deployment shape for a corpus-wide gate where the
+    * policy is known up front: rules sort by (length desc, Allow-first)
+    * once at plan time, so the longest-match precedence becomes a plain
+    * CASE chain whose first hit wins, and the whole gate stays inside
+    * whole-stage codegen (no UDF, no per-row parse).
+    */
+  def policyFilter(policy: String, ua: String, url: Column): Column = {
+    val rules = groupFor(parseRobots(policy), ua)
+    val path = UrlOps.pathOf(url)
+    rules.sortBy(r => (-r.pattern.length, !r.allow))
+      .foldRight(lit(true)) { (r, els) =>
+        when(path.rlike(toRegex(r.pattern)), lit(r.allow)).otherwise(els)
+      }
   }
 
   /** Distributed evaluation over (id, robots_txt, ua, path) rows: parse

@@ -959,6 +959,114 @@ object PipelineQueries {
              CAST(l - p AS BIGINT) AS n_hops,
              true AS terminal
       FROM e""")),
+
+    // STRUCTURED-DATA EXTRACTION (OpenGraph + schema.org JSON-LD — the
+    // metadata vocabularies a crawl mines before touching body text):
+    // each fixture head carries four og:* metas (plus a DUPLICATE
+    // og:title that must lose — first occurrence wins — and a case-mixed
+    // property name), a non-LD script that must not be captured, and one
+    // JSON-LD Article block. The og side is the tag scan; the JSON side
+    // is codegen'd get_json_object, never a hand parser. Oracle = the
+    // field formulas.
+    ("q189_structured_data", (s: SparkSession, d: String) =>
+      graft.operators.StructuredData.structuredBinary(s,
+        graft.operators.StructuredData.syntheticSocialCorpus(
+          s, Tables.documents(s, d)), "doc_id", "html"),
+    Some("""
+      SELECT doc_id,
+             'Doc ' || CAST(doc_id AS VARCHAR) AS og_title,
+             'article' AS og_type,
+             'https://h' || CAST(doc_id % 13 AS VARCHAR) ||
+               '.example.com/img/' || CAST(doc_id AS VARCHAR) || '.jpg'
+               AS og_image,
+             'https://h' || CAST(doc_id % 13 AS VARCHAR) ||
+               '.example.com/d/' || CAST(doc_id AS VARCHAR) AS og_url,
+             'Article' AS ld_type,
+             'Doc ' || CAST(doc_id AS VARCHAR) AS ld_headline,
+             CAST(100 + doc_id % 50 AS INTEGER) AS ld_word_count
+      FROM documents""")),
+
+    // FRONTIER-BUILD CAPSTONE — discovery to schedule, chained as a real
+    // crawler runs it: sitemap explode (priority-carrying) UNION the
+    // pages' extracted out-links (default priority 0.5, distinct), then
+    // the robots policy COMPILED into a codegen'd predicate (graftbot's
+    // group disallows /p/ — exactly the link-farm article URLs, which
+    // every page contributes two of), then per-host politeness slots.
+    // The oracle rebuilds the surviving candidate set from the formulas
+    // and replays the window. A slip anywhere — an entity not decoded, a
+    // resolution miss, the gate matching /p/ too broadly or narrowly, a
+    // tie-break drift — moves a slot and hash-mismatches.
+    ("q190_frontier_capstone", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val sm = graft.operators.Sitemap.parseBinary(s,
+        graft.operators.Sitemap.syntheticSitemapCorpus(s, docs))
+        .select(col("loc").as("url"), col("priority"))
+      val pages = graft.operators.HtmlExtract.syntheticHtmlCorpus(s, docs)
+        .withColumn("base_uri", concat(lit("https://h"), col("doc_id") % 13,
+          lit(".example.com/d/"), col("doc_id")))
+      val links = graft.operators.LinkGraph.outLinksBinary(
+          s, pages, "doc_id", "html", "base_uri")
+        .select(col("target").as("url"), lit(0.5).as("priority")).distinct()
+      val policy =
+        "User-agent: graftbot\nDisallow: /p/\n\nUser-agent: *\nDisallow: /\n"
+      val cand = sm.unionByName(links).where(
+        graft.operators.Robots.policyFilter(policy, "GraftBot", col("url")))
+      graft.operators.Frontier.schedule(cand, "url", "priority", 5.0)
+        .select(col("host"), col("url"), col("priority"), col("slot"),
+          col("offset_sec"))
+    }, Some("""
+      WITH e AS (SELECT doc_id,
+                        CAST(unnest(generate_series(0,
+                          CAST(doc_id % 4 AS INT))) AS INT) AS j
+                 FROM documents),
+      sm AS (SELECT
+               'https://h' || CAST(doc_id % 13 AS VARCHAR) ||
+                 '.example.com/d/' || CAST(doc_id AS VARCHAR) || '/p' ||
+                 CAST(j AS VARCHAR) || '?q=a&r=' || CAST(j AS VARCHAR) AS url,
+               (10 - j) / 10.0 AS priority,
+               'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host
+             FROM e),
+      ch AS (SELECT DISTINCT
+               'https://h' || CAST(doc_id % 13 AS VARCHAR) ||
+                 '.example.com' || p.path AS url,
+               0.5 AS priority,
+               'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host
+             FROM documents,
+                  (VALUES ('/'), ('/about'), ('/contact'), ('/terms'))
+                    p(path)),
+      u AS (SELECT * FROM sm UNION ALL SELECT * FROM ch)
+      SELECT host, url, priority,
+             CAST(row_number() OVER (PARTITION BY host
+               ORDER BY priority DESC, url) - 1 AS BIGINT) AS slot,
+             (row_number() OVER (PARTITION BY host
+               ORDER BY priority DESC, url) - 1) * 5.0 AS offset_sec
+      FROM u""")),
+
+    // CRAWL SNAPSHOT DIFF (the change report between two crawls: ONE
+    // full-outer join keyed by URL, verdict a codegen'd CASE over the
+    // hash pair): id%5==0 missing from the previous crawl → added,
+    // id%5==1 missing from the current → removed, id%3==0 bodies carry a
+    // v2 suffix → changed, rest unchanged. The oracle replays both
+    // snapshot constructions and the same outer-join classification.
+    ("q191_crawl_diff", (s: SparkSession, d: String) => {
+      val (prev, cur) = graft.operators.CrawlDiff.syntheticSnapshots(
+        s, Tables.documents(s, d))
+      graft.operators.CrawlDiff.diff(prev, cur, "url", "content_hash")
+    }, Some("""
+      WITH b AS (SELECT doc_id, text,
+                        'https://h' || CAST(doc_id % 13 AS VARCHAR) ||
+                          '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url
+                 FROM documents),
+      p AS (SELECT url, md5(text) AS prev_hash FROM b WHERE doc_id % 5 <> 0),
+      c AS (SELECT url, md5(text || CASE WHEN doc_id % 3 = 0 THEN 'v2'
+                                         ELSE '' END) AS cur_hash
+            FROM b WHERE doc_id % 5 <> 1)
+      SELECT coalesce(p.url, c.url) AS url, prev_hash, cur_hash,
+             CASE WHEN prev_hash IS NULL THEN 'added'
+                  WHEN cur_hash IS NULL THEN 'removed'
+                  WHEN prev_hash = cur_hash THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM p FULL OUTER JOIN c ON p.url = c.url""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

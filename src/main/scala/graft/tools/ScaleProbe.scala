@@ -113,6 +113,41 @@ object ScaleProbe {
       graft.operators.HtmlExtract.extractMainContent(s,
         graft.operators.HtmlExtract.syntheticHtmlCorpus(s, docs),
         "doc_id", "html").count()
+    }),
+    // link-graph build: render → out-link walk (map-only) → the
+    // target-keyed anchor aggregation — the one shuffle carries
+    // post-partial rows, so growth measures extraction throughput plus
+    // a targets-sized agg (q185 shape)
+    ("link_graph", () => {
+      val s = docs.sparkSession
+      val pages = graft.operators.HtmlExtract.syntheticHtmlCorpus(s, docs)
+        .withColumn("base_uri", concat(lit("https://h"),
+          col("doc_id") % 13, lit(".example.com/d/"), col("doc_id")))
+      graft.operators.LinkGraph.anchorIndex(
+        graft.operators.LinkGraph.outLinksBinary(
+          s, pages, "doc_id", "html", "base_uri"), "doc_id").count()
+    }),
+    // frontier build end to end (q190 shape): sitemap explode ∪
+    // distinct out-links → compiled robots gate (codegen'd CASE, no
+    // shuffle) → per-host politeness window — growth measures the
+    // discovery explode plus the host-keyed window walk
+    ("frontier", () => {
+      val s = docs.sparkSession
+      val sm = graft.operators.Sitemap.parseBinary(s,
+        graft.operators.Sitemap.syntheticSitemapCorpus(s, docs))
+        .select(col("loc").as("url"), col("priority"))
+      val pages = graft.operators.HtmlExtract.syntheticHtmlCorpus(s, docs)
+        .withColumn("base_uri", concat(lit("https://h"),
+          col("doc_id") % 13, lit(".example.com/d/"), col("doc_id")))
+      val links = graft.operators.LinkGraph.outLinksBinary(
+          s, pages, "doc_id", "html", "base_uri")
+        .select(col("target").as("url"), lit(0.5).as("priority")).distinct()
+      val policy =
+        "User-agent: graftbot\nDisallow: /p/\n\nUser-agent: *\nDisallow: /\n"
+      graft.operators.Frontier.schedule(
+        sm.unionByName(links).where(graft.operators.Robots.policyFilter(
+          policy, "GraftBot", col("url"))),
+        "url", "priority", 5.0).count()
     }))
 
   /** K vocabulary-disjoint embedding shards: ids offset collision-free,

@@ -85,6 +85,42 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.evaluate(g, "/open") === ((true, "")))
   }
 
+  test("compiled policyFilter agrees with the scalar evaluator on every " +
+      "fixture (ua, path) class") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for (ua <- Seq("GraftBot", "NoSuchBot")) {
+      val urls = (0 until 40).map { i =>
+        val path = Seq(s"/private/doc$i", s"/private/pub$i", s"/f/r$i.pdf",
+          s"/tmp/x$i", s"/index$i.html")(i % 5)
+        s"https://h${i % 13}.example.com$path"
+      }
+      val got = urls.toDF("url")
+        .withColumn("ok", Robots.policyFilter(Robots.fixturePolicy, ua,
+          col("url")))
+        .as[(String, Boolean)].collect().toMap
+      val g = Robots.groupFor(Robots.parseRobots(Robots.fixturePolicy), ua)
+      urls.foreach { u =>
+        val path = u.drop(u.indexOf('/', 8))
+        assert(got(u) === Robots.evaluate(g, path)._1, s"$ua $u")
+      }
+    }
+  }
+
+  test("toRegex: quoting keeps regex metachars literal; * and $ translate") {
+    // rlike = regex FIND, so ^-prefixed patterns are prefix matches
+    def hits(re: String, s: String) =
+      java.util.regex.Pattern.compile(re).matcher(s).find()
+    assert(hits(Robots.toRegex("/a/b.c"), "/a/b.c"))
+    assert(hits(Robots.toRegex("/a/b.c"), "/a/b.c/deeper"))
+    // '.' must not match as a wildcard
+    assert(!hits(Robots.toRegex("/a/b.c"), "/a/bXc"))
+    assert(hits(Robots.toRegex("/*.pdf$"), "/x/y.pdf"))
+    assert(!hits(Robots.toRegex("/*.pdf$"), "/x/y.pdfz"))
+    // unanchored pattern must still match only from the path START
+    assert(!hits(Robots.toRegex("/tmp/"), "/a/tmp/"))
+  }
+
   test("distributed verdict frame agrees with the scalar evaluator") {
     import spark.implicits._
     val docs = spark.range(0, 40).select(
