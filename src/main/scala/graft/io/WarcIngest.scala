@@ -200,6 +200,119 @@ object WarcIngest {
       .toDF("doc_id", "target_uri", "http_status", "content_length", "payload")
   }
 
+  final case class WetRecord(docId: Long, targetUri: String,
+      contentLength: Long, text: String)
+
+  /** One WET file (the text-only CONVERSION sibling of the response
+    * archive — what Common Crawl publishes as `.wet`): a warcinfo record
+    * followed by one `WARC-Type: conversion` record per document whose
+    * payload is the extracted plain text (UTF-8, no HTTP block), with
+    * `WARC-Refers-To` naming the response record it was converted from.
+    */
+  def buildWetFile(fileId: Long, docs: Seq[(Long, String, String)])
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:graft:wetinfo:$fileId>",
+      "Content-Type" -> "application/warc-fields"),
+      s"software: graft$CRLF".getBytes(ISO_8859_1)))
+    docs.sortBy(_._1).foreach { case (id, uri, text) =>
+      out.write(record(Seq(
+        "WARC-Type" -> "conversion",
+        "WARC-Record-ID" -> s"<urn:graft:wet:$id>",
+        "WARC-Refers-To" -> s"<urn:graft:$id>",
+        "WARC-Target-URI" -> uri,
+        "Content-Type" -> "text/plain"),
+        text.getBytes(UTF_8)))
+    }
+    out.toByteArray
+  }
+
+  /** Walk a WET blob's conversion records — the same Content-Length-only
+    * framing discipline as [[parseWarc]] (payloads containing "WARC/1.0"
+    * cannot desync it), non-conversion records skipped, drop-bad-record
+    * on truncation.
+    */
+  def parseWet(bytes: Array[Byte]): Seq[WetRecord] = {
+    val out = ArrayBuffer.empty[WetRecord]
+    var pos = 0
+    def line(): Option[String] = {
+      var i = pos
+      while (i + 1 < bytes.length &&
+        !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 >= bytes.length) None
+      else {
+        val s = new String(bytes, pos, i - pos, ISO_8859_1)
+        pos = i + 2
+        Some(s)
+      }
+    }
+    while (pos < bytes.length) {
+      while (pos + 1 < bytes.length && bytes(pos) == '\r' &&
+        bytes(pos + 1) == '\n') pos += 2
+      if (pos >= bytes.length) return out.toSeq
+      line() match {
+        case Some(v) if v.startsWith("WARC/") =>
+          val headers = scala.collection.mutable.Map.empty[String, String]
+          var h = line()
+          while (h.exists(_.nonEmpty)) {
+            val s = h.get
+            val c = s.indexOf(':')
+            if (c > 0) headers(s.substring(0, c).trim.toLowerCase) =
+              s.substring(c + 1).trim
+            h = line()
+          }
+          if (h.isEmpty) return out.toSeq
+          headers.get("content-length").flatMap(_.toLongOption) match {
+            case Some(n) if pos + n <= bytes.length =>
+              val payload =
+                java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt)
+              pos += n.toInt
+              if (headers.get("warc-type").contains("conversion")) {
+                for {
+                  id <- headers.get("warc-record-id")
+                    .map(_.stripPrefix("<urn:graft:wet:").stripSuffix(">"))
+                    .flatMap(_.toLongOption)
+                  uri <- headers.get("warc-target-uri")
+                } out += WetRecord(id, uri, n,
+                  new String(payload, UTF_8))
+              }
+            case _ => return out.toSeq
+          }
+        case Some(_) => ()
+        case None    => return out.toSeq
+      }
+    }
+    out.toSeq
+  }
+
+  /** The WET-side distributed pair of [[syntheticWarcFiles]] /
+    * [[warcResponsesBinary]]: group text rows into `nFiles` WET blobs,
+    * and walk a frame of blobs back into conversion rows. No shuffle on
+    * the read side; tasks own whole files.
+    */
+  def syntheticWetFiles(spark: SparkSession, docs: DataFrame,
+      nFiles: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 % nFiles)
+      .mapGroups((fid, it) => (fid, buildWetFile(fid, it.map { case (id, t) =>
+        (id, s"https://h${id % 13}.example.com/d/$id", t)
+      }.toSeq)))
+      .toDF("file_id", "payload")
+  }
+
+  def wetRecordsBinary(spark: SparkSession, files: DataFrame): DataFrame = {
+    import spark.implicits._
+    files.select(col("file_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (_, bytes) =>
+        parseWet(bytes).map(r =>
+          (r.docId, r.targetUri, r.contentLength, r.text))
+      })
+      .toDF("doc_id", "target_uri", "content_length", "text")
+  }
+
   /** CDX index over a frame of WARC blobs: one row per response record
     * with its SURT key and byte span — what a 100 TB crawl store serves
     * random access from (look up the SURT key, range-read

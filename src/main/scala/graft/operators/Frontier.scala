@@ -44,6 +44,23 @@ object Frontier {
     * the aggregation (the window's partitioning is reused by the
     * groupBy — no second shuffle); output is URLs-sized.
     */
+  /** [[schedule]] with PER-HOST delays (each domain's robots crawl-delay,
+    * compiled to a hosts-sized dim by [[Robots.crawlDelays]]): the dim
+    * BROADCASTS onto the queue — the corpus still shuffles exactly once,
+    * on host — and slot k fetches at k·delay(host), `default` for hosts
+    * the dim misses.
+    */
+  def scheduleWithDelays(links: DataFrame, urlCol: String,
+      priorityCol: String, delays: DataFrame, default: Double): DataFrame = {
+    val w = Window.partitionBy("host")
+      .orderBy(col(priorityCol).desc, col(urlCol))
+    links.withColumn("host", UrlOps.hostOf(col(urlCol)))
+      .join(broadcast(delays), Seq("host"), "left")
+      .withColumn("slot", row_number().over(w).cast("long") - 1)
+      .withColumn("offset_sec",
+        col("slot") * coalesce(col("delay_sec"), lit(default)))
+  }
+
   /** Deterministic fetch-history fixture over the documents table: four
     * fetches per URL whose content hash changes every 1+doc_id%4 fetches
     * — so the corpus spans change-every-fetch (rate 1), two mid rates,

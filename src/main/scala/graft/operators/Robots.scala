@@ -60,6 +60,53 @@ object Robots {
     out.toMap
   }
 
+  /** Per-UA `Crawl-delay` seconds (the de-facto extension every major
+    * crawler honors): same group walk as [[parseRobots]] — a delay line
+    * binds to the current UA run's groups; the LAST delay a group sees
+    * wins (the same last-wins the field has in practice).
+    */
+  def parseCrawlDelays(txt: String): Map[String, Double] = {
+    val out = scala.collection.mutable.Map.empty[String, Double]
+    var currentUas: List[String] = Nil
+    var inGroup = false
+    for (raw <- txt.linesIterator) {
+      val line = raw.split("#", 2)(0).trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val field = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        field match {
+          case "user-agent" =>
+            if (inGroup) { currentUas = Nil; inGroup = false }
+            currentUas = value.toLowerCase :: currentUas
+          case "crawl-delay" =>
+            inGroup = true
+            value.toDoubleOption.foreach(d =>
+              currentUas.foreach(u => out(u) = d))
+          case "allow" | "disallow" => inGroup = true
+          case _ => ()
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Compile (host, robots_txt) rows into the hosts-sized delay dim a
+    * scheduler broadcasts: the UA's group delay, `*`'s otherwise,
+    * `default` when the policy names none.
+    */
+  def crawlDelays(spark: SparkSession, df: DataFrame, hostCol: String,
+      txtCol: String, ua: String, default: Double): DataFrame = {
+    import spark.implicits._
+    val uaLower = ua.toLowerCase
+    df.select(col(hostCol).cast("string"), col(txtCol)).as[(String, String)]
+      .mapPartitions(_.map { case (host, txt) =>
+        val delays = parseCrawlDelays(txt)
+        (host, delays.getOrElse(uaLower, delays.getOrElse("*", default)))
+      })
+      .toDF("host", "delay_sec")
+  }
+
   /** RFC 9309 path match: `*` spans any octets, trailing `$` anchors. */
   def matches(pattern: String, path: String): Boolean = {
     val anchored = pattern.endsWith("$")

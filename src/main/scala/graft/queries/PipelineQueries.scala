@@ -1067,6 +1067,71 @@ object PipelineQueries {
                   WHEN prev_hash = cur_hash THEN 'unchanged'
                   ELSE 'changed' END AS status
       FROM p FULL OUTER JOIN c ON p.url = c.url""")),
+
+    // WET CONVERSION ROUND-TRIP (the text-only `.wet` sibling of the
+    // response archive — what a curation pipeline actually reads): text
+    // rows pack into 16 WET blobs of `WARC-Type: conversion` records
+    // (UTF-8 payload, no HTTP block, Refers-To linkage) and the framed
+    // walk recovers them. The oracle derives URI and Content-Length from
+    // ground truth and the md5 proves byte-exact text survival through
+    // serialize → blob → walk.
+    ("q192_wet_roundtrip", (s: SparkSession, d: String) =>
+      graft.io.WarcIngest.wetRecordsBinary(s,
+        graft.io.WarcIngest.syntheticWetFiles(s, Tables.documents(s, d),
+          nFiles = 16))
+        .select(col("doc_id"), col("target_uri"), col("content_length"),
+          md5(col("text")).as("text_md5")),
+    Some("""
+      SELECT doc_id,
+             'https://h' || CAST(doc_id % 13 AS VARCHAR) ||
+               '.example.com/d/' || CAST(doc_id AS VARCHAR) AS target_uri,
+             CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+             md5(text) AS text_md5
+      FROM documents""")),
+
+    // PER-HOST CRAWL-DELAY SCHEDULING (robots Crawl-delay → the
+    // scheduler, end to end: each host's policy parses to a delay, the
+    // hosts-sized dim BROADCASTS onto the sitemap frontier — the corpus
+    // still shuffles exactly once, on host — and slot k fetches at
+    // k·delay(host)): host X's policy says Crawl-delay: 1+X%5, so every
+    // offset is a joint function of queue position AND policy. The
+    // oracle replays the window with the delay formula.
+    ("q193_crawl_delay_schedule", (s: SparkSession, d: String) => {
+      val hosts = Tables.documents(s, d)
+        .select((col("doc_id") % 13).as("x")).distinct()
+        .select(concat(lit("h"), col("x"), lit(".example.com")).as("host"),
+          concat(lit("User-agent: *\nCrawl-delay: "),
+            col("x") % 5 + 1).as("robots_txt"))
+      val delays = graft.operators.Robots.crawlDelays(
+        s, hosts, "host", "robots_txt", "GraftBot", default = 5.0)
+      val sm = graft.operators.Sitemap.parseBinary(s,
+        graft.operators.Sitemap.syntheticSitemapCorpus(
+          s, Tables.documents(s, d)))
+        .select(col("loc").as("url"), col("priority"))
+      graft.operators.Frontier.scheduleWithDelays(
+        sm, "url", "priority", delays, default = 5.0)
+        .select(col("host"), col("url"), col("priority"), col("delay_sec"),
+          col("slot"), col("offset_sec"))
+    }, Some("""
+      WITH e AS (SELECT doc_id,
+                        CAST(unnest(generate_series(0,
+                          CAST(doc_id % 4 AS INT))) AS INT) AS j
+                 FROM documents),
+      l AS (SELECT 'https://h' || CAST(doc_id % 13 AS VARCHAR) ||
+                     '.example.com/d/' || CAST(doc_id AS VARCHAR) || '/p' ||
+                     CAST(j AS VARCHAR) || '?q=a&r=' || CAST(j AS VARCHAR)
+                     AS url,
+                   'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com'
+                     AS host,
+                   (10 - j) / 10.0 AS priority,
+                   CAST(1 + (doc_id % 13) % 5 AS DOUBLE) AS delay_sec
+            FROM e)
+      SELECT host, url, priority, delay_sec,
+             CAST(row_number() OVER (PARTITION BY host
+               ORDER BY priority DESC, url) - 1 AS BIGINT) AS slot,
+             (row_number() OVER (PARTITION BY host
+               ORDER BY priority DESC, url) - 1) * delay_sec AS offset_sec
+      FROM l""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -85,6 +85,36 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.evaluate(g, "/open") === ((true, "")))
   }
 
+  test("parseCrawlDelays: group binding, shared UA runs, last wins") {
+    val txt =
+      """User-agent: graftbot
+        |Crawl-delay: 2
+        |Disallow: /x
+        |
+        |User-agent: a
+        |User-agent: b
+        |Crawl-delay: 3.5
+        |Crawl-delay: 4   # last wins
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |""".stripMargin
+    val d = Robots.parseCrawlDelays(txt)
+    assert(d === Map("graftbot" -> 2.0, "a" -> 4.0, "b" -> 4.0, "*" -> 10.0))
+  }
+
+  test("crawlDelays dim: UA group first, * fallback, default when absent") {
+    import spark.implicits._
+    val rows = Seq(
+      ("h1", "User-agent: graftbot\nCrawl-delay: 2\nUser-agent: *\nCrawl-delay: 9"),
+      ("h2", "User-agent: *\nCrawl-delay: 7"),
+      ("h3", "User-agent: *\nDisallow: /")).toDF("host", "robots_txt")
+    val d = Robots.crawlDelays(spark, rows, "host", "robots_txt",
+        "GraftBot", default = 5.0)
+      .as[(String, Double)].collect().toMap
+    assert(d === Map("h1" -> 2.0, "h2" -> 7.0, "h3" -> 5.0))
+  }
+
   test("compiled policyFilter agrees with the scalar evaluator on every " +
       "fixture (ua, path) class") {
     import spark.implicits._

@@ -83,4 +83,30 @@ class WarcIngestSpec extends AnyFunSuite {
     val want = docs.select("doc_id").as[Long].collect().sorted
     assert(ids === want)
   }
+
+  test("WET round-trip recovers text byte-exactly; warcinfo skipped") {
+    val docs = Seq((1L, "https://a/1", "plain"),
+      (2L, "https://a/2", "naïve — déjà ✓"), (3L, "https://a/3", ""))
+    val out = WarcIngest.parseWet(WarcIngest.buildWetFile(0L, docs))
+      .sortBy(_.docId)
+    assert(out.map(r => (r.docId, r.targetUri, r.text)) === docs)
+    out.foreach(r =>
+      assert(r.contentLength === r.text.getBytes("UTF-8").length.toLong))
+  }
+
+  test("WET framing survives conversion payloads shaped like records") {
+    val poison = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: 99999\r\n\r\nnot a record"
+    val out = WarcIngest.parseWet(WarcIngest.buildWetFile(0L,
+      Seq((7L, "https://a/7", poison), (8L, "https://a/8", "after"))))
+    assert(out.map(_.docId) === Seq(7L, 8L))
+    assert(out.head.text === poison)
+  }
+
+  test("WET walk skips response records; WARC walk skips conversions") {
+    val wet = WarcIngest.buildWetFile(0L, Seq((1L, "https://a/1", "t")))
+    assert(WarcIngest.parseWarc(wet).isEmpty)
+    val warc = WarcIngest.buildWarcFile(0L, Seq(1L -> "t"))
+    assert(WarcIngest.parseWet(warc).isEmpty)
+  }
 }
