@@ -521,4 +521,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(4000))
     assert(!p.contains("Join"), p.take(4000))
   }
+
+  test("q190 frontier capstone: the compiled robots gate is pure codegen " +
+      "(no UDF), nothing cartesian, one politeness window") {
+    val p = plan("q190_frontier_capstone")
+    assert(!p.contains("UDF"), p.take(4000))
+    assert(!p.contains("BatchEvalPython"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(countOccurrences(p, "Window") >= 1, p.take(4000))
+  }
+
+  test("q193 per-host delays broadcast onto the frontier: the corpus " +
+      "shuffles once (host window); the delay dim joins by broadcast") {
+    val p = plan("q193_crawl_delay_schedule")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(!p.contains("ShuffledHashJoin"), p.take(4000))
+    assert(p.contains("Window"), p.take(4000))
+  }
 }
