@@ -61,6 +61,35 @@ object Frontier {
         col("slot") * coalesce(col("delay_sec"), lit(default)))
   }
 
+  /** Crawl-budget allocation — the capacity-planning step between the
+    * scheduled frontier and a fetch window: a host can politely absorb at
+    * most ⌊window/delay⌋+1 fetches (slots 0, delay, 2·delay … ≤ window),
+    * and the crawler has a global budget of B fetches for the window.
+    * Per host: queue_len, that politeness cap, and a GREEDY allocation in
+    * host order — alloc = clamp(cap, B − Σ caps of earlier hosts) — so
+    * early hosts fill their cap and the budget boundary splits exactly
+    * one host (the q102 token-budget discipline on the hosts dim).
+    *
+    * Scale shape: one hosts-keyed aggregation (corpus-sized input,
+    * hosts-sized output), then the running sum over the HOSTS DIM — a
+    * planning table thousands of rows long, not the corpus, which is why
+    * the global-order window is acceptable here and nowhere else.
+    */
+  def budgetAllocate(frontier: DataFrame, hostCol: String, delayCol: String,
+      windowSec: Double, budget: Long): DataFrame = {
+    val per = frontier.groupBy(col(hostCol).as("host"))
+      .agg(count(lit(1)).as("queue_len"),
+        first(col(delayCol)).as("delay_sec"))
+      .withColumn("cap", least(col("queue_len"),
+        floor(lit(windowSec) / col("delay_sec")) + 1L))
+    val w = Window.orderBy("host")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per.withColumn("alloc",
+        greatest(lit(0L), least(col("cap"),
+          lit(budget) - coalesce(sum(col("cap")).over(w), lit(0L)))))
+      .select(col("host"), col("queue_len"), col("cap"), col("alloc"))
+  }
+
   /** Deterministic fetch-history fixture over the documents table: four
     * fetches per URL whose content hash changes every 1+doc_id%4 fetches
     * — so the corpus spans change-every-fetch (rate 1), two mid rates,

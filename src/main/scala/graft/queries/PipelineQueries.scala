@@ -1132,6 +1132,49 @@ object PipelineQueries {
              (row_number() OVER (PARTITION BY host
                ORDER BY priority DESC, url) - 1) * delay_sec AS offset_sec
       FROM l""")),
+
+    // CRAWL-BUDGET ALLOCATION (capacity planning for one fetch window:
+    // a host politely absorbs ⌊window/delay⌋+1 fetches; a global budget
+    // of 150 allocates greedily in host order, the boundary splitting
+    // exactly one host): with window=60 s and per-host delay 1+X%5 s,
+    // every politeness cap binds below the queue length and the budget
+    // exhausts mid-table — full, partial, and zero allocations all
+    // appear. The oracle replays the aggregation, the cap arithmetic,
+    // and the running-sum clamp.
+    ("q194_crawl_budget", (s: SparkSession, d: String) => {
+      val sm = graft.operators.Sitemap.parseBinary(s,
+        graft.operators.Sitemap.syntheticSitemapCorpus(
+          s, Tables.documents(s, d)))
+        .select(col("loc").as("url"), col("priority"))
+        .withColumn("host", graft.operators.UrlOps.hostOf(col("url")))
+        .withColumn("delay_sec",
+          (regexp_extract(col("host"), "^h(\\d+)\\.", 1).cast("long") % 5
+            + 1).cast("double"))
+      graft.operators.Frontier.budgetAllocate(
+        sm, "host", "delay_sec", windowSec = 60.0, budget = 150L)
+    }, Some("""
+      WITH e AS (SELECT doc_id,
+                        CAST(unnest(generate_series(0,
+                          CAST(doc_id % 4 AS INT))) AS INT) AS j
+                 FROM documents),
+      l AS (SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com'
+                     AS host,
+                   CAST(1 + (doc_id % 13) % 5 AS DOUBLE) AS delay_sec
+            FROM e),
+      per AS (SELECT host, count(*) AS queue_len,
+                     first(delay_sec) AS delay_sec
+              FROM l GROUP BY host),
+      c AS (SELECT host, queue_len,
+                   least(queue_len,
+                     CAST(floor(60.0 / delay_sec) AS BIGINT) + 1) AS cap
+            FROM per),
+      b AS (SELECT *, coalesce(sum(cap) OVER (ORDER BY host
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS before
+            FROM c)
+      SELECT host, queue_len, cap,
+             CAST(greatest(0, least(cap, 150 - before)) AS BIGINT) AS alloc
+      FROM b""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

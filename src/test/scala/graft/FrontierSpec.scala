@@ -43,4 +43,26 @@ class FrontierSpec extends AnyFunSuite {
     val b = scheduled().orderBy("host", "slot").collect().toSeq
     assert(a === b)
   }
+
+  test("budget allocation: caps respect politeness, allocs sum to " +
+      "min(budget, total cap), boundary splits exactly one host") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val f = scheduled().withColumn("delay_sec",
+      (regexp_extract(col("host"), "^h(\\d+)\\.", 1).cast("long") % 5 + 1)
+        .cast("double"))
+    val out = Frontier.budgetAllocate(f, "host", "delay_sec",
+        windowSec = 60.0, budget = 150L)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    out.foreach { case (host, qlen, cap, alloc) =>
+      val delay = host.drop(1).takeWhile(_.isDigit).toLong % 5 + 1
+      assert(cap === math.min(qlen, 60 / delay + 1), host)
+      assert(alloc >= 0 && alloc <= cap, host)
+    }
+    val totalCap = out.map(_._3).sum
+    assert(out.map(_._4).sum === math.min(150L, totalCap))
+    // full caps up to the boundary, at most one partial, zeros after
+    val partials = out.count(r => r._4 > 0 && r._4 < r._3)
+    assert(partials <= 1)
+  }
 }
