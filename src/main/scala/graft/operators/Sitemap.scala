@@ -133,6 +133,75 @@ object Sitemap {
       .toDF("doc_id", "sitemap_xml")
   }
 
+  /** Serialize a sitemapindex (the >50k-URL fan-out shape). */
+  def buildIndex(locs: Seq[(String, String)]): String = {
+    val body = locs.map { case (loc, lastmod) =>
+      val lm = if (lastmod.nonEmpty) s"\n    <lastmod>$lastmod</lastmod>" else ""
+      s"  <sitemap>\n    <loc>${escape(loc)}</loc>$lm\n  </sitemap>"
+    }.mkString("\n")
+    "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+      body + "\n</sitemapindex>\n"
+  }
+
+  /** Two-level fixture: per doc an INDEX document naming two child
+    * sitemaps, plus the two child urlset documents keyed by their own
+    * URL — child c carries 1+(doc_id+c)%3 entries, every field a
+    * formula. Returns (indexes, children).
+    */
+  def syntheticIndexCorpus(spark: SparkSession,
+      docs: DataFrame): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    def childUrl(id: Long, c: Int) =
+      s"https://h${id % 13}.example.com/sm/${id}_$c.xml"
+    val idx = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, buildIndex((0 to 1).map(c =>
+          childUrl(id, c) -> f"2024-0${1 + c}%d-01")))
+      })
+      .toDF("doc_id", "sitemap_xml")
+    val kids = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        (0 to 1).map { c =>
+          val entries = (0 to ((id + c) % 3).toInt).map { j =>
+            Entry(j, "url",
+              s"https://h${id % 13}.example.com/d/$id/$c/p$j", "", "", None)
+          }
+          (childUrl(id, c), buildUrlset(entries))
+        }
+      })
+      .toDF("url", "sitemap_xml")
+    (idx, kids)
+  }
+
+  /** Expand a frame of sitemapindex documents through their child
+    * sitemaps: parse the index rows to child locs, RESOLVE each loc
+    * against the children frame (the fetch-store lookup — an equi-join,
+    * broadcast when the index side is small, shuffled otherwise), parse
+    * each child urlset, and emit
+    * (doc_id, child_idx, seq, loc) with full provenance.
+    *
+    * Scale shape: two per-row parses around ONE equi-join keyed by child
+    * URL — the recursion depth of the sitemap protocol is bounded at 2
+    * by spec (an index may not point at another index), so this IS the
+    * whole expansion, never an iterative walk.
+    */
+  def expandIndex(spark: SparkSession, indexes: DataFrame,
+      children: DataFrame): DataFrame = {
+    import spark.implicits._
+    val childLocs = parseBinary(spark, indexes)
+      .where(col("kind") === "sitemap")
+      .select(col("doc_id"), col("seq").as("child_idx"),
+        col("loc").as("child_url"))
+    childLocs.join(children, childLocs("child_url") === children("url"))
+      .select(col("doc_id"), col("child_idx"), col("sitemap_xml"))
+      .as[(Long, Int, String)]
+      .mapPartitions(_.flatMap { case (id, c, xml) =>
+        parseSitemap(xml).map(e => (id, c, e.seq, e.loc))
+      })
+      .toDF("doc_id", "child_idx", "seq", "loc")
+  }
+
   /** Distributed parse: explode each (doc_id, sitemap_xml) row into its
     * entries — (doc_id, seq, kind, loc, lastmod, changefreq, priority).
     */

@@ -1175,6 +1175,34 @@ object PipelineQueries {
       SELECT host, queue_len, cap,
              CAST(greatest(0, least(cap, 150 - before)) AS BIGINT) AS alloc
       FROM b""")),
+
+    // SITEMAP-INDEX EXPANSION (the two-level fan-out the protocol forces
+    // above 50k URLs: index documents name child sitemaps, the child
+    // locs RESOLVE against the fetch store by ONE equi-join — the spec
+    // caps recursion at depth 2, so this join IS the whole expansion):
+    // each doc's index names two children carrying 1+(id+c)%3 entries.
+    // The oracle double-explodes the same formulas; a slip in index
+    // parsing, the join key, or child ordering moves provenance and
+    // hash-mismatches.
+    ("q195_sitemap_index_expand", (s: SparkSession, d: String) => {
+      val (idx, kids) = graft.operators.Sitemap.syntheticIndexCorpus(
+        s, Tables.documents(s, d))
+      graft.operators.Sitemap.expandIndex(s, idx, kids)
+    }, Some("""
+      WITH c AS (SELECT doc_id,
+                        CAST(unnest(generate_series(0, 1)) AS INT)
+                          AS child_idx
+                 FROM documents),
+      e AS (SELECT doc_id, child_idx,
+                   CAST(unnest(generate_series(0,
+                     CAST((doc_id + child_idx) % 3 AS INT))) AS INT) AS j
+            FROM c)
+      SELECT doc_id, child_idx, j AS seq,
+             'https://h' || CAST(doc_id % 13 AS VARCHAR) ||
+               '.example.com/d/' || CAST(doc_id AS VARCHAR) || '/' ||
+               CAST(child_idx AS VARCHAR) || '/p' || CAST(j AS VARCHAR)
+               AS loc
+      FROM e""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

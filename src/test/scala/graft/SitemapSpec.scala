@@ -50,6 +50,28 @@ class SitemapSpec extends AnyFunSuite {
     assert(out.head.seq === 1) // seq is the walk position, drop preserved it
   }
 
+  test("index expansion: join resolves every child, provenance exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = spark.range(0, 30).select(col("id").as("doc_id"),
+      org.apache.spark.sql.functions.lit("t").as("text"))
+    val (idx, kids) = Sitemap.syntheticIndexCorpus(spark, docs)
+    assert(idx.count() === 30 && kids.count() === 60)
+    val out = Sitemap.expandIndex(spark, idx, kids)
+      .as[(Long, Int, Int, String)].collect()
+    val expected = (0L until 30L)
+      .map(id => (1 + id % 3) + (1 + (id + 1) % 3)).sum
+    assert(out.length === expected)
+    assert(out.count(_._1 == 7L) === (1 + 7 % 3) + (1 + 8 % 3))
+    assert(out.contains((7L, 1, 2, "https://h7.example.com/d/7/1/p2")))
+    // an index doc whose child is missing from the store contributes
+    // nothing for that child (inner join = fetch-failure drop)
+    val out2 = Sitemap.expandIndex(spark, idx,
+      kids.where(!col("url").endsWith("_1.xml")))
+      .as[(Long, Int, Int, String)].collect()
+    assert(out2.forall(_._2 === 0) && out2.nonEmpty)
+  }
+
   test("exploded frame matches the fixture formula row count") {
     import spark.implicits._
     val docs = spark.range(0, 40).select(
