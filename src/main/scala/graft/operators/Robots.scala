@@ -91,6 +91,37 @@ object Robots {
     out.toMap
   }
 
+  /** `Sitemap:` directives in document order — per RFC 9309 §2.3 the
+    * field is NOT bound to any User-agent group, so collection ignores
+    * group structure entirely. The value keeps its case (URLs are
+    * case-sensitive past the authority).
+    */
+  def sitemapUrls(txt: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (raw <- txt.linesIterator) {
+      val line = raw.split("#", 2)(0).trim
+      val c = line.indexOf(':')
+      if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(c + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.toSeq
+  }
+
+  /** Distributed `Sitemap:` collection over (id, robots_txt) rows:
+    * (id, sm_idx, sitemap_url) in declaration order.
+    */
+  def declaredSitemaps(spark: SparkSession, df: DataFrame, idCol: String,
+      txtCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(txtCol)).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, txt) =>
+        sitemapUrls(txt).zipWithIndex.map { case (u, i) => (id, i, u) }
+      })
+      .toDF(idCol, "sm_idx", "sitemap_url")
+  }
+
   /** Compile (host, robots_txt) rows into the hosts-sized delay dim a
     * scheduler broadcasts: the UA's group delay, `*`'s otherwise,
     * `default` when the policy names none.

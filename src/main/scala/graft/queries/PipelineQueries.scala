@@ -1203,6 +1203,47 @@ object PipelineQueries {
                CAST(child_idx AS VARCHAR) || '/p' || CAST(j AS VARCHAR)
                AS loc
       FROM e""")),
+
+    // ROBOTS-DECLARED SITEMAP DISCOVERY (the bootstrap: robots.txt is
+    // the FIRST fetch, its cross-group `Sitemap:` directives seed
+    // discovery — RFC 9309 §2.3 binds them to no UA group, which the
+    // collector must honor by ignoring group structure): each doc's
+    // robots declares its sitemap URL amid group noise, the declared
+    // URLs resolve against the fetch store by one equi-join, and the
+    // resolved urlsets parse to exactly q183's entry frame — so the two
+    // discovery paths (direct fetch vs robots-declared) are oracle-pinned
+    // to agree.
+    ("q196_robots_sitemap_discovery", (s: SparkSession, d: String) => {
+      val docs = Tables.documents(s, d)
+      val robots = docs.select(col("doc_id"),
+        concat(lit("User-agent: graftbot\nDisallow: /private/\n\nSitemap: "),
+          lit("https://h"), col("doc_id") % 13, lit(".example.com/sm/"),
+          col("doc_id"), lit(".xml\nUser-agent: *\nDisallow: /\n"))
+          .as("robots_txt"))
+      val declared = graft.operators.Robots.declaredSitemaps(
+        s, robots, "doc_id", "robots_txt")
+      val store = graft.operators.Sitemap.syntheticSitemapCorpus(s, docs)
+        .select(concat(lit("https://h"), col("doc_id") % 13,
+          lit(".example.com/sm/"), col("doc_id"), lit(".xml")).as("url"),
+          col("sitemap_xml"))
+      graft.operators.Sitemap.parseBinary(s,
+        declared.join(store, declared("sitemap_url") === store("url"))
+          .select(col("doc_id"), col("sitemap_xml")))
+    }, Some("""
+      WITH e AS (SELECT doc_id,
+                        CAST(unnest(generate_series(0,
+                          CAST(doc_id % 4 AS INT))) AS INT) AS j
+                 FROM documents)
+      SELECT doc_id, j AS seq, 'url' AS kind,
+             'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/d/' ||
+               CAST(doc_id AS VARCHAR) || '/p' || CAST(j AS VARCHAR) ||
+               '?q=a&r=' || CAST(j AS VARCHAR) AS loc,
+             '2024-' || lpad(CAST(1 + j % 12 AS VARCHAR), 2, '0') || '-' ||
+               lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS lastmod,
+             CASE j % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                  ELSE 'monthly' END AS changefreq,
+             (10 - j) / 10.0 AS priority
+      FROM e""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -85,6 +85,22 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.evaluate(g, "/open") === ((true, "")))
   }
 
+  test("sitemapUrls: cross-group collection, case kept, comments stripped") {
+    val txt =
+      """User-agent: a
+        |Sitemap: https://x.example.com/A.xml   # trailing comment
+        |Disallow: /q
+        |SITEMAP: https://x.example.com/B.xml
+        |User-agent: *
+        |sitemap: https://x.example.com/c.xml
+        |Sitemap:
+        |""".stripMargin
+    assert(Robots.sitemapUrls(txt) === Seq(
+      "https://x.example.com/A.xml",
+      "https://x.example.com/B.xml",
+      "https://x.example.com/c.xml"))
+  }
+
   test("parseCrawlDelays: group binding, shared UA runs, last wins") {
     val txt =
       """User-agent: graftbot
