@@ -35,7 +35,7 @@ object WarcIngest {
     */
   final case class WarcResponse(docId: Long, targetUri: String,
       httpStatus: Int, contentLength: Long, payload: String,
-      offset: Long, recordLength: Long)
+      offset: Long, recordLength: Long, location: String = null)
 
   private val CRLF = "\r\n"
 
@@ -82,6 +82,49 @@ object WarcIngest {
         httpBlock(text)))
     }
     out.toByteArray
+  }
+
+  private def redirectBlock(location: String): Array[Byte] =
+    (s"HTTP/1.1 301 Moved Permanently${CRLF}Location: $location$CRLF" +
+      s"Content-Length: 0$CRLF$CRLF").getBytes(ISO_8859_1)
+
+  /** Redirect-bearing crawl: per document a chain of 1+doc_id%4 fetch
+    * records — position p of chain `id` gets record id 4·id+p (disjoint
+    * by construction) and target `/r/id/p`; non-terminal positions are
+    * 301 responses whose `Location` names the next position, the
+    * terminal is the 200 carrying the text. The raw-bytes input to
+    * pointer-doubling resolution.
+    */
+  def buildRedirectWarcFile(fileId: Long, docs: Seq[(Long, String)])
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:graft:info:$fileId>",
+      "Content-Type" -> "application/warc-fields"),
+      s"software: graft$CRLF".getBytes(ISO_8859_1)))
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      val l = (id % 4).toInt
+      def u(p: Int) = s"https://h${id % 13}.example.com/r/$id/$p"
+      (0 to l).foreach { p =>
+        out.write(record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> s"<urn:graft:${4 * id + p}>",
+          "WARC-Target-URI" -> u(p),
+          "Content-Type" -> "application/http; msgtype=response"),
+          if (p < l) redirectBlock(u(p + 1)) else httpBlock(text)))
+      }
+    }
+    out.toByteArray
+  }
+
+  def syntheticRedirectWarcFiles(spark: SparkSession, docs: DataFrame,
+      nFiles: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 % nFiles)
+      .mapGroups((fid, it) => (fid, buildRedirectWarcFile(fid, it.toSeq)))
+      .toDF("file_id", "payload")
   }
 
   /** Parse every record of a WARC blob; return the responses. Framing is
@@ -148,8 +191,9 @@ object WarcIngest {
   }
 
   /** Inner HTTP message: status from the first line, body after the
-    * first CRLF CRLF (headers are opaque here — curation keys on the
-    * WARC fields).
+    * first CRLF CRLF. One header is NOT opaque: `Location` (the redirect
+    * pointer chain resolution consumes) parses out of the header block —
+    * case-insensitive name, first occurrence wins, absent → null.
     */
   private def parseResponse(headers: collection.Map[String, String],
       payload: Array[Byte], offset: Long, recLen: Long): Option[WarcResponse] = {
@@ -165,11 +209,17 @@ object WarcIngest {
     val eol = payload.indexOf('\r'.toByte)
     if (i + 3 >= payload.length || eol < 0) None
     else {
-      val statusLine = new String(payload, 0, eol, ISO_8859_1)
-      val status = statusLine.split(" ").lift(1).flatMap(_.toIntOption)
+      val head = new String(payload, 0, i, ISO_8859_1)
+      val lines = head.split("\r\n")
+      val status = lines.head.split(" ").lift(1).flatMap(_.toIntOption)
+      val location = lines.tail.collectFirst {
+        case l if l.toLowerCase.startsWith("location:") =>
+          l.substring(9).trim
+      }
       val body = new String(payload, i + 4, payload.length - i - 4, UTF_8)
       for (d <- docId; u <- uri; s <- status; l <- clen)
-        yield WarcResponse(d, u, s, l, body, offset, recLen)
+        yield WarcResponse(d, u, s, l, body, offset, recLen,
+          location.orNull)
     }
   }
 
@@ -195,9 +245,11 @@ object WarcIngest {
     files.select(col("file_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (_, bytes) =>
         parseWarc(bytes).map(r =>
-          (r.docId, r.targetUri, r.httpStatus, r.contentLength, r.payload))
+          (r.docId, r.targetUri, r.httpStatus, r.contentLength, r.payload,
+            r.location))
       })
-      .toDF("doc_id", "target_uri", "http_status", "content_length", "payload")
+      .toDF("doc_id", "target_uri", "http_status", "content_length",
+        "payload", "location")
   }
 
   final case class WetRecord(docId: Long, targetUri: String,

@@ -1244,6 +1244,34 @@ object PipelineQueries {
                   ELSE 'monthly' END AS changefreq,
              (10 - j) / 10.0 AS priority
       FROM e""")),
+
+    // REDIRECTS FROM RAW BYTES (q188's resolution fed by the WARC walk
+    // instead of a prepared frame: 301 records carry their pointer in
+    // the HTTP `Location` header, which the walk now parses out of the
+    // header block — terminal 200s carry null): chains serialize into 16
+    // blobs, parse back, and pointer-double to the same (final, hops)
+    // formula as q188. A slip in HTTP-header parsing (case, first-wins,
+    // the CRLF split) breaks the chain and hash-mismatches.
+    ("q197_redirects_from_warc", (s: SparkSession, d: String) => {
+      val fetched = graft.io.WarcIngest.warcResponsesBinary(s,
+        graft.io.WarcIngest.syntheticRedirectWarcFiles(
+          s, Tables.documents(s, d), nFiles = 16))
+      graft.operators.Redirects.resolve(
+        fetched.select(col("target_uri").as("url"), col("location")),
+        "url", "location")
+    }, Some("""
+      WITH e AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS l,
+                        CAST(unnest(generate_series(0,
+                          CAST(doc_id % 4 AS INT))) AS INT) AS p
+                 FROM documents)
+      SELECT 'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/r/' ||
+               CAST(doc_id AS VARCHAR) || '/' || CAST(p AS VARCHAR) AS url,
+             'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com/r/' ||
+               CAST(doc_id AS VARCHAR) || '/' || CAST(l AS VARCHAR)
+               AS final_url,
+             CAST(l - p AS BIGINT) AS n_hops,
+             true AS terminal
+      FROM e""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -84,6 +84,22 @@ class WarcIngestSpec extends AnyFunSuite {
     assert(ids === want)
   }
 
+  test("Location parses from the HTTP header block: case-insensitive, " +
+      "first wins, absent on 200s, body never scanned") {
+    val chain = WarcIngest.buildRedirectWarcFile(0L, Seq(2L -> "terminal body"))
+    val recs = WarcIngest.parseWarc(chain).sortBy(_.docId)
+    // doc 2: chain length 2 → records 8, 9, 10 at /r/2/{0,1,2}
+    assert(recs.map(_.docId) === Seq(8L, 9L, 10L))
+    assert(recs.map(_.httpStatus) === Seq(301, 301, 200))
+    assert(recs.map(_.location) === Seq(
+      "https://h2.example.com/r/2/1", "https://h2.example.com/r/2/2", null))
+    assert(recs.last.payload === "terminal body")
+    // a body containing a Location-shaped line must not leak into the field
+    val poisoned = WarcIngest.buildWarcFile(0L,
+      Seq(4L -> "Location: https://evil.example.com/\r\nbody"))
+    assert(WarcIngest.parseWarc(poisoned).head.location === null)
+  }
+
   test("WET round-trip recovers text byte-exactly; warcinfo skipped") {
     val docs = Seq((1L, "https://a/1", "plain"),
       (2L, "https://a/2", "naïve — déjà ✓"), (3L, "https://a/3", ""))
