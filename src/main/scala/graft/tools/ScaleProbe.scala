@@ -127,6 +127,16 @@ object ScaleProbe {
         graft.operators.LinkGraph.outLinksBinary(
           s, pages, "doc_id", "html", "base_uri"), "doc_id").count()
     }),
+    // redirect resolution (q188 shape): the suite's join-heaviest op —
+    // ⌈log₂ 32⌉ = 5 equi-self-joins regardless of corpus size, so growth
+    // measures per-round shuffle volume, never an iteration blow-up
+    // (the dup_clusters argument, specialized to functional graphs)
+    ("redirects", () => {
+      val s = docs.sparkSession
+      graft.operators.Redirects.resolve(
+        graft.operators.Redirects.syntheticFetchLog(s, docs),
+        "url", "location").count()
+    }),
     // frontier build end to end (q190 shape): sitemap explode ∪
     // distinct out-links → compiled robots gate (codegen'd CASE, no
     // shuffle) → per-host politeness window — growth measures the
