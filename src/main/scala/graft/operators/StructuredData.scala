@@ -91,6 +91,88 @@ object StructuredData {
         .as("ld_word_count"))
   }
 
+  /** Page-level robots directives (`<meta name="robots" content="…">` —
+    * the opt-out a compliant corpus pipeline must honor BEFORE a page's
+    * text or links enter any downstream store): (noindex, nofollow),
+    * token-matched case-insensitively in the comma-separated content
+    * list, with `none` ≡ `noindex, nofollow` per the de-facto standard.
+    * First robots meta wins; absent → (false, false). Same scan shape
+    * as [[scanPage]]; per-row, no shuffle.
+    */
+  def metaRobots(html: String): (Boolean, Boolean) = {
+    val lower = html.toLowerCase
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) return (false, false)
+      if (html.startsWith("<!--", lt)) {
+        val e = html.indexOf("-->", lt + 4)
+        i = if (e < 0) n else e + 3
+      } else {
+        val gt = html.indexOf('>', lt)
+        if (gt < 0) return (false, false)
+        val raw = html.substring(lt + 1, gt).trim
+        val closing = raw.startsWith("/")
+        val body = (if (closing) raw.drop(1) else raw).trim
+        val name = body.takeWhile(c => !c.isWhitespace && c != '/').toLowerCase
+        i = gt + 1
+        if (!closing) name match {
+          case "meta" =>
+            val attrs = HtmlExtract.parseAttrs(body.drop(name.length))
+            if (attrs.get("name").exists(_.equalsIgnoreCase("robots"))) {
+              val toks = attrs.getOrElse("content", "").toLowerCase
+                .split(",").map(_.trim).toSet
+              val none = toks.contains("none")
+              return (none || toks.contains("noindex"),
+                none || toks.contains("nofollow"))
+            }
+          case "script" | "style" =>
+            val close = lower.indexOf(s"</$name", i)
+            i = if (close < 0) n
+            else { val g = html.indexOf('>', close); if (g < 0) n else g + 1 }
+          case _ => ()
+        }
+      }
+    }
+    (false, false)
+  }
+
+  /** Distributed directive extraction: (id, noindex, nofollow). */
+  def metaRobotsBinary(spark: SparkSession, pages: DataFrame, idCol: String,
+      htmlCol: String): DataFrame = {
+    import spark.implicits._
+    pages.select(col(idCol).cast("long"), col(htmlCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, html) =>
+        val (ni, nf) = metaRobots(html)
+        (id, ni, nf)
+      })
+      .toDF(idCol, "noindex", "nofollow")
+  }
+
+  /** Directive fixture: head carries a robots meta by doc_id%5 — absent,
+    * noindex, nofollow, "noindex, nofollow", and `none` (≡ both) — plus
+    * a script containing a fake robots meta that must not match.
+    */
+  def syntheticDirectiveCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val directive = (id % 5) match {
+          case 0 => ""
+          case 1 => """<meta name="robots" content="noindex">"""
+          case 2 => """<meta name="ROBOTS" content="NoFollow">"""
+          case 3 => """<meta name="robots" content="noindex, nofollow">"""
+          case _ => """<meta name="robots" content="none">"""
+        }
+        val html = s"<html><head><title>Doc $id</title>$directive" +
+          "<script>var s='<meta name=\"robots\" content=\"noindex\">';" +
+          s"</script></head><body><p>body $id</p></body></html>"
+        (id, html)
+      })
+      .toDF("doc_id", "html")
+  }
+
   /** Deterministic fixture: each document renders a head carrying four
     * og:* metas (first-occurrence duplicate included — the OpenGraph
     * rule under test), a NON-LD script (must not be captured), and one

@@ -1272,6 +1272,22 @@ object PipelineQueries {
              CAST(l - p AS BIGINT) AS n_hops,
              true AS terminal
       FROM e""")),
+
+    // META-ROBOTS DIRECTIVES (the page-level opt-out a compliant corpus
+    // pipeline honors before text or links enter any store: noindex
+    // drops the page, nofollow drops its out-links; `none` ≡ both): the
+    // fixture cycles all five directive classes with case-mixed
+    // attribute values and a script-embedded FAKE robots meta that must
+    // not match. Oracle = the class formulas.
+    ("q198_meta_robots", (s: SparkSession, d: String) =>
+      graft.operators.StructuredData.metaRobotsBinary(s,
+        graft.operators.StructuredData.syntheticDirectiveCorpus(
+          s, Tables.documents(s, d)), "doc_id", "html"),
+    Some("""
+      SELECT doc_id,
+             doc_id % 5 IN (1, 3, 4) AS noindex,
+             doc_id % 5 IN (2, 3, 4) AS nofollow
+      FROM documents""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -35,6 +35,29 @@ class StructuredDataSpec extends AnyFunSuite {
     assert(ld === "{\"@type\":\"A\"}") // first block wins
   }
 
+  test("metaRobots: token match, case-folding, none expansion, script " +
+      "immunity, first-meta-wins") {
+    import StructuredData.metaRobots
+    assert(metaRobots("<head></head>") === ((false, false)))
+    assert(metaRobots("""<meta name="robots" content="noindex">""") ===
+      ((true, false)))
+    assert(metaRobots("""<meta name="ROBOTS" content="NOFOLLOW">""") ===
+      ((false, true)))
+    assert(metaRobots("""<meta name="robots" content="noindex, nofollow">""")
+      === ((true, true)))
+    assert(metaRobots("""<meta name="robots" content="none">""") ===
+      ((true, true)))
+    // substring must not match: "noindexing" is not a token
+    assert(metaRobots("""<meta name="robots" content="noindexing">""") ===
+      ((false, false)))
+    // fake directive inside script code never matches
+    assert(metaRobots("<script>var s='<meta name=\"robots\" " +
+      "content=\"noindex\">';</script>") === ((false, false)))
+    // first robots meta wins
+    assert(metaRobots("""<meta name="robots" content="noindex">""" +
+      """<meta name="robots" content="nofollow">""") === ((true, false)))
+  }
+
   test("distributed frame: og columns + JSON-path-typed LD fields") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
