@@ -35,7 +35,9 @@ object WarcIngest {
     */
   final case class WarcResponse(docId: Long, targetUri: String,
       httpStatus: Int, contentLength: Long, payload: String,
-      offset: Long, recordLength: Long, location: String = null)
+      offset: Long, recordLength: Long, location: String = null,
+      transferEncoding: String = "identity",
+      contentEncoding: String = "identity")
 
   private val CRLF = "\r\n"
 
@@ -175,8 +177,11 @@ object WarcIngest {
               val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt)
               pos += n.toInt
               // Span includes the CRLF CRLF separator — the unit a CDX
-              // range read fetches.
-              val recLen = (pos + 4).toLong - recStart
+              // range read fetches — CLAMPED to the blob: a final record
+              // that (legally-borderline) omits the trailing separator
+              // must not put a span that over-reads past EOF into the
+              // index.
+              val recLen = math.min(pos + 4, bytes.length).toLong - recStart
               if (headers.get("warc-type").contains("response")) {
                 parseResponse(headers, payload, recStart.toLong, recLen)
                   .foreach(out += _)
@@ -190,10 +195,81 @@ object WarcIngest {
     out.toSeq
   }
 
+  /** De-frame an HTTP/1.1 `Transfer-Encoding: chunked` body (RFC 9112
+    * §7.1): hex chunk size (chunk extensions after ';' ignored), CRLF,
+    * that many octets, CRLF, …, terminated by a 0-size chunk; trailer
+    * fields after the last chunk are ignored. Malformed framing returns
+    * what de-framed cleanly (the parser's drop-bad-record discipline).
+    */
+  private[io] def dechunk(body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var pos = 0
+    var done = false
+    while (!done && pos < body.length) {
+      var eol = pos
+      while (eol + 1 < body.length &&
+        !(body(eol) == '\r' && body(eol + 1) == '\n')) eol += 1
+      if (eol + 1 >= body.length) done = true
+      else {
+        val sizeLine = new String(body, pos, eol - pos, ISO_8859_1)
+        val hex = sizeLine.split(";", 2)(0).trim
+        val n = try java.lang.Long.parseLong(hex, 16).toInt
+          catch { case _: NumberFormatException => -1 }
+        if (n < 0) done = true
+        else if (n == 0) done = true // trailer + final CRLF ignored
+        else if (eol + 2 + n + 2 > body.length) done = true // truncated
+        else {
+          out.write(body, eol + 2, n)
+          pos = eol + 2 + n + 2 // data + its CRLF
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Inflate one gzip-wrapped buffer (a single member; HTTP
+    * `Content-Encoding: gzip` bodies). Returns the input on any fault —
+    * a mislabeled identity body must survive. */
+  private[io] def gunzip(body: Array[Byte]): Array[Byte] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(body))
+      val out = new ByteArrayOutputStream()
+      in.transferTo(out)
+      out.toByteArray
+    } catch { case _: java.io.IOException => body }
+
+  /** Inflate a `Content-Encoding: deflate` body: the label means zlib
+    * (RFC 1950) in the standards and RAW deflate (RFC 1951) from a long
+    * tail of legacy servers — try zlib first, fall back to raw, then to
+    * identity. */
+  private[io] def inflateDeflate(body: Array[Byte]): Array[Byte] = {
+    def tryInflate(nowrap: Boolean): Option[Array[Byte]] =
+      try {
+        val inf = new java.util.zip.Inflater(nowrap)
+        inf.setInput(body)
+        val out = new ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!inf.finished() && !inf.needsInput()) {
+          val n = inf.inflate(buf)
+          if (n > 0) out.write(buf, 0, n)
+        }
+        val ok = inf.finished()
+        inf.end()
+        if (ok) Some(out.toByteArray) else None
+      } catch { case _: java.util.zip.DataFormatException => None }
+    tryInflate(false).orElse(tryInflate(true)).getOrElse(body)
+  }
+
   /** Inner HTTP message: status from the first line, body after the
-    * first CRLF CRLF. One header is NOT opaque: `Location` (the redirect
-    * pointer chain resolution consumes) parses out of the header block —
-    * case-insensitive name, first occurrence wins, absent → null.
+    * first CRLF CRLF — DECODED the way a fetch pipeline must before any
+    * text operator sees it: `Transfer-Encoding: chunked` de-framed
+    * first, then `Content-Encoding: gzip`/`deflate` inflated (dechunk
+    * THEN decompress — the wire nests them that way), then UTF-8. Two
+    * headers are NOT opaque: `Location` (the redirect pointer chain
+    * resolution consumes — case-insensitive, first occurrence wins,
+    * absent → null) and the two encoding headers (surfaced lowercased,
+    * "identity" when absent).
     */
   private def parseResponse(headers: collection.Map[String, String],
       payload: Array[Byte], offset: Long, recLen: Long): Option[WarcResponse] = {
@@ -212,15 +288,250 @@ object WarcIngest {
       val head = new String(payload, 0, i, ISO_8859_1)
       val lines = head.split("\r\n")
       val status = lines.head.split(" ").lift(1).flatMap(_.toIntOption)
-      val location = lines.tail.collectFirst {
-        case l if l.toLowerCase.startsWith("location:") =>
-          l.substring(9).trim
+      def header(name: String): Option[String] = lines.tail.collectFirst {
+        case l if l.toLowerCase.startsWith(name + ":") =>
+          l.substring(name.length + 1).trim
       }
-      val body = new String(payload, i + 4, payload.length - i - 4, UTF_8)
+      val location = header("location")
+      val te = header("transfer-encoding").map(_.toLowerCase)
+        .getOrElse("identity")
+      val ce = header("content-encoding").map(_.toLowerCase)
+        .getOrElse("identity")
+      val raw = java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
+      val deframed = if (te.contains("chunked")) dechunk(raw) else raw
+      val decoded = ce match {
+        case "gzip" | "x-gzip" => gunzip(deframed)
+        case "deflate"         => inflateDeflate(deframed)
+        case _                 => deframed
+      }
+      val body = new String(decoded, UTF_8)
       for (d <- docId; u <- uri; s <- status; l <- clen)
         yield WarcResponse(d, u, s, l, body, offset, recLen,
-          location.orNull)
+          location.orNull, te, ce)
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Gzip WARC members (.warc.gz — the ISO 28500 / Common Crawl wire
+  // format: each record an INDEPENDENT gzip member, concatenated, so a
+  // CDX range read can fetch and inflate one record without touching the
+  // rest of the file; CDX offsets point at member starts)
+  // ---------------------------------------------------------------------
+
+  /** Compress one serialized record as a complete gzip member. */
+  private def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(record)
+    gz.finish()
+    gz.close()
+    out.toByteArray
+  }
+
+  /** One parsed gzip member: its byte span in the blob and the inflated
+    * octets. */
+  final case class GzMember(offset: Long, compLength: Long,
+      bytes: Array[Byte])
+
+  /** Walk a concatenated-member gzip blob (RFC 1952 framing): per member,
+    * parse the 10-byte header + the FLG-gated optional fields
+    * (FEXTRA/FNAME/FCOMMENT/FHCRC), inflate with a raw `Inflater`, verify
+    * the ISIZE trailer, and record the exact compressed span — the
+    * coordinates a CDX index serves range reads by. Stops cleanly at the
+    * first malformed member (drop-bad-record).
+    */
+  private[io] def gzipMembers(bytes: Array[Byte]): Seq[GzMember] = {
+    val out = ArrayBuffer.empty[GzMember]
+    var pos = 0
+    while (pos + 10 <= bytes.length &&
+      (bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b &&
+      bytes(pos + 2) == 8) {
+      val start = pos
+      val flg = bytes(pos + 3) & 0xff
+      var p = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+        if (p + 2 > bytes.length) return out.toSeq
+        val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 8) != 0) { // FNAME: NUL-terminated
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT: NUL-terminated
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      if (p >= bytes.length) return out.toSeq
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, p, bytes.length - p)
+      val data = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      try {
+        while (!inf.finished() && !inf.needsInput()) {
+          val n = inf.inflate(buf)
+          if (n > 0) data.write(buf, 0, n)
+        }
+        if (!inf.finished()) { inf.end(); return out.toSeq } // truncated
+      } catch {
+        case _: java.util.zip.DataFormatException =>
+          inf.end(); return out.toSeq
+      }
+      val consumed = (bytes.length - p) - inf.getRemaining
+      inf.end()
+      val trailer = p + consumed
+      if (trailer + 8 > bytes.length) return out.toSeq
+      val isize = (bytes(trailer + 4) & 0xffL) |
+        ((bytes(trailer + 5) & 0xffL) << 8) |
+        ((bytes(trailer + 6) & 0xffL) << 16) |
+        ((bytes(trailer + 7) & 0xffL) << 24)
+      val inflated = data.toByteArray
+      if (isize != (inflated.length & 0xffffffffL)) return out.toSeq
+      pos = trailer + 8
+      out += GzMember(start.toLong, (pos - start).toLong, inflated)
+    }
+    out.toSeq
+  }
+
+  /** True when the blob leads with the gzip magic — the dispatch test
+    * [[parseWarcAuto]] runs per file. */
+  private[io] def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+
+  /** Parse a WARC blob in EITHER wire format: plain octets walk through
+    * [[parseWarc]] unchanged; a `.warc.gz` blob walks member-wise — each
+    * member inflates independently and its records' CDX coordinates are
+    * the MEMBER's compressed span (offset at member start, the Common
+    * Crawl convention), so a range read fetches
+    * [offset, offset+record_length) and inflates exactly one record.
+    */
+  def parseWarcAuto(bytes: Array[Byte]): Seq[WarcResponse] =
+    if (!isGzip(bytes)) parseWarc(bytes)
+    else gzipMembers(bytes).flatMap { m =>
+      parseWarc(m.bytes).map(r =>
+        r.copy(offset = m.offset, recordLength = m.compLength))
+    }
+
+  /** [[buildWarcFile]]'s `.warc.gz` twin: the SAME records (warcinfo +
+    * one response per doc, id order), each serialized then compressed as
+    * its own gzip member and concatenated — byte-for-byte the record
+    * stream of the plain builder, so plain and gzipped parses of one doc
+    * set must agree (the WarcIngestSpec law).
+    */
+  def buildWarcFileGz(fileId: Long, docs: Seq[(Long, String)],
+      uriOf: Long => String = id => s"https://h${id % 13}.example.com/d/$id")
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(gzipMember(record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:graft:info:$fileId>",
+      "Content-Type" -> "application/warc-fields"),
+      s"software: graft$CRLF".getBytes(ISO_8859_1))))
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      out.write(gzipMember(record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:graft:$id>",
+        "WARC-Target-URI" -> uriOf(id),
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpBlock(text))))
+    }
+    out.toByteArray
+  }
+
+  def syntheticWarcFilesGz(spark: SparkSession, docs: DataFrame,
+      nFiles: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 % nFiles)
+      .mapGroups((fid, it) => (fid, buildWarcFileGz(fid, it.toSeq)))
+      .toDF("file_id", "payload")
+  }
+
+  // ---------------------------------------------------------------------
+  // HTTP body encodings (Transfer-Encoding: chunked, Content-Encoding:
+  // gzip/deflate — what real fetch records carry routinely)
+  // ---------------------------------------------------------------------
+
+  /** An HTTP 200 block whose body rides the wire encodings a real crawl
+    * meets: optionally gzip content-coding, optionally chunked framing
+    * (applied OVER the content-coding, per the RFC nesting), identity
+    * otherwise. Chunk size 16 exercises multi-chunk reassembly on every
+    * non-trivial body.
+    */
+  private def httpBlockEncoded(text: String, chunked: Boolean,
+      gzipped: Boolean): Array[Byte] = {
+    val plain = text.getBytes(UTF_8)
+    val coded = if (gzipped) gzipMember(plain) else plain
+    val framed =
+      if (!chunked) coded
+      else {
+        val out = new ByteArrayOutputStream()
+        coded.grouped(16).foreach { chunk =>
+          out.write(s"${chunk.length.toHexString}$CRLF".getBytes(ISO_8859_1))
+          out.write(chunk)
+          out.write(CRLF.getBytes(ISO_8859_1))
+        }
+        out.write(s"0$CRLF$CRLF".getBytes(ISO_8859_1))
+        out.toByteArray
+      }
+    val head = new StringBuilder(s"HTTP/1.1 200 OK$CRLF")
+      .append(s"Content-Type: text/plain$CRLF")
+    if (gzipped) head.append(s"Content-Encoding: gzip$CRLF")
+    if (chunked) head.append(s"Transfer-Encoding: chunked$CRLF")
+    else head.append(s"Content-Length: ${framed.length}$CRLF")
+    head.append(CRLF)
+    head.toString.getBytes(ISO_8859_1) ++ framed
+  }
+
+  /** Encoded-fetch fixture: every 3rd doc's response body is chunked,
+    * every 4th gzip content-coded (both where both divide — the nesting
+    * case), the rest identity. The WARC walk itself is unchanged — the
+    * record's Content-Length frames the whole HTTP block regardless of
+    * what the body rides inside it.
+    */
+  def buildEncodedWarcFile(fileId: Long, docs: Seq[(Long, String)])
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> s"<urn:graft:info:$fileId>",
+      "Content-Type" -> "application/warc-fields"),
+      s"software: graft$CRLF".getBytes(ISO_8859_1)))
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      out.write(record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:graft:$id>",
+        "WARC-Target-URI" -> s"https://h${id % 13}.example.com/d/$id",
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpBlockEncoded(text, chunked = id % 3 == 0, gzipped = id % 4 == 0)))
+    }
+    out.toByteArray
+  }
+
+  def syntheticEncodedWarcFiles(spark: SparkSession, docs: DataFrame,
+      nFiles: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .groupByKey(_._1 % nFiles)
+      .mapGroups((fid, it) => (fid, buildEncodedWarcFile(fid, it.toSeq)))
+      .toDF("file_id", "payload")
+  }
+
+  /** [[warcResponsesBinary]] plus the decoded wire-encoding evidence:
+    * the transfer/content encodings each response arrived under — the
+    * reader a fetch pipeline audits its decode coverage with.
+    */
+  def warcResponsesDecoded(spark: SparkSession, files: DataFrame): DataFrame = {
+    import spark.implicits._
+    files.select(col("file_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (_, bytes) =>
+        parseWarcAuto(bytes).map(r =>
+          (r.docId, r.targetUri, r.httpStatus, r.payload,
+            r.transferEncoding, r.contentEncoding))
+      })
+      .toDF("doc_id", "target_uri", "http_status", "payload",
+        "transfer_encoding", "content_encoding")
   }
 
   /** Synthetic crawl: documents grouped into `nFiles` WARC blobs
@@ -238,13 +549,14 @@ object WarcIngest {
   }
 
   /** Parse a frame of WARC blobs into response rows: the mapPartitions
-    * ingest stage (no shuffle; each task walks whole files).
+    * ingest stage (no shuffle; each task walks whole files). Accepts
+    * plain AND `.warc.gz` blobs per file via [[parseWarcAuto]].
     */
   def warcResponsesBinary(spark: SparkSession, files: DataFrame): DataFrame = {
     import spark.implicits._
     files.select(col("file_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (_, bytes) =>
-        parseWarc(bytes).map(r =>
+        parseWarcAuto(bytes).map(r =>
           (r.docId, r.targetUri, r.httpStatus, r.contentLength, r.payload,
             r.location))
       })
@@ -380,7 +692,7 @@ object WarcIngest {
     val rows = files.select(col("file_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (fid, bytes) =>
-        parseWarc(bytes).map(r =>
+        parseWarcAuto(bytes).map(r =>
           (r.docId, fid, r.targetUri, r.offset, r.recordLength))
       })
       .toDF("doc_id", "file_id", "target_uri", "offset", "record_length")

@@ -70,23 +70,59 @@ object Frontier {
     * early hosts fill their cap and the budget boundary splits exactly
     * one host (the q102 token-budget discipline on the hosts dim).
     *
+    * A null/zero/negative delay (malformed robots data) falls back to
+    * `fallbackDelaySec` BEFORE the cap arithmetic — `floor(w/0)` is null
+    * and `least()` skips nulls, so an unguarded malformed delay silently
+    * DELETED the politeness cap for exactly the hosts whose policy was
+    * broken and over-allocated the budget to them.
+    *
     * Scale shape: one hosts-keyed aggregation (corpus-sized input,
-    * hosts-sized output), then the running sum over the HOSTS DIM — a
-    * planning table thousands of rows long, not the corpus, which is why
-    * the global-order window is acceptable here and nowhere else.
+    * hosts-sized output), then a TWO-PASS DISTRIBUTED prefix sum over
+    * host order — range-partition by host, per-partition running sums,
+    * and a partition-subtotal offset table (one row per shuffle
+    * partition, bounded by cluster config, never by host count) folded
+    * back by broadcast. A web-scale frontier has 10⁷–10⁸ registrable
+    * hosts; no stage here ever holds more than one range partition of
+    * them in order — the only global-order window runs over the
+    * `partitions`-row subtotal frame.
     */
   def budgetAllocate(frontier: DataFrame, hostCol: String, delayCol: String,
-      windowSec: Double, budget: Long): DataFrame = {
+      windowSec: Double, budget: Long,
+      fallbackDelaySec: Double = 1.0): DataFrame = {
+    require(fallbackDelaySec > 0,
+      s"fallbackDelaySec must be > 0: $fallbackDelaySec")
+    val dRaw = first(col(delayCol)).as("delay_sec")
     val per = frontier.groupBy(col(hostCol).as("host"))
-      .agg(count(lit(1)).as("queue_len"),
-        first(col(delayCol)).as("delay_sec"))
+      .agg(count(lit(1)).as("queue_len"), dRaw)
+      .withColumn("_d", when(col("delay_sec").isNull ||
+          col("delay_sec") <= 0, lit(fallbackDelaySec))
+        .otherwise(col("delay_sec")))
       .withColumn("cap", least(col("queue_len"),
-        floor(lit(windowSec) / col("delay_sec")) + 1L))
-    val w = Window.orderBy("host")
+        floor(lit(windowSec) / col("_d")) + 1L))
+    // pass 1: range-partition the hosts dim by host and pin the
+    // partition assignment (both consumers below must read ONE mapping)
+    val parts = math.max(1,
+      per.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val ranged = per.repartitionByRange(parts, col("host"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // per-partition running sum: partitionBy(pid) keeps every window
+    // bounded by one range partition
+    val wLocal = Window.partitionBy("pid").orderBy("host")
       .rowsBetween(Window.unboundedPreceding, -1)
-    per.withColumn("alloc",
-        greatest(lit(0L), least(col("cap"),
-          lit(budget) - coalesce(sum(col("cap")).over(w), lit(0L)))))
+    // pass 2: subtotals (≤ `parts` rows) → cumulative offsets; the
+    // global-order window here runs over the partition COUNT, not hosts
+    val wPid = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("pid")).agg(sum(col("cap")).as("sub"))
+      .withColumn("off", coalesce(sum(col("sub")).over(wPid), lit(0L)))
+      .select(col("pid"), col("off"))
+    ranged
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("prior",
+        coalesce(sum(col("cap")).over(wLocal), lit(0L)) + col("off"))
+      .withColumn("alloc",
+        greatest(lit(0L), least(col("cap"), lit(budget) - col("prior"))))
       .select(col("host"), col("queue_len"), col("cap"), col("alloc"))
   }
 

@@ -132,8 +132,7 @@ object Robots {
     val uaLower = ua.toLowerCase
     df.select(col(hostCol).cast("string"), col(txtCol)).as[(String, String)]
       .mapPartitions(_.map { case (host, txt) =>
-        val delays = parseCrawlDelays(txt)
-        (host, delays.getOrElse(uaLower, delays.getOrElse("*", default)))
+        (host, lookupUa(parseCrawlDelays(txt), uaLower).getOrElse(default))
       })
       .toDF("host", "delay_sec")
   }
@@ -162,9 +161,39 @@ object Robots {
     }
   }
 
-  /** Rules of the most specific matching UA group (exact over `*`). */
-  def groupFor(groups: Map[String, Seq[Rule]], ua: String): Seq[Rule] =
-    groups.getOrElse(ua.toLowerCase, groups.getOrElse("*", Nil))
+  /** The crawler's PRODUCT TOKEN (RFC 9309 §2.2.1: letters, digits,
+    * "-" and "_"): the leading token of the UA string, lowercased —
+    * "GraftBot/1.2 (+https://…)" identifies as "graftbot". */
+  private[operators] def productToken(ua: String): String =
+    ua.toLowerCase.takeWhile(c =>
+      c.isLetterOrDigit || c == '-' || c == '_')
+
+  /** RFC 9309 §2.2.1 group matching: a crawler sending "GraftBot/1.2"
+    * matches the group named "graftbot" — group names compare
+    * case-insensitively against the crawler's PRODUCT TOKEN by longest
+    * prefix (so "googlebot-news" prefers its own group over
+    * "googlebot"), ties broken lexicographically for determinism; only
+    * when NO named group prefixes the token does `*` apply. (The r14
+    * exact-token-only lookup silently dropped versioned UA strings to
+    * `*`; a bare substring match would over-fire — a one-letter group
+    * name matching any UA containing the letter.)
+    */
+  def groupFor(groups: Map[String, Seq[Rule]], ua: String): Seq[Rule] = {
+    val t = productToken(ua)
+    val named = groups.keysIterator
+      .filter(g => g != "*" && g.nonEmpty && t.startsWith(g)).toSeq
+    if (named.nonEmpty) groups(named.maxBy(g => (g.length, g)))
+    else groups.getOrElse("*", Nil)
+  }
+
+  /** The same longest-prefix product-token match over any per-UA map
+    * (crawl-delay lookups share the group-selection semantics). */
+  private[graft] def lookupUa[A](m: Map[String, A], ua: String): Option[A] = {
+    val t = productToken(ua)
+    val named = m.keysIterator
+      .filter(k => k != "*" && k.nonEmpty && t.startsWith(k)).toSeq
+    if (named.nonEmpty) Some(m(named.maxBy(k => (k.length, k)))) else m.get("*")
+  }
 
   /** (allowed, winning pattern) — longest match wins, Allow beats
     * Disallow on ties, no match allows with pattern "".
@@ -217,16 +246,22 @@ object Robots {
   }
 
   /** RFC 9309 pattern → anchored Java regex: literal segments quoted,
-    * `*` spans any octets, trailing `$` keeps its anchor; the leading
-    * `^` makes the no-anchor case a prefix match, per the RFC.
+    * `*` spans any octets — compiled as `(?s:.*)` so it crosses newlines
+    * exactly like the interpreted [[matches]] walk's indexOf does (bare
+    * `.*` stops at \n and the two advertised-equivalent gates would
+    * diverge on a path containing one) — trailing `$` keeps its anchor;
+    * the leading `^` makes the no-anchor case a prefix match, per the
+    * RFC.
     */
   private[graft] def toRegex(pattern: String): String = {
     val anchored = pattern.endsWith("$")
     val pat = if (anchored) pattern.dropRight(1) else pattern
     val body = pat.split("\\*", -1)
       .map(seg => if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg))
-      .mkString(".*")
-    "^" + body + (if (anchored) "$" else "")
+      .mkString("(?s:.*)")
+    // \z, not $: Java's $ also matches BEFORE a final line terminator,
+    // which would anchor-pass a path ending in \n that evaluate() rejects
+    "^" + body + (if (anchored) "\\z" else "")
   }
 
   /** COMPILE a constant policy into a codegen'd boolean Column over a URL

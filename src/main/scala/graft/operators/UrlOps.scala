@@ -35,17 +35,32 @@ object UrlOps {
       .map(key === _).reduce(_ || _)
   }
 
-  /** Scheme of a URL, lowercased ("" when no "://" present). */
-  def schemeOf(url: Column): Column =
-    when(url.contains("://"), lower(substring_index(url, "://", 1)))
-      .otherwise(lit(""))
+  /** Split on the FIRST "://" — never `substring_index(url, "://", -1)`,
+    * which anchors on the LAST occurrence and re-parses a URL that embeds
+    * an absolute URL in its query ("https://a.com/r?to=https://b.com/x",
+    * ubiquitous in real crawls) as the EMBEDDED url, silently corrupting
+    * every canonical dedup key, SURT key, and robots path downstream.
+    * The prefix must also look like a scheme (RFC 3986 ALPHA then
+    * alphanumeric/+/-/.), so a relative URL whose query carries "://"
+    * never sheds its real head. Returns (scheme lowercased or "",
+    * everything after the separator or the input unchanged).
+    */
+  private def schemeSplit(url: Column): (Column, Column) = {
+    val i = instr(url, "://")
+    val valid = i > 0 &&
+      url.substr(lit(1), i - 1).rlike("^[A-Za-z][A-Za-z0-9+.-]*$")
+    (when(valid, lower(url.substr(lit(1), i - 1))).otherwise(lit("")),
+      when(valid, url.substr(i + 3, length(url))).otherwise(url))
+  }
+
+  /** Scheme of a URL, lowercased ("" when no valid "scheme://" head). */
+  def schemeOf(url: Column): Column = schemeSplit(url)._1
 
   /** Host (no port, no credentials handling — crawl URIs), lowercased,
     * leading "www." stripped.
     */
   def hostOf(url: Column): Column = {
-    val afterScheme =
-      when(url.contains("://"), substring_index(url, "://", -1)).otherwise(url)
+    val afterScheme = schemeSplit(url)._2
     val hostPort = substring_index(substring_index(
       substring_index(afterScheme, "/", 1), "?", 1), "#", 1)
     val host = lower(substring_index(hostPort, ":", 1))
@@ -67,9 +82,7 @@ object UrlOps {
     * bytewise string arithmetic, no locale, no IDN.
     */
   def canonicalize(url: Column): Column = {
-    val scheme = schemeOf(url)
-    val afterScheme =
-      when(url.contains("://"), substring_index(url, "://", -1)).otherwise(url)
+    val (scheme, afterScheme) = schemeSplit(url)
     val noFrag = substring_index(afterScheme, "#", 1)
     val hostPort = substring_index(substring_index(noFrag, "/", 1), "?", 1)
     val host = hostOf(url)
@@ -79,11 +92,16 @@ object UrlOps {
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
 
-    // Path+query = everything after the authority. locate is 1-based and
-    // returns 0 when absent; a URL with no "/" after the authority has an
-    // empty path (normalized to "/").
+    // Path+query = everything after the authority, anchored on the FIRST
+    // of "/" or "?" (locate is 1-based, 0 when absent): a slashless URL
+    // with a query ("https://a.com?x=1") has path "/" and MUST keep its
+    // query — deriving rest from "/" alone silently dropped the params
+    // and merged distinct resources.
     val slash = locate("/", noFrag)
-    val rest = when(slash > 0, noFrag.substr(slash, length(noFrag)))
+    val qm = locate("?", noFrag)
+    val rest = when(slash > 0 && (qm === 0 || slash < qm),
+        noFrag.substr(slash, length(noFrag)))
+      .when(qm > 0, concat(lit("/"), noFrag.substr(qm, length(noFrag))))
       .otherwise(lit(""))
     val pathOnly = substring_index(rest, "?", 1)
     val path = when(pathOnly === "" || pathOnly === "/", lit("/"))
@@ -91,8 +109,11 @@ object UrlOps {
         pathOnly.substr(lit(1), length(pathOnly) - 1))
         .otherwise(pathOnly))
 
-    val rawQuery = when(rest.contains("?"),
-      substring_index(rest, "?", -1)).otherwise(lit(""))
+    // query = after the FIRST "?" of rest (a query legally containing a
+    // second "?" keeps it as data)
+    val qr = locate("?", rest)
+    val rawQuery = when(qr > 0, rest.substr(qr + 1, length(rest)))
+      .otherwise(lit(""))
     val kept = array_join(
       array_sort(filter(split(rawQuery, "&"),
         kv => kv =!= "" && !isTracking(kv))), "&")
@@ -108,11 +129,14 @@ object UrlOps {
     * Case preserved — paths are case-sensitive.
     */
   def pathOf(url: Column): Column = {
-    val afterScheme =
-      when(url.contains("://"), substring_index(url, "://", -1)).otherwise(url)
+    val afterScheme = schemeSplit(url)._2
     val noFrag = substring_index(afterScheme, "#", 1)
     val slash = locate("/", noFrag)
-    val rest = when(slash > 0, noFrag.substr(slash, length(noFrag)))
+    val qm = locate("?", noFrag)
+    // the path ends at the first "?": a slashless-with-query URL has
+    // path "/", and a "/" INSIDE the query is data, not path
+    val rest = when(slash > 0 && (qm === 0 || slash < qm),
+        noFrag.substr(slash, length(noFrag)))
       .otherwise(lit(""))
     val pathOnly = substring_index(rest, "?", 1)
     when(pathOnly === "", lit("/")).otherwise(pathOnly)
@@ -127,29 +151,15 @@ object UrlOps {
     concat(array_join(reverse(split(hostOf(url), "\\.")), ","),
       lit(")"), lower(pathOf(url)))
 
-  /** Second-level labels under which a two-letter ccTLD still needs three
-    * labels for the registrable domain (simplified public-suffix rule:
-    * "example.co.uk" registers at "example", not "co"). A real deployment
-    * ships the full PSL as a broadcast lookup; the rule below covers the
-    * dominant families and keeps the operator engine-portable.
+  /** Registrable domain of a host column under the Public Suffix List
+    * algorithm — exact/wildcard/exception rules, longest match, implicit
+    * `*` — compiled at plan time into pure codegen'd Column arithmetic.
+    * See [[PublicSuffix]] for the algorithm, the curated list snapshot,
+    * and the broadcast-dim deployment variant for the full official file.
+    * A host at or below its public suffix folds to itself.
     */
-  val secondLevel: Seq[String] = Seq("co", "com", "org", "net", "ac", "gov", "edu")
-
-  /** Registrable domain of a host column: last two labels, or last three
-    * when the second-to-last is a known second-level label under a
-    * two-letter ccTLD.
-    */
-  def registrableDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
-    val n = size(labels)
-    val tld = element_at(labels, -1)
-    val sld = element_at(labels, -2)
-    val needThree = n >= lit(3) && length(tld) === 2 &&
-      secondLevel.map(sld === _).reduce(_ || _)
-    when(needThree,
-      concat_ws(".", element_at(labels, -3), sld, tld))
-      .otherwise(when(n >= lit(2), concat_ws(".", sld, tld)).otherwise(host))
-  }
+  def registrableDomain(host: Column): Column =
+    PublicSuffix.registrableDomain(host)
 
   /** Collapse re-crawls: one survivor per resource. The key is the
     * SCHEME-RELATIVE canonical URL (everything after "://") so the http
@@ -163,9 +173,13 @@ object UrlOps {
     * times) degrades to a big count, never a big buffer.
     */
   def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    // the canonical string always starts "scheme://", so the key strips
+    // everything up to the FIRST separator — never substring_index(_, -1),
+    // which would re-anchor on a "://" inside a kept query param
+    val canon0 = canonicalize(col(urlCol))
     val canon = df
       .withColumn("resource_key",
-        substring_index(canonicalize(col(urlCol)), "://", -1))
+        canon0.substr(instr(canon0, "://") + 3, length(canon0)))
       .withColumn("_https", (schemeOf(col(urlCol)) === "https").cast("int"))
     val w = Window.partitionBy(col("resource_key"))
       .orderBy(col("_https").desc, col(idCol).asc)

@@ -153,6 +153,43 @@ class RobotsSpec extends AnyFunSuite {
     }
   }
 
+  test("group selection: longest-prefix product-token match — versioned " +
+      "UA strings reach their group, one-letter groups never over-fire") {
+    val txt = Seq(
+      "User-agent: graftbot",
+      "Disallow: /g/",
+      "User-agent: graftbot-news",
+      "Disallow: /n/",
+      "User-agent: b",
+      "Disallow: /b/",
+      "User-agent: *",
+      "Disallow: /all/").mkString("\n")
+    val g = Robots.parseRobots(txt)
+    // versioned UA resolves through its product token, not exact equality
+    assert(Robots.groupFor(g, "GraftBot/1.2 (+https://example.com/bot)") ===
+      Seq(Rule(false, "/g/")))
+    // longest prefix wins between nested product tokens
+    assert(Robots.groupFor(g, "graftbot-news/2.0") === Seq(Rule(false, "/n/")))
+    // a UA merely CONTAINING a group's letter must not match it
+    assert(Robots.groupFor(g, "NoSuchBot") === Seq(Rule(false, "/all/")))
+    // the delay lookup shares the semantics
+    assert(Robots.lookupUa(Map("graftbot" -> 2.0, "*" -> 9.0),
+      "graftbot/1.2") === Some(2.0))
+    assert(Robots.lookupUa(Map("b" -> 2.0, "*" -> 9.0),
+      "nosuchbot") === Some(9.0))
+  }
+
+  test("compiled and interpreted gates agree on paths containing " +
+      "newlines ('*' compiles DOTALL; '$' anchors at true end)") {
+    def hits(re: String, s: String) =
+      java.util.regex.Pattern.compile(re).matcher(s).find()
+    val weird = Seq("/a/\nx/b", "/a/x\n/b", "/a/b\n", "/a/\n")
+    for (pat <- Seq("/a/*b", "/a/*b$", "/a/b$", "/a/"); p <- weird) {
+      assert(hits(Robots.toRegex(pat), p) === Robots.matches(pat, p),
+        s"pattern=$pat path=${p.replace("\n", "\\n")}")
+    }
+  }
+
   test("toRegex: quoting keeps regex metachars literal; * and $ translate") {
     // rlike = regex FIND, so ^-prefixed patterns are prefix matches
     def hits(re: String, s: String) =

@@ -54,6 +54,90 @@ class UrlOpsSpec extends AnyFunSuite {
       "epsilon.ac.jp", "localhost"))
   }
 
+  test("PSL: official checkPublicSuffix vectors (covered families) — " +
+      "compiled Column and interpreted evaluator agree") {
+    import graft.operators.PublicSuffix
+    // (host, registrable domain) pairs from the official PSL test file
+    // (publicsuffix.org test vectors), restricted to rules the embedded
+    // snapshot carries; None = the host IS a public suffix
+    val vectors: Seq[(String, Option[String])] = Seq(
+      "example.com" -> Some("example.com"),
+      "www.example.com" -> Some("example.com"),
+      "biz" -> None,
+      "domain.biz" -> Some("domain.biz"),
+      "example.uk.com" -> Some("example.uk.com"), // private-section rule
+      "test.jp" -> Some("test.jp"),
+      "www.test.jp" -> Some("test.jp"),
+      "ac.jp" -> None,
+      "test.ac.jp" -> Some("test.ac.jp"),
+      "www.test.ac.jp" -> Some("test.ac.jp"),
+      "kyoto.jp" -> None,
+      "test.kyoto.jp" -> Some("test.kyoto.jp"),
+      "ide.kyoto.jp" -> None,
+      "b.ide.kyoto.jp" -> Some("b.ide.kyoto.jp"),
+      "a.b.ide.kyoto.jp" -> Some("b.ide.kyoto.jp"),
+      "c.kobe.jp" -> None,                   // *.kobe.jp wildcard
+      "b.c.kobe.jp" -> Some("b.c.kobe.jp"),
+      "a.b.c.kobe.jp" -> Some("b.c.kobe.jp"),
+      "city.kobe.jp" -> Some("city.kobe.jp"), // !city.kobe.jp exception
+      "www.city.kobe.jp" -> Some("city.kobe.jp"),
+      "ck" -> None,
+      "test.ck" -> None,                     // *.ck wildcard
+      "b.test.ck" -> Some("b.test.ck"),
+      "a.b.test.ck" -> Some("b.test.ck"),
+      "www.ck" -> Some("www.ck"),            // !www.ck exception
+      "www.www.ck" -> Some("www.ck"),
+      "us" -> None,
+      "test.us" -> Some("test.us"),
+      "www.test.us" -> Some("test.us"),
+      "ak.us" -> None,
+      "test.ak.us" -> Some("test.ak.us"),
+      "www.test.ak.us" -> Some("test.ak.us"),
+      "k12.ak.us" -> None,
+      "test.k12.ak.us" -> Some("test.k12.ak.us"),
+      "www.test.k12.ak.us" -> Some("test.k12.ak.us"),
+      // 4-label rule: the suffix family the two-label heuristic broke on
+      "pvt.k12.ma.us" -> None,
+      "x.pvt.k12.ma.us" -> Some("x.pvt.k12.ma.us"),
+      "deep.x.pvt.k12.ma.us" -> Some("x.pvt.k12.ma.us"),
+      // private section
+      "blog.foo.github.io" -> Some("foo.github.io"),
+      "foo.github.io" -> Some("foo.github.io"),
+      "whatever.blogspot.com" -> Some("whatever.blogspot.com"))
+    // interpreted evaluator against the Option semantics
+    vectors.foreach { case (h, exp) =>
+      assert(PublicSuffix.registrableDomainOf(h, PublicSuffix.defaultRules)
+        === exp, s"interpreted: $h")
+    }
+    // compiled Column: a host at/below its suffix folds to itself
+    val hosts = vectors.map(_._1)
+    val got = hosts.toDF("h")
+      .select(UrlOps.registrableDomain(col("h"))).as[String].collect()
+    hosts.zip(got).zip(vectors.map(_._2)).foreach { case ((h, g), exp) =>
+      assert(g === exp.getOrElse(h), s"compiled: $h")
+    }
+  }
+
+  test("a URL embedding an absolute URL in its query parses by the FIRST " +
+      "'://' — host, path, canonical key never re-anchor") {
+    val u = "https://a.com/r?to=https://b.com/x"
+    val row = Seq(u).toDF("u").select(
+      UrlOps.hostOf(col("u")), UrlOps.pathOf(col("u")),
+      UrlOps.schemeOf(col("u")), UrlOps.canonicalize(col("u")))
+      .as[(String, String, String, String)].head()
+    assert(row === (("a.com", "/r", "https", "https://a.com/r?to=https://b.com/x")))
+    // dedup keys: the embedded URL and the real one must NOT collide
+    val df = Seq((1L, u), (2L, "https://b.com/x")).toDF("doc_id", "url")
+    assert(UrlOps.urlDedup(df, "url", "doc_id").count() === 2)
+  }
+
+  test("canonicalize keeps the query of a slashless URL") {
+    assert(canon("https://a.com?x=1&utm_s=t") === "https://a.com/?x=1")
+    assert(canon("https://a.com:8080?b=2&a=1") === "https://a.com:8080/?a=1&b=2")
+    // a '/' inside the query is data, not path
+    assert(canon("https://a.com?to=/x/y") === "https://a.com/?to=/x/y")
+  }
+
   test("surtKey reverses host labels and lowercases the path only") {
     val out = Seq("https://H3.Example.com/D/9?x=1#f", "http://a.co.uk")
       .toDF("u").select(UrlOps.surtKey(col("u"))).as[String].collect()

@@ -125,4 +125,92 @@ class WarcIngestSpec extends AnyFunSuite {
     val warc = WarcIngest.buildWarcFile(0L, Seq(1L -> "t"))
     assert(WarcIngest.parseWet(warc).isEmpty)
   }
+
+  test("a final record missing its trailing separator gets a span clamped " +
+      "to EOF — no CDX range read past the file") {
+    val full = WarcIngest.buildWarcFile(0L, Seq(1L -> "first", 2L -> "second"))
+    val noSep = full.dropRight(4) // legally-borderline: last CRLF CRLF gone
+    val recs = WarcIngest.parseWarc(noSep)
+    assert(recs.map(_.docId) === Seq(1L, 2L))
+    val last = recs.maxBy(_.offset)
+    assert(last.offset + last.recordLength === noSep.length.toLong)
+  }
+
+  test("gzip law: plain and gzipped parses of the same records agree " +
+      "field-for-field (coordinates excepted)") {
+    val docs = Seq(1L -> "plain ascii", 2L -> "naïve — déjà vu ✓",
+      3L -> "", 4L -> "WARC/1.0\r\nContent-Length: 9\r\n\r\npoison")
+    val plain = WarcIngest.parseWarc(WarcIngest.buildWarcFile(0L, docs))
+    val gz = WarcIngest.parseWarcAuto(WarcIngest.buildWarcFileGz(0L, docs))
+    def key(r: WarcIngest.WarcResponse) =
+      (r.docId, r.targetUri, r.httpStatus, r.contentLength, r.payload)
+    assert(gz.map(key).sortBy(_._1) === plain.map(key).sortBy(_._1))
+    // plain blobs keep working through the auto dispatch
+    assert(WarcIngest.parseWarcAuto(WarcIngest.buildWarcFile(0L, docs))
+      .map(key) === plain.map(key))
+  }
+
+  test("gzip CDX law: each record's span is one whole gzip member — the " +
+      "compressed slice inflates and re-parses as exactly that record") {
+    val docs = Seq(10L -> "alpha", 11L -> "beta — γ", 12L -> "")
+    val file = WarcIngest.buildWarcFileGz(3L, docs)
+    val recs = WarcIngest.parseWarcAuto(file)
+    assert(recs.length === 3)
+    recs.foreach { r =>
+      val slice = java.util.Arrays.copyOfRange(file,
+        r.offset.toInt, (r.offset + r.recordLength).toInt)
+      val re = WarcIngest.parseWarcAuto(slice)
+      assert(re.map(x => (x.docId, x.payload, x.contentLength)) ===
+        Seq((r.docId, r.payload, r.contentLength)))
+    }
+    // member spans tile the file: warcinfo member first, then records
+    val sorted = recs.sortBy(_.offset)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(b.offset === a.offset + a.recordLength)
+      case _         => ()
+    }
+    assert(sorted.last.offset + sorted.last.recordLength === file.length.toLong)
+    // a truncated final member drops; the clean prefix survives
+    assert(WarcIngest.parseWarcAuto(file.dropRight(10)).map(_.docId) ===
+      Seq(10L, 11L))
+  }
+
+  test("HTTP body decode: chunked de-framed, gzip/deflate inflated, " +
+      "nesting order chunked-over-coding, md5-exact recovery") {
+    val text = "the quick brown fox jumps over the lazy dog — " +
+      "πάντα ῥεῖ — 0123456789" // > one 16-byte chunk, multi-byte UTF-8
+    // id 12: both (3|12 and 4|12); id 9: chunked only; id 8: gzip only;
+    // id 7: identity
+    val file = WarcIngest.buildEncodedWarcFile(0L,
+      Seq(7L -> text, 8L -> text, 9L -> text, 12L -> text))
+    val recs = WarcIngest.parseWarc(file).sortBy(_.docId)
+    assert(recs.map(_.docId) === Seq(7L, 8L, 9L, 12L))
+    assert(recs.forall(_.payload === text))
+    assert(recs.map(r => (r.transferEncoding, r.contentEncoding)) === Seq(
+      ("identity", "identity"), ("identity", "gzip"),
+      ("chunked", "identity"), ("chunked", "gzip")))
+  }
+
+  test("deflate bodies inflate under both zlib and raw framing") {
+    def deflate(raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+      d.setInput("deflated body".getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](256)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOfRange(buf, 0, n)
+    }
+    Seq(false, true).foreach { raw =>
+      val body = deflate(raw)
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
+      val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:graft:1>\r\n" +
+        "WARC-Target-URI: https://a/1\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+      val out = WarcIngest.parseWarc(rec)
+      assert(out.map(_.payload) === Seq("deflated body"), s"raw=$raw")
+    }
+  }
 }
