@@ -29,13 +29,31 @@ import org.apache.spark.sql.functions._
   */
 object Classify {
 
-  /** (label, token) occurrence counts over the training docs. */
+  /** (label, token) occurrence counts over the training docs under a
+    * pluggable feature map (word tokens by default; char n-grams for
+    * language ID). */
   private def tokenCounts(train: DataFrame, textCol: String,
-      labelCol: String): DataFrame =
+      labelCol: String,
+      feats: Column => Column = TextFunctions.tokens): DataFrame =
     train.select(col(labelCol).as("label"),
-        explode(TextFunctions.tokens(col(textCol))).as("token"))
+        explode(feats(col(textCol))).as("token"))
       .groupBy(col("label"), col("token"))
       .agg(count(lit(1)).as("c"))
+
+  /** Overlapping char n-grams of a text column — the language-ID feature
+    * map (Cavnar & Trenkle 1994 n-gram profiles; the lid gate shape CCNet
+    * runs ahead of everything else): lowercase, whitespace runs folded to
+    * one "_" so word boundaries are features, "_" sentinels at both ends,
+    * then every n-window. Pure codegen'd Column arithmetic (sequence +
+    * transform + substr) so the whole feature map replays in a SQL
+    * oracle; a text shorter than n yields its single padded window.
+    */
+  def charNgrams(text: Column, n: Int = 3): Column = {
+    val s = concat(lit("_"), regexp_replace(lower(text), "\\s+", "_"),
+      lit("_"))
+    transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
+      i => s.substr(i, lit(n)))
+  }
 
   /** Per-label doc and token totals plus the global doc count and
     * vocabulary size — a |labels|-row frame, always broadcast. */
@@ -80,11 +98,19 @@ object Classify {
     * score, and a correctness flag.
     */
   def nbClassify(train: DataFrame, test: DataFrame, idCol: String,
-      textCol: String, labelCol: String): DataFrame = {
-    val counts = tokenCounts(train, textCol, labelCol)
+      textCol: String, labelCol: String): DataFrame =
+    nbClassifyFeatures(train, test, idCol, textCol, labelCol,
+      TextFunctions.tokens)
+
+  /** [[nbClassify]] under a pluggable feature map — the same α=1
+    * decomposition, scoring shuffle keyed on the feature. */
+  def nbClassifyFeatures(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, labelCol: String,
+      feats: Column => Column): DataFrame = {
+    val counts = tokenCounts(train, textCol, labelCol, feats)
     val stats = labelStats(train, idCol, textCol, labelCol, counts)
     val tf = test.select(col(idCol).as("id"), col(labelCol).as("true_label"),
-        explode(TextFunctions.tokens(col(textCol))).as("token"))
+        explode(feats(col(textCol))).as("token"))
       .groupBy(col("id"), col("true_label"), col("token"))
       .agg(count(lit(1)).as("tf"))
     // m_d: test tokens restricted to the training vocabulary (any label)
@@ -111,6 +137,54 @@ object Classify {
         col("label").as("pred_label"), col("score"),
         when(col("label") === col("true_label"), 1).otherwise(0)
           .as("correct"))
+  }
+
+  /** LANGUAGE ID (the lid gate CCNet §3.1 runs before every other
+    * filter; fastText-lid's job, as explainable NB): [[nbClassifyFeatures]]
+    * over [[charNgrams]] char-3-gram profiles — training is two hash
+    * aggregations over the gram stream, scoring one gram-keyed join, the
+    * per-language constant table broadcast. Same output/rounding contract
+    * as [[nbClassify]], so the whole gate (feature map included) replays
+    * in a SQL oracle.
+    */
+  def langIdClassify(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, labelCol: String, n: Int = 3): DataFrame =
+    nbClassifyFeatures(train, test, idCol, textCol, labelCol,
+      charNgrams(_, n))
+
+  /** Language prediction over UNLABELED docs (the [[QualityGate]] signal
+    * shape): (doc_id, lang_pred, lang_score). Any existing `labelCol` on
+    * `docs` is overwritten by the internal placeholder. */
+  def langIdPredict(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String, n: Int = 3): DataFrame =
+    langIdClassify(train, docs.withColumn(labelCol, lit("")), idCol,
+      textCol, labelCol, n)
+      .select(col("doc_id"), col("pred_label").as("lang_pred"),
+        col("score").as("lang_score"))
+
+  /** Deterministic multilingual fixture over the documents table: four
+    * language templates (en/de/fr/es — stopword-heavy running text, so
+    * char-3-gram profiles separate them the way real lid features do)
+    * with an id-varying numeral tail; every field replays by formula in
+    * the oracle.
+    */
+  val langTemplates: Map[String, String] = Map(
+    "en" -> "the house and the water are near the old street",
+    "de" -> "das haus und das wasser sind nahe der alten strasse",
+    "fr" -> "la maison et le pain sont pres de la vieille rue",
+    "es" -> "la casa y el agua estan cerca de la calle vieja")
+
+  def syntheticMultilingualCorpus(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val lang = when(id % 4 === 0, "en").when(id % 4 === 1, "de")
+      .when(id % 4 === 2, "fr").otherwise("es")
+    val text = concat(
+      when(id % 4 === 0, langTemplates("en"))
+        .when(id % 4 === 1, langTemplates("de"))
+        .when(id % 4 === 2, langTemplates("fr"))
+        .otherwise(langTemplates("es")),
+      lit(" n"), (id % 10).cast("string"))
+    docs.select(id, lang.as("lang"), text.as("text"))
   }
 
   /** Binary NB LOG-ODDS — the fastText-style quality-classifier score

@@ -44,11 +44,25 @@ object QualityGate {
     * fit. It must split the corpus: a batch where every document labels
     * the same way has no quality contrast for the classifier and fails
     * fast with a gate-level message.
+    *
+    * Optional FIFTH signal — language ID, the gate CCNet §3.1 runs FIRST
+    * (a wrong-language page is dropped before any quality heuristic
+    * spends work on it): pass `langTrain` (a labeled corpus with
+    * `langLabelCol`) and `allowedLangs`; every doc gets a `lang_pred`
+    * column ([[Classify.langIdPredict]] — char-3-gram NB, one gram-keyed
+    * join plus a languages-row broadcast), and a prediction outside
+    * `allowedLangs` drops with reason "language" at the HEAD of the
+    * cascade. Disabled (the default) the verdict frame is column-exact
+    * with r14 — the q167 contract.
     */
   def qualityGate(docs: DataFrame, idCol: String, textCol: String,
       srcCol: String, hiQuality: Column, repQ: Double = 0.97,
       oovQ: Double = 0.97, nbQ: Double = 0.10, boilerMax: Double = 0.4,
-      vocabK: Int = 1000, boilerMinFrac: Double = 0.25): DataFrame = {
+      vocabK: Int = 1000, boilerMinFrac: Double = 0.25,
+      langTrain: Option[DataFrame] = None, langLabelCol: String = "lang",
+      allowedLangs: Seq[String] = Nil): DataFrame = {
+    require(langTrain.isEmpty || allowedLangs.nonEmpty,
+      "language gating needs a non-empty allowedLangs")
     require(repQ > 0 && repQ < 1 && oovQ > 0 && oovQ < 1 &&
       nbQ > 0 && nbQ < 1, "quantile thresholds must be in (0,1)")
     require(boilerMax > 0 && boilerMax <= 1,
@@ -88,22 +102,37 @@ object QualityGate {
         "in the gated corpus (check the predicate against this batch)")
     val nb = Classify.nbLogOdds(labeled, labeled, idCol, textCol,
       "qlabel", "hi").withColumnRenamed(idCol, "id")
-    val signals = rep.join(oov, Seq("id")).join(boiler, Seq("id"))
+    val four = rep.join(oov, Seq("id")).join(boiler, Seq("id"))
       .join(nb, Seq("id"))
-      .localCheckpoint() // consumed twice: calibration agg + verdict
+    val signals = langTrain match {
+      case None => four.localCheckpoint() // calibration agg + verdict
+      case Some(lt) =>
+        four.join(Classify.langIdPredict(lt, docs, idCol, textCol,
+            langLabelCol).withColumnRenamed("doc_id", "id")
+            .select(col("id"), col("lang_pred")),
+          Seq("id"))
+          .localCheckpoint()
+    }
     val cuts = signals.agg(
       expr(s"percentile(rep_ratio, $repQ)").as("rep_cut"),
       expr(s"percentile(oov_rate, $oovQ)").as("oov_cut"),
       expr(s"percentile(nb_log_odds, $nbQ)").as("nb_cut"))
-    val reason = when(col("rep_ratio") > col("rep_cut"), "repetition")
+    val langReason = langTrain match {
+      case None    => when(lit(false), "language")
+      case Some(_) => when(!col("lang_pred")
+        .isInCollection(allowedLangs), "language")
+    }
+    val reason = langReason
+      .when(col("rep_ratio") > col("rep_cut"), "repetition")
       .when(col("oov_rate") > col("oov_cut"), "oov")
       .when(col("boiler_frac") > boilerMax, "boilerplate")
       .when(col("nb_log_odds") < col("nb_cut"), "nb_quality")
       .otherwise("kept")
-    signals.crossJoin(broadcast(cuts))
-      .select(col("id").as(idCol), col("rep_ratio"), col("oov_rate"),
-        col("boiler_frac"), col("nb_log_odds"),
-        reason.as("drop_reason"), (reason === "kept").as("kept"))
+    val base = Seq(col("id").as(idCol), col("rep_ratio"), col("oov_rate"),
+      col("boiler_frac"), col("nb_log_odds")) ++
+      (if (langTrain.isDefined) Seq(col("lang_pred")) else Nil) ++
+      Seq(reason.as("drop_reason"), (reason === "kept").as("kept"))
+    signals.crossJoin(broadcast(cuts)).select(base: _*)
   }
 
   /** Gopher's filter word list (Rae et al. 2021, A1.1): a document must

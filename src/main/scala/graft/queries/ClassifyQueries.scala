@@ -559,6 +559,81 @@ object ClassifyQueries {
             avg(when(col("dup_ex") === col("dup_tr"), 1.0).otherwise(0.0)), 6)
             .as("agreement"))
     }, None),
+
+    // CHAR-NGRAM LANGUAGE ID (CCNet's lid gate, as explainable NB): the
+    // q154 classifier re-based on char-3-gram profiles — lowercase,
+    // whitespace folded to '_', '_' sentinels, every 3-window — over the
+    // deterministic 4-language fixture (en/de/fr/es stopword-heavy
+    // templates + an id numeral tail). Train on doc_id%5≠0, classify the
+    // held-out %5=0 split. The oracle replays EVERYTHING — the feature
+    // map (generate_series + substr), both training aggregations, the
+    // α=1 scoring decomposition, the 4-decimal round, and the argmax
+    // tie-break — so a drift anywhere from the gram window to the prior
+    // hash-mismatches.
+    ("q202_lang_id", (s: SparkSession, d: String) => {
+      val corpus = Classify.syntheticMultilingualCorpus(
+        Tables.documents(s, d))
+      Classify.langIdClassify(
+        corpus.filter(col("doc_id") % 5 =!= 0),
+        corpus.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "lang", n = 3)
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                    WHEN 2 THEN 'fr' ELSE 'es' END AS lang,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'the house and the water are near the old street'
+                 WHEN 1 THEN 'das haus und das wasser sind nahe der alten strasse'
+                 WHEN 2 THEN 'la maison et le pain sont pres de la vieille rue'
+                 ELSE 'la casa y el agua estan cerca de la calle vieja'
+               END || ' n' || CAST(doc_id % 10 AS VARCHAR) AS text
+        FROM documents),
+      padded AS (
+        SELECT doc_id, lang,
+               '_' || regexp_replace(lower(text), '\s+', '_', 'g') || '_' AS s
+        FROM base),
+      grams AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                 generate_series(1, greatest(length(s) - 2, 1)),
+                 i -> substr(s, i, 3))) AS token
+        FROM padded),
+      tk AS (SELECT lang AS label, token FROM grams WHERE doc_id % 5 <> 0),
+      cnt AS (SELECT label, token, count(*) AS c FROM tk GROUP BY label, token),
+      lbl AS (SELECT lang AS label, count(*) AS n_docs FROM base
+              WHERE doc_id % 5 <> 0 GROUP BY lang),
+      tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS n_tokens
+              FROM cnt GROUP BY label),
+      g AS (SELECT (SELECT count(*) FROM base WHERE doc_id % 5 <> 0)
+                     AS n_docs_total,
+                   (SELECT count(DISTINCT token) FROM cnt) AS v_size),
+      stats AS (SELECT lbl.label, lbl.n_docs, tot.n_tokens, g.n_docs_total,
+                       g.v_size
+                FROM lbl JOIN tot USING (label) CROSS JOIN g),
+      tf AS (SELECT doc_id, lang AS true_label, token, count(*) AS tf
+             FROM grams WHERE doc_id % 5 = 0
+             GROUP BY doc_id, lang, token),
+      vocab AS (SELECT DISTINCT token FROM cnt),
+      m AS (SELECT tf.doc_id, tf.true_label, CAST(sum(tf.tf) AS BIGINT) AS m
+            FROM tf JOIN vocab USING (token) GROUP BY tf.doc_id, tf.true_label),
+      seen AS (SELECT tf.doc_id, cnt.label,
+                      sum(tf.tf * ln(cnt.c + 1.0)) AS s_seen
+               FROM tf JOIN cnt USING (token) GROUP BY tf.doc_id, cnt.label),
+      sc AS (SELECT m.doc_id, m.true_label, s.label,
+                    round(ln(s.n_docs * 1.0 / s.n_docs_total)
+                      - m.m * ln((s.n_tokens + s.v_size) * 1.0)
+                      + coalesce(seen.s_seen, 0.0), 4) AS score
+             FROM m CROSS JOIN stats s
+             LEFT JOIN seen ON seen.doc_id = m.doc_id AND seen.label = s.label),
+      rk AS (SELECT doc_id, true_label, label, score,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, label) AS rk
+             FROM sc)
+      SELECT doc_id, true_label, label AS pred_label, score,
+             CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS INTEGER)
+               AS correct
+      FROM rk WHERE rk = 1""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

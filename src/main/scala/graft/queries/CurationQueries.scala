@@ -329,6 +329,59 @@ object CurationQueries {
       SELECT doc_id, domain, CAST(domain_rank AS INTEGER) AS domain_rank
       FROM r WHERE domain_rank <= 20
       ORDER BY domain, domain_rank""")),
+
+    // PUBLIC SUFFIX LIST fold (publicsuffix.org algorithm — q173's
+    // registrable-domain key, now exercised on every STRUCTURAL case the
+    // official algorithm has: a plain TLD, a 2-label suffix, the 4-label
+    // pvt.k12.ma.us family the two-label heuristic mis-bucketed, a
+    // wildcard TLD (*.ck), a city wildcard (*.kobe.jp), BOTH exception
+    // rules (!www.ck, !city.kobe.jp), and a private-section suffix
+    // (github.io). Hosts come from the id formula; the Spark side runs
+    // the compiled rule-set CASE chain (pure codegen'd projection — plan
+    // pinned exchange-free in PlanSpec); the oracle states the expected
+    // fold per class.
+    ("q201_psl_domains", (s: SparkSession, d: String) => {
+      val id = col("doc_id")
+      val host = when(id % 8 === 0,
+          concat(lit("a"), (id % 5).cast("string"), lit(".b.example.com")))
+        .when(id % 8 === 1,
+          concat(lit("x"), (id % 5).cast("string"), lit(".news.bbc.co.uk")))
+        .when(id % 8 === 2,
+          concat(lit("deep"), (id % 5).cast("string"), lit(".x.pvt.k12.ma.us")))
+        .when(id % 8 === 3,
+          concat(lit("a"), (id % 5).cast("string"), lit(".b.test.ck")))
+        .when(id % 8 === 4, lit("www.www.ck"))
+        .when(id % 8 === 5,
+          concat(lit("s"), (id % 5).cast("string"), lit(".a.b.kobe.jp")))
+        .when(id % 8 === 6, lit("www.city.kobe.jp"))
+        .otherwise(
+          concat(lit("blog"), (id % 5).cast("string"), lit(".foo.github.io")))
+      Tables.documents(s, d)
+        .select(id, host.as("host"),
+          UrlOps.registrableDomain(host).as("domain"))
+    }, Some("""
+      SELECT doc_id,
+             CASE doc_id % 8
+               WHEN 0 THEN 'a' || CAST(doc_id % 5 AS VARCHAR) || '.b.example.com'
+               WHEN 1 THEN 'x' || CAST(doc_id % 5 AS VARCHAR) || '.news.bbc.co.uk'
+               WHEN 2 THEN 'deep' || CAST(doc_id % 5 AS VARCHAR) || '.x.pvt.k12.ma.us'
+               WHEN 3 THEN 'a' || CAST(doc_id % 5 AS VARCHAR) || '.b.test.ck'
+               WHEN 4 THEN 'www.www.ck'
+               WHEN 5 THEN 's' || CAST(doc_id % 5 AS VARCHAR) || '.a.b.kobe.jp'
+               WHEN 6 THEN 'www.city.kobe.jp'
+               ELSE 'blog' || CAST(doc_id % 5 AS VARCHAR) || '.foo.github.io'
+             END AS host,
+             CASE doc_id % 8
+               WHEN 0 THEN 'example.com'   -- implicit * rule
+               WHEN 1 THEN 'bbc.co.uk'     -- 2-label exact rule
+               WHEN 2 THEN 'x.pvt.k12.ma.us' -- 4-label exact rule
+               WHEN 3 THEN 'b.test.ck'     -- *.ck wildcard
+               WHEN 4 THEN 'www.ck'        -- !www.ck exception
+               WHEN 5 THEN 'a.b.kobe.jp'   -- *.kobe.jp wildcard
+               WHEN 6 THEN 'city.kobe.jp'  -- !city.kobe.jp exception
+               ELSE 'foo.github.io'        -- private-section rule
+             END AS domain
+      FROM documents""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

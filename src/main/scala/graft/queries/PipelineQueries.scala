@@ -1288,6 +1288,56 @@ object PipelineQueries {
              doc_id % 5 IN (1, 3, 4) AS noindex,
              doc_id % 5 IN (2, 3, 4) AS nofollow
       FROM documents""")),
+
+    // GZIP WARC ROUND-TRIP (.warc.gz — the wire format every real Common
+    // Crawl segment ships in: each record its own gzip member): the SAME
+    // record stream as q175, but each record RFC 1952-compressed before
+    // concatenation, walked back member-wise (header-field walk, raw
+    // Inflater, ISIZE check) through the auto-dispatching parser. The
+    // oracle is q175's — URI/status from the id formula, the WARC
+    // header's Content-Length from the HTTP block arithmetic, md5 proving
+    // byte-exact body recovery THROUGH the compression — so a fault
+    // anywhere in member framing, inflation, or the inner walk
+    // hash-mismatches. Member-span coordinates (CDX range reads over
+    // compressed blobs) are pinned by law in WarcIngestSpec.
+    ("q199_warc_gzip_roundtrip", (s: SparkSession, d: String) => {
+      val files = graft.io.WarcIngest.syntheticWarcFilesGz(
+        s, Tables.documents(s, d), nFiles = 16)
+      graft.io.WarcIngest.warcResponsesBinary(s, files)
+        .select(col("doc_id"), col("target_uri"), col("http_status"),
+          col("content_length"), md5(col("payload")).as("payload_md5"))
+    }, Some("""
+      SELECT doc_id,
+             'https://h' || CAST(doc_id % 13 AS VARCHAR) ||
+               '.example.com/d/' || CAST(doc_id AS VARCHAR) AS target_uri,
+             CAST(200 AS INTEGER) AS http_status,
+             CAST(63 + length(CAST(octet_length(encode(text)) AS VARCHAR))
+                  + octet_length(encode(text)) AS BIGINT) AS content_length,
+             md5(text) AS payload_md5
+      FROM documents""")),
+
+    // HTTP BODY DECODING (the encodings real fetch records carry
+    // routinely): every 3rd response body rides Transfer-Encoding:
+    // chunked (16-octet chunks — multi-chunk reassembly on every
+    // non-trivial doc), every 4th Content-Encoding: gzip, both where
+    // both divide (de-frame THEN inflate — the wire nesting). The walk
+    // surfaces the encodings it decoded plus the md5 of the recovered
+    // text: a fault in chunk framing, inflation, or the nesting order
+    // hash-mismatches the affected residue class.
+    ("q200_http_body_decode", (s: SparkSession, d: String) => {
+      val files = graft.io.WarcIngest.syntheticEncodedWarcFiles(
+        s, Tables.documents(s, d), nFiles = 16)
+      graft.io.WarcIngest.warcResponsesDecoded(s, files)
+        .select(col("doc_id"), col("transfer_encoding"),
+          col("content_encoding"), md5(col("payload")).as("payload_md5"))
+    }, Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'chunked' ELSE 'identity' END
+               AS transfer_encoding,
+             CASE WHEN doc_id % 4 = 0 THEN 'gzip' ELSE 'identity' END
+               AS content_encoding,
+             md5(text) AS payload_md5
+      FROM documents""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -31,6 +31,34 @@ class ClassifySpec extends AnyFunSuite {
     assert(got === Set((10L, "A", 1), (11L, "B", 1)))
   }
 
+  test("charNgrams: sentinels, whitespace folding, every 3-window; " +
+      "short text yields its single padded window") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq("Ab c", "x", "").toDF("t")
+      .select(graft.operators.Classify.charNgrams(col("t"), 3))
+      .as[Seq[String]].collect()
+    // "Ab c" → "_ab_c_" → windows of 3
+    assert(got(0) === Seq("_ab", "ab_", "b_c", "_c_"))
+    assert(got(1) === Seq("_x_"))
+    assert(got(2) === Seq("__"))
+  }
+
+  test("langIdClassify: held-out fixture split classifies 100% correct " +
+      "across all four languages") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.operators.Classify.syntheticMultilingualCorpus(
+      spark.range(0, 120).select(col("id").as("doc_id")))
+    val out = graft.operators.Classify.langIdClassify(
+        corpus.filter(col("doc_id") % 5 =!= 0),
+        corpus.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "lang")
+      .select("true_label", "pred_label", "correct")
+      .as[(String, String, Int)].collect()
+    assert(out.length === 24)
+    assert(out.forall(_._3 == 1), out.filter(_._3 == 0).mkString(", "))
+    assert(out.map(_._1).toSet === Set("en", "de", "fr", "es"))
+  }
+
   test("score decomposition equals the dense smoothed-matrix score") {
     val test = Seq((10L, "alpha beta shared novel", "A"))
       .toDF("doc_id", "text", "source")

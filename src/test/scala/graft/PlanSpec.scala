@@ -539,4 +539,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ShuffledHashJoin"), p.take(4000))
     assert(p.contains("Window"), p.take(4000))
   }
+
+  test("q194 crawl budget: no GLOBAL-order window over the hosts frame — " +
+      "host-frame windows are pid-partitioned; the only unpartitioned " +
+      "window runs over the partition-count subtotal frame") {
+    // the two-pass prefix sum's shape: every Window over hosts-sized data
+    // carries a partition spec; the offsets join broadcasts
+    val p = plan("q194_crawl_budget")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    // exactly one single-partition window (the ≤ nPart-row offsets frame)
+    assert(countOccurrences(p, "Exchange SinglePartition") === 1, p.take(6000))
+  }
+
+  test("q199 gzip WARC: one build exchange; the member walk adds no " +
+      "shuffle, no window") {
+    val p = plan("q199_warc_gzip_roundtrip")
+    assert(countOccurrences(p, "Exchange hashpartitioning") === 1, p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q200 HTTP body decode: one build exchange; dechunk+inflate ride " +
+      "the map-only walk") {
+    val p = plan("q200_http_body_decode")
+    assert(countOccurrences(p, "Exchange hashpartitioning") === 1, p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+    assert(!p.contains("Join"), p.take(4000))
+  }
+
+  test("q201 PSL fold is a pure codegen'd projection: no exchange, no " +
+      "join, no UDF — the rule set compiles into the plan") {
+    val p = plan("q201_psl_domains")
+    assert(!p.contains("Exchange"), p.take(4000))
+    assert(!p.contains("Join"), p.take(4000))
+    assert(!p.contains("UDF"), p.take(4000))
+    assert(!p.contains("BatchEvalPython"), p.take(4000))
+  }
+
+  test("q202 lang-id NB: the q154 plan contract under char-gram features " +
+      "— label constants broadcast, gram joins hash, nothing cartesian") {
+    val p = plan("q202_lang_id")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
 }

@@ -116,6 +116,57 @@ class QualityGateSpec extends AnyFunSuite {
     assert(out(1L).getDouble(4) === 1.0)
   }
 
+  test("five-signal cascade: language heads the cascade, the attribution " +
+      "still partitions the drops, and the disabled path is column-exact") {
+    import graft.operators.Classify
+    // every 9th doc is re-texted with the German template (an id numeral
+    // tail keeps them distinct); the lid NB trains on the deterministic
+    // 4-language fixture and the gate allows everything BUT de
+    val base = injected.withColumn("text",
+      when(col("doc_id") % 9 === 0,
+        concat(lit(Classify.langTemplates("de")), lit(" n"),
+          (col("doc_id") % 10).cast("string")))
+        .otherwise(col("text")))
+    val langTrain = Classify.syntheticMultilingualCorpus(
+      spark.range(0, 200).select(col("id").as("doc_id")))
+    val out5 = QualityGate.qualityGate(base, "doc_id", "text", "source",
+      hiQuality = col("source") === "src0", boilerMinFrac = 0.08,
+      langTrain = Some(langTrain), langLabelCol = "lang",
+      allowedLangs = Seq("en", "fr", "es")).collect()
+    val cols = QualityGate.qualityGate(base, "doc_id", "text", "source",
+      hiQuality = col("source") === "src0", boilerMinFrac = 0.08,
+      langTrain = Some(langTrain), langLabelCol = "lang",
+      allowedLangs = Seq("en", "fr", "es")).columns.toSeq
+    assert(cols === Seq("doc_id", "rep_ratio", "oov_rate", "boiler_frac",
+      "nb_log_odds", "lang_pred", "drop_reason", "kept"))
+    // total + partition (now over five reasons)
+    assert(out5.length.toLong === base.count())
+    val reasonIdx = cols.indexOf("drop_reason")
+    val keptIdx = cols.indexOf("kept")
+    val langIdx = cols.indexOf("lang_pred")
+    val byReason = out5.groupBy(_.getString(reasonIdx)).view
+      .mapValues(_.length).toMap
+    val drops = out5.count(!_.getBoolean(keptIdx))
+    assert(byReason.filterNot(_._1 == "kept").values.sum === drops)
+    // language heads the cascade: reason "language" ⇔ pred ∉ allowed
+    out5.foreach { r =>
+      val disallowed = r.getString(langIdx) == "de"
+      assert((r.getString(reasonIdx) == "language") === disallowed,
+        s"doc ${r.get(0)}: pred=${r.getString(langIdx)} " +
+          s"reason=${r.getString(reasonIdx)}")
+    }
+    // the re-texted docs ARE the de predictions (template matches train)
+    out5.filter(r => r.getLong(0) % 9 == 0).foreach(r =>
+      assert(r.getString(langIdx) === "de", s"doc ${r.get(0)}"))
+    assert(byReason.contains("language") && byReason("language") > 0)
+    // disabled path: the r14 column contract, no lang column
+    val out4cols = QualityGate.qualityGate(base, "doc_id", "text", "source",
+      hiQuality = col("source") === "src0", boilerMinFrac = 0.08)
+      .columns.toSeq
+    assert(out4cols === Seq("doc_id", "rep_ratio", "oov_rate",
+      "boiler_frac", "nb_log_odds", "drop_reason", "kept"))
+  }
+
   test("a uniformly-labeled corpus fails fast with a gate-level message") {
     val uniform = injected.limit(50)
     val e = intercept[IllegalArgumentException] {
