@@ -258,8 +258,16 @@ object Sampling {
     require(nBuckets >= 2 && nBuckets <= 65536,
       s"nBuckets must be in [2, 65536]: $nBuckets")
     require(alpha > 0, s"alpha must be > 0: $alpha")
-    val perDoc = ngramBuckets(raw, textCol, nBuckets, col(idCol))
-    val cr = perDoc.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    // ONE raw-corpus pass serving both the FIT and the SCORE: the explode
+    // + md5 stream pre-aggregates to a (doc, bucket, n) frame — bounded
+    // by docs × nBuckets, map-side combined — and both consumers below
+    // read the SAME (id, b) exchange, which Catalyst's ReuseExchange
+    // dedups into one physical scan+explode (pinned in PlanSpec). The r14
+    // shape exploded the corpus once per consumer — the suite's two
+    // slowest queries paid the dominant md5 cost twice.
+    val perDocB = ngramBuckets(raw, textCol, nBuckets, col(idCol))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n"))
+    val cr = perDocB.groupBy(col("b")).agg(sum(col("n")).as("cr"))
     val ct = ngramBuckets(target, textCol, nBuckets)
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val tot = cr.agg(sum(col("cr")).as("tr")).crossJoin(
@@ -272,10 +280,10 @@ object Sampling {
             (col("tt") + alpha * nBuckets)) -
           log((col("cr") + alpha) / (col("tr") + alpha * nBuckets)))
           .as("lr"))
-    perDoc.join(broadcast(wt), Seq("b"))
+    perDocB.join(broadcast(wt), Seq("b"))
       .groupBy(col(idCol))
-      .agg(graft.functions.ColumnFunctions.pround(sum(col("lr")), 4)
-        .as("log_weight"))
+      .agg(graft.functions.ColumnFunctions.pround(
+        sum(col("lr") * col("n")), 4).as("log_weight"))
   }
 
   /** The `k` raw documents most target-like under [[dsirWeights]] —
