@@ -161,6 +161,18 @@ object UrlOps {
   def registrableDomain(host: Column): Column =
     PublicSuffix.registrableDomain(host)
 
+  /** SCHEME-RELATIVE canonical resource key — the re-crawl dedup key the
+    * http and https fetches of one resource collide on. The canonical
+    * string always starts "scheme://", so the key strips everything up
+    * to the FIRST separator — never `substring_index(_, "://", -1)`,
+    * which would re-anchor on a "://" inside a kept query param and
+    * collide unrelated resources.
+    */
+  def resourceKey(url: Column): Column = {
+    val c = canonicalize(url)
+    c.substr(instr(c, "://") + 3, length(c))
+  }
+
   /** Collapse re-crawls: one survivor per resource. The key is the
     * SCHEME-RELATIVE canonical URL (everything after "://") so the http
     * and https fetches of one resource collide; preference is then https
@@ -173,13 +185,8 @@ object UrlOps {
     * times) degrades to a big count, never a big buffer.
     */
   def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
-    // the canonical string always starts "scheme://", so the key strips
-    // everything up to the FIRST separator — never substring_index(_, -1),
-    // which would re-anchor on a "://" inside a kept query param
-    val canon0 = canonicalize(col(urlCol))
     val canon = df
-      .withColumn("resource_key",
-        canon0.substr(instr(canon0, "://") + 3, length(canon0)))
+      .withColumn("resource_key", resourceKey(col(urlCol)))
       .withColumn("_https", (schemeOf(col(urlCol)) === "https").cast("int"))
     val w = Window.partitionBy(col("resource_key"))
       .orderBy(col("_https").desc, col(idCol).asc)

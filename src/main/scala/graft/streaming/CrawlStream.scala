@@ -66,8 +66,7 @@ object CrawlStream {
       batchId: Long, stateDir: String): Unit =
       Generations.withWriterLock(spark, stateDir) {
     val fetched = WarcIngest.warcResponsesBinary(spark, blobs)
-      .withColumn("resource_key",
-        substring_index(UrlOps.canonicalize(col("target_uri")), "://", -1))
+      .withColumn("resource_key", UrlOps.resourceKey(col("target_uri")))
     val w = Window.partitionBy(col("resource_key")).orderBy(col("doc_id").asc)
     val inBatch = fetched
       .withColumn("_rn", row_number().over(w))

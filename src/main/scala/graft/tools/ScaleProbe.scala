@@ -106,6 +106,15 @@ object ScaleProbe {
       graft.io.WarcIngest.warcResponsesBinary(s,
         graft.io.WarcIngest.syntheticWarcFiles(s, docs, nFiles = 64)).count()
     }),
+    // the .warc.gz twin (r15): same 64-blob geometry, every record its
+    // own gzip member — the ratio to warc_pipeline at each k is the
+    // deflate+inflate tax, and its growth must track the plain row's
+    // (member work is per-record, embarrassingly parallel)
+    ("warc_gz_pipeline", () => {
+      val s = docs.sparkSession
+      graft.io.WarcIngest.warcResponsesBinary(s,
+        graft.io.WarcIngest.syntheticWarcFilesGz(s, docs, nFiles = 64)).count()
+    }),
     // HTML render+extract: two map-only stages, no shuffle — the
     // per-page tag-walk throughput curve
     ("html_extract", () => {
