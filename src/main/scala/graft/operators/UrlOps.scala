@@ -47,6 +47,10 @@ object UrlOps {
     */
   private def schemeSplit(url: Column): (Column, Column) = {
     val i = instr(url, "://")
+    // the head must LOOK like a scheme (RFC 3986 ALPHA then
+    // alphanumeric/+/-/.): one anchored regex over the ≤ i-char prefix —
+    // measurably cheaper than locate-based full-string scans (the regex
+    // compiles once per plan; the prefix is a handful of octets)
     val valid = i > 0 &&
       url.substr(lit(1), i - 1).rlike("^[A-Za-z][A-Za-z0-9+.-]*$")
     (when(valid, lower(url.substr(lit(1), i - 1))).otherwise(lit("")),
@@ -82,6 +86,17 @@ object UrlOps {
     * bytewise string arithmetic, no locale, no IDN.
     */
   def canonicalize(url: Column): Column = {
+    val (scheme, rest) = canonicalParts(url)
+    concat(scheme, lit("://"), rest)
+  }
+
+  /** (canonical scheme, canonical SCHEME-RELATIVE remainder) — split so
+    * [[resourceKey]] reads the remainder directly instead of re-parsing
+    * the assembled canonical string (re-deriving the key from the string
+    * duplicated the whole canonicalize tree per consumer and cost q172
+    * 6× in the r15 bench).
+    */
+  private def canonicalParts(url: Column): (Column, Column) = {
     val (scheme, afterScheme) = schemeSplit(url)
     val noFrag = substring_index(afterScheme, "#", 1)
     val hostPort = substring_index(substring_index(noFrag, "/", 1), "?", 1)
@@ -118,11 +133,11 @@ object UrlOps {
       array_sort(filter(split(rawQuery, "&"),
         kv => kv =!= "" && !isTracking(kv))), "&")
 
-    concat(
-      scheme, lit("://"), host,
+    (scheme, concat(
+      host,
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
       path,
-      when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
+      when(kept =!= "", concat(lit("?"), kept)).otherwise(lit(""))))
   }
 
   /** Path component of a URL (no query, no fragment), "/" when absent.
@@ -162,16 +177,14 @@ object UrlOps {
     PublicSuffix.registrableDomain(host)
 
   /** SCHEME-RELATIVE canonical resource key — the re-crawl dedup key the
-    * http and https fetches of one resource collide on. The canonical
-    * string always starts "scheme://", so the key strips everything up
-    * to the FIRST separator — never `substring_index(_, "://", -1)`,
-    * which would re-anchor on a "://" inside a kept query param and
-    * collide unrelated resources.
+    * http and https fetches of one resource collide on: the canonical
+    * remainder built DIRECTLY (never stripped back off the assembled
+    * string — `substring_index(_, "://", -1)` would re-anchor on a
+    * "://" inside a kept query param and collide unrelated resources,
+    * and a first-occurrence re-parse pays the whole canonicalize tree
+    * twice).
     */
-  def resourceKey(url: Column): Column = {
-    val c = canonicalize(url)
-    c.substr(instr(c, "://") + 3, length(c))
-  }
+  def resourceKey(url: Column): Column = canonicalParts(url)._2
 
   /** Collapse re-crawls: one survivor per resource. The key is the
     * SCHEME-RELATIVE canonical URL (everything after "://") so the http
