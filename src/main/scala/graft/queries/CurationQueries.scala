@@ -382,6 +382,56 @@ object CurationQueries {
                ELSE 'foo.github.io'        -- private-section rule
              END AS domain
       FROM documents""")),
+
+    // PSL fold via the BROADCAST-DIM path (the full-official-list
+    // deployment shape: the rule table hot-swaps without re-planning):
+    // q201's exact fixture and oracle, evaluated by exploding each
+    // host's candidate trailing suffixes and broadcast-joining the rules
+    // dim under the official precedence — the two evaluation paths are
+    // oracle-pinned to agree rule-for-rule.
+    ("q203_psl_domains_dim", (s: SparkSession, d: String) => {
+      val id = col("doc_id")
+      val host = when(id % 8 === 0,
+          concat(lit("a"), (id % 5).cast("string"), lit(".b.example.com")))
+        .when(id % 8 === 1,
+          concat(lit("x"), (id % 5).cast("string"), lit(".news.bbc.co.uk")))
+        .when(id % 8 === 2,
+          concat(lit("deep"), (id % 5).cast("string"), lit(".x.pvt.k12.ma.us")))
+        .when(id % 8 === 3,
+          concat(lit("a"), (id % 5).cast("string"), lit(".b.test.ck")))
+        .when(id % 8 === 4, lit("www.www.ck"))
+        .when(id % 8 === 5,
+          concat(lit("s"), (id % 5).cast("string"), lit(".a.b.kobe.jp")))
+        .when(id % 8 === 6, lit("www.city.kobe.jp"))
+        .otherwise(
+          concat(lit("blog"), (id % 5).cast("string"), lit(".foo.github.io")))
+      graft.operators.PublicSuffix.registrableDomainDim(
+        Tables.documents(s, d).select(id, host.as("host")),
+        "host", "doc_id",
+        graft.operators.PublicSuffix.rulesDim(s))
+    }, Some("""
+      SELECT doc_id,
+             CASE doc_id % 8
+               WHEN 0 THEN 'a' || CAST(doc_id % 5 AS VARCHAR) || '.b.example.com'
+               WHEN 1 THEN 'x' || CAST(doc_id % 5 AS VARCHAR) || '.news.bbc.co.uk'
+               WHEN 2 THEN 'deep' || CAST(doc_id % 5 AS VARCHAR) || '.x.pvt.k12.ma.us'
+               WHEN 3 THEN 'a' || CAST(doc_id % 5 AS VARCHAR) || '.b.test.ck'
+               WHEN 4 THEN 'www.www.ck'
+               WHEN 5 THEN 's' || CAST(doc_id % 5 AS VARCHAR) || '.a.b.kobe.jp'
+               WHEN 6 THEN 'www.city.kobe.jp'
+               ELSE 'blog' || CAST(doc_id % 5 AS VARCHAR) || '.foo.github.io'
+             END AS host,
+             CASE doc_id % 8
+               WHEN 0 THEN 'example.com'
+               WHEN 1 THEN 'bbc.co.uk'
+               WHEN 2 THEN 'x.pvt.k12.ma.us'
+               WHEN 3 THEN 'b.test.ck'
+               WHEN 4 THEN 'www.ck'
+               WHEN 5 THEN 'a.b.kobe.jp'
+               WHEN 6 THEN 'city.kobe.jp'
+               ELSE 'foo.github.io'
+             END AS domain
+      FROM documents""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -49,6 +49,26 @@ class CrawlStreamSpec extends AnyFunSuite {
     assert(CrawlStream.corpus(spark, dir).count() === 6)
   }
 
+  test("gzip blobs ingest identically: a .warc.gz batch builds the same " +
+      "store state as the plain batch of the same records") {
+    val uriOf = (id: Long) =>
+      s"${if (id % 2 == 0) "http" else "https"}://www.site.example.com/p/${id % 5}?utm_b=$id"
+    val docs = (0L until 10L).map(i => i -> s"body of $i")
+    val plainDir = freshDir()
+    CrawlStream.ingestBatch(spark,
+      Seq((0L, WarcIngest.buildWarcFile(0L, docs, uriOf)))
+        .toDF("file_id", "payload"), 1, plainDir)
+    val gzDir = freshDir()
+    CrawlStream.ingestBatch(spark,
+      Seq((0L, WarcIngest.buildWarcFileGz(0L, docs, uriOf)))
+        .toDF("file_id", "payload"), 1, gzDir)
+    val p = CrawlStream.corpus(spark, plainDir)
+      .select("resource_key", "doc_id").as[(String, Long)].collect().sorted
+    val g = CrawlStream.corpus(spark, gzDir)
+      .select("resource_key", "doc_id").as[(String, Long)].collect().sorted
+    assert(p.nonEmpty && g === p)
+  }
+
   test("replayed batch converges: no dup rows, no self-collision wipe") {
     val dir = freshDir()
     CrawlStream.ingestBatch(spark, blobs(0, 0L until 10L), 1, dir)

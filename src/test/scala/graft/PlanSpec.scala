@@ -577,6 +577,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython"), p.take(4000))
   }
 
+  test("q203 PSL dim path: candidate suffixes join the rules dim by " +
+      "BROADCAST; nothing cartesian, nothing sort-merge") {
+    val p = plan("q203_psl_domains_dim")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+  }
+
   test("q202 lang-id NB: the q154 plan contract under char-gram features " +
       "— label constants broadcast, gram joins hash, nothing cartesian") {
     val p = plan("q202_lang_id")

@@ -118,6 +118,28 @@ class UrlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PSL: the broadcast-dim path agrees with the compiled path on " +
+      "every official vector") {
+    import graft.operators.PublicSuffix
+    val hosts = Seq("example.com", "www.example.com", "biz", "domain.biz",
+      "example.uk.com", "test.jp", "ac.jp", "www.test.ac.jp", "kyoto.jp",
+      "ide.kyoto.jp", "a.b.ide.kyoto.jp", "c.kobe.jp", "a.b.c.kobe.jp",
+      "city.kobe.jp", "www.city.kobe.jp", "ck", "test.ck", "a.b.test.ck",
+      "www.ck", "www.www.ck", "us", "k12.ak.us", "www.test.k12.ak.us",
+      "pvt.k12.ma.us", "deep.x.pvt.k12.ma.us", "blog.foo.github.io",
+      "localhost", "h1.deep.example.com")
+    val df = hosts.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("doc_id", "host")
+    val compiled = df.select(col("doc_id"),
+        UrlOps.registrableDomain(col("host")).as("domain"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val dim = PublicSuffix.registrableDomainDim(df, "host", "doc_id",
+        PublicSuffix.rulesDim(spark))
+      .select(col("doc_id"), col("domain"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(dim === compiled)
+  }
+
   test("a URL embedding an absolute URL in its query parses by the FIRST " +
       "'://' — host, path, canonical key never re-anchor") {
     val u = "https://a.com/r?to=https://b.com/x"
