@@ -37,7 +37,7 @@ object WarcIngest {
       httpStatus: Int, contentLength: Long, payload: String,
       offset: Long, recordLength: Long, location: String = null,
       transferEncoding: String = "identity",
-      contentEncoding: String = "identity")
+      contentEncoding: String = "identity", decoded: Boolean = true)
 
   private val CRLF = "\r\n"
 
@@ -299,15 +299,24 @@ object WarcIngest {
         .getOrElse("identity")
       val raw = java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
       val deframed = if (te.contains("chunked")) dechunk(raw) else raw
-      val decoded = ce match {
-        case "gzip" | "x-gzip" => gunzip(deframed)
-        case "deflate"         => inflateDeflate(deframed)
-        case _                 => deframed
+      // Content-Encoding is a LIST header (RFC 9110 §8.4: codings applied
+      // in listed order on the wire, so decoded in reverse); an
+      // unrecognized coding token means the octets cannot be recovered —
+      // surface decoded=false with a NULL payload so downstream text
+      // operators filter rather than ingest mojibake.
+      val ceTokens = ce.split(",").map(_.trim).filter(_.nonEmpty)
+      var bytes = deframed
+      var ok = true
+      ceTokens.reverse.foreach {
+        case "identity" | ""   => ()
+        case "gzip" | "x-gzip" => bytes = gunzip(bytes)
+        case "deflate"         => bytes = inflateDeflate(bytes)
+        case _ => ok = false
       }
-      val body = new String(decoded, UTF_8)
+      val body = if (ok) new String(bytes, UTF_8) else null
       for (d <- docId; u <- uri; s <- status; l <- clen)
         yield WarcResponse(d, u, s, l, body, offset, recLen,
-          location.orNull, te, ce)
+          location.orNull, te, ce, ok)
     }
   }
 
@@ -528,10 +537,10 @@ object WarcIngest {
       .mapPartitions(_.flatMap { case (_, bytes) =>
         parseWarcAuto(bytes).map(r =>
           (r.docId, r.targetUri, r.httpStatus, r.payload,
-            r.transferEncoding, r.contentEncoding))
+            r.transferEncoding, r.contentEncoding, r.decoded))
       })
       .toDF("doc_id", "target_uri", "http_status", "payload",
-        "transfer_encoding", "content_encoding")
+        "transfer_encoding", "content_encoding", "decoded")
   }
 
   /** Synthetic crawl: documents grouped into `nFiles` WARC blobs

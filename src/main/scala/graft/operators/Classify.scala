@@ -102,10 +102,14 @@ object Classify {
     nbClassifyFeatures(train, test, idCol, textCol, labelCol,
       TextFunctions.tokens)
 
-  /** [[nbClassify]] under a pluggable feature map — the same α=1
-    * decomposition, scoring shuffle keyed on the feature. */
-  def nbClassifyFeatures(train: DataFrame, test: DataFrame, idCol: String,
-      textCol: String, labelCol: String,
+  /** The full per-(doc, label) score frame under a pluggable feature map
+    * — (id, true_label, label, score), one row per test doc × training
+    * label for docs with ANY training-vocabulary overlap (a zero-overlap
+    * doc has no m_d row and is absent: the caller decides whether that
+    * means "skip" ([[nbClassifyFeatures]]) or "unknown"
+    * ([[langIdPredict]])). */
+  private def nbScoresFeatures(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, labelCol: String,
       feats: Column => Column): DataFrame = {
     val counts = tokenCounts(train, textCol, labelCol, feats)
     val stats = labelStats(train, idCol, textCol, labelCol, counts)
@@ -122,13 +126,20 @@ object Classify {
     val seen = tf.join(counts, Seq("token"))
       .groupBy(col("id"), col("label"))
       .agg(sum(col("tf") * log(col("c") + lit(1.0))).as("s_seen"))
-    val scored = mDoc.crossJoin(broadcast(stats))
+    mDoc.crossJoin(broadcast(stats))
       .join(seen, Seq("id", "label"), "left")
       .select(col("id"), col("true_label"), col("label"),
         pround(log(col("n_docs").cast("double") / col("n_docs_total"))
           - col("m") * log((col("n_tokens") + col("v_size")).cast("double"))
           + coalesce(col("s_seen"), lit(0.0)), 4).as("score"))
-    scored
+  }
+
+  /** [[nbClassify]] under a pluggable feature map — the same α=1
+    * decomposition, scoring shuffle keyed on the feature. */
+  def nbClassifyFeatures(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, labelCol: String,
+      feats: Column => Column): DataFrame =
+    nbScoresFeatures(train, test, idCol, textCol, labelCol, feats)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("id"))
           .orderBy(col("score").desc, col("label"))))
@@ -137,7 +148,6 @@ object Classify {
         col("label").as("pred_label"), col("score"),
         when(col("label") === col("true_label"), 1).otherwise(0)
           .as("correct"))
-  }
 
   /** LANGUAGE ID (the lid gate CCNet §3.1 runs before every other
     * filter; fastText-lid's job, as explainable NB): [[nbClassifyFeatures]]
@@ -153,14 +163,52 @@ object Classify {
       charNgrams(_, n))
 
   /** Language prediction over UNLABELED docs (the [[QualityGate]] signal
-    * shape): (doc_id, lang_pred, lang_score). Any existing `labelCol` on
-    * `docs` is overwritten by the internal placeholder. */
+    * shape): (doc_id, lang_pred, lang_score) — EXACTLY one row per input
+    * doc. Any existing `labelCol` on `docs` is overwritten by the
+    * internal placeholder.
+    *
+    * ABSTAIN semantics (the CCNet-style lid gate contract — a 100 TB
+    * multilingual corpus contains languages outside any training set, and
+    * force-assigning the nearest profile mislabels them): the argmax
+    * language is assigned only when its 4-decimal-rounded score beats the
+    * runner-up by at least `minMargin` log-units; a sub-margin doc maps
+    * to `"und"` (ISO 639-3 undetermined) with its top score kept as
+    * evidence, and a doc with ZERO training-vocabulary overlap (no
+    * scoring row at all — e.g. a script the char-gram profiles never saw)
+    * maps to `"und"` with a null score. `minMargin = 0.0` (the default)
+    * assigns every scored doc — exact ties already break toward the
+    * lexicographically smallest label — so the only behavior change vs
+    * the force-assign shape is that unscorable docs now surface instead
+    * of vanishing from the frame.
+    */
   def langIdPredict(train: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, labelCol: String, n: Int = 3): DataFrame =
-    langIdClassify(train, docs.withColumn(labelCol, lit("")), idCol,
-      textCol, labelCol, n)
-      .select(col("doc_id"), col("pred_label").as("lang_pred"),
-        col("score").as("lang_score"))
+      textCol: String, labelCol: String, n: Int = 3,
+      minMargin: Double = 0.0): DataFrame = {
+    require(minMargin >= 0, s"minMargin must be >= 0: $minMargin")
+    val top2 = nbScoresFeatures(train,
+        docs.withColumn(labelCol, lit("")), idCol, textCol, labelCol,
+        charNgrams(_, n))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("score").desc, col("label"))))
+      .filter(col("rank") <= 2)
+      .groupBy(col("id"))
+      .agg(max(when(col("rank") === 1, col("label"))).as("best"),
+        max(when(col("rank") === 1, col("score"))).as("best_score"),
+        max(when(col("rank") === 2, col("score"))).as("second_score"))
+    // a single-label training set has no runner-up: margin is vacuously
+    // met (the gate then only separates scorable from unscorable docs)
+    val assigned = top2.select(col("id").as("doc_id"),
+      when(col("second_score").isNull ||
+          col("best_score") - col("second_score") >= minMargin,
+        col("best")).otherwise(lit("und")).as("lang_pred"),
+      col("best_score").as("lang_score"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(assigned, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+        col("lang_score"))
+  }
 
   /** Deterministic multilingual fixture over the documents table: four
     * language templates (en/de/fr/es — stopword-heavy running text, so
@@ -185,6 +233,38 @@ object Classify {
         .otherwise(langTemplates("es")),
       lit(" n"), (id % 10).cast("string"))
     docs.select(id, lang.as("lang"), text.as("text"))
+  }
+
+  /** [[syntheticMultilingualCorpus]] plus an OUT-OF-SET residue class —
+    * the abstain-path fixture: doc_id%5==4 is Russian (label "xx", a
+    * language no training profile covers; Cyrillic, so its char-3-grams
+    * are script-disjoint from the Latin templates), split into BOTH
+    * unknown shapes a real corpus serves up — an even id carries no
+    * Latin tail (ZERO training-vocabulary overlap → unscorable), an odd
+    * id keeps a " n<digit>" tail (scored on two tail grams alone →
+    * sub-margin). The unknown tail digit is id%3, NOT id%10: every
+    * unknown id ends in 4 or 9 (id%5==4), and exactly those two digits
+    * never reach a training tail (id%10∈{4,9} ⇒ id%5==4 ⇒ out-of-set),
+    * so an id%10 tail would make every unknown zero-overlap and the
+    * sub-margin residue class empty. The in-set classes keep the
+    * 4-template formula so every field replays in SQL.
+    */
+  def syntheticMultilingualCorpusWithUnknown(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val ruTemplate = "пример текста на другом языке без общих слов"
+    val lang = when(id % 5 === 4, "xx")
+      .otherwise(when(id % 4 === 0, "en").when(id % 4 === 1, "de")
+        .when(id % 4 === 2, "fr").otherwise("es"))
+    val latin = concat(
+      when(id % 4 === 0, langTemplates("en"))
+        .when(id % 4 === 1, langTemplates("de"))
+        .when(id % 4 === 2, langTemplates("fr"))
+        .otherwise(langTemplates("es")),
+      lit(" n"), (id % 10).cast("string"))
+    val unknown = when(id % 2 === 0, lit(ruTemplate))
+      .otherwise(concat(lit(ruTemplate), lit(" n"), (id % 3).cast("string")))
+    docs.select(id, lang.as("lang"),
+      when(id % 5 === 4, unknown).otherwise(latin).as("text"))
   }
 
   /** Binary NB LOG-ODDS — the fastText-style quality-classifier score

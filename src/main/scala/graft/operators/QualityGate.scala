@@ -52,15 +52,26 @@ object QualityGate {
     * column ([[Classify.langIdPredict]] — char-3-gram NB, one gram-keyed
     * join plus a languages-row broadcast), and a prediction outside
     * `allowedLangs` drops with reason "language" at the HEAD of the
-    * cascade. Disabled (the default) the verdict frame is column-exact
-    * with r14 — the q167 contract.
+    * cascade. The prediction joins LEFT onto the signal frame and a
+    * missing/null prediction reads as "und" — outside any allowedLangs —
+    * so a doc the profiles cannot score (zero char-gram overlap: exactly
+    * the non-Latin-script page a lid gate exists to drop) still gets its
+    * one verdict row and is charged to "language", keeping the
+    * one-row-per-doc / per-reason-drops-sum-to-total contract intact and
+    * the rep/oov/nb quantile calibration over the FULL corpus.
+    * `langMinMargin` is [[Classify.langIdPredict]]'s abstain threshold:
+    * an argmax that beats the runner-up by less than this many log-units
+    * abstains to "und" (and so drops) rather than mislabeling. Disabled
+    * (the default) the verdict frame is column-exact with r14 — the q167
+    * contract.
     */
   def qualityGate(docs: DataFrame, idCol: String, textCol: String,
       srcCol: String, hiQuality: Column, repQ: Double = 0.97,
       oovQ: Double = 0.97, nbQ: Double = 0.10, boilerMax: Double = 0.4,
       vocabK: Int = 1000, boilerMinFrac: Double = 0.25,
       langTrain: Option[DataFrame] = None, langLabelCol: String = "lang",
-      allowedLangs: Seq[String] = Nil): DataFrame = {
+      allowedLangs: Seq[String] = Nil,
+      langMinMargin: Double = 0.0): DataFrame = {
     require(langTrain.isEmpty || allowedLangs.nonEmpty,
       "language gating needs a non-empty allowedLangs")
     require(repQ > 0 && repQ < 1 && oovQ > 0 && oovQ < 1 &&
@@ -107,10 +118,16 @@ object QualityGate {
     val signals = langTrain match {
       case None => four.localCheckpoint() // calibration agg + verdict
       case Some(lt) =>
+        // LEFT join + null→"und": langIdPredict already emits one row per
+        // doc, but the gate must not lose a verdict row even if the
+        // prediction frame does — an unmatched doc is exactly the
+        // unscorable page the language gate drops
         four.join(Classify.langIdPredict(lt, docs, idCol, textCol,
-            langLabelCol).withColumnRenamed("doc_id", "id")
+            langLabelCol, 3, langMinMargin)
+            .withColumnRenamed("doc_id", "id")
             .select(col("id"), col("lang_pred")),
-          Seq("id"))
+          Seq("id"), "left_outer")
+          .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
           .localCheckpoint()
     }
     val cuts = signals.agg(

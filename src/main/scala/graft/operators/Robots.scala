@@ -168,15 +168,22 @@ object Robots {
     ua.toLowerCase.takeWhile(c =>
       c.isLetterOrDigit || c == '-' || c == '_')
 
-  /** RFC 9309 §2.2.1 group matching: a crawler sending "GraftBot/1.2"
-    * matches the group named "graftbot" — group names compare
-    * case-insensitively against the crawler's PRODUCT TOKEN by longest
-    * prefix (so "googlebot-news" prefers its own group over
-    * "googlebot"), ties broken lexicographically for determinism; only
-    * when NO named group prefixes the token does `*` apply. (The r14
-    * exact-token-only lookup silently dropped versioned UA strings to
-    * `*`; a bare substring match would over-fire — a one-letter group
-    * name matching any UA containing the letter.)
+  /** Group matching: a crawler sending "GraftBot/1.2" matches the group
+    * named "graftbot" — group names compare case-insensitively against
+    * the crawler's PRODUCT TOKEN (the token extraction and
+    * case-insensitive matching are RFC 9309 §2.2.1; the RFC itself
+    * specifies EXACT token equality). On top of that this lookup keeps
+    * the LONGEST-PREFIX fallback documented by Google's robots.txt
+    * implementation notes (a "googlebot" group governs a
+    * "googlebot-news" token unless the more specific group exists), ties
+    * broken lexicographically for determinism; only when NO named group
+    * prefixes the token does `*` apply. An exact group name is always
+    * its own longest prefix, so RFC-conformant files resolve identically
+    * under the extension; the residual over-fire (a one-letter group
+    * name prefixing any token with that initial) is the documented price
+    * of the Google-style fallback — a bare substring match would be
+    * strictly worse. (The r14 exact-token-only lookup silently dropped
+    * versioned UA strings to `*`.)
     */
   def groupFor(groups: Map[String, Seq[Rule]], ua: String): Seq[Rule] = {
     val t = productToken(ua)

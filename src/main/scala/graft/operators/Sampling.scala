@@ -261,10 +261,13 @@ object Sampling {
     // ONE raw-corpus pass serving both the FIT and the SCORE: the explode
     // + md5 stream pre-aggregates to a (doc, bucket, n) frame — bounded
     // by docs × nBuckets, map-side combined — and both consumers below
-    // read the SAME (id, b) exchange, which Catalyst's ReuseExchange
-    // dedups into one physical scan+explode (pinned in PlanSpec). The r14
-    // shape exploded the corpus once per consumer — the suite's two
-    // slowest queries paid the dominant md5 cost twice.
+    // read the SAME (id, b) exchange. The dedup into one physical
+    // scan+explode is an AQE-runtime exchange-reuse effect (the STATIC
+    // plan still formats two Generates), so the claim is judged by
+    // measurement, not a plan pin: BENCH_ISOLATED_r15.json records the
+    // fuse at −44% in-suite / −32% fresh-JVM on q162/q164. The r14 shape
+    // exploded the corpus once per consumer — the suite's two slowest
+    // queries paid the dominant md5 cost twice.
     val perDocB = ngramBuckets(raw, textCol, nBuckets, col(idCol))
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n"))
     val cr = perDocB.groupBy(col("b")).agg(sum(col("n")).as("cr"))

@@ -634,6 +634,101 @@ object ClassifyQueries {
              CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS INTEGER)
                AS correct
       FROM rk WHERE rk = 1""")),
+
+    // LANG-ID ABSTAIN (the `und` fallback a 100 TB multilingual corpus
+    // forces — CCNet drops below-threshold lid scores rather than
+    // mislabeling): q202's machinery under langIdPredict's margin gate
+    // over the fixture's out-of-set residue class (doc_id%5==4 is
+    // Russian — Cyrillic grams, script-disjoint from every training
+    // profile), which splits into BOTH unknown shapes: even ids carry no
+    // Latin tail (zero vocabulary overlap → no scoring row → und with
+    // null score), odd ids keep the digit tail (scored on two tail grams
+    // alone → sub-margin → und with the top score kept as evidence). The
+    // oracle replays the feature map, the full scoring decomposition,
+    // the top-2 margin arithmetic, AND the one-row-per-doc left join —
+    // so a drift anywhere from the gram window to the abstain threshold
+    // hash-mismatches.
+    ("q204_langid_abstain", (s: SparkSession, d: String) => {
+      val corpus = Classify.syntheticMultilingualCorpusWithUnknown(
+        Tables.documents(s, d))
+      Classify.langIdPredict(
+        corpus.filter(col("lang") =!= "xx"),
+        corpus, "doc_id", "text", "lang", n = 3, minMargin = 3.0)
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 4 THEN
+                 'пример текста на другом языке без общих слов' ||
+                   CASE WHEN doc_id % 2 = 1
+                        THEN ' n' || CAST(doc_id % 3 AS VARCHAR)
+                        ELSE '' END
+               ELSE
+                 CASE doc_id % 4
+                   WHEN 0 THEN 'the house and the water are near the old street'
+                   WHEN 1 THEN 'das haus und das wasser sind nahe der alten strasse'
+                   WHEN 2 THEN 'la maison et le pain sont pres de la vieille rue'
+                   ELSE 'la casa y el agua estan cerca de la calle vieja'
+                 END || ' n' || CAST(doc_id % 10 AS VARCHAR)
+               END AS text,
+               CASE WHEN doc_id % 5 = 4 THEN 'xx' ELSE
+                 CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                      WHEN 2 THEN 'fr' ELSE 'es' END END AS lang
+        FROM documents),
+      padded AS (
+        SELECT doc_id, lang,
+               '_' || regexp_replace(lower(text), '\s+', '_', 'g') || '_' AS s
+        FROM base),
+      grams AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                 generate_series(1, greatest(length(s) - 2, 1)),
+                 i -> substr(s, i, 3))) AS token
+        FROM padded),
+      tk AS (SELECT lang AS label, token FROM grams WHERE lang <> 'xx'),
+      cnt AS (SELECT label, token, count(*) AS c FROM tk GROUP BY label, token),
+      lbl AS (SELECT lang AS label, count(*) AS n_docs FROM base
+              WHERE lang <> 'xx' GROUP BY lang),
+      tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS n_tokens
+              FROM cnt GROUP BY label),
+      g AS (SELECT (SELECT count(*) FROM base WHERE lang <> 'xx')
+                     AS n_docs_total,
+                   (SELECT count(DISTINCT token) FROM cnt) AS v_size),
+      stats AS (SELECT lbl.label, lbl.n_docs, tot.n_tokens, g.n_docs_total,
+                       g.v_size
+                FROM lbl JOIN tot USING (label) CROSS JOIN g),
+      tf AS (SELECT doc_id, token, count(*) AS tf
+             FROM grams GROUP BY doc_id, token),
+      vocab AS (SELECT DISTINCT token FROM cnt),
+      m AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS m
+            FROM tf JOIN vocab USING (token) GROUP BY tf.doc_id),
+      seen AS (SELECT tf.doc_id, cnt.label,
+                      sum(tf.tf * ln(cnt.c + 1.0)) AS s_seen
+               FROM tf JOIN cnt USING (token) GROUP BY tf.doc_id, cnt.label),
+      sc AS (SELECT m.doc_id, s.label,
+                    round(ln(s.n_docs * 1.0 / s.n_docs_total)
+                      - m.m * ln((s.n_tokens + s.v_size) * 1.0)
+                      + coalesce(seen.s_seen, 0.0), 4) AS score
+             FROM m CROSS JOIN stats s
+             LEFT JOIN seen ON seen.doc_id = m.doc_id AND seen.label = s.label),
+      rk AS (SELECT doc_id, label, score,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, label) AS rk
+             FROM sc),
+      top2 AS (SELECT doc_id,
+                      max(CASE WHEN rk = 1 THEN label END) AS best,
+                      max(CASE WHEN rk = 1 THEN score END) AS best_score,
+                      max(CASE WHEN rk = 2 THEN score END) AS second_score
+               FROM rk WHERE rk <= 2 GROUP BY doc_id),
+      assigned AS (SELECT doc_id,
+                          CASE WHEN second_score IS NULL
+                                 OR best_score - second_score >= 3.0
+                               THEN best ELSE 'und' END AS lang_pred,
+                          best_score AS lang_score
+                   FROM top2)
+      SELECT b.doc_id,
+             coalesce(a.lang_pred, 'und') AS lang_pred,
+             a.lang_score
+      FROM base b LEFT JOIN assigned a USING (doc_id)""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

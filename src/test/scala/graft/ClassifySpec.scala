@@ -94,6 +94,48 @@ class ClassifySpec extends AnyFunSuite {
     assert(got.getString(2) === "A")
   }
 
+  test("langIdPredict: exactly one row per doc; the margin gate abstains " +
+      "sub-margin docs to 'und', zero-overlap docs to 'und' with a null " +
+      "score, and in-set docs keep their language") {
+    val corpus = Classify.syntheticMultilingualCorpusWithUnknown(
+      spark.range(0, 200).select(col("id").as("doc_id")))
+    val train = corpus.filter(col("lang") =!= "xx")
+    val out = Classify.langIdPredict(train, corpus, "doc_id", "text",
+        "lang", n = 3, minMargin = 3.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(out.size === 200, "one row per input doc — the total contract")
+    val expected = Map(0L -> "en", 1L -> "de", 2L -> "fr", 3L -> "es")
+    for (id <- 0L until 200L) {
+      val (pred, score) = out(id)
+      if (id % 5 == 4) {
+        assert(pred === "und", s"out-of-set doc $id must abstain: $pred")
+        if (id % 2 == 0)
+          assert(score.isEmpty, s"zero-overlap doc $id must score null")
+        else
+          assert(score.nonEmpty,
+            s"tail-scored doc $id keeps its top score as evidence")
+      } else {
+        assert(pred === expected(id % 4), s"in-set doc $id: $pred")
+        assert(score.nonEmpty)
+      }
+    }
+    // minMargin=0 is the force-assign shape on every SCORED doc: the
+    // tail-scored unknowns now pick some nearest profile, the
+    // zero-overlap unknowns still surface as und (they have no score to
+    // force) — the r15 behavior plus the totality fix
+    val loose = Classify.langIdPredict(train, corpus, "doc_id", "text",
+        "lang", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose.size === 200)
+    for (id <- 0L until 200L) {
+      if (id % 5 == 4 && id % 2 == 0) assert(loose(id) === "und")
+      else assert(loose(id) !== "und",
+        s"doc $id must be force-assigned under minMargin=0")
+    }
+  }
+
   test("semDedup: copies of the exemplar are dups, the exemplar and far " +
       "members are not, clusters follow the nearest seed") {
     val e1 = Array.tabulate(8)(i => if (i == 0) 1f else 0f)

@@ -167,6 +167,38 @@ class QualityGateSpec extends AnyFunSuite {
       "boiler_frac", "nb_log_odds", "drop_reason", "kept"))
   }
 
+  test("language gate totality: an unscorable (zero-gram-overlap) doc " +
+      "keeps its one verdict row, reads 'und', and is charged to " +
+      "'language' — the drops still partition") {
+    import graft.operators.Classify
+    // every 11th doc re-texted in a script no Latin char-gram profile
+    // ever saw — the exact page the r15 inner join silently deleted
+    val base = injected.withColumn("text",
+      when(col("doc_id") % 11 === 0,
+        lit("пример текста на другом языке без общих слов"))
+        .otherwise(col("text")))
+    val langTrain = Classify.syntheticMultilingualCorpus(
+      spark.range(0, 200).select(col("id").as("doc_id")))
+    val out = QualityGate.qualityGate(base, "doc_id", "text", "source",
+      hiQuality = col("source") === "src0", boilerMinFrac = 0.08,
+      langTrain = Some(langTrain), langLabelCol = "lang",
+      allowedLangs = Seq("en", "de", "fr", "es")).collect()
+    assert(out.length.toLong === base.count(),
+      "one verdict row per doc INCLUDING unscorable ones")
+    val cols = Seq("doc_id", "rep_ratio", "oov_rate", "boiler_frac",
+      "nb_log_odds", "lang_pred", "drop_reason", "kept")
+    val langIdx = cols.indexOf("lang_pred")
+    val reasonIdx = cols.indexOf("drop_reason")
+    out.filter(_.getLong(0) % 11 == 0).foreach { r =>
+      assert(r.getString(langIdx) === "und", s"doc ${r.get(0)}")
+      assert(r.getString(reasonIdx) === "language", s"doc ${r.get(0)}")
+    }
+    val drops = out.count(!_.getBoolean(cols.indexOf("kept")))
+    val byReason = out.groupBy(_.getString(reasonIdx)).view
+      .mapValues(_.length).toMap
+    assert(byReason.filterNot(_._1 == "kept").values.sum === drops)
+  }
+
   test("a uniformly-labeled corpus fails fast with a gate-level message") {
     val uniform = injected.limit(50)
     val e = intercept[IllegalArgumentException] {

@@ -191,6 +191,35 @@ class WarcIngestSpec extends AnyFunSuite {
       ("chunked", "identity"), ("chunked", "gzip")))
   }
 
+  test("Content-Encoding is a list header: 'gzip, identity' decodes; an " +
+      "unrecognized coding flags decoded=false with a null payload") {
+    def rec(ce: String, body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Encoding: $ce\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        body
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:graft:1>\r\n" +
+        "WARC-Target-URI: https://a/1\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes("UTF-8")); g.close(); bo.toByteArray
+    }
+    // list value with identity members — decodes through the gzip token
+    val listed = WarcIngest.parseWarc(rec("gzip, identity", gz("payload a")))
+    assert(listed.map(r => (r.payload, r.decoded)) ===
+      Seq(("payload a", true)))
+    // unrecognized coding: no mojibake reaches downstream text operators
+    val zstd = WarcIngest.parseWarc(
+      rec("zstd", Array[Byte](0x28, (0xb5 - 256).toByte, 0x2f, 1, 2, 3)))
+    assert(zstd.length === 1)
+    assert(!zstd.head.decoded && zstd.head.payload == null)
+    assert(zstd.head.contentEncoding === "zstd")
+  }
+
   test("deflate bodies inflate under both zlib and raw framing") {
     def deflate(raw: Boolean): Array[Byte] = {
       val d = new java.util.zip.Deflater(
