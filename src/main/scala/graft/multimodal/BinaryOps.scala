@@ -3232,6 +3232,72 @@ object BinaryOps {
       .toDF("doc_id", "payload")
   }
 
+  /** Fixed-geometry grayscale JPEG fixture for the perceptual-hash
+    * oracles (q205): 72×64 — the dHash 9×8 box grid tiles the 8×8 JPEG
+    * blocks EXACTLY, so a grid-cell average IS its block constant
+    * (id·31 + bi·17 mod 256, the q145 value formula) and all 64 gradient
+    * bits replay as pure integer arithmetic in SQL. Same lossless
+    * DC-only / all-ones-quant regime as [[syntheticJpegCorpus]]. */
+  def syntheticHashJpegCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, buildJpeg(72, 64, (bx, by) =>
+          ((id * 31 + (by * 9 + bx) * 17) % 256).toInt))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Near-dup image fixture (q206): consecutive ids share one base image
+    * (base = id/2, [[syntheticHashJpegCorpus]]'s value formula over the
+    * base); the odd id of each pair perturbs block 0 by +18 (mod 256) —
+    * block (0,0) participates in exactly ONE dHash gradient bit (it is
+    * the left edge of row 0), so the pair's Hamming distance is 0 or 1
+    * while distinct bases differ across their whole wrap set. The +18
+    * crosses the +17 neighbor-difference boundary, so the single bit
+    * genuinely flips on non-wrapping blocks — a real near-dup, not an
+    * exact re-encode. */
+  def syntheticNearDupJpegCorpus(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val base = id / 2
+        (id, buildJpeg(72, 64, (bx, by) => {
+          val bi = by * 9 + bx
+          val bump = if (id % 2 == 1 && bi == 0) 18 else 0
+          ((base * 31 + bi * 17 + bump) % 256).toInt
+        }))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Hash-DIVERSE near-dup fixture — the scale-probe twin of
+    * [[syntheticNearDupJpegCorpus]]: the oracle fixture's affine block
+    * formula admits only 256 distinct dHash patterns (the hash depends
+    * on base·31 mod 256 alone), which is exactly what a bit-replay
+    * oracle wants and exactly wrong for a growth probe (hash classes
+    * fill up and pair counts go quadratic in corpus size). Here the
+    * block value mixes base nonlinearly into the gradient structure, so
+    * distinct bases get effectively distinct hashes and the pair set
+    * stays the constructed consecutive-id pairs plus rare coincidences —
+    * linear in the corpus. */
+  def syntheticNearDupJpegCorpusDiverse(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val base = id / 2
+        (id, buildJpeg(72, 64, (bx, by) => {
+          val bi = by * 9 + bx
+          val bump = if (id % 2 == 1 && bi == 0) 18 else 0
+          Math.floorMod(base * 2654435761L + bi * 40503L +
+            (base % 911L) * bi * bi + bump, 256L).toInt
+        }))
+      })
+      .toDF("doc_id", "payload")
+  }
+
   /** Deterministic PROGRESSIVE JPEG fixture per document — the q148
     * corpus: the q145 shape (non-8-aligned dims, per-block constants
     * from doc_id arithmetic), but encoded by [[buildJpegProgressive]]'s

@@ -188,6 +188,20 @@ object Dedup {
     simHashDupsImpl(docs.select(col(idCol).as("id"),
       simHash64Portable(col(textCol)).as("fp")), maxDist)
 
+  /** Near-dup pairs within Hamming radius `maxDist` for ANY 64-bit
+    * fingerprint frame (id, fp) — the [[simHashDups]] chunk blocking
+    * opened to other fingerprint producers (the image perceptual-hash
+    * path `multimodal.ImageHash`). Radius ≤ 3 keeps the 16-bit-chunk
+    * blocking EXACT by pigeonhole (4 chunks: any pair within distance 3
+    * shares an unchanged chunk), so the emitted pair set equals the
+    * brute-force Hamming scan — which is how the q206 oracle checks it.
+    */
+  def hammingPairs64(fp: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"chunk blocking is exact only for radius <= 3: $maxDist")
+    simHashDupsImpl(fp, maxDist)
+  }
+
   private def simHashDupsImpl(fp: DataFrame, maxDist: Int): DataFrame = {
     val chunked = fp.select(
       col("id"), col("fp"),

@@ -1338,6 +1338,73 @@ object PipelineQueries {
                AS content_encoding,
              md5(text) AS payload_md5
       FROM documents""")),
+
+    // PERCEPTUAL IMAGE HASH through the oracle gate (the multimodal
+    // near-dup bridge: real JPEG entropy decode → grayscale box grid →
+    // 64-bit gradient hash): the fixture is 72×64 so the dHash 9×8 grid
+    // tiles the 8×8 blocks exactly — a cell average IS its block
+    // constant — and every gradient bit replays as integer arithmetic.
+    // The hash surfaces as two unsigned 32-bit halves (a set bit 63
+    // would overflow the oracle's BIGINT power sum). A fault anywhere in
+    // the codec, the luma/box plumbing, or the bit packing flips bits.
+    ("q205_image_dhash", (s: SparkSession, d: String) => {
+      val imgs = BinaryOps.syntheticHashJpegCorpus(s, Tables.documents(s, d))
+      graft.multimodal.ImageHash.imageFingerprints(s, imgs,
+          "doc_id", "payload")
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xffffffffL)).as("dhash_lo"))
+    }, Some("""
+      WITH k AS (SELECT doc_id, unnest(range(0, 64)) AS k FROM documents),
+      b AS (SELECT doc_id, k, ((k // 8) * 9 + (k % 8)) AS li FROM k),
+      v AS (SELECT doc_id, k,
+                   (doc_id * 31 + li * 17) % 256 AS lv,
+                   (doc_id * 31 + (li + 1) * 17) % 256 AS rv
+            FROM b)
+      SELECT doc_id,
+             CAST(sum(CASE WHEN lv < rv AND k >= 32
+                           THEN CAST(1 AS BIGINT) << (k - 32)
+                           ELSE 0 END) AS BIGINT) AS dhash_hi,
+             CAST(sum(CASE WHEN lv < rv AND k < 32
+                           THEN CAST(1 AS BIGINT) << k
+                           ELSE 0 END) AS BIGINT) AS dhash_lo
+      FROM v GROUP BY doc_id""")),
+
+    // IMAGE NEAR-DUP PAIRS (multimodal dedup end-to-end: decode → dHash
+    // → banded Hamming join): consecutive ids share a base image, the
+    // odd one perturbed by +18 on block 0 — exactly one gradient bit
+    // moves, a true near-dup. The 16-bit-chunk blocking is EXACT for
+    // radius 3 (pigeonhole), so the emitted pair set equals the oracle's
+    // brute-force Hamming scan over the formula-derived hashes —
+    // including the long-tail cross-base coincidences (bases 33 apart
+    // shift every cell by −1 mod 256 and land within radius too).
+    ("q206_image_neardup", (s: SparkSession, d: String) => {
+      val imgs = BinaryOps.syntheticNearDupJpegCorpus(s,
+        Tables.documents(s, d))
+      graft.multimodal.ImageHash.nearDupPairs(s, imgs,
+        "doc_id", "payload", maxDist = 3)
+    }, Some("""
+      WITH k AS (SELECT doc_id, unnest(range(0, 64)) AS k FROM documents),
+      b AS (SELECT doc_id, k, ((k // 8) * 9 + (k % 8)) AS li FROM k),
+      v AS (SELECT doc_id, k,
+                   ((doc_id // 2) * 31 + li * 17 +
+                    CASE WHEN doc_id % 2 = 1 AND li = 0 THEN 18 ELSE 0 END)
+                     % 256 AS lv,
+                   ((doc_id // 2) * 31 + (li + 1) * 17) % 256 AS rv
+            FROM b),
+      h AS (SELECT doc_id,
+                   sum(CASE WHEN lv < rv AND k >= 32
+                            THEN CAST(1 AS BIGINT) << (k - 32)
+                            ELSE 0 END) AS hi,
+                   sum(CASE WHEN lv < rv AND k < 32
+                            THEN CAST(1 AS BIGINT) << k
+                            ELSE 0 END) AS lo
+            FROM v GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+             CAST(bit_count(xor(a.hi, b2.hi)) +
+                  bit_count(xor(a.lo, b2.lo)) AS INTEGER) AS dist
+      FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
+      WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 3""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

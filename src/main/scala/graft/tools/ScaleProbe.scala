@@ -167,6 +167,18 @@ object ScaleProbe {
         sm.unionByName(links).where(graft.operators.Robots.policyFilter(
           policy, "GraftBot", col("url"))),
         "url", "priority", 5.0).count()
+    }),
+    // image near-dup end to end (q206 shape, hash-diverse fixture):
+    // encode + decode + dHash are map-only per-image work, then ONLY
+    // 8-byte fingerprints enter the chunk-bucket equi-join — growth
+    // measures codec throughput plus a pairs-sized join, never pixels
+    // through a shuffle
+    ("image_neardup", () => {
+      val s = docs.sparkSession
+      graft.multimodal.ImageHash.nearDupPairs(s,
+        graft.multimodal.BinaryOps.syntheticNearDupJpegCorpusDiverse(
+          s, docs),
+        "doc_id", "payload", maxDist = 3).count()
     }))
 
   /** K vocabulary-disjoint embedding shards: ids offset collision-free,

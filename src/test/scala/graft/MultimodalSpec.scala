@@ -1076,4 +1076,81 @@ class MultimodalSpec extends AnyFunSuite {
         1 + id % 12)), s"doc $id")
     }
   }
+
+  test("ImageHash.dHash64: bit-exact on a known grid through the real " +
+      "JPEG codec; invariant across PNG/JPEG encodes of the same plane") {
+    import graft.multimodal.ImageHash
+    // 72×64, block value = block index * 40 mod 256: row-major cells
+    // 0,40,80,...; within each row of the 9-cell grid, left < right
+    // except where (li+1)*40 wraps below li*40
+    val jpeg = BinaryOps.buildJpeg(72, 64, (bx, by) =>
+      ((by * 9 + bx) * 40) % 256)
+    val got = ImageHash.dHash64(jpeg).get
+    var want = 0L
+    for (r <- 0 until 8; c <- 0 until 8) {
+      val li = r * 9 + c
+      if ((li * 40) % 256 < ((li + 1) * 40) % 256) want |= 1L << (r * 8 + c)
+    }
+    assert(got === want)
+    // undecodable payloads are None, not garbage
+    assert(ImageHash.dHash64("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("ImageHash.pHash64: constant image hashes to zero AC bits; " +
+      "brightness/contrast shifts preserve the hash; a perturbed copy " +
+      "stays within radius 3 while a different image is far") {
+    import graft.multimodal.ImageHash
+    def jpegOf(f: (Int, Int) => Int) = BinaryOps.buildJpeg(72, 64, f)
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // constant image: every AC coefficient is 0 → no bit exceeds the
+    // (zero) median
+    assert(ImageHash.pHash64(jpegOf((_, _) => 128)).get === 0L)
+    // DC invariance: +40 brightness moves only F(0,0), which pHash drops
+    def v(bx: Int, by: Int) = (bx * 13 + by * 29) % 80
+    val base = ImageHash.pHash64(jpegOf((bx, by) => 40 + 2 * v(bx, by))).get
+    val brighter = ImageHash.pHash64(jpegOf((bx, by) =>
+      80 + 2 * v(bx, by))).get
+    assert(base === brighter, "pHash must ignore uniform brightness")
+    // contrast invariance: exactly halving the dynamic range halves every
+    // AC coefficient — a positive rescale preserves >-median order
+    val contrast = ImageHash.pHash64(jpegOf((bx, by) => 10 + v(bx, by))).get
+    assert(base === contrast, "pHash must ignore positive contrast scale")
+    // near-dup: one block nudged — low-frequency energy barely moves
+    val nudged = ImageHash.pHash64(jpegOf((bx, by) =>
+      (if (bx == 4 && by == 3) 8 else 0) + 40 + 2 * v(bx, by))).get
+    assert(dist(base, nudged) <= 3, s"near-dup drifted ${dist(base, nudged)}")
+    // a genuinely different image is far
+    val other = ImageHash.pHash64(jpegOf((bx, by) =>
+      (bx * 53 + by * 7) % 256)).get
+    assert(dist(base, other) > 10, s"distinct images at ${dist(base, other)}")
+  }
+
+  test("imageFingerprints drops undecodable rows; nearDupPairs emits " +
+      "each constructed near-pair within radius and its plan is a " +
+      "blocked equi-join — no cartesian") {
+    import graft.multimodal.ImageHash
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(80)
+    val imgs = BinaryOps.syntheticNearDupJpegCorpus(spark, docs)
+      .unionByName(Seq((999999L, "junk".getBytes("UTF-8")))
+        .toDF("doc_id", "payload"))
+    val fp = ImageHash.imageFingerprints(spark, imgs, "doc_id", "payload")
+    assert(fp.count() === 80, "undecodable rows drop, decodable all hash")
+    val pairs = ImageHash.nearDupPairs(spark, imgs, "doc_id", "payload",
+      maxDist = 3)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), "pairs must meet in buckets")
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    ids.grouped(2).foreach {
+      case Array(a, b) if a / 2 == b / 2 =>
+        assert(got.contains((a, b)) && got((a, b)) <= 1,
+          s"constructed near-pair ($a,$b) missing or far")
+      case _ => ()
+    }
+    // symmetry/orientation: only a < b pairs, no self-pairs
+    assert(got.keys.forall { case (a, b) => a < b })
+  }
 }

@@ -593,4 +593,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
   }
+
+  test("q206 image near-dup: candidates meet in the chunk-bucket " +
+      "equi-join — only 8-byte fingerprints shuffle, nothing cartesian, " +
+      "no pixel planes past the codec stage") {
+    val p = plan("q206_image_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoop"), p.take(4000))
+    // pixel bytes stay inside the codec stage: no exchange row carries
+    // the payload column
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(!_.contains("payload")),
+      "pixel bytes must not cross an exchange: " +
+        exchanges.mkString("\n"))
+  }
 }
