@@ -1405,6 +1405,32 @@ object PipelineQueries {
                   bit_count(xor(a.lo, b2.lo)) AS INTEGER) AS dist
       FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
       WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 3""")),
+
+    // EXIF PROVENANCE through the oracle gate: each fixture JPEG carries
+    // an APP1 whose TIFF block alternates byte order by id parity (both
+    // endian walks on the oracle path) with make/model/orientation/
+    // timestamp as id arithmetic; the Spark side SERIALIZES the IFD
+    // (offset-area ASCII values, inline SHORT, ascending tags) and
+    // re-WALKS the bytes (Exif.parseExif — marker scan, byte-order
+    // dispatch, bounds-checked entry table). A slip in either direction
+    // of either endianness hash-mismatches its parity class.
+    ("q207_exif_meta", (s: SparkSession, d: String) =>
+      graft.multimodal.Exif.exifMetaBinary(s,
+        graft.multimodal.Exif.syntheticExifJpegCorpus(
+          s, Tables.documents(s, d))),
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+             'make' || CAST(doc_id % 5 AS VARCHAR) AS make,
+             'model' || CAST(doc_id % 7 AS VARCHAR) AS model,
+             CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+             lpad(CAST(2000 + doc_id % 24 AS VARCHAR), 4, '0') || ':' ||
+               lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' ' ||
+               lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS date_time
+      FROM documents""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -1077,6 +1077,54 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("Exif: round-trip both byte orders; XMP APP1 skipped to a later " +
+      "Exif APP1; truncated IFD and absent APP1 drop to None") {
+    import graft.multimodal.Exif
+    val jpeg = BinaryOps.buildJpeg(16, 16, (_, _) => 100)
+    for (big <- Seq(false, true)) {
+      val app1 = Exif.buildApp1("Acme Cam", "X-100", 6,
+        "2021:07:04 12:34:56", bigEndian = big)
+      val got = Exif.parseExif(Exif.withApp1(jpeg, app1))
+      assert(got === Some(Exif.ExifMeta(if (big) "MM" else "II",
+        "Acme Cam", "X-100", 6, "2021:07:04 12:34:56")), s"big=$big")
+    }
+    // an XMP APP1 shares the 0xFFE1 marker; the walk must skip it and
+    // still find the Exif APP1 behind it
+    val xmpBody = "http://ns.adobe.com/xap/1.0/".getBytes("US-ASCII")
+    val xmp = Array(0xff.toByte, 0xe1.toByte,
+      (((xmpBody.length + 2) >> 8) & 0xff).toByte,
+      ((xmpBody.length + 2) & 0xff).toByte) ++ xmpBody
+    val exif = Exif.buildApp1("m", "n", 1, "2020:01:01 00:00:00", false)
+    assert(Exif.parseExif(Exif.withApp1(Exif.withApp1(jpeg, exif), xmp))
+      .map(_.make) === Some("m"))
+    // truncated IFD: corrupt the entry count to point past the segment
+    val broken = Exif.withApp1(jpeg, exif.clone())
+    // segment layout: SOI(2) + FFE1(2) + len(2) + "Exif\0\0"(6) +
+    // TIFF header(8) + count(2): count bytes at offset 2+2+2+6+8
+    broken(20) = 0xff.toByte
+    broken(21) = 0xff.toByte
+    assert(Exif.parseExif(broken).isEmpty, "truncated IFD must drop")
+    // no APP1 at all
+    assert(Exif.parseExif(jpeg).isEmpty)
+    assert(Exif.parseExif("junk".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("exifMetaBinary == the q207 oracle formula on the synthetic corpus") {
+    import graft.multimodal.Exif
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(60)
+    val got = Exif.exifMetaBinary(spark,
+        Exif.syntheticExifJpegCorpus(spark, docs))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4), r.getString(5)))).toMap
+    assert(got.size === 60)
+    for ((id, v) <- got) {
+      val dt = f"${2000 + id % 24}%04d:${1 + id % 12}%02d:" +
+        f"${1 + id % 28}%02d ${id % 24}%02d:${id % 60}%02d:${id % 60}%02d"
+      assert(v === ((if (id % 2 == 1) "MM" else "II", s"make${id % 5}",
+        s"model${id % 7}", (1 + id % 8).toInt, dt)), s"doc $id")
+    }
+  }
+
   test("ImageHash.dHash64: bit-exact on a known grid through the real " +
       "JPEG codec; invariant across PNG/JPEG encodes of the same plane") {
     import graft.multimodal.ImageHash
