@@ -311,6 +311,10 @@ object WarcIngest {
         case "identity" | ""   => ()
         case "gzip" | "x-gzip" => bytes = gunzip(bytes)
         case "deflate"         => bytes = inflateDeflate(bytes)
+        case "br" => Brotli.decode(bytes) match {
+          case Some(b) => bytes = b
+          case None    => ok = false // structural fault: flag, no mojibake
+        }
         case _ => ok = false
       }
       val body = if (ok) new String(bytes, UTF_8) else null
@@ -463,15 +467,23 @@ object WarcIngest {
   // ---------------------------------------------------------------------
 
   /** An HTTP 200 block whose body rides the wire encodings a real crawl
-    * meets: optionally gzip content-coding, optionally chunked framing
-    * (applied OVER the content-coding, per the RFC nesting), identity
-    * otherwise. Chunk size 16 exercises multi-chunk reassembly on every
-    * non-trivial body.
+    * meets: a list of content codings applied in header order (gzip /
+    * br — brotli bodies use the RFC 7932 uncompressed-meta-block writer,
+    * real framing end to end), then optionally chunked framing (applied
+    * OVER the content-codings, per the RFC nesting), identity otherwise.
+    * Chunk size 16 exercises multi-chunk reassembly on every non-trivial
+    * body.
     */
   private def httpBlockEncoded(text: String, chunked: Boolean,
-      gzipped: Boolean): Array[Byte] = {
+      codings: Seq[String]): Array[Byte] = {
     val plain = text.getBytes(UTF_8)
-    val coded = if (gzipped) gzipMember(plain) else plain
+    val coded = codings.foldLeft(plain) { (b, c) =>
+      c match {
+        case "gzip" => gzipMember(b)
+        case "br"   => Brotli.encodeUncompressed(b)
+        case other  => throw new IllegalArgumentException(other)
+      }
+    }
     val framed =
       if (!chunked) coded
       else {
@@ -486,18 +498,20 @@ object WarcIngest {
       }
     val head = new StringBuilder(s"HTTP/1.1 200 OK$CRLF")
       .append(s"Content-Type: text/plain$CRLF")
-    if (gzipped) head.append(s"Content-Encoding: gzip$CRLF")
+    if (codings.nonEmpty)
+      head.append(s"Content-Encoding: ${codings.mkString(", ")}$CRLF")
     if (chunked) head.append(s"Transfer-Encoding: chunked$CRLF")
     else head.append(s"Content-Length: ${framed.length}$CRLF")
     head.append(CRLF)
     head.toString.getBytes(ISO_8859_1) ++ framed
   }
 
-  /** Encoded-fetch fixture: every 3rd doc's response body is chunked,
-    * every 4th gzip content-coded (both where both divide — the nesting
-    * case), the rest identity. The WARC walk itself is unchanged — the
-    * record's Content-Length frames the whole HTTP block regardless of
-    * what the body rides inside it.
+  /** Encoded-fetch fixture: every 3rd doc's response body is chunked;
+    * content codings by residue — every 20th rides the LIST "gzip, br"
+    * (both codings stacked in wire order), else every 5th br, else every
+    * 4th gzip, the rest identity. The WARC walk itself is unchanged —
+    * the record's Content-Length frames the whole HTTP block regardless
+    * of what the body rides inside it.
     */
   def buildEncodedWarcFile(fileId: Long, docs: Seq[(Long, String)])
       : Array[Byte] = {
@@ -508,12 +522,17 @@ object WarcIngest {
       "Content-Type" -> "application/warc-fields"),
       s"software: graft$CRLF".getBytes(ISO_8859_1)))
     docs.sortBy(_._1).foreach { case (id, text) =>
+      val codings =
+        if (id % 20 == 0) Seq("gzip", "br")
+        else if (id % 5 == 0) Seq("br")
+        else if (id % 4 == 0) Seq("gzip")
+        else Nil
       out.write(record(Seq(
         "WARC-Type" -> "response",
         "WARC-Record-ID" -> s"<urn:graft:$id>",
         "WARC-Target-URI" -> s"https://h${id % 13}.example.com/d/$id",
         "Content-Type" -> "application/http; msgtype=response"),
-        httpBlockEncoded(text, chunked = id % 3 == 0, gzipped = id % 4 == 0)))
+        httpBlockEncoded(text, chunked = id % 3 == 0, codings)))
     }
     out.toByteArray
   }

@@ -1319,10 +1319,13 @@ object PipelineQueries {
     // HTTP BODY DECODING (the encodings real fetch records carry
     // routinely): every 3rd response body rides Transfer-Encoding:
     // chunked (16-octet chunks — multi-chunk reassembly on every
-    // non-trivial doc), every 4th Content-Encoding: gzip, both where
-    // both divide (de-frame THEN inflate — the wire nesting). The walk
-    // surfaces the encodings it decoded plus the md5 of the recovered
-    // text: a fault in chunk framing, inflation, or the nesting order
+    // non-trivial doc); content codings by residue — every 20th the
+    // LIST "gzip, br" (both codings stacked in wire order, decoded in
+    // reverse), else every 5th brotli (REAL RFC 7932 framing through
+    // graft.io.Brotli both directions), else every 4th gzip. De-frame
+    // THEN decode — the wire nesting. The walk surfaces the encodings it
+    // decoded plus the md5 of the recovered text: a fault in chunk
+    // framing, any coding, list order, or the nesting order
     // hash-mismatches the affected residue class.
     ("q200_http_body_decode", (s: SparkSession, d: String) => {
       val files = graft.io.WarcIngest.syntheticEncodedWarcFiles(
@@ -1334,7 +1337,10 @@ object PipelineQueries {
       SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN 'chunked' ELSE 'identity' END
                AS transfer_encoding,
-             CASE WHEN doc_id % 4 = 0 THEN 'gzip' ELSE 'identity' END
+             CASE WHEN doc_id % 20 = 0 THEN 'gzip, br'
+                  WHEN doc_id % 5 = 0 THEN 'br'
+                  WHEN doc_id % 4 = 0 THEN 'gzip'
+                  ELSE 'identity' END
                AS content_encoding,
              md5(text) AS payload_md5
       FROM documents""")),

@@ -191,6 +191,21 @@ class WarcIngestSpec extends AnyFunSuite {
       ("chunked", "identity"), ("chunked", "gzip")))
   }
 
+  test("brotli bodies decode through real RFC 7932 framing; the coding " +
+      "list 'gzip, br' unwinds in reverse wire order; chunked-over-br " +
+      "nests") {
+    val text = "βrotli body content — 0123456789 abcdefghij κλμ"
+    val file = WarcIngest.buildEncodedWarcFile(0L,
+      Seq(5L -> text, 10L -> text, 15L -> text, 20L -> text))
+    val recs = WarcIngest.parseWarc(file).sortBy(_.docId)
+    assert(recs.map(_.docId) === Seq(5L, 10L, 15L, 20L))
+    assert(recs.forall(r => r.decoded && r.payload == text),
+      recs.map(r => (r.docId, r.decoded)).mkString(", "))
+    assert(recs.map(r => (r.transferEncoding, r.contentEncoding)) === Seq(
+      ("identity", "br"), ("identity", "br"),
+      ("chunked", "br"), ("identity", "gzip, br")))
+  }
+
   test("Content-Encoding is a list header: 'gzip, identity' decodes; an " +
       "unrecognized coding flags decoded=false with a null payload") {
     def rec(ce: String, body: Array[Byte]): Array[Byte] = {
