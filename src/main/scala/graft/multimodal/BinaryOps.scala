@@ -3240,7 +3240,14 @@ object BinaryOps {
     * DC-only / all-ones-quant regime as [[syntheticJpegCorpus]]. */
   def syntheticHashJpegCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // repartition BEFORE the codec stage, COUNT PINNED: the documents
+    // table reads as a couple of parquet splits and per-image
+    // encode+decode+DCT work is ~8× the q145 fixtures' — and an
+    // unpinned repartition of a 40 KB id column gets AQE-coalesced
+    // right back to one partition, re-serializing the codec work
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         (id, buildJpeg(72, 64, (bx, by) =>
           ((id * 31 + (by * 9 + bx) * 17) % 256).toInt))
@@ -3260,7 +3267,9 @@ object BinaryOps {
   def syntheticNearDupJpegCorpus(spark: SparkSession,
       docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val base = id / 2
         (id, buildJpeg(72, 64, (bx, by) => {
@@ -3285,7 +3294,9 @@ object BinaryOps {
   def syntheticNearDupJpegCorpusDiverse(spark: SparkSession,
       docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val base = id / 2
         (id, buildJpeg(72, 64, (bx, by) => {

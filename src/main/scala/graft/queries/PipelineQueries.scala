@@ -1379,13 +1379,15 @@ object PipelineQueries {
     // IMAGE NEAR-DUP PAIRS (multimodal dedup end-to-end: decode → dHash
     // → banded Hamming join): consecutive ids share a base image, the
     // odd one perturbed by +18 on block 0 — exactly one gradient bit
-    // moves, a true near-dup. The 16-bit-chunk blocking is EXACT for
-    // radius 3 (pigeonhole), so the emitted pair set equals the oracle's
-    // brute-force Hamming scan over the formula-derived hashes —
-    // including the long-tail cross-base coincidences (bases 33 apart
-    // shift every cell by −1 mod 256 and land within radius too).
+    // moves, a true near-dup. The base mixes NONLINEARLY into the
+    // gradient structure (the ·bi² term), so distinct bases get
+    // effectively distinct hashes and the pair set stays linear in the
+    // corpus — and the whole mix is still integer arithmetic the oracle
+    // replays. The 16-bit-chunk blocking is EXACT for radius 3
+    // (pigeonhole), so the emitted pair set equals the oracle's
+    // brute-force Hamming scan over the formula-derived hashes.
     ("q206_image_neardup", (s: SparkSession, d: String) => {
-      val imgs = BinaryOps.syntheticNearDupJpegCorpus(s,
+      val imgs = BinaryOps.syntheticNearDupJpegCorpusDiverse(s,
         Tables.documents(s, d))
       graft.multimodal.ImageHash.nearDupPairs(s, imgs,
         "doc_id", "payload", maxDist = 3)
@@ -1393,10 +1395,12 @@ object PipelineQueries {
       WITH k AS (SELECT doc_id, unnest(range(0, 64)) AS k FROM documents),
       b AS (SELECT doc_id, k, ((k // 8) * 9 + (k % 8)) AS li FROM k),
       v AS (SELECT doc_id, k,
-                   ((doc_id // 2) * 31 + li * 17 +
+                   ((doc_id // 2) * 2654435761 + li * 40503 +
+                    ((doc_id // 2) % 911) * li * li +
                     CASE WHEN doc_id % 2 = 1 AND li = 0 THEN 18 ELSE 0 END)
                      % 256 AS lv,
-                   ((doc_id // 2) * 31 + (li + 1) * 17) % 256 AS rv
+                   ((doc_id // 2) * 2654435761 + (li + 1) * 40503 +
+                    ((doc_id // 2) % 911) * (li + 1) * (li + 1)) % 256 AS rv
             FROM b),
       h AS (SELECT doc_id,
                    sum(CASE WHEN lv < rv AND k >= 32
