@@ -3281,16 +3281,15 @@ object BinaryOps {
       .toDF("doc_id", "payload")
   }
 
-  /** Hash-DIVERSE near-dup fixture — the scale-probe twin of
-    * [[syntheticNearDupJpegCorpus]]: the oracle fixture's affine block
-    * formula admits only 256 distinct dHash patterns (the hash depends
-    * on base·31 mod 256 alone), which is exactly what a bit-replay
-    * oracle wants and exactly wrong for a growth probe (hash classes
-    * fill up and pair counts go quadratic in corpus size). Here the
-    * block value mixes base nonlinearly into the gradient structure, so
-    * distinct bases get effectively distinct hashes and the pair set
-    * stays the constructed consecutive-id pairs plus rare coincidences —
-    * linear in the corpus. */
+  /** Hash-DIVERSE near-dup fixture — q206's oracle corpus: the plain
+    * [[syntheticNearDupJpegCorpus]] affine block formula admits only 256
+    * distinct dHash patterns (the hash depends on base·31 mod 256
+    * alone), which collapses pair sets into quadratic blowup once the
+    * corpus outgrows 256 bases. Mixing base NONLINEARLY into the
+    * gradient structure (the bi² term) widens the class space to
+    * 256×911 patterns — collision-free at every oracle scale (sf ≤ 0.1
+    * has ≤ 2.5k bases) — while every cell stays plain integer
+    * arithmetic a SQL oracle replays. */
   def syntheticNearDupJpegCorpusDiverse(spark: SparkSession,
       docs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -3304,6 +3303,38 @@ object BinaryOps {
           val bump = if (id % 2 == 1 && bi == 0) 18 else 0
           Math.floorMod(base * 2654435761L + bi * 40503L +
             (base % 911L) * bi * bi + bump, 256L).toInt
+        }))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** SplitMix64 near-dup fixture — the SCALE-PROBE corpus: even the bi²
+    * mix carries only ~233k hash classes (mod 256 × mod 911), so an
+    * 80k-base probe corpus birthday-collides and pair counts go
+    * superlinear — a generator artifact, not an operator property (real
+    * near-dup density is cluster-bounded). Every cell here is an
+    * independent 64-bit mix of (base, block), making cross-base hash
+    * collisions ~2⁻⁶⁴-rare at any probe scale; the constructed
+    * consecutive-id pairs are the whole pair set. Not SQL-replayable —
+    * probes don't need an oracle. */
+  def syntheticNearDupJpegCorpusProbe(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val base = id / 2
+        (id, buildJpeg(72, 64, (bx, by) => {
+          val bi = by * 9 + bx
+          val bump = if (id % 2 == 1 && bi == 0) 18 else 0
+          Math.floorMod(mix64(base * 72L + bi) + bump, 256L).toInt
         }))
       })
       .toDF("doc_id", "payload")

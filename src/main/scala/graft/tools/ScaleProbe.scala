@@ -168,15 +168,16 @@ object ScaleProbe {
           policy, "GraftBot", col("url"))),
         "url", "priority", 5.0).count()
     }),
-    // image near-dup end to end (q206 shape, hash-diverse fixture):
-    // encode + decode + dHash are map-only per-image work, then ONLY
-    // 8-byte fingerprints enter the chunk-bucket equi-join — growth
-    // measures codec throughput plus a pairs-sized join, never pixels
-    // through a shuffle
+    // image near-dup end to end (q206 shape, splitmix64 fixture — the
+    // variant whose near-dup density stays cluster-bounded like real
+    // corpora): encode + decode + dHash are map-only per-image work,
+    // then ONLY 8-byte fingerprints enter the chunk-bucket equi-join —
+    // growth measures codec throughput plus a pairs-sized join, never
+    // pixels through a shuffle
     ("image_neardup", () => {
       val s = docs.sparkSession
       graft.multimodal.ImageHash.nearDupPairs(s,
-        graft.multimodal.BinaryOps.syntheticNearDupJpegCorpusDiverse(
+        graft.multimodal.BinaryOps.syntheticNearDupJpegCorpusProbe(
           s, docs),
         "doc_id", "payload", maxDist = 3).count()
     }))
