@@ -222,6 +222,42 @@ object Classify {
     "fr" -> "la maison et le pain sont pres de la vieille rue",
     "es" -> "la casa y el agua estan cerca de la calle vieja")
 
+  /** The BREADTH fixture (q210): twelve languages across three scripts
+    * (Latin incl. the heavily gram-overlapping Romance cluster, Cyrillic,
+    * Greek), ORDERED — position = doc_id % 12, so every field replays by
+    * formula. Stopword-heavy single-sentence profiles keep the NB
+    * machinery honest about what actually separates languages at
+    * char-3-gram altitude: the Romance neighbors (es/pt/it/fr/ro) share
+    * dozens of grams and are told apart only by the full-profile
+    * likelihood, not by any single distinctive gram. */
+  val langTemplatesWide: Seq[(String, String)] = Seq(
+    "en" -> "the house and the water are near the old street",
+    "de" -> "das haus und das wasser sind nahe der alten strasse",
+    "fr" -> "la maison et le pain sont pres de la vieille rue",
+    "es" -> "la casa y el agua estan cerca de la calle vieja",
+    "it" -> "la casa e il pane sono vicino alla vecchia strada",
+    "pt" -> "a casa e a agua estao perto da rua velha",
+    "nl" -> "het huis en het water zijn dicht bij de oude straat",
+    "sv" -> "huset och vattnet ligger nara den gamla gatan",
+    "pl" -> "dom i woda sa blisko starej ulicy",
+    "ro" -> "casa si apa sunt aproape de strada veche",
+    "ru" -> "дом и вода находятся рядом со старой улицей",
+    "el" -> "το σπιτι και το νερο ειναι κοντα στον παλιο δρομο")
+
+  /** Twelve-language corpus: language = position doc_id % 12 in
+    * [[langTemplatesWide]], text = that profile plus the id-varying
+    * numeral tail — one `element_at` over two literal arrays, fully
+    * codegen'd, every field SQL-replayable. */
+  def syntheticMultilingualCorpusWide(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val langs = array(langTemplatesWide.map(t => lit(t._1)): _*)
+    val texts = array(langTemplatesWide.map(t => lit(t._2)): _*)
+    val idx = (id % 12).cast("int") + 1
+    docs.select(id, element_at(langs, idx).as("lang"),
+      concat(element_at(texts, idx), lit(" n"),
+        (id % 10).cast("string")).as("text"))
+  }
+
   def syntheticMultilingualCorpus(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val lang = when(id % 4 === 0, "en").when(id % 4 === 1, "de")

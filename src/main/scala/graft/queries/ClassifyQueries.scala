@@ -729,6 +729,93 @@ object ClassifyQueries {
              coalesce(a.lang_pred, 'und') AS lang_pred,
              a.lang_score
       FROM base b LEFT JOIN assigned a USING (doc_id)""")),
+
+    // LANG-ID BREADTH (the many-profile regime a 100 TB multilingual
+    // corpus forces): q202's machinery over TWELVE languages across
+    // three scripts — incl. the Romance cluster (fr/es/it/pt/ro), whose
+    // char-3-gram profiles overlap on dozens of grams and separate only
+    // through the full-profile likelihood, plus Cyrillic and Greek,
+    // which must coexist with Latin profiles in one vocabulary. The NB
+    // machinery is label-count-agnostic by construction; this pins that
+    // the claim survives 3× the profile count and cross-script
+    // vocabularies. The oracle replays the feature map, both training
+    // aggregations, the full α=1 scoring decomposition over all 12
+    // labels, and the argmax tie-break.
+    ("q210_lang_id_wide", (s: SparkSession, d: String) => {
+      val corpus = Classify.syntheticMultilingualCorpusWide(
+        Tables.documents(s, d))
+      Classify.langIdClassify(
+        corpus.filter(col("doc_id") % 5 =!= 0),
+        corpus.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "lang", n = 3)
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CASE doc_id % 12
+                 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+                 WHEN 3 THEN 'es' WHEN 4 THEN 'it' WHEN 5 THEN 'pt'
+                 WHEN 6 THEN 'nl' WHEN 7 THEN 'sv' WHEN 8 THEN 'pl'
+                 WHEN 9 THEN 'ro' WHEN 10 THEN 'ru' ELSE 'el' END AS lang,
+               CASE doc_id % 12
+                 WHEN 0 THEN 'the house and the water are near the old street'
+                 WHEN 1 THEN 'das haus und das wasser sind nahe der alten strasse'
+                 WHEN 2 THEN 'la maison et le pain sont pres de la vieille rue'
+                 WHEN 3 THEN 'la casa y el agua estan cerca de la calle vieja'
+                 WHEN 4 THEN 'la casa e il pane sono vicino alla vecchia strada'
+                 WHEN 5 THEN 'a casa e a agua estao perto da rua velha'
+                 WHEN 6 THEN 'het huis en het water zijn dicht bij de oude straat'
+                 WHEN 7 THEN 'huset och vattnet ligger nara den gamla gatan'
+                 WHEN 8 THEN 'dom i woda sa blisko starej ulicy'
+                 WHEN 9 THEN 'casa si apa sunt aproape de strada veche'
+                 WHEN 10 THEN 'дом и вода находятся рядом со старой улицей'
+                 ELSE 'το σπιτι και το νερο ειναι κοντα στον παλιο δρομο'
+               END || ' n' || CAST(doc_id % 10 AS VARCHAR) AS text
+        FROM documents),
+      padded AS (
+        SELECT doc_id, lang,
+               '_' || regexp_replace(lower(text), '\s+', '_', 'g') || '_' AS s
+        FROM base),
+      grams AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                 generate_series(1, greatest(length(s) - 2, 1)),
+                 i -> substr(s, i, 3))) AS token
+        FROM padded),
+      tk AS (SELECT lang AS label, token FROM grams WHERE doc_id % 5 <> 0),
+      cnt AS (SELECT label, token, count(*) AS c FROM tk GROUP BY label, token),
+      lbl AS (SELECT lang AS label, count(*) AS n_docs FROM base
+              WHERE doc_id % 5 <> 0 GROUP BY lang),
+      tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS n_tokens
+              FROM cnt GROUP BY label),
+      g AS (SELECT (SELECT count(*) FROM base WHERE doc_id % 5 <> 0)
+                     AS n_docs_total,
+                   (SELECT count(DISTINCT token) FROM cnt) AS v_size),
+      stats AS (SELECT lbl.label, lbl.n_docs, tot.n_tokens, g.n_docs_total,
+                       g.v_size
+                FROM lbl JOIN tot USING (label) CROSS JOIN g),
+      tf AS (SELECT doc_id, lang AS true_label, token, count(*) AS tf
+             FROM grams WHERE doc_id % 5 = 0
+             GROUP BY doc_id, lang, token),
+      vocab AS (SELECT DISTINCT token FROM cnt),
+      m AS (SELECT tf.doc_id, tf.true_label, CAST(sum(tf.tf) AS BIGINT) AS m
+            FROM tf JOIN vocab USING (token) GROUP BY tf.doc_id, tf.true_label),
+      seen AS (SELECT tf.doc_id, cnt.label,
+                      sum(tf.tf * ln(cnt.c + 1.0)) AS s_seen
+               FROM tf JOIN cnt USING (token) GROUP BY tf.doc_id, cnt.label),
+      sc AS (SELECT m.doc_id, m.true_label, s.label,
+                    round(ln(s.n_docs * 1.0 / s.n_docs_total)
+                      - m.m * ln((s.n_tokens + s.v_size) * 1.0)
+                      + coalesce(seen.s_seen, 0.0), 4) AS score
+             FROM m CROSS JOIN stats s
+             LEFT JOIN seen ON seen.doc_id = m.doc_id AND seen.label = s.label),
+      rk AS (SELECT doc_id, true_label, label, score,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, label) AS rk
+             FROM sc)
+      SELECT doc_id, true_label, label AS pred_label, score,
+             CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS INTEGER)
+               AS correct
+      FROM rk WHERE rk = 1""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -1441,6 +1441,79 @@ object PipelineQueries {
                lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
                lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS date_time
       FROM documents""")),
+
+    // PERCEPTUAL AUDIO FINGERPRINT through the oracle gate (the audio
+    // twin of q205: real RIFF/PCM decode → per-window band energies →
+    // Haitsma–Kalker band-difference sign bits): each fixture window is
+    // a sum of 9 tones at integer DFT bins of the window length, so band
+    // orthogonality makes E(w,b) exactly (amplitude·N/2)² and every
+    // E(w,b) > E(w,b+1) bit replays as the q205 integer grid formula
+    // with the comparison flipped. A fault in the WAV walk, the window
+    // framing, the phasor recurrence, or the bit packing flips bits.
+    ("q208_audio_fingerprint", (s: SparkSession, d: String) => {
+      val wavs = graft.multimodal.AudioHash.syntheticHashWavCorpus(
+        s, Tables.documents(s, d))
+      graft.multimodal.AudioHash.audioFingerprints(s, wavs,
+          "doc_id", "payload")
+        .select(col("doc_id"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
+          col("ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"))
+    }, Some("""
+      WITH k AS (SELECT doc_id, unnest(range(0, 64)) AS k FROM documents),
+      b AS (SELECT doc_id, k, ((k // 8) * 9 + (k % 8)) AS li FROM k),
+      v AS (SELECT doc_id, k,
+                   (doc_id * 31 + li * 17) % 256 AS lv,
+                   (doc_id * 31 + (li + 1) * 17) % 256 AS rv
+            FROM b)
+      SELECT doc_id,
+             CAST(sum(CASE WHEN lv > rv AND k >= 32
+                           THEN CAST(1 AS BIGINT) << (k - 32)
+                           ELSE 0 END) AS BIGINT) AS ahash_hi,
+             CAST(sum(CASE WHEN lv > rv AND k < 32
+                           THEN CAST(1 AS BIGINT) << k
+                           ELSE 0 END) AS BIGINT) AS ahash_lo
+      FROM v GROUP BY doc_id""")),
+
+    // AUDIO NEAR-DUP PAIRS (multimodal dedup, second modality: decode →
+    // fingerprint → the SAME chunk-blocked Hamming join as q206):
+    // consecutive ids share a base recording, the odd one re-mixed with
+    // tone 0 bumped +18 — at most one band-comparison bit moves, a true
+    // near-dup. The bi² amplitude mix keeps distinct bases in distinct
+    // hash classes at oracle scale, and the ×2 + li%2 parity alternation
+    // keeps ADJACENT cells unequal so no comparison bit rides on float
+    // residue — the emitted pair set equals the oracle's brute-force
+    // Hamming scan over the formula-derived hashes.
+    ("q209_audio_neardup", (s: SparkSession, d: String) => {
+      val wavs = graft.multimodal.AudioHash.syntheticNearDupWavCorpus(
+        s, Tables.documents(s, d))
+      graft.multimodal.AudioHash.nearDupPairs(s, wavs,
+        "doc_id", "payload", maxDist = 3)
+    }, Some("""
+      WITH k AS (SELECT doc_id, unnest(range(0, 64)) AS k FROM documents),
+      b AS (SELECT doc_id, k, ((k // 8) * 9 + (k % 8)) AS li FROM k),
+      v AS (SELECT doc_id, k,
+                   2 * (((doc_id // 2) * 2654435761 + li * 40503 +
+                         ((doc_id // 2) % 911) * li * li) % 256)
+                     + (li % 2)
+                     + CASE WHEN doc_id % 2 = 1 AND li = 0 THEN 18 ELSE 0 END
+                     AS lv,
+                   2 * (((doc_id // 2) * 2654435761 + (li + 1) * 40503 +
+                         ((doc_id // 2) % 911) * (li + 1) * (li + 1)) % 256)
+                     + ((li + 1) % 2) AS rv
+            FROM b),
+      h AS (SELECT doc_id,
+                   sum(CASE WHEN lv > rv AND k >= 32
+                            THEN CAST(1 AS BIGINT) << (k - 32)
+                            ELSE 0 END) AS hi,
+                   sum(CASE WHEN lv > rv AND k < 32
+                            THEN CAST(1 AS BIGINT) << k
+                            ELSE 0 END) AS lo
+            FROM v GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+             CAST(bit_count(xor(a.hi, b2.hi)) +
+                  bit_count(xor(a.lo, b2.lo)) AS INTEGER) AS dist
+      FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
+      WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 3""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -59,6 +59,25 @@ class ClassifySpec extends AnyFunSuite {
     assert(out.map(_._1).toSet === Set("en", "de", "fr", "es"))
   }
 
+  test("langIdClassify breadth: 12 languages / 3 scripts classify 100% " +
+      "correct held-out — the Romance cluster separates on full-profile " +
+      "likelihood, Cyrillic and Greek coexist in one vocabulary") {
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.operators.Classify.syntheticMultilingualCorpusWide(
+      spark.range(0, 360).select(col("id").as("doc_id")))
+    val out = graft.operators.Classify.langIdClassify(
+        corpus.filter(col("doc_id") % 5 =!= 0),
+        corpus.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "lang")
+      .select("true_label", "pred_label", "correct")
+      .as[(String, String, Int)].collect()
+    assert(out.length === 72)
+    assert(out.forall(_._3 == 1), out.filter(_._3 == 0).mkString(", "))
+    assert(out.map(_._1).toSet ===
+      graft.operators.Classify.langTemplatesWide.map(_._1).toSet)
+    assert(out.map(_._1).toSet.size === 12)
+  }
+
   test("score decomposition equals the dense smoothed-matrix score") {
     val test = Seq((10L, "alpha beta shared novel", "A"))
       .toDF("doc_id", "text", "source")

@@ -607,4 +607,15 @@ class PlanSpec extends AnyFunSuite {
       "pixel bytes must not cross an exchange: " +
         exchanges.mkString("\n"))
   }
+
+  test("q209 audio near-dup: the same chunk-bucket equi-join shape — " +
+      "nothing cartesian, no PCM bytes past the codec stage") {
+    val p = plan("q209_audio_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoop"), p.take(4000))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(!_.contains("payload")),
+      "PCM bytes must not cross an exchange: " +
+        exchanges.mkString("\n"))
+  }
 }
