@@ -225,4 +225,36 @@ object AudioHash {
       })
       .toDF("doc_id", "payload")
   }
+
+  /** SplitMix64 near-dup fixture — the SCALE-PROBE corpus (the audio
+    * twin of `BinaryOps.syntheticNearDupJpegCorpusProbe`): the oracle
+    * fixture's (a, q) class structure birthday-collides at probe scale
+    * (a generator artifact, not an operator property — real near-dup
+    * density is cluster-bounded), so probe cells are independent 64-bit
+    * mixes of (base, cell) making cross-base collisions ~2⁻⁶⁴-rare; the
+    * constructed consecutive-id pairs are the whole pair set. Keeps the
+    * parity alternation (and tone scale 6) so every comparison bit stays
+    * on integers. Not SQL-replayable — probes don't need an oracle. */
+  def syntheticNearDupWavCorpusProbe(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val base = id / 2
+        (id, buildFixtureWav(6.0) { li =>
+          val bump = if (id % 2 == 1 && li == 0) 18 else 0
+          (2 * Math.floorMod(mix64(base * 72L + li), 256L) +
+            li % 2 + bump).toInt
+        })
+      })
+      .toDF("doc_id", "payload")
+  }
 }

@@ -1514,6 +1514,74 @@ object PipelineQueries {
                   bit_count(xor(a.lo, b2.lo)) AS INTEGER) AS dist
       FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
       WHERE bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 3""")),
+
+    // ID3v2 PROVENANCE through the oracle gate (the audio twin of q207
+    // EXIF): each fixture file is a real ID3 tag prepending a WAV
+    // payload — v2.3 for even ids, v2.4 for odd, so BOTH frame-size
+    // wire formats (plain vs syncsafe), BOTH year frames (TYER vs
+    // TDRC's leading yyyy), and BOTH text encodings (ISO-8859-1 vs
+    // UTF-8) sit on the oracle path, every 7th tag padded, an unknown
+    // TXXX frame to walk over in every tag, and every 13th file
+    // TRUNCATED mid-frame — the structural-break drop is oracle-checked
+    // as an absent row, never a half-read one.
+    ("q211_id3_meta", (s: SparkSession, d: String) =>
+      graft.multimodal.Id3.id3MetaBinary(s,
+        graft.multimodal.Id3.syntheticTaggedAudioCorpus(
+          s, Tables.documents(s, d)),
+        "doc_id", "payload"),
+    Some("""
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INTEGER)
+               AS id3_version,
+             't' || CAST(doc_id % 97 AS VARCHAR) AS title,
+             'a' || CAST(doc_id % 89 AS VARCHAR) AS artist,
+             'al' || CAST(doc_id % 83 AS VARCHAR) AS album,
+             CAST(1960 + doc_id % 60 AS INTEGER) AS year,
+             CAST(1 + doc_id % 30 AS INTEGER) AS track
+      FROM documents WHERE doc_id % 13 <> 0""")),
+
+    // AUDIO QUALITY SIGNALS through the oracle gate (the audio twin of
+    // q170's Gopher rules): per-recording silence/clipping/DC/energy
+    // statistics as EXACT integer sums over the real RIFF/PCM decode.
+    // The fixture injects pathologies at window grain by formula —
+    // m = (id·7+w·13) mod 11 picks silent (m=0), clipped (m=1), or a
+    // DC-offset square wave — and square waves make every statistic
+    // closed-form: peak = A+|D|, Σs = 128·D, Σs² = 128·(D²+A²). A fault
+    // in the WAV walk, the channel-0 selection, the window framing, or
+    // any accumulator mismatches its formula.
+    ("q212_audio_quality", (s: SparkSession, d: String) =>
+      graft.multimodal.AudioSignal.audioQualityStats(s,
+        graft.multimodal.AudioSignal.syntheticQualityWavCorpus(
+          s, Tables.documents(s, d)),
+        "doc_id", "payload"),
+    Some("""
+      WITH w AS (SELECT doc_id, unnest(range(0, 8)) AS w FROM documents),
+      c AS (SELECT doc_id, w, (doc_id * 7 + w * 13) % 11 AS m,
+                   200 + ((doc_id * 31 + w * 17) % 997) * 29 AS a,
+                   (doc_id % 3) * 5 - 5 AS d
+            FROM w),
+      s AS (SELECT doc_id,
+                   CASE WHEN m = 0 THEN 0 WHEN m = 1 THEN 32767
+                        ELSE a + abs(d) END AS wpeak,
+                   CASE WHEN m = 1 THEN 128 ELSE 0 END AS wclip,
+                   CASE WHEN m >= 2 THEN 128 * CAST(d AS BIGINT)
+                        ELSE 0 END AS wdc,
+                   CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+                        WHEN m = 1 THEN 128 * CAST(32767 AS BIGINT) * 32767
+                        ELSE 128 * (CAST(d AS BIGINT) * d +
+                                    CAST(a AS BIGINT) * a) END AS wsq,
+                   CASE WHEN m = 0 THEN 1 ELSE 0 END AS wsilent
+            FROM c)
+      SELECT doc_id,
+             CAST(1024 AS INTEGER) AS n_frames,
+             CAST(8000 AS INTEGER) AS sample_rate,
+             CAST(1 AS INTEGER) AS n_channels,
+             CAST(max(wpeak) AS INTEGER) AS peak,
+             CAST(sum(wclip) AS BIGINT) AS clip_count,
+             CAST(sum(wdc) AS BIGINT) AS dc_sum,
+             CAST(sum(wsq) AS BIGINT) AS sum_sq,
+             CAST(sum(wsilent) AS INTEGER) AS silent_windows
+      FROM s GROUP BY doc_id""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -180,6 +180,18 @@ object ScaleProbe {
         graft.multimodal.BinaryOps.syntheticNearDupJpegCorpusProbe(
           s, docs),
         "doc_id", "payload", maxDist = 3).count()
+    }),
+    // audio near-dup end to end (q209 shape, splitmix64 fixture):
+    // synth + RIFF/PCM decode + the per-band phasor-recurrence DFT are
+    // map-only per-recording work, then ONLY 8-byte fingerprints enter
+    // the chunk-bucket equi-join — growth measures decode+DFT
+    // throughput plus a pairs-sized join, never PCM through a shuffle
+    ("audio_neardup", () => {
+      val s = docs.sparkSession
+      graft.multimodal.AudioHash.nearDupPairs(s,
+        graft.multimodal.AudioHash.syntheticNearDupWavCorpusProbe(
+          s, docs),
+        "doc_id", "payload", maxDist = 3).count()
     }))
 
   /** K vocabulary-disjoint embedding shards: ids offset collision-free,

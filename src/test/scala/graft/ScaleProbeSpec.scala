@@ -23,7 +23,7 @@ class ScaleProbeSpec extends AnyFunSuite {
     // regression — the law is about plan SHAPE, measured through wall time
     val probes = ScaleProbe.run(spark, base, baseEmb, Seq(2, 32), tmp, iters = 3)
     val byOp = probes.groupBy(_.op)
-    assert(byOp.size === 35, "every probed op must report both scales")
+    assert(byOp.size === 36, "every probed op must report both scales")
     // bm25 ranks a FIXED query set (output queries×k by design); the
     // store-serving probes run fixed queries / fixed-size batches against
     // a GROWING store — their output and, per the store sizing contract,
