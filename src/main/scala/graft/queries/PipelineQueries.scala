@@ -1582,6 +1582,71 @@ object PipelineQueries {
              CAST(sum(wsq) AS BIGINT) AS sum_sq,
              CAST(sum(wsilent) AS INTEGER) AS silent_windows
       FROM s GROUP BY doc_id""")),
+
+    // MP3 CONTAINER METADATA through the oracle gate (the audio side of
+    // q143's MP4 walk): version cycles 1/2/2.5 (both bitrate table
+    // groups, all nine sample rates), odd frames padded (the
+    // table-driven frame-length walk is exact or the stream desyncs),
+    // a Xing VBR block every 4th id behind the version/channel-shaped
+    // side-info offset, an ID3v2 prefix every 6th skipped by declared
+    // size, every 13th file truncated mid-frame — dropped whole.
+    ("q213_mp3_meta", (s: SparkSession, d: String) =>
+      graft.multimodal.AudioContainers.mp3MetaBinary(s,
+        graft.multimodal.AudioContainers.syntheticMp3Corpus(
+          s, Tables.documents(s, d)),
+        "doc_id", "payload"),
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '2'
+                 ELSE '2.5' END AS mpeg_version,
+               CAST(CASE WHEN doc_id % 4 = 0
+                    THEN greatest(1 + doc_id % 14, 2)
+                    ELSE 1 + doc_id % 14 END AS INTEGER) AS bi,
+               CAST((doc_id // 3) % 3 AS INTEGER) AS si,
+               CAST(4 + doc_id % 5 AS INTEGER) AS nf
+        FROM documents WHERE doc_id % 13 <> 0)
+      SELECT doc_id, mpeg_version,
+             CAST(3 AS INTEGER) AS layer,
+             CAST(CASE WHEN mpeg_version = '1'
+               THEN ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bi]
+               ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[bi]
+               END AS INTEGER) AS bitrate_kbps,
+             CAST(CASE mpeg_version
+               WHEN '1' THEN ([44100,48000,32000])[si + 1]
+               WHEN '2' THEN ([22050,24000,16000])[si + 1]
+               ELSE ([11025,12000,8000])[si + 1]
+               END AS INTEGER) AS sample_rate,
+             CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS INTEGER)
+               AS channels,
+             nf AS n_frames,
+             CAST(nf * (CASE WHEN mpeg_version = '1' THEN 1152 ELSE 576
+                        END) * 1000
+               // (CASE mpeg_version
+                   WHEN '1' THEN ([44100,48000,32000])[si + 1]
+                   WHEN '2' THEN ([22050,24000,16000])[si + 1]
+                   ELSE ([11025,12000,8000])[si + 1] END)
+               AS BIGINT) AS duration_ms,
+             doc_id % 4 = 0 AS vbr
+      FROM f""")),
+
+    // FLAC STREAMINFO through the oracle gate: the 20/3/5/36-bit
+    // big-endian pack read back field-exact; every 13th file truncated
+    // inside STREAMINFO — dropped whole.
+    ("q214_flac_meta", (s: SparkSession, d: String) =>
+      graft.multimodal.AudioContainers.flacMetaBinary(s,
+        graft.multimodal.AudioContainers.syntheticFlacCorpus(
+          s, Tables.documents(s, d)),
+        "doc_id", "payload"),
+    Some("""
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 12) * 4000 AS INTEGER) AS sample_rate,
+             CAST(1 + doc_id % 8 AS INTEGER) AS channels,
+             CAST(8 + doc_id % 25 AS INTEGER) AS bits_per_sample,
+             CAST(1000 + (doc_id % 100000) * 37 AS BIGINT) AS total_samples,
+             CAST((1000 + (doc_id % 100000) * 37) * 1000
+               // (8000 + (doc_id % 12) * 4000) AS BIGINT) AS duration_ms
+      FROM documents WHERE doc_id % 13 <> 0""")),
   )
 
   val queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
