@@ -111,27 +111,115 @@ object Classify {
   private def nbScoresFeatures(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, labelCol: String,
       feats: Column => Column): DataFrame = {
-    val counts = tokenCounts(train, textCol, labelCol, feats)
-    val stats = labelStats(train, idCol, textCol, labelCol, counts)
-    val tf = test.select(col(idCol).as("id"), col(labelCol).as("true_label"),
+    // both explode-heavy pre-shuffle pipelines spread to the core count
+    // when the scan is narrower (single-split files serialize the gram
+    // explosion on one core; a production-scale scan is already parallel
+    // and Spread is a no-op)
+    val counts = tokenCounts(Spread.toCores(train, col(idCol)),
+      textCol, labelCol, feats)
+    // ONE occurrence row per test token — no per-doc tf pre-aggregation:
+    // the (id,label) aggregation below partial-aggregates map-side BEFORE
+    // its exchange, compressing to ≤ |docs|·|labels| rows per partition
+    // (tighter than the old (id,token,tf) shuffle), and Σ over
+    // occurrences of ln-terms equals the old Σ tf·ln-terms up to FP
+    // re-association, which the 4-decimal parity round absorbs
+    val tf = Spread.toCores(test, col(idCol))
+      .select(col(idCol).as("id"), col(labelCol).as("true_label"),
         explode(feats(col(textCol))).as("token"))
-      .groupBy(col("id"), col("true_label"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    // m_d: test tokens restricted to the training vocabulary (any label)
-    val vocab = counts.select(col("token")).distinct()
-    val mDoc = tf.join(vocab, Seq("token"), "left_semi")
-      .groupBy(col("id"), col("true_label")).agg(sum(col("tf")).as("m"))
-    // Σ tf·ln(c+1) over the SEEN (token, label) pairs — token-keyed join,
-    // the only corpus-shaped shuffle in scoring
-    val seen = tf.join(counts, Seq("token"))
-      .groupBy(col("id"), col("label"))
-      .agg(sum(col("tf") * log(col("c") + lit(1.0))).as("s_seen"))
-    mDoc.crossJoin(broadcast(stats))
-      .join(seen, Seq("id", "label"), "left")
+    // ONE token-keyed pass over the test stream (was three: a left_semi
+    // vocabulary probe for m_d, a (token,label) counts join for s_seen,
+    // and an (id,label) re-join gluing them — guide §2.3/§2.4): fold the
+    // per-token label counts into a |labels|-bounded map (vocab-sized
+    // regroup of the counts table), join the stream once on token, and
+    // emit per (token, label) the FULL likelihood contribution
+    //   tf·(ln(c+1) − ln(N_ℓ+V))
+    // — unseen (token,label) pairs contribute exactly −tf·ln(N_ℓ+V)
+    // (ln(0+1)=0), so summing contributions over a doc's in-vocabulary
+    // tokens reproduces s_seen − m_d·ln(N_ℓ+V) without ever computing
+    // m_d separately. The per-label constants ride in as one broadcast
+    // 1-row array; the prior lands after the (id,label) aggregation via
+    // a broadcast join. Same score arithmetic up to FP re-association,
+    // which the 4-decimal parity round absorbs; zero-overlap docs still
+    // produce no rows (inner join), preserving the absent-doc contract.
+    // vocabulary-sized (one row per distinct token, a ≤|labels|-entry
+    // count map each) and materialized ONCE: the training corpus is
+    // exploded exactly one time per invocation — the stats collect below
+    // and the scoring join both read these blocks
+    val tokmap = counts.groupBy(col("token"))
+      .agg(map_from_entries(collect_list(struct(col("label"), col("c"))))
+        .as("cm"))
+      .localCheckpoint()
+    // The per-label constants are MODEL METADATA — one row per training
+    // label, bounded by the label set (≤ a dozen languages / a handful of
+    // quality classes), the same dim-sized-frame class as the store
+    // operators' bounded collects. Collecting them once and folding them
+    // into LITERALS removes every re-materialization of the old stats
+    // subtree (built once as a broadcast relation, its exchange cascade
+    // re-executed per consumer) and turns the final per-label constants
+    // join into constant-folded arithmetic. ONE bounded collect action —
+    // three small subtrees unioned so AQE materializes them concurrently:
+    // per-label doc counts (a column-pruned scan of train, no explode),
+    // per-label token totals and the vocabulary size (both re-aggregated
+    // from the checkpointed vocabulary-sized tokmap, NOT from a second
+    // pass over the corpus).
+    val a = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("label"), col("n_docs"),
+        lit(null).cast("long").as("n_tokens"), lit(0).as("g"))
+    val b = tokmap.select(explode(map_entries(col("cm"))).as("e"))
+      .groupBy(col("e.key").as("label"))
+      .agg(sum(col("e.value")).as("n_tokens"))
+      .select(col("label"), lit(null).cast("long").as("n_docs"),
+        col("n_tokens"), lit(1).as("g"))
+    val v = tokmap.agg(count(lit(1)).as("vd"))
+      .select(lit(null).cast("string").as("label"), col("vd"),
+        lit(null).cast("long").as("n_tokens"), lit(2).as("g"))
+    val collected = a.unionAll(b).unionAll(v).collect()
+    val plRows = collected.filter(_.getAs[Int]("g") == 0)
+    val vSize = collected.find(_.getAs[Int]("g") == 2)
+      .map(_.getAs[Long]("n_docs")).getOrElse(0L)
+    val nTokens = collected.filter(_.getAs[Int]("g") == 1)
+      .map(r => r.getAs[String]("label") -> r.getAs[Long]("n_tokens")).toMap
+    // inner-join semantics of the old stats frame: a label with docs but
+    // no tokens carries no counts row and is excluded everywhere,
+    // INCLUDING the doc-count total the priors normalize by
+    val statsRows = plRows.filter(r => nTokens.contains(r.getAs[String]("label")))
+    if (statsRows.isEmpty)
+      // empty training set: the old crossJoin produced zero rows
+      return tf.select(col("id"), col("true_label"),
+        lit("").as("label"), lit(0.0).as("score")).limit(0)
+    val nDocsTotal = statsRows.map(_.getAs[Long]("n_docs")).sum
+    // (label, ln(N_ℓ+V)) literal array and label → log-prior literal map;
+    // the logs stay Column expressions (constant-folded), so the engine's
+    // own ln is used — same arithmetic as the old column-space formula
+    val sa = array(statsRows.map { r =>
+      struct(lit(r.getAs[String]("label")).as("label"),
+        log(lit((nTokens(r.getAs[String]("label")) + vSize).toDouble))
+          .as("lnNV"))
+    }.toIndexedSeq: _*)
+    val priorM = map(statsRows.flatMap { r =>
+      Seq(lit(r.getAs[String]("label")),
+        log(lit(r.getAs[Long]("n_docs").toDouble / nDocsTotal.toDouble)))
+    }.toIndexedSeq: _*)
+    // the ln arithmetic runs ONCE PER VOCABULARY TOKEN (projected onto
+    // the tokmap side, |V|·|labels| logs total), not once per test
+    // occurrence × label: the per-occurrence hot loop is join-probe +
+    // pre-computed-array explode + partial-agg accumulate only
+    val tokarr = tokmap.select(col("token"), transform(sa,
+      s => struct(s.getField("label").as("label"),
+        (log(coalesce(element_at(col("cm"),
+            s.getField("label")), lit(0L)) + lit(1.0))
+          - s.getField("lnNV")).as("contrib"))).as("arr"))
+    val contribs = tf.join(tokarr, Seq("token"))
+      .select(col("id"), col("true_label"), explode(col("arr")).as("lc"))
+      .select(col("id"), col("true_label"),
+        col("lc.label").as("label"), col("lc.contrib").as("contrib"))
+    contribs
+      .groupBy(col("id"), col("true_label"), col("label"))
+      .agg(sum(col("contrib")).as("body"))
       .select(col("id"), col("true_label"), col("label"),
-        pround(log(col("n_docs").cast("double") / col("n_docs_total"))
-          - col("m") * log((col("n_tokens") + col("v_size")).cast("double"))
-          + coalesce(col("s_seen"), lit(0.0)), 4).as("score"))
+        pround(element_at(priorM, col("label")) + col("body"), 4)
+          .as("score"))
   }
 
   /** [[nbClassify]] under a pluggable feature map — the same α=1
@@ -139,14 +227,17 @@ object Classify {
   def nbClassifyFeatures(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, labelCol: String,
       feats: Column => Column): DataFrame =
+    // argmax as a hash aggregation instead of a rank window: min over
+    // (−score, label) structs reproduces the (score desc, label asc)
+    // tie-break exactly, without the window's sort (negation is an IEEE
+    // sign-bit flip — order-exact and lossless on re-negation)
     nbScoresFeatures(train, test, idCol, textCol, labelCol, feats)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("id"))
-          .orderBy(col("score").desc, col("label"))))
-      .filter(col("rank") === 1)
+      .groupBy(col("id"), col("true_label"))
+      .agg(min(struct((-col("score")).as("ns"), col("label"))).as("top"))
       .select(col("id").as("doc_id"), col("true_label"),
-        col("label").as("pred_label"), col("score"),
-        when(col("label") === col("true_label"), 1).otherwise(0)
+        col("top.label").as("pred_label"),
+        (-col("top.ns")).as("score"),
+        when(col("top.label") === col("true_label"), 1).otherwise(0)
           .as("correct"))
 
   /** LANGUAGE ID (the lid gate CCNet §3.1 runs before every other
@@ -185,17 +276,20 @@ object Classify {
       textCol: String, labelCol: String, n: Int = 3,
       minMargin: Double = 0.0): DataFrame = {
     require(minMargin >= 0, s"minMargin must be >= 0: $minMargin")
+    // top-2 as one hash aggregation (no rank window): sort the ≤|labels|
+    // (−score, label) structs per doc — ascending = (score desc, label
+    // asc), the exact window tie-break — and slice the head pair
     val top2 = nbScoresFeatures(train,
         docs.withColumn(labelCol, lit("")), idCol, textCol, labelCol,
         charNgrams(_, n))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("id"))
-          .orderBy(col("score").desc, col("label"))))
-      .filter(col("rank") <= 2)
       .groupBy(col("id"))
-      .agg(max(when(col("rank") === 1, col("label"))).as("best"),
-        max(when(col("rank") === 1, col("score"))).as("best_score"),
-        max(when(col("rank") === 2, col("score"))).as("second_score"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("score")).as("ns"), col("label")))), 1, 2).as("t2"))
+      .select(col("id"),
+        col("t2").getItem(0).getField("label").as("best"),
+        (-col("t2").getItem(0).getField("ns")).as("best_score"),
+        when(size(col("t2")) > 1,
+          -col("t2").getItem(1).getField("ns")).as("second_score"))
     // a single-label training set has no runner-up: margin is vacuously
     // met (the gate then only separates scorable from unscorable docs)
     val assigned = top2.select(col("id").as("doc_id"),

@@ -42,13 +42,21 @@ object LanguageModel {
       .select(col("id"), col("bg.w1"), col("bg.w2"))
 
     val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // c(w1) = Σ_w2 c(w1,w2): both counts tally the same bigram rows, so
+    // the unigram-context table folds out of c12 — a vocabulary-sized
+    // re-aggregation instead of a second full pass + shuffle of the
+    // corpus bigram stream (guide §2.3/§2.4)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = toks.select(explode(col("w")).as("w")).agg(
       countDistinct(col("w")).as("v"))
 
+    // attach c1 to the count table first (vocab-sized join keyed on w1),
+    // then join the corpus stream ONCE on (w1, w2) — the stream is
+    // shuffled once, not twice; self-scoring means every stream bigram
+    // hits the count table, so inner-join row sets are unchanged
+    val ctab = c12.join(c1, Seq("w1"))
     bigrams
-      .join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+      .join(ctab, Seq("w1", "w2"))
       .crossJoin(vocab) // 1-row scalar: broadcast, not a real product
       .withColumn("lp", log((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v"))))
       .groupBy(col("id"))
@@ -68,7 +76,8 @@ object LanguageModel {
       idCol: String, textCol: String, k: Double = 1.0): DataFrame = {
     val train = bigramRows(trainDocs, idCol, textCol)
     val c12 = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // c(w1) folded out of c12 (Σ_w2 c(w1,w2)) — one corpus pass, not two
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = trainDocs
       .select(explode(split(col(textCol), "\\s+")).as("w"))
       .agg(countDistinct(col("w")).as("v"))

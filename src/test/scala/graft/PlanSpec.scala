@@ -355,15 +355,19 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q154 NB scoring plans no cartesian product; per-label constants " +
-      "ride as broadcasts") {
-    // the α=1 decomposition's plan contract: the only corpus-shaped joins
-    // are hash equi-joins (token-keyed seen-counts, doc-keyed assembly);
-    // the |labels|-row stats frame crosses in as a BROADCAST nested loop
-    // (intentional — it is k rows), never a CartesianProduct
+      "fold as literals (round 16: no stats join, no rank window)") {
+    // the fused α=1 decomposition's plan contract: the ONLY join left is
+    // the token-keyed hash equi-join against the per-token contribution
+    // table; the |labels|-row stats frame is collected (bounded, model
+    // metadata) and folded into literal arrays/maps, so the plan carries
+    // NO nested-loop/cartesian join at all — and the argmax is a hash
+    // aggregation (min over (−score, label) structs), not a rank Window
     val p = plan("q154_nb_classify")
     assert(!p.contains("CartesianProduct"), p.take(4000))
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
-    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(4000))
   }
 
   test("q155 semDedup assignment is a per-row literal-centroid argmax — " +
@@ -587,11 +591,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q202 lang-id NB: the q154 plan contract under char-gram features " +
-      "— label constants broadcast, gram joins hash, nothing cartesian") {
+      "— label constants literal, gram join hash, no window, nothing " +
+      "cartesian") {
     val p = plan("q202_lang_id")
     assert(!p.contains("CartesianProduct"), p.take(4000))
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
-    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(4000))
   }
 
   test("q206 image near-dup: candidates meet in the chunk-bucket " +
