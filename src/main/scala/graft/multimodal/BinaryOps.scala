@@ -685,7 +685,12 @@ object BinaryOps {
     * values from the formula — a hash match proves the box walker. */
   def syntheticMp4Corpus(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id"))
+      // repartition BEFORE the codec stage, count pinned (the
+      // q205-fixture discipline): a narrow single-split id column
+      // otherwise serializes the whole encode+parse on one task
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val w = (16 * (10 + id % 20)).toInt
         val h = (16 * (6 + id % 15)).toInt
@@ -993,7 +998,12 @@ object BinaryOps {
     * run table two runs (builder packs two samples per chunk). */
   def syntheticMjpegCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id"))
+      // repartition BEFORE the codec stage, count pinned (the
+      // q205-fixture discipline): a narrow single-split id column
+      // otherwise serializes the whole encode+parse on one task
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val w = (8 * (2 + id % 4)).toInt
         val h = (8 * (1 + id % 3)).toInt
@@ -1407,7 +1417,12 @@ object BinaryOps {
     * crops exercise the §7.4.2.1.1 crop-unit arithmetic. */
   def syntheticAvcCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id"))
+      // repartition BEFORE the codec stage, count pinned (the
+      // q205-fixture discipline): a narrow single-split id column
+      // otherwise serializes the whole encode+parse on one task
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val profile = (id % 3) match {
           case 0 => 66; case 1 => 77; case _ => 100
@@ -1666,7 +1681,12 @@ object BinaryOps {
     * the audio track, every 5th uses an unknown-size Segment. */
   def syntheticWebmCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id"))
+      // repartition BEFORE the codec stage, count pinned (the
+      // q205-fixture discipline): a narrow single-split id column
+      // otherwise serializes the whole encode+parse on one task
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val codec = (id % 3) match {
           case 0 => "V_VP8"; case 1 => "V_VP9"; case _ => "V_AV1"
@@ -1985,7 +2005,12 @@ object BinaryOps {
     */
   def syntheticWavCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id"))
+      // repartition BEFORE the codec stage, count pinned (the
+      // q205-fixture discipline): a narrow single-split id column
+      // otherwise serializes the whole encode+parse on one task
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val nCh = (1 + id % 2).toInt
         val rate = (8000 * (1 + id % 3)).toInt
@@ -3221,7 +3246,12 @@ object BinaryOps {
     * from the formula alone (q145). */
   def syntheticJpegCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id"))
+      // repartition BEFORE the codec stage, count pinned (the
+      // q205-fixture discipline): a narrow single-split id column
+      // otherwise serializes the whole encode+parse on one task
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val w = (13 + id % 40).toInt
         val h = (9 + (id * 3) % 40).toInt
@@ -3351,7 +3381,12 @@ object BinaryOps {
   def syntheticJpegProgressiveCorpus(spark: SparkSession,
       docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id"))
+      // repartition BEFORE the codec stage, count pinned (the
+      // q205-fixture discipline): a narrow single-split id column
+      // otherwise serializes the whole encode+parse on one task
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val w = (11 + (id * 7) % 42).toInt
         val h = (10 + (id * 5) % 38).toInt
@@ -3381,7 +3416,12 @@ object BinaryOps {
     * oracle proves the full color chain byte-level. */
   def syntheticJpegColorCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id"))
+      // repartition BEFORE the codec stage, count pinned (the
+      // q205-fixture discipline): a narrow single-split id column
+      // otherwise serializes the whole encode+parse on one task
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val w = (11 + id % 36).toInt
         val h = (10 + (id * 5) % 30).toInt
@@ -3401,7 +3441,12 @@ object BinaryOps {
     * exercised on both axes. */
   def syntheticJpeg420Corpus(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id"))
+      // repartition BEFORE the codec stage, count pinned (the
+      // q205-fixture discipline): a narrow single-split id column
+      // otherwise serializes the whole encode+parse on one task
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val w = (9 + id % 40).toInt
         val h = (8 + (id * 7) % 40).toInt
@@ -3436,7 +3481,12 @@ object BinaryOps {
     * genuinely builds multi-symbol strings. */
   def syntheticGifCorpus(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id"))
+      // repartition BEFORE the codec stage, count pinned (the
+      // q205-fixture discipline): a narrow single-split id column
+      // otherwise serializes the whole encode+parse on one task
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val w = (13 + id % 20).toInt
         val h = (11 + (id * 3) % 20).toInt

@@ -202,7 +202,10 @@ object Exif {
   def syntheticExifJpegCorpus(spark: SparkSession,
       docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    docs.select(col("doc_id"))
+      // count-pinned repartition before the codec stage (q205 discipline)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
       .mapPartitions(_.map { id =>
         val w = (13 + id % 40).toInt
         val h = (9 + (id * 3) % 40).toInt

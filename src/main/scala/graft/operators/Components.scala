@@ -71,20 +71,32 @@ object Components {
 
     var labels = vertices.select(col("id").cast("long").as("id"),
       col("id").cast("long").as("label")).localCheckpoint()
+    // Per-vertex labels only ever DECREASE (next = min(own, neighbours')),
+    // and next's id set is always a SUPERSET of labels' (labels is unioned
+    // in), so: equal row count ⟹ same id set, and then equal label-sum ⟹
+    // every label unchanged ⟹ fixpoint. One (count, decimal-sum) aggregate
+    // over the freshly checkpointed blocks replaces the old per-round
+    // next⋈labels join + filter + isEmpty job (decimal so a petascale id
+    // space cannot wrap the sum through overflow; the count guard covers
+    // a round that only ADDS edge-endpoint ids without decreasing any
+    // label — additions must stabilize before sums are comparable).
+    def labelFp(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("label").cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prevFp = labelFp(labels)
     var round = 0
     var converged = false
     while (!converged && round < math.min(maxIter, starAfter)) {
-      // each vertex's next label = min(own, neighbours') — labels only
-      // ever decrease, so "no label decreased" is the fixpoint test
       val viaNeighbour = both.join(labels, both("src") === labels("id"))
         .select(both("dst").as("id"), col("label"))
       val next = labels.union(viaNeighbour)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") < col("prev"))
-        .isEmpty
+      val fp = labelFp(next)
+      converged = fp._1 == prevFp._1 && fp._2.compareTo(prevFp._2) == 0
+      prevFp = fp
       labels.unpersist()
       labels = next
       round += 1

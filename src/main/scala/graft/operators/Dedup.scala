@@ -565,7 +565,12 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       windowN: Int = 8): DataFrame = {
     require(windowN >= 2, "windowN must be >= 2")
-    val wins = windowRows(docs, idCol, textCol, windowN)
+    // one-shot corpus expansion: spread a narrower-than-cores scan so
+    // the token-window explosion parallelizes (Spread is a no-op at
+    // production scan widths; the store's repeated small-batch appends
+    // deliberately do NOT spread — measured slower there)
+    val wins = windowRows(Spread.toCores(docs, col(idCol)),
+      idCol, textCol, windowN)
     val hot = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)

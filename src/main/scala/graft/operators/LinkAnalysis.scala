@@ -43,33 +43,37 @@ object LinkAnalysis {
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
     val v = vertices.select(col("id").cast("long").as("id")).localCheckpoint(false)
+    // loop-invariant hoists (optimization guide §1.2 "the distributed
+    // algorithm"): the out-degree join rides ON the checkpointed edge
+    // frame once — the old loop re-joined e⋈deg every iteration — and the
+    // vertex count is one bounded scalar collected once instead of a
+    // broadcast 1-row frame re-materialized per iteration. The division
+    // 1.0/n and (1−d) stay in double space (not pre-folded decimals).
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct().localCheckpoint(false)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint(false)
-    val nv = v.agg(count(lit(1)).cast("double").as("n"))
-    // (1 − d) computed IN DOUBLE SPACE on both engines (not a pre-folded
-    // Scala constant): 1 − 0.85 ≠ the decimal literal 0.15 in binary
+      .distinct()
+    val degF = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = e.join(degF, "src").localCheckpoint(false)
+    val deg = ed.select(col("src")).distinct().localCheckpoint(false)
+    val nD = v.count().toDouble
+    val n = lit(nD)
     val teleport = lit(1.0) - lit(damping)
 
-    var ranks = v.crossJoin(broadcast(nv))
-      .select(col("id"), (lit(1.0) / col("n")).as("r"))
+    var ranks = v.select(col("id"), (lit(1.0) / n).as("r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val contrib = e.join(ranks, e("src") === ranks("id"))
-        .join(deg, "src")
-        .select(e("dst").as("id"), (col("r") / col("deg")).as("c"))
+      val contrib = ed.join(ranks, ed("src") === ranks("id"))
+        .select(ed("dst").as("id"), (col("r") / col("deg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
       val dangling = ranks
         .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
       val next = v
         .join(contrib, Seq("id"), "left_outer")
-        .crossJoin(broadcast(nv))
         .crossJoin(broadcast(dangling))
         .select(col("id"),
-          (teleport / col("n") + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + col("dm") / col("n"))).as("r"))
+          (teleport / n + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dm") / n)).as("r"))
         .localCheckpoint()
       ranks.unpersist()
       ranks = next

@@ -268,10 +268,15 @@ object Sampling {
     // fuse at −44% in-suite / −32% fresh-JVM on q162/q164. The r14 shape
     // exploded the corpus once per consumer — the suite's two slowest
     // queries paid the dominant md5 cost twice.
-    val perDocB = ngramBuckets(raw, textCol, nBuckets, col(idCol))
+    // both md5-ngram explosions spread to core count when the scan is
+    // narrower (single-split files serialize the dominant md5 stream on
+    // one core; a no-op at production scan widths — Spread.toCores)
+    val perDocB = ngramBuckets(Spread.toCores(raw, col(idCol)),
+        textCol, nBuckets, col(idCol))
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n"))
     val cr = perDocB.groupBy(col("b")).agg(sum(col("n")).as("cr"))
-    val ct = ngramBuckets(target, textCol, nBuckets)
+    val ct = ngramBuckets(Spread.toCores(target, col(textCol)),
+        textCol, nBuckets)
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val tot = cr.agg(sum(col("cr")).as("tr")).crossJoin(
       ct.agg(sum(col("ct")).as("tt")))

@@ -689,10 +689,16 @@ object RelationalQueries {
         approx_count_distinct(col("l_partkey")).as("apx"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50a"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99a"))
-      val exact = li.agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
+      // countDistinct split OUT of the percentile aggregate: together they
+      // planned a ×2 Expand of the whole table AND funneled the distinct
+      // merge through the same single final reducer as the percentile
+      // buffer; apart, the distinct goes 2-phase (partial per partition)
+      // and the two exact passes materialize concurrently under AQE
+      val exactParts = li.select(col("l_partkey")).distinct()
+        .agg(count(lit(1)).as("exact_parts"))
+      val exactPs = li.agg(
         expr("percentile(l_extendedprice, array(0.5, 0.99))").as("ps"))
-      sketches.crossJoin(exact).select(
+      sketches.crossJoin(exactParts).crossJoin(exactPs).select(
         col("exact_parts"),
         round(element_at(col("ps"), 1), 2).as("p50_price"),
         round(element_at(col("ps"), 2), 2).as("p99_price"),
